@@ -1,0 +1,36 @@
+"""linkgraph — a PySpark-native link-graph analytics engine.
+
+Brand-new engine (NOT a port) re-creating the query capabilities of the
+reference `mknblch/neo4j-graph-algorithms` (see SURVEY.md; the local
+reference snapshot is empty, citations use the `pub:` convention of
+SURVEY.md §0): PageRank, union-find connected components, label
+propagation, triangle count / clustering coefficient — re-expressed as
+Spark DataFrame plans (gather-scatter joins + aggregations) instead of
+the reference's shared-memory Java arrays.
+
+Data model (SURVEY.md §1.4):
+  edges  DataFrame(src: long, dst: long [, weight: double])
+  nodes  DataFrame(id: long, key: string [, ...props])
+"""
+
+from linkgraph.session import get_spark
+from linkgraph.ids import dense_ids, edges_from_pairs
+from linkgraph.pagerank import pagerank, PageRankResult
+from linkgraph.components import connected_components, canonical_components, ComponentsResult
+from linkgraph.labelprop import label_propagation, LabelPropagationResult
+from linkgraph.triangles import triangle_count, TriangleResult
+
+__all__ = [
+    "get_spark",
+    "dense_ids",
+    "edges_from_pairs",
+    "pagerank",
+    "PageRankResult",
+    "connected_components",
+    "canonical_components",
+    "ComponentsResult",
+    "label_propagation",
+    "LabelPropagationResult",
+    "triangle_count",
+    "TriangleResult",
+]

@@ -1,0 +1,113 @@
+"""Checkpointed superstep state for iterative graph algorithms.
+
+The reference iterates inside one JVM with a thread barrier per
+iteration (SURVEY.md §3: ParallelUtil fans ComputeSteps, barrier per
+superstep). On Spark each superstep is a job whose input is the
+previous superstep's state DataFrame; without truncation the logical
+plan (lineage) grows linearly with iterations and planning cost blows
+up (SURVEY.md §7 "iterative-loop lineage blowup").
+
+``SuperstepLoop`` manages the state DataFrame across supersteps:
+
+  * persists each new state, unpersists the superseded one,
+  * every ``every`` supersteps truncates lineage — via an explicit
+    Parquet checkpoint (durable, resumable) when ``checkpoint_dir`` is
+    set, else ``localCheckpoint(eager=True)``,
+  * appends a manifest line per durable checkpoint with per-partition
+    lineage (file list + sizes) and the caller's convergence metrics,
+    making any run resumable (north_rule: "resumable from checkpoint
+    with per-partition lineage + metrics").
+
+Parquet round-trips preserve IEEE doubles bit-exactly, so a resumed
+run reproduces the uninterrupted run bit-identically (BASELINE.md
+"Resumability" row; verified by tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+
+class SuperstepLoop:
+    def __init__(
+        self,
+        spark,
+        checkpoint_dir: str | None = None,
+        every: int = 5,
+        name: str = "state",
+    ):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.every = max(1, every)
+        self.name = name
+        self._current: DataFrame | None = None
+        self._manifest_path = None
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+            self._manifest_path = os.path.join(self.dir, f"{name}_manifest.jsonl")
+
+    # -- resumability -------------------------------------------------
+    def resume(self) -> tuple[int, DataFrame] | None:
+        """Return (iteration, state) of the latest durable checkpoint."""
+        if not self._manifest_path or not os.path.exists(self._manifest_path):
+            return None
+        last = None
+        with open(self._manifest_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    last = json.loads(line)
+        if last is None:
+            return None
+        df = self.spark.read.parquet(last["path"])
+        self._current = df.persist()
+        return last["iteration"], self._current
+
+    # -- superstep advance --------------------------------------------
+    def advance(
+        self,
+        iteration: int,
+        df: DataFrame,
+        metrics: dict | None = None,
+        force_checkpoint: bool = False,
+    ) -> DataFrame:
+        """Install ``df`` as the state after ``iteration`` supersteps."""
+        truncate = force_checkpoint or (iteration % self.every == 0)
+        prev = self._current
+        if truncate and self.dir:
+            path = os.path.join(self.dir, f"{self.name}_{iteration:06d}")
+            df.write.mode("overwrite").parquet(path)
+            new = self.spark.read.parquet(path).persist()
+            self._write_manifest(iteration, path, metrics)
+        elif truncate:
+            new = df.localCheckpoint(eager=True)
+        else:
+            new = df.persist()
+        self._current = new
+        if prev is not None:
+            prev.unpersist()
+        return new
+
+    def _write_manifest(self, iteration: int, path: str, metrics: dict | None):
+        parts = []
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".parquet"):
+                parts.append({"file": fn, "bytes": os.path.getsize(os.path.join(path, fn))})
+        line = {
+            "iteration": iteration,
+            "path": path,
+            "ts": time.time(),
+            "partitions": parts,
+            "metrics": metrics or {},
+        }
+        with open(self._manifest_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+
+    def close(self):
+        if self._current is not None:
+            self._current.unpersist()
+            self._current = None

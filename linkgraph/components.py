@@ -1,0 +1,137 @@
+"""Connected components — distributed min-id propagation.
+
+Re-creates the reference union-find procedures
+(pub:core/.../core/utils/dss/DisjointSetStruct.java,
+pub:algo/.../impl/GraphUnionFind.java + ParallelUnionFind* variants,
+proc pub:algo/.../UnionFindProc.java; SURVEY.md §2.1): undirected
+connectivity over the edge set, optional weight-threshold mode (union
+only edges with weight >= threshold), per node ``setId``, stats row
+``setCount``.
+
+A shared-memory DSS with path compression cannot exist across Spark
+executors, so the engine computes the same partition of the node set
+by iterated min-id propagation (the closest reference analog is its
+own MSColoring CC variant, pub:algo/.../impl/MSColoring.java — atomic
+min-id propagation):
+
+  comp_i^(0)  = i
+  comp_i^(t+1)= min(comp_i^(t), min_{j ~ i} comp_j^(t))
+
+to fixpoint. Because components are exact sets and the reference's DSS
+root is an arbitrary representative, comparisons use canonical
+relabeling (min member id — which is exactly what this algorithm
+yields natively; BASELINE.md "Connected-components parity").
+
+Convergence metering without a changed-rows join: every comp value is
+monotonically non-increasing, so SUM(comp) is strictly decreasing
+until the fixpoint — one cheap aggregate action per superstep.
+
+Scale notes: duplicate/symmetric edges need no dedup (MIN is
+idempotent), so the symmetrized edge table avoids a distinct shuffle;
+it is hash-partitioned by src once and persisted. Iterations =
+graph diameter; for web-scale diameters see the large-star/small-star
+alternation (Kiveris et al., SoCC 2014) planned as `algorithm="star"`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import SuperstepLoop
+
+
+@dataclass
+class ComponentsResult:
+    components: DataFrame  # (id: long, comp: long) — comp = min id in component
+    set_count: int
+    iterations: int
+    stats: dict = field(default_factory=dict)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    threshold: float | None = None,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> ComponentsResult:
+    """Undirected connected components over an edge table.
+
+    threshold: keep only edges with weight >= threshold before
+      connecting (reference ``algo.unionFind(..., {threshold})``,
+      FIXTURES.md §2b). Missing weight column => all edges kept.
+    """
+    spark = edges.sparkSession
+    t0 = time.time()
+    e = edges
+    if threshold is not None and "weight" in e.columns:
+        e = e.filter(F.coalesce(F.col("weight"), F.lit(1.0)) >= F.lit(threshold))
+    e = e.select("src", "dst")
+    if nodes is not None:
+        base = nodes.select("id")
+    else:
+        base = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
+    base = base.persist()
+    n_nodes = base.count()
+    # symmetrize; no distinct — MIN is idempotent under duplicates
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition("src").persist()
+    sym.count()
+    t_load = time.time() - t0
+
+    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="components")
+    labels = base.select("id", F.col("id").alias("comp"))
+    labels = loop.advance(0, labels, force_checkpoint=bool(checkpoint_dir))
+    prev_sum = labels.agg(F.sum("comp")).first()[0] or 0
+
+    t1 = time.time()
+    it = 0
+    for it in range(1, max_iter + 1):
+        prop = (
+            sym.join(labels, sym.src == labels.id)
+            .select(sym.dst.alias("id"), "comp")
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = loop.advance(it, new_labels, metrics={"iteration": it})
+        cur_sum = new_labels.agg(F.sum("comp")).first()[0] or 0
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    set_count = labels.select("comp").distinct().count()
+    stats = {
+        "nodes": n_nodes,
+        "setCount": set_count,
+        "iterations": it,
+        "threshold": threshold,
+        "load_s": round(t_load, 4),
+        "compute_s": round(time.time() - t1, 4),
+    }
+    base.unpersist()
+    sym.unpersist()
+    return ComponentsResult(components=labels, set_count=set_count, iterations=it, stats=stats)
+
+
+def canonical_components(components: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Relabel component ids to the MIN ORIGINAL KEY in each component.
+
+    The reference emits arbitrary DSS-root representatives; parity
+    checks compare under canonical relabeling (SURVEY.md §2.1). Our
+    native comp is already min-dense-id; this helper maps it to the
+    min node KEY for key-level golden comparisons (FIXTURES.md §2).
+    Returns DataFrame(key, set_key).
+    """
+    labeled = components.join(nodes, "id")
+    rep = labeled.groupBy("comp").agg(F.min("key").alias("set_key"))
+    return labeled.join(rep, "comp").select("key", "set_key")

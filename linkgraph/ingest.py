@@ -1,0 +1,106 @@
+"""Edge derivation from the source-code table — the engine's "LOAD".
+
+Spark-native replacement for the reference's graph construction
+(pub:core/.../core/GraphLoader.java + HeavyGraphFactory importRels,
+SURVEY.md §2.3): instead of scanning a Neo4j store, the link graph is
+DERIVED from the Iceberg-style source table
+(repo, path, commit, lang, content):
+
+  1. a vectorized pandas/Arrow UDF extracts import statements from
+     ``content`` (pandas ``str.findall`` per language mask — Arrow
+     batch transfer, zero per-row Python UDF calls);
+  2. import tokens resolve to files by an exact equi-join on the
+     globally-unique module name (derived from repo+path JVM-side);
+  3. file-level edges (importing file -> imported file, weight 1) and
+     repo-level co-occurrence edges (repo A -> repo B weighted by the
+     count of A-files importing B-files) come out of groupBy
+     aggregations;
+  4. node ids come from the deterministic dense-id dictionary
+     (linkgraph.ids — the IdMap analog).
+
+Catalyst prunes ``content`` out of every scan downstream of step 1
+(verify with .explain(): ReadSchema excludes content after the edge
+table is materialized).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from linkgraph.ids import dense_ids
+
+# ^import <dotted.module>  (python)  /  ^import <dotted.module>; (java)
+_PATTERNS = {
+    "python": re.compile(r"^import\s+([A-Za-z0-9_.]+)\s*$", re.M),
+    "java": re.compile(r"^import\s+([A-Za-z0-9_.]+);\s*$", re.M),
+}
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_imports(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Vectorized import extraction (SURVEY.md §2.3 'relationship scan')."""
+    out = pd.Series([[]] * len(content), index=content.index, dtype=object)
+    for lg, pat in _PATTERNS.items():
+        mask = lang == lg
+        if mask.any():
+            out[mask] = content[mask].str.findall(pat)
+    return out
+
+
+def file_key(df: DataFrame) -> F.Column:
+    return F.concat_ws("/", df["repo"], df["path"])
+
+
+def module_of_path() -> F.Column:
+    """Module name from (repo, path): src/pkg_2/mod_013.py -> r0007.pkg_2.mod_013."""
+    stem = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"^src/", ""), r"\.(py|java)$", ""
+    )
+    return F.concat_ws(".", F.col("repo"), F.regexp_replace(stem, "/", "."))
+
+
+def derive_graph(source: DataFrame):
+    """Return (nodes, file_edges, repo_edges) from the source table.
+
+    nodes      DataFrame(id, key) with key = "repo/path"
+    file_edges DataFrame(src, dst, weight=1.0) — importing -> imported file
+    repo_edges DataFrame(src_repo, dst_repo, weight) — cross-repo only
+    """
+    files = source.select(
+        "repo", "path", file_key(source).alias("key"), module_of_path().alias("module")
+    ).persist()
+    nodes = dense_ids(files.select("key"), num_buckets=64).persist()
+
+    refs = (
+        source.select(
+            file_key(source).alias("src_key"),
+            F.col("repo").alias("src_repo"),
+            F.explode(extract_imports("content", "lang")).alias("module"),
+        )
+    )
+    resolved = refs.join(
+        files.select("module", F.col("key").alias("dst_key"), F.col("repo").alias("dst_repo")),
+        "module",
+    ).persist()
+
+    s = nodes.select(F.col("key").alias("src_key"), F.col("id").alias("src"))
+    d = nodes.select(F.col("key").alias("dst_key"), F.col("id").alias("dst"))
+    file_edges = (
+        resolved.select("src_key", "dst_key")
+        .distinct()
+        .join(s, "src_key")
+        .join(d, "dst_key")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    repo_edges = (
+        resolved.filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy(F.col("src_repo"), F.col("dst_repo"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    files.unpersist()
+    return nodes, file_edges, repo_edges

@@ -1,0 +1,150 @@
+"""Label propagation — synchronous, deterministic (min-label tie-break).
+
+Re-creates pub:algo/.../impl/LabelPropagation.java + proc
+pub:algo/.../LabelPropagationProc.java (SURVEY.md §2.1):
+
+  * seed: label_i = node property ``partition`` if present else id
+  * per iteration, per node n, over neighbors r along ``direction``:
+      votes[label(r)] += relWeight(n, r) * nodeWeight(r)
+    new label = argmax vote
+  * termination: fixed ``iterations`` (reference proc default 1); we
+    also stop early when no label changed and report did_converge /
+    ran_iterations (later-lineage YIELD fields).
+
+DOCUMENTED DEVIATION (SURVEY.md §2.1): the reference's sweep is
+asynchronous with hash-map vote order — nondeterministic on ties. Its
+tests only use tie-free fixtures. This engine is synchronous with a
+deterministic MIN-label tie-break, expressed as
+
+  row_number() OVER (PARTITION BY node ORDER BY vote DESC, label ASC)
+
+which is required for exact label parity at scale (BASELINE.md
+"Label-propagation parity"). On tie-free fixtures the two coincide.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import SuperstepLoop
+
+
+@dataclass
+class LabelPropagationResult:
+    labels: DataFrame  # (id: long, label: long)
+    iterations: int
+    converged: bool
+    stats: dict = field(default_factory=dict)
+
+
+def _neighbor_pairs(edges: DataFrame, direction: str) -> DataFrame:
+    """Rows (node, nbr, w): node collects a vote from neighbor nbr."""
+    w = F.coalesce(F.col("weight"), F.lit(1.0)) if "weight" in edges.columns else F.lit(1.0)
+    out = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), w.alias("w"))
+    inc = edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), w.alias("w"))
+    d = direction.upper()
+    if d == "OUTGOING":
+        return out
+    if d == "INCOMING":
+        return inc
+    if d == "BOTH":
+        return out.union(inc)
+    raise ValueError(f"direction must be OUTGOING|INCOMING|BOTH, got {direction}")
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    direction: str = "OUTGOING",
+    max_iter: int = 1,
+    seed_col: str = "partition",
+    node_weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> LabelPropagationResult:
+    """Synchronous LPA over an edge table.
+
+    nodes: optional DataFrame(id[, <seed_col>][, <node_weight_col>]).
+      Seed labels come from ``seed_col`` when present (null = unseeded
+      -> own id), matching the reference's partitionProperty default.
+    """
+    spark = edges.sparkSession
+    t0 = time.time()
+    pairs = _neighbor_pairs(edges, direction).repartition("nbr").persist()
+    pairs.count()
+    if nodes is not None:
+        base = nodes
+    else:
+        base = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    seed = (
+        F.coalesce(F.col(seed_col).cast("long"), F.col("id"))
+        if seed_col in base.columns
+        else F.col("id")
+    )
+    nw = (
+        F.coalesce(F.col(node_weight_col).cast("double"), F.lit(1.0))
+        if node_weight_col and node_weight_col in base.columns
+        else F.lit(1.0)
+    )
+    init = base.select("id", seed.alias("label"), nw.alias("nw")).persist()
+    n_nodes = init.count()
+    t_load = time.time() - t0
+
+    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="labelprop")
+    labels = loop.advance(0, init.select("id", "label"), force_checkpoint=bool(checkpoint_dir))
+
+    win = Window.partitionBy("node").orderBy(F.desc("v"), F.asc("label"))
+    converged = False
+    it = 0
+    t1 = time.time()
+    for it in range(1, max_iter + 1):
+        nbr_state = labels.join(init.select("id", "nw"), "id").select(
+            F.col("id").alias("nbr"), F.col("label").alias("nbr_label"), "nw"
+        )
+        votes = (
+            pairs.join(nbr_state, "nbr")
+            .groupBy("node", F.col("nbr_label").alias("label"))
+            .agg(F.sum(F.col("w") * F.col("nw")).alias("v"))
+        )
+        best = (
+            votes.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select(F.col("node").alias("id"), F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        new_labels = loop.advance(it, new_labels, metrics={"changed": changed})
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+
+    stats = {
+        "nodes": n_nodes,
+        "iterations": it,
+        "ran_iterations": it,
+        "did_converge": converged,
+        "direction": direction.upper(),
+        "load_s": round(t_load, 4),
+        "compute_s": round(time.time() - t1, 4),
+    }
+    pairs.unpersist()
+    init.unpersist()
+    return LabelPropagationResult(labels=labels, iterations=it, converged=converged, stats=stats)

@@ -1,0 +1,157 @@
+"""Triangle count + clustering coefficient — degree-ordered wedge closure.
+
+Re-creates pub:algo/.../impl/TriangleCountBase.java / TriangleStream.java,
+proc pub:algo/.../TriangleProc.java (SURVEY.md §2.1): graph treated as
+an UNDIRECTED SIMPLE graph; each triangle enumerated exactly once as an
+ordered triple; outputs per-node triangle count t_u, global
+triangleCount = sum(t_u)/3 = number of distinct triangles, per-node
+clustering coefficient c_u = 2*t_u / (deg_u*(deg_u-1)) (0 when deg<2),
+averageClusteringCoefficient = mean over ALL nodes, and the triple
+stream (algo.triangle.stream analog).
+
+The reference's "for u, for v>u in adj(u), for w>v in adj(u): binary
+search exists(v,w)" (sorted AdjacencyMatrix,
+pub:core/.../heavyweight/AdjacencyMatrix.java#binarySearch) becomes the
+canonical two-join plan on DEGREE-ORDERED oriented edges — each
+undirected edge {a,b} oriented a->b iff (deg_a, a) < (deg_b, b), a total
+order, so the oriented graph is a DAG and every triangle appears as
+exactly one wedge u->v, v->w closed by u->w:
+
+  wedges   = org e1 JOIN org e2 ON e1.dst = e2.src
+  triangles= wedges LEFT SEMI JOIN org e3 ON (u = e3.src AND w = e3.dst)
+
+Degree ordering bounds wedge fan-out on power-law graphs (every wedge
+is charged to its lowest-degree corner) — the standard MapReduce
+triangle-count trick; the exists() binary search maps to Spark's
+sort-merge semi-join.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TriangleResult:
+    counts: DataFrame  # (id, triangles, degree, coefficient)
+    triangles: DataFrame  # triple stream (node_a, node_b, node_c), a<b<c
+    triangle_count: int
+    avg_coefficient: float
+    node_count: int
+    stats: dict = field(default_factory=dict)
+
+
+def _undirected_simple(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edge set: (a < b), no self-loops, dedup."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Return (org, deg): degree-ordered oriented edges + true degrees."""
+    und = _undirected_simple(edges).persist()
+    sym = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id")))
+    deg = sym.groupBy("id").agg(F.count("*").alias("deg")).persist()
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    org = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            ).otherwise(F.col("b")).alias("lo"),
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            ).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    und.unpersist()
+    return org, deg
+
+
+def triangle_count(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+) -> TriangleResult:
+    """Exact triangle counting over an edge table (any orientation).
+
+    nodes: optional DataFrame(id) fixing the universe (isolated nodes
+    report triangles=0, coefficient=0 and count toward the average
+    coefficient, matching the reference).
+    """
+    t0 = time.time()
+    org, deg = oriented_edges(edges)
+    org = org.repartition("lo").persist()
+    n_oriented = org.count()
+
+    e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "v")
+    closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi").persist()
+    n_tri = tri.count()
+
+    corners = (
+        tri.select(F.col("u").alias("id"))
+        .union(tri.select(F.col("v").alias("id")))
+        .union(tri.select(F.col("w").alias("id")))
+    )
+    per_node = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    universe = nodes.select("id") if nodes is not None else deg.select("id")
+    counts = (
+        universe.join(deg, "id", "left")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.coalesce(F.col("deg"), F.lit(0)).alias("degree"),
+        )
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .persist()
+    )
+    agg = counts.agg(
+        F.count("*").alias("n"), F.avg("coefficient").alias("avg_c")
+    ).first()
+    node_count, avg_c = agg["n"], float(agg["avg_c"] or 0.0)
+
+    # triple stream ordered by node id within each triple (FIXTURES.md §4a)
+    arr = F.array_sort(F.array("u", "v", "w"))
+    triples = tri.select(
+        arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")
+    )
+    stats = {
+        "nodeCount": node_count,
+        "triangleCount": n_tri,
+        "averageClusteringCoefficient": avg_c,
+        "orientedEdges": n_oriented,
+        "compute_s": round(time.time() - t0, 4),
+    }
+    deg.unpersist()
+    return TriangleResult(
+        counts=counts,
+        triangles=triples,
+        triangle_count=n_tri,
+        avg_coefficient=avg_c,
+        node_count=node_count,
+        stats=stats,
+    )

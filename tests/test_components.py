@@ -1,0 +1,37 @@
+"""Connected-components parity with UnionFindTest fixtures (FIXTURES.md §2)."""
+
+from linkgraph import canonical_components, connected_components, edges_from_pairs
+from tests.fixtures import (
+    UNIONFIND_EDGES,
+    UNIONFIND_ISOLATED,
+    UNIONFIND_SETS,
+    UNIONFIND_THRESHOLD_EDGES,
+    UNIONFIND_THRESHOLD_SETS,
+)
+
+
+def test_unionfind_sets(spark):
+    nodes, edges = edges_from_pairs(spark, UNIONFIND_EDGES, extra_keys=UNIONFIND_ISOLATED)
+    res = connected_components(edges, nodes=nodes)
+    assert res.set_count == 6
+    canon = canonical_components(res.components, nodes)
+    got = {r["key"]: r["set_key"] for r in canon.collect()}
+    assert got == UNIONFIND_SETS
+
+
+def test_unionfind_threshold(spark):
+    nodes, edges = edges_from_pairs(spark, UNIONFIND_THRESHOLD_EDGES)
+    res = connected_components(edges, nodes=nodes, threshold=0.5)
+    assert res.set_count == 2
+    canon = canonical_components(res.components, nodes)
+    got = {r["key"]: r["set_key"] for r in canon.collect()}
+    assert got == UNIONFIND_THRESHOLD_SETS
+
+
+def test_components_comp_is_min_dense_id(spark):
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    res = connected_components(edges, nodes=nodes)
+    ids = {r["key"]: r["id"] for r in nodes.collect()}
+    comp = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert comp[ids["a"]] == comp[ids["b"]] == comp[ids["c"]] == min(ids["a"], ids["b"], ids["c"])
+    assert comp[ids["x"]] == comp[ids["y"]] == min(ids["x"], ids["y"])

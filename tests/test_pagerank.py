@@ -1,0 +1,71 @@
+"""PageRank parity with the reference PageRankTest fixture (FIXTURES.md §1)."""
+
+import numpy as np
+
+from linkgraph import edges_from_pairs, pagerank
+from tests.fixtures import (
+    PAGERANK_WIKI_40ITER,
+    PAGERANK_WIKI_CONVERGED,
+    PAGERANK_WIKI_EDGES,
+    PAGERANK_WIKI_ISOLATED,
+)
+
+
+def _scores_by_key(nodes, result):
+    rows = result.scores.join(nodes, "id").select("key", "rank").collect()
+    return {r["key"]: r["rank"] for r in rows}
+
+
+def test_pagerank_wiki_40_iterations(spark):
+    nodes, edges = edges_from_pairs(spark, PAGERANK_WIKI_EDGES, extra_keys=PAGERANK_WIKI_ISOLATED)
+    res = pagerank(edges, nodes=nodes, damping=0.85, max_iter=40)
+    got = _scores_by_key(nodes, res)
+    assert res.iterations == 40
+    for k, v in PAGERANK_WIKI_40ITER.items():
+        assert np.isclose(got[k], v, atol=1e-6), (k, got[k], v)
+
+
+def test_pagerank_wiki_converged_tol(spark):
+    nodes, edges = edges_from_pairs(spark, PAGERANK_WIKI_EDGES, extra_keys=PAGERANK_WIKI_ISOLATED)
+    res = pagerank(edges, nodes=nodes, damping=0.85, max_iter=200, tol=1e-7)
+    got = _scores_by_key(nodes, res)
+    assert res.converged
+    # BASELINE gate: allclose 1e-6 at convergence
+    for k, v in PAGERANK_WIKI_CONVERGED.items():
+        assert np.isclose(got[k], v, atol=1e-6), (k, got[k], v)
+
+
+def test_pagerank_isolated_node_scores_one_minus_d(spark):
+    nodes, edges = edges_from_pairs(spark, [("a", "b")], extra_keys=["z"])
+    res = pagerank(edges, nodes=nodes, damping=0.85, max_iter=5)
+    got = _scores_by_key(nodes, res)
+    assert np.isclose(got["z"], 0.15, atol=1e-12)
+    # dangling b: receives but never emits; a stays at 1-d
+    assert np.isclose(got["a"], 0.15, atol=1e-12)
+    assert np.isclose(got["b"], 0.15 + 0.85 * 0.15, atol=1e-12)
+
+
+def test_pagerank_matches_numpy_reference_on_random_graph(spark):
+    rng = np.random.default_rng(7)
+    n, m = 40, 160
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b}
+    edges_list = [(f"v{a:02d}", f"v{b:02d}") for a, b in sorted(pairs)]
+    all_keys = [f"v{i:02d}" for i in range(n)]
+    nodes, edges = edges_from_pairs(spark, edges_list, extra_keys=all_keys)
+
+    # dense reference implementation of the documented formula
+    d = 0.85
+    outdeg = np.zeros(n)
+    for a, b in pairs:
+        outdeg[a] += 1
+    p = np.full(n, 1 - d)
+    for _ in range(20):
+        nxt = np.full(n, 1 - d)
+        for a, b in pairs:
+            nxt[b] += d * p[a] / outdeg[a]
+        p = nxt
+
+    res = pagerank(edges, nodes=nodes, damping=0.85, max_iter=20)
+    got = _scores_by_key(nodes, res)
+    for i in range(n):
+        assert np.isclose(got[f"v{i:02d}"], p[i], atol=1e-9)

@@ -1,0 +1,53 @@
+"""Triangle-count parity with TriangleCountTest fixtures (FIXTURES.md §4)."""
+
+import numpy as np
+
+from linkgraph import edges_from_pairs, triangle_count
+from tests.fixtures import TRI_K4_TAIL_EDGES, TRI_K4_TAIL_GOLDEN, TRI_SINGLE_EDGES
+
+
+def test_single_triangle(spark):
+    nodes, edges = edges_from_pairs(spark, TRI_SINGLE_EDGES)
+    res = triangle_count(edges, nodes=nodes)
+    assert res.triangle_count == 1
+    rows = res.counts.join(nodes, "id").collect()
+    for r in rows:
+        assert r["triangles"] == 1
+        assert np.isclose(r["coefficient"], 1.0)
+    assert np.isclose(res.avg_coefficient, 1.0)
+    triples = res.triangles.join(nodes, res.triangles.node_a == nodes.id).collect()
+    assert len(triples) == 1
+
+
+def test_k4_with_tail(spark):
+    nodes, edges = edges_from_pairs(spark, TRI_K4_TAIL_EDGES)
+    res = triangle_count(edges, nodes=nodes)
+    assert res.triangle_count == 4
+    assert np.isclose(res.avg_coefficient, 0.7)
+    got = {
+        r["key"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in res.counts.join(nodes, "id").collect()
+    }
+    for k, (deg, tri, coef) in TRI_K4_TAIL_GOLDEN.items():
+        assert got[k][0] == deg, k
+        assert got[k][1] == tri, k
+        assert np.isclose(got[k][2], coef), k
+
+
+def test_direction_and_duplicates_ignored(spark):
+    # same triangle given with duplicates and mixed orientation
+    nodes, edges = edges_from_pairs(
+        spark,
+        [("x0", "x1"), ("x1", "x0"), ("x1", "x2"), ("x2", "x0"), ("x0", "x2")],
+    )
+    res = triangle_count(edges, nodes=nodes)
+    assert res.triangle_count == 1
+
+
+def test_triple_stream_sorted_by_id(spark):
+    nodes, edges = edges_from_pairs(spark, TRI_K4_TAIL_EDGES)
+    res = triangle_count(edges, nodes=nodes)
+    rows = res.triangles.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["node_a"] < r["node_b"] < r["node_c"]

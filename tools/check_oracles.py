@@ -1,0 +1,76 @@
+"""Local mimic of the driver's correctness harness.
+
+Runs every __spark_entry__.queries() entry at the given sf dir on
+Spark AND the matching oracle_sql() in DuckDB, compares row count,
+column names, and order-insensitive values (sorted rows, columns
+sorted by name). Usage: python tools/check_oracles.py [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from linkgraph.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        got = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name}: rows-only check, {len(got)} rows, {t_spark:.1f}s")
+            continue
+        t0 = time.time()
+        exp = con.execute(oracles[name]).df()
+        t_duck = time.time() - t0
+        g, e = normalize(got), normalize(exp)
+        ok = list(g.columns) == list(e.columns) and len(g) == len(e)
+        if ok:
+            for c in g.columns:
+                if g[c].dtype.kind == "f" or e[c].dtype.kind == "f":
+                    ok = ok and (g[c].astype(float) - e[c].astype(float)).abs().max() <= 1e-9
+                else:
+                    ok = ok and (g[c].astype("int64") == e[c].astype("int64")).all()
+        status = "OK " if ok else "FAIL"
+        if not ok:
+            failures += 1
+            print(f"{status} {name}: spark {len(got)}r/{t_spark:.1f}s duck {len(exp)}r/{t_duck:.1f}s")
+            print("  spark cols:", list(g.columns), " duck cols:", list(e.columns))
+            print(g.head(3).to_string(), "\n", e.head(3).to_string())
+        else:
+            print(f"{status} {name}: {len(got)} rows, spark {t_spark:.1f}s, duck {t_duck:.1f}s")
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
