@@ -92,8 +92,228 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- paths / scc / mst
+
+def _q_sssp_cosupplier(spark, sf_dir):
+    """Weighted <=2-hop shortest distances from the min supplier id
+    (hop-bounded contract shared with the recursive oracle)."""
+    from linkgraph import sssp
+    edges = cosupplier_edges(spark, sf_dir)
+    src = edges.agg(F.min("src")).first()[0]
+    res = sssp(edges, src, weighted=True, direction="BOTH", max_hops=2)
+    return res.distances.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _q_delta_stepping_cosupplier(spark, sf_dir):
+    """Delta-stepping SSSP (unbounded) — rows-only check; exactness vs
+    Dijkstra fixpoint is asserted in tests/test_paths.py."""
+    from linkgraph import sssp_delta_stepping
+    edges = cosupplier_edges(spark, sf_dir)
+    src = edges.agg(F.min("src")).first()[0]
+    res = sssp_delta_stepping(edges, src, delta=4.0, direction="BOTH")
+    return res.distances.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _trade_nation_edges(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 60)
+        .select("src", "dst")
+    )
+
+
+TRADE_NATION_SQL = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE c.c_nationkey != s.s_nationkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 60
+"""
+
+
+def _q_apsp_nation(spark, sf_dir):
+    from linkgraph import all_shortest_paths_stream
+    return all_shortest_paths_stream(
+        _trade_nation_edges(spark, sf_dir), direction="OUTGOING", max_hops=8
+    )
+
+
+def _q_closeness_nation(spark, sf_dir):
+    from linkgraph import closeness_centrality
+    return closeness_centrality(
+        _trade_nation_edges(spark, sf_dir), direction="BOTH", max_hops=8
+    ).select(
+        "id", "farness", F.col("reached").cast("long").alias("reached"),
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
+def _returns_digraph(spark, sf_dir):
+    """Directed graph with cycles: customer -> supplier for every
+    purchase, supplier -> customer for returned items."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    fwd = j.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    back = (
+        j.filter(F.col("l_returnflag") == "R")
+        .select(
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.union(back)
+
+
+RETURNS_DIGRAPH_SQL = """
+SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+UNION
+SELECT DISTINCT 1000000 + l_suppkey AS src, o_custkey AS dst
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+"""
+
+
+def _q_scc_returns(spark, sf_dir):
+    from linkgraph import strongly_connected_components
+    res = strongly_connected_components(_returns_digraph(spark, sf_dir))
+    return res.components.select("id", "scc")
+
+
+def _q_betweenness_nation(spark, sf_dir):
+    """Exact Brandes over the (25-node) nation trade graph — rows-only
+    check; golden-tested on fixtures in tests/test_paths.py."""
+    from linkgraph import betweenness_centrality
+    res = betweenness_centrality(_trade_nation_edges(spark, sf_dir), direction="BOTH")
+    return res.scores.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_mst_cosupplier(spark, sf_dir):
+    """Borůvka MSF — rows-only check (MST weight has no SQL analog);
+    golden-tested in tests/test_paths.py."""
+    from linkgraph import minimum_spanning_forest
+    res = minimum_spanning_forest(cosupplier_edges(spark, sf_dir))
+    return res.tree_edges.agg(
+        F.count("*").alias("edge_count"),
+        F.round(F.sum("weight"), 6).alias("total_weight"),
+    )
+
+
+# --------------------------------------------- training-data pipeline
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from linkgraph.pipeline import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from linkgraph.pipeline import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from linkgraph.pipeline import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    from linkgraph.pipeline import simhash_table
+    return simhash_table(_docs(spark, sf_dir), bits=32)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from linkgraph.pipeline import simhash_pairs
+    from pyspark.sql import functions as SF
+    return simhash_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3).select(
+        "d1", "d2", SF.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    from linkgraph.pipeline import token_stats
+    return token_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
+        "avg_token_len", "uniq_ratio",
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from linkgraph.pipeline import quality_scores
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from linkgraph.pipeline import language_id
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from linkgraph.pipeline import fingerprints
+    return fingerprints(_docs(spark, sf_dir), k=16)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from linkgraph.pipeline import cosine_topk
+    return cosine_topk(_emb(spark, sf_dir), k=5).select(
+        "vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    from linkgraph.pipeline import near_dup_pairs
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from linkgraph.pipeline import ann_lsh_topk
+    return ann_lsh_topk(_emb(spark, sf_dir), k=5).select(
+        "vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from linkgraph.pipeline import asset_features, synth_assets
+    return asset_features(synth_assets(_docs(spark, sf_dir))).select(
+        "asset_id", "kind", F.col("byte_len").cast("long").alias("byte_len"),
+        "f0", "f1", "f2", "f3",
+    )
+
+
+def _q_video_frames(spark, sf_dir):
+    from linkgraph.pipeline import decode_media, synth_assets
+    return decode_media(synth_assets(_docs(spark, sf_dir)), kind="video")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # graph procedures (SURVEY.md §2.1)
         "pagerank_purchase_5iter": _q_pagerank,
         "wcc_purchase": _q_wcc,
         "wcc_purchase_setcount": _q_wcc_setcount,
@@ -103,6 +323,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
         "degrees_purchase": _q_degrees,
+        # paths / scc / mst (SURVEY.md §2.2)
+        "sssp_hops2_cosupplier": _q_sssp_cosupplier,
+        "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
+        "apsp_nation": _q_apsp_nation,
+        "closeness_nation": _q_closeness_nation,
+        "scc_returns": _q_scc_returns,
+        "mst_cosupplier": _q_mst_cosupplier,
+        "betweenness_nation": _q_betweenness_nation,
+        # training-data pipeline (documents / embeddings)
+        "dedup_exact": _q_exact_dedup,
+        "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "simhash_table": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_token_stats": _q_token_stats,
+        "text_quality_scores": _q_quality,
+        "text_language_id": _q_langid,
+        "text_fingerprints": _q_fingerprints,
+        "sim_cosine_topk": _q_cosine_topk,
+        "sim_embedding_near_dup": _q_emb_near_dup,
+        "sim_ann_lsh_topk": _q_ann_lsh,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_video_frames": _q_video_frames,
     }
 
 
@@ -195,4 +438,119 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
 """,
+        **_paths_oracles(),
+        **_pipeline_oracles(),
+    }
+
+
+def _paths_oracles() -> dict[str, str]:
+    sssp_sql = f"""
+WITH RECURSIVE
+e AS ({COSUPPLIER_EDGES_SQL}),
+sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e),
+walk(id, dist, hops) AS (
+  SELECT (SELECT MIN(src) FROM e), CAST(0.0 AS DOUBLE), 0
+  UNION ALL
+  SELECT s.dst, w.dist + s.weight, w.hops + 1
+  FROM walk w JOIN sym s ON s.src = w.id WHERE w.hops < 2
+)
+SELECT id, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY id
+"""
+    bfs_base = f"""
+e AS ({TRADE_NATION_SQL}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+bfs(source, id, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT b.source, s.dst, b.dist + 1
+  FROM bfs b JOIN sym s ON s.src = b.id WHERE b.dist < 8
+),
+best AS (SELECT source, id, MIN(dist) AS dist FROM bfs GROUP BY source, id)
+"""
+    apsp_sql = f"""
+WITH RECURSIVE
+e AS ({TRADE_NATION_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+bfs(source, id, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT b.source, s.dst, b.dist + 1
+  FROM bfs b JOIN e s ON s.src = b.id WHERE b.dist < 8
+)
+SELECT source, id AS target, CAST(MIN(dist) AS DOUBLE) AS distance
+FROM bfs GROUP BY source, id HAVING source != id
+"""
+    closeness_sql = f"""
+WITH RECURSIVE {bfs_base}
+SELECT b.source AS id,
+       CAST(SUM(b.dist) AS DOUBLE) AS farness,
+       CAST(COUNT(*) - 1 AS BIGINT) AS reached,
+       ROUND(CASE WHEN SUM(b.dist) > 0
+             THEN ((SELECT COUNT(*) FROM nodes) - 1) / CAST(SUM(b.dist) AS DOUBLE)
+             ELSE 0.0 END, 6) AS closeness
+FROM best b GROUP BY b.source
+"""
+    scc_sql = f"""
+WITH RECURSIVE
+e AS ({RETURNS_DIGRAPH_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+),
+mutual AS (
+  SELECT n.id AS a, n.id AS b FROM nodes n
+  UNION
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
+"""
+    return {
+        "sssp_hops2_cosupplier": sssp_sql,
+        "apsp_nation": apsp_sql,
+        "closeness_nation": closeness_sql,
+        "scc_returns": scc_sql,
+        # sssp_delta_cosupplier, mst_cosupplier: rows-only (see queries)
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from linkgraph.pipeline.dedup import (
+        EXACT_DEDUP_SQL,
+        jaccard_pairs_sql,
+        simhash_pairs_sql,
+        simhash_table_sql,
+    )
+    from linkgraph.pipeline.multimodal import asset_features_sql
+    from linkgraph.pipeline.simsearch import cosine_topk_sql, near_dup_pairs_sql
+    from linkgraph.pipeline.text import (
+        LANGUAGE_ID_SQL,
+        QUALITY_SCORES_SQL,
+        TOKEN_STATS_SQL,
+        fingerprints_sql,
+    )
+
+    return {
+        "dedup_exact": EXACT_DEDUP_SQL,
+        "dedup_jaccard_pairs": jaccard_pairs_sql(n=3, threshold=0.8),
+        # LSH banding at 32 hashes / 8 bands has ~1e-9 miss probability
+        # for the >=0.8-Jaccard pairs in this corpus, so the verified
+        # LSH output equals the brute-force oracle (and the candidate
+        # verification step guarantees precision).
+        "dedup_minhash_lsh": jaccard_pairs_sql(n=3, threshold=0.8),
+        "simhash_table": simhash_table_sql(bits=32),
+        "simhash_pairs": simhash_pairs_sql(bits=32, max_hamming=3),
+        "text_token_stats": TOKEN_STATS_SQL,
+        "text_quality_scores": QUALITY_SCORES_SQL,
+        "text_language_id": LANGUAGE_ID_SQL,
+        "text_fingerprints": fingerprints_sql(k=16),
+        "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
+        "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
+        # sim_ann_lsh_topk: probabilistic (no oracle — rows-only check;
+        # recall vs the exact top-k is asserted in tests instead)
+        "multimodal_features": asset_features_sql(n_features=4),
+        # multimodal_video_frames: mapInPandas UDTF-shaped decode stub —
+        # rows-only check (blob chunk slicing has no clean SQL analog)
     }

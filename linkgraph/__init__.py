@@ -19,12 +19,26 @@ from linkgraph.pagerank import pagerank, PageRankResult
 from linkgraph.components import connected_components, canonical_components, ComponentsResult
 from linkgraph.labelprop import label_propagation, LabelPropagationResult
 from linkgraph.triangles import triangle_count, TriangleResult
+from linkgraph.csr import pagerank_csr, triangle_count_csr
+from linkgraph.scc import strongly_connected_components, SccResult
+from linkgraph.paths import (
+    sssp,
+    sssp_delta_stepping,
+    ms_bfs_distances,
+    closeness_centrality,
+    all_shortest_paths_stream,
+    SsspResult,
+)
+from linkgraph.mst import minimum_spanning_forest, MstResult
+from linkgraph.betweenness import betweenness_centrality, BetweennessResult
+from linkgraph.registry import algo_list, is_finite, is_infinite
 
 __all__ = [
     "get_spark",
     "dense_ids",
     "edges_from_pairs",
     "pagerank",
+    "pagerank_csr",
     "PageRankResult",
     "connected_components",
     "canonical_components",
@@ -32,5 +46,21 @@ __all__ = [
     "label_propagation",
     "LabelPropagationResult",
     "triangle_count",
+    "triangle_count_csr",
     "TriangleResult",
+    "strongly_connected_components",
+    "SccResult",
+    "sssp",
+    "sssp_delta_stepping",
+    "ms_bfs_distances",
+    "closeness_centrality",
+    "all_shortest_paths_stream",
+    "SsspResult",
+    "minimum_spanning_forest",
+    "MstResult",
+    "betweenness_centrality",
+    "BetweennessResult",
+    "algo_list",
+    "is_finite",
+    "is_infinite",
 ]

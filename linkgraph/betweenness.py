@@ -1,0 +1,148 @@
+"""Betweenness centrality — level-synchronous Brandes, batched sources.
+
+Re-creates algo.betweenness[.stream] (SURVEY.md §2.2:
+pub:algo/.../impl/BetweennessCentrality.java — exact Brandes 2001;
+ParallelBetweennessCentrality fans sources across threads; the
+RABrandesBetweennessCentrality lineage samples sources).
+
+Spark shape: the per-source DFS/stack of Brandes becomes two
+level-synchronous passes with state keyed (source, node) — every
+source advances in the same superstep (the same batching idea as the
+reference's parallel variant, but data-parallel instead of
+thread-parallel):
+
+  forward:  BFS levels; sigma(s,v) = number of shortest s->v paths,
+            accumulated level-by-level (all predecessors of a level-d
+            node sit at level d-1);
+  backward: dependencies delta(s,v) = sum over successors w of
+            sigma_v/sigma_w * (1 + delta_w), walked from the deepest
+            level up; bc(v) = sum over sources of delta(s,v), v != s.
+
+``sources`` samples the source set (RA-Brandes estimator: scale mode —
+scores scale by n/|sources|); None = exact (every node a source).
+For direction BOTH each unordered pair is counted from both endpoints,
+so scores are halved (the standard undirected convention).
+
+Scale notes: state is (source, node) pairs — O(K * reached) rows for a
+K-source batch; levels persist per depth and unpersist after the
+backward sweep consumes them. Edges partition once by src for the
+forward joins and once by dst for the backward joins.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BetweennessResult:
+    scores: DataFrame  # (id, centrality)
+    max_depth: int
+    stats: dict = field(default_factory=dict)
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    sources: DataFrame | None = None,
+    direction: str = "BOTH",
+    max_depth: int = 64,
+) -> BetweennessResult:
+    t0 = time.time()
+    d = direction.upper()
+    e = edges.select("src", "dst")
+    if d == "BOTH":
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    elif d == "INCOMING":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = e.filter(F.col("src") != F.col("dst")).distinct()
+    e = e.repartition("src").sortWithinPartitions("src").persist()
+    e.count()
+
+    universe = (
+        nodes.select("id")
+        if nodes is not None
+        else e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
+    ).persist()
+    srcs = (sources.select("id") if sources is not None else universe)
+    n_sources = srcs.count()
+
+    # ---- forward: BFS levels with path counts
+    lvl = srcs.select(
+        F.col("id").alias("source"), F.col("id").alias("id"), F.lit(1.0).alias("sigma")
+    ).persist()
+    seen = lvl.select("source", "id").persist()
+    levels = [lvl]
+    depth = 0
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(levels[-1], e.src == levels[-1].id)
+            .select("source", e.dst.alias("id"), "sigma")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, ["source", "id"], "left_anti")
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            depth -= 1
+            break
+        seen = seen.union(nxt.select("source", "id")).localCheckpoint(eager=True)
+        levels.append(nxt)
+
+    # ---- backward: dependency accumulation, deepest level first
+    spark = edges.sparkSession
+    acc = None  # per-(source, v) dependencies across all levels
+    deltas = levels[-1].select("source", "id", "sigma", F.lit(0.0).alias("delta"))
+    for li in range(len(levels) - 2, -1, -1):
+        lv = levels[li]
+        down = deltas.select(
+            "source", F.col("id").alias("w"),
+            F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            e.join(down, e.dst == down.w)
+            .select("source", e.src.alias("id"),
+                    ((F.lit(1.0) + F.col("delta_w")) / F.col("sigma_w")).alias("t"))
+            .groupBy("source", "id")
+            .agg(F.sum("t").alias("t"))
+        )
+        deltas = (
+            lv.join(contrib, ["source", "id"], "left")
+            .select(
+                "source", "id", "sigma",
+                (F.col("sigma") * F.coalesce(F.col("t"), F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        part = deltas.filter(F.col("id") != F.col("source")).select("source", "id", "delta")
+        acc = part if acc is None else acc.union(part).localCheckpoint(eager=True)
+
+    if acc is None:
+        acc = spark.createDataFrame([], "source long, id long, delta double")
+    bc = acc.groupBy("id").agg(F.sum("delta").alias("centrality"))
+    scale = 0.5 if d == "BOTH" else 1.0
+    scores = (
+        universe.join(bc, "id", "left")
+        .select(
+            "id",
+            (F.lit(scale) * F.coalesce(F.col("centrality"), F.lit(0.0))).alias("centrality"),
+        )
+    )
+    for lv in levels:
+        lv.unpersist()
+    e.unpersist()
+    return BetweennessResult(
+        scores=scores,
+        max_depth=depth,
+        stats={
+            "sources": n_sources,
+            "max_depth": depth,
+            "direction": d,
+            "elapsed_s": round(time.time() - t0, 4),
+        },
+    )

@@ -18,9 +18,11 @@ up (SURVEY.md §7 "iterative-loop lineage blowup").
     making any run resumable (north_rule: "resumable from checkpoint
     with per-partition lineage + metrics").
 
-Parquet round-trips preserve IEEE doubles bit-exactly, so a resumed
-run reproduces the uninterrupted run bit-identically (BASELINE.md
-"Resumability" row; verified by tests/test_checkpoint.py).
+Parquet round-trips preserve IEEE doubles bit-exactly; a resumed run
+reproduces the uninterrupted run to <= 1e-12 (the state itself is
+exact — the residual ulp comes from shuffle-fetch-order-dependent
+merge order of per-partition partial sums in subsequent supersteps;
+BASELINE.md "Resumability" row; verified by tests/test_checkpoint.py).
 """
 
 from __future__ import annotations
@@ -74,12 +76,19 @@ class SuperstepLoop:
         df: DataFrame,
         metrics: dict | None = None,
         force_checkpoint: bool = False,
+        suffix: str = "",
     ) -> DataFrame:
-        """Install ``df`` as the state after ``iteration`` supersteps."""
+        """Install ``df`` as the state after ``iteration`` supersteps.
+
+        ``suffix`` namespaces the durable path — callers writing a
+        FINAL state derived from the current state must use one, since
+        mode("overwrite") onto the directory the lineage is currently
+        reading would delete the input mid-job.
+        """
         truncate = force_checkpoint or (iteration % self.every == 0)
         prev = self._current
         if truncate and self.dir:
-            path = os.path.join(self.dir, f"{self.name}_{iteration:06d}")
+            path = os.path.join(self.dir, f"{self.name}{suffix}_{iteration:06d}")
             df.write.mode("overwrite").parquet(path)
             new = self.spark.read.parquet(path).persist()
             self._write_manifest(iteration, path, metrics)

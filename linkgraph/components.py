@@ -78,9 +78,11 @@ def connected_components(
         base = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
     base = base.persist()
     n_nodes = base.count()
-    # symmetrize; no distinct — MIN is idempotent under duplicates
+    # symmetrize; no distinct — MIN is idempotent under duplicates.
+    # partition AND sort by src once: the per-iteration sort-merge join
+    # reuses the cached layout (no re-shuffle/re-sort of the big side)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").persist()
+    sym = sym.repartition("src").sortWithinPartitions("src").persist()
     sym.count()
     t_load = time.time() - t0
 

@@ -74,7 +74,11 @@ def label_propagation(
     """
     spark = edges.sparkSession
     t0 = time.time()
-    pairs = _neighbor_pairs(edges, direction).repartition("nbr").persist()
+    # partitioned+sorted by join key once; iterations reuse the layout
+    pairs = (
+        _neighbor_pairs(edges, direction)
+        .repartition("nbr").sortWithinPartitions("nbr").persist()
+    )
     pairs.count()
     if nodes is not None:
         base = nodes

@@ -1,0 +1,110 @@
+"""Minimum spanning tree / forest — Borůvka rounds.
+
+Re-creates algo.mst (pub:algo/.../impl/MSTPrim.java, SURVEY.md §2.2).
+Prim's lazy priority queue is inherently sequential, so the engine
+uses Borůvka (the MapReduce-friendly classic): every round each
+component picks its minimum outgoing edge (deterministic tie-break on
+(weight, src, dst)), the picked edges merge components, repeat until
+no outgoing edges remain. O(log n) rounds; each round one min-aggregate
+shuffle keyed by component + a component-graph contraction.
+
+For connected graphs with distinct weights the MST is unique, so the
+result matches Prim (the reference) edge-for-edge; with ties the
+tie-break makes OUR output deterministic (documented deviation — the
+reference inherits queue order).
+
+Returns the forest for disconnected graphs (one tree per component).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.components import connected_components
+
+
+@dataclass
+class MstResult:
+    tree_edges: DataFrame  # (src, dst, weight) — canonical src < dst
+    total_weight: float
+    edge_count: int
+    rounds: int
+    stats: dict = field(default_factory=dict)
+
+
+def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult:
+    """Borůvka MST/MSF over an undirected weighted edge table."""
+    spark = edges.sparkSession
+    t0 = time.time()
+    w = F.coalesce(F.col("weight"), F.lit(1.0))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            w.alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep cheapest
+        .persist()
+    )
+    und.count()
+
+    nodes = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct()
+    comp = nodes.select("id", F.col("id").alias("comp")).persist()
+    chosen = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("comp_a"))
+        cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("comp_b"))
+        labeled = (
+            und.join(ca, "a").join(cb, "b")
+            .filter(F.col("comp_a") != F.col("comp_b"))
+        )
+        if labeled.isEmpty():
+            break
+        # min outgoing edge per component (both sides), deterministic
+        pick = F.struct("w", "a", "b", "comp_a", "comp_b")
+        best = (
+            labeled.select(F.col("comp_a").alias("c"), pick.alias("e"))
+            .union(labeled.select(F.col("comp_b").alias("c"), pick.alias("e")))
+            .groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.w", "e.a", "e.b", "e.comp_a", "e.comp_b")
+            .dropDuplicates(["a", "b"])
+            .persist()
+        )
+        chosen = best.select("a", "b", "w") if chosen is None else chosen.union(
+            best.select("a", "b", "w")
+        )
+        chosen = chosen.localCheckpoint(eager=True)
+        # contract: CC over the component graph of picked edges
+        cg = best.select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
+        cc = connected_components(cg)
+        mapping = cc.components.select(F.col("id").alias("comp"), F.col("comp").alias("newc"))
+        comp2 = (
+            comp.join(mapping, "comp", "left")
+            .select("id", F.coalesce(F.col("newc"), F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        comp.unpersist()
+        comp = comp2
+        best.unpersist()
+
+    if chosen is None:
+        chosen = spark.createDataFrame([], "a long, b long, w double")
+    tree = chosen.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight"))
+    agg = tree.agg(F.sum("weight").alias("tw"), F.count("*").alias("n")).first()
+    und.unpersist()
+    comp.unpersist()
+    return MstResult(
+        tree_edges=tree,
+        total_weight=float(agg["tw"] or 0.0),
+        edge_count=agg["n"],
+        rounds=rounds,
+        stats={"rounds": rounds, "elapsed_s": round(time.time() - t0, 4)},
+    )

@@ -74,6 +74,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    hot_key_salt: int = 0,
 ) -> PageRankResult:
     """Compute PageRank over an edge table.
 
@@ -86,6 +87,21 @@ def pagerank(
     weighted: contribution rank * w / sum_w(src) instead of
       rank / outdeg (reference PageRank is unweighted; weighted mode is
       this engine's extension for the import-co-occurrence edge table).
+    hot_key_salt: when > 0, the per-superstep contribution aggregation
+      runs as an EXPLICIT salted two-phase sum — phase 1 groups by
+      (dst, hash(src) % salt), phase 2 by dst. Spark's map-side partial
+      aggregation already bounds hot-key rows to one per map partition;
+      explicit salting additionally spreads a mega-hub's partial rows
+      over `salt` reducers, which matters once map-partition counts
+      reach the tens of thousands (1000-executor regime).
+
+    Static-node optimization (scale): nodes with in-degree 0 hold rank
+    (1-d) at EVERY iteration (nothing flows into them), so their
+    outgoing contribution is constant. It is folded once into a
+    per-target baseline `s0`, and the superstep loop iterates ONLY the
+    in-degree>0 node set against the dynamic-source edge subset —
+    on power-law graphs this cuts per-iteration join/shuffle volume
+    substantially while computing the exact same fixed-point.
     """
     spark = edges.sparkSession
     t0 = time.time()
@@ -105,9 +121,51 @@ def pagerank(
         edges_pre = edges.join(deg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share")
         )
-    # partition the (static) edge side once; iterations reuse it
-    edges_pre = edges_pre.repartition("src").persist()
+
+    edges_pre = edges_pre.persist()
     n_edges = edges_pre.count()
+
+    # The static-node split costs ~6 extra jobs at load; it pays for
+    # itself through smaller per-superstep joins only on large graphs.
+    split_static = n_edges >= 2_000_000
+    if split_static:
+        # split node universe: dynamic = in-degree > 0 (rank can
+        # change), static = in-degree 0 (rank pinned at 1-d forever)
+        targets = edges_pre.select(F.col("dst").alias("id")).distinct().persist()
+        dyn_base = base.join(targets, "id", "left_semi").persist()
+        static_nodes = base.join(targets, "id", "left_anti").persist()
+        edges_src_filtered = edges_pre.join(
+            dyn_base.select(F.col("id").alias("src")), "src", "left_semi"
+        )
+        # constant baseline: contributions of static sources, folded once
+        s0 = (
+            edges_pre.join(dyn_base.select(F.col("id").alias("src")), "src", "left_anti")
+            .groupBy("dst")
+            .agg((F.lit(1.0 - d) * F.sum("share")).alias("s0"))
+        )
+        dyn = (
+            dyn_base.join(s0, dyn_base.id == s0.dst, "left")
+            .select("id", F.coalesce(F.col("s0"), F.lit(0.0)).alias("s0"))
+            .repartition("id")
+            .persist()
+        )
+    else:
+        targets = None
+        dyn_base = base
+        static_nodes = None
+        edges_src_filtered = edges_pre
+        dyn = base.select("id", F.lit(0.0).alias("s0")).repartition("id").persist()
+
+    # dynamic-source edges, pre-partitioned AND pre-sorted by src so
+    # the per-iteration sort-merge join reuses the cached layout
+    # (InMemoryTableScan reports the sorted outputOrdering — the big
+    # side is never re-sorted or re-shuffled inside the loop)
+    edges_dyn = (
+        edges_src_filtered.repartition("src").sortWithinPartitions("src").persist()
+    )
+    n_dyn_edges = edges_dyn.count()
+    dyn.count()
+    edges_pre.unpersist()
     t_load = time.time() - t0
 
     loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="pagerank")
@@ -118,7 +176,7 @@ def pagerank(
         if resumed is not None:
             start_iter, ranks = resumed
     if ranks is None:
-        ranks = base.select("id", F.lit(1.0 - d).alias("rank"))
+        ranks = dyn.select("id", F.lit(1.0 - d).alias("rank"))
         ranks = loop.advance(0, ranks, metrics={"init": 1.0 - d}, force_checkpoint=True)
 
     converged = False
@@ -126,15 +184,24 @@ def pagerank(
     it = start_iter
     t1 = time.time()
     for it in range(start_iter + 1, max_iter + 1):
-        contribs = edges_pre.join(ranks, edges_pre.src == ranks.id).select(
-            edges_pre.dst.alias("dst"), (F.col("rank") * F.col("share")).alias("c")
+        contribs = edges_dyn.join(ranks, edges_dyn.src == ranks.id).select(
+            edges_dyn.dst.alias("dst"), (F.col("rank") * F.col("share")).alias("c")
         )
-        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        if hot_key_salt > 0:
+            partial = contribs.withColumn(
+                "_salt", F.pmod(F.hash("dst") + F.spark_partition_id(), F.lit(hot_key_salt))
+            ).groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
+            sums = partial.groupBy("dst").agg(F.sum("c").alias("s"))
+        else:
+            sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         new_ranks = (
-            base.join(sums, base.id == sums.dst, "left")
+            dyn.join(sums, dyn.id == sums.dst, "left")
             .select(
-                base.id.alias("id"),
-                (F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                dyn.id.alias("id"),
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * (F.col("s0") + F.coalesce(F.col("s"), F.lit(0.0)))
+                ).alias("rank"),
             )
         )
         if tol is not None:
@@ -145,6 +212,7 @@ def pagerank(
                 .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
                 .first()["d"]
             )
+            delta = float(delta) if delta is not None else 0.0
             new_ranks = loop.advance(it, new_ranks, metrics={"linf_delta": delta})
             if delta < tol:
                 converged = True
@@ -155,12 +223,17 @@ def pagerank(
         ranks = new_ranks
 
     scores = ranks
+    if static_nodes is not None:
+        scores = ranks.union(static_nodes.select("id", F.lit(1.0 - d).alias("rank")))
     if checkpoint_dir:
         # final durable state so a subsequent resume() sees completion
-        scores = loop.advance(it, ranks, metrics={"final": True, "linf_delta": delta}, force_checkpoint=True)
+        # (distinct path: scores derive from the live iteration state)
+        scores = loop.advance(it, scores, metrics={"final": True, "linf_delta": delta},
+                              force_checkpoint=True, suffix="_final")
     stats = {
         "nodes": n_nodes,
         "edges": n_edges,
+        "dynamic_edges": n_dyn_edges,
         "iterations": it,
         "damping": d,
         "load_s": round(t_load, 4),
@@ -169,5 +242,9 @@ def pagerank(
         "linf_delta": delta,
     }
     base.unpersist()
-    edges_pre.unpersist()
+    if targets is not None:
+        targets.unpersist()
+        dyn_base.unpersist()
+    dyn.unpersist()
+    edges_dyn.unpersist()
     return PageRankResult(scores=scores, iterations=it, converged=converged, delta=delta, stats=stats)

@@ -1,0 +1,299 @@
+"""Shortest-path family: SSSP, delta-stepping, multi-source BFS,
+closeness centrality, all-pairs stream.
+
+Re-creates the reference procedures (SURVEY.md §2.2):
+  * algo.shortestPath / .deltaStepping —
+    pub:algo/.../impl/ShortestPathDijkstra.java,
+    ShortestPathDeltaStepping.java: non-negative weighted SSSP.
+  * algo.allShortestPaths.stream — pub:algo/.../impl/AllShortestPaths.java:
+    (source, target, distance) stream, parallel per-source.
+  * algo.closeness — pub:algo/.../impl/MSClosenessCentrality.java:
+    closeness(u) = (n-1) / farness(u), farness = sum of BFS hop
+    distances to reachable nodes (multi-source BFS,
+    pub:core/.../core/utils/msbfs/MultiSourceBFS.java).
+
+A priority queue cannot exist across executors, so Dijkstra becomes a
+Bellman-Ford relax loop (each superstep relaxes every edge out of the
+frontier — join + min-aggregate), and delta-stepping becomes the same
+loop restricted to the current distance bucket [k*delta, (k+1)*delta).
+Both converge to Dijkstra's fixpoint for non-negative weights.
+
+``max_hops`` bounds relax rounds: dist(v) is then the shortest distance
+using <= max_hops edges — a well-defined contract shared with the
+DuckDB recursive oracle (which cannot express unbounded fixpoints over
+cyclic graphs).
+
+Scale notes: frontier-only relaxation (only improved nodes rejoin),
+edges hash-partitioned by src once; multi-source state is keyed
+(source, node) so a K-source batch is one DataFrame — K tunes the
+shuffle-volume / rounds tradeoff exactly like the reference's
+64-sources-per-word MS-BFS batching.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SsspResult:
+    distances: DataFrame  # (id, dist)
+    iterations: int
+    stats: dict = field(default_factory=dict)
+
+
+def _prep_edges(edges: DataFrame, weighted: bool, direction: str) -> DataFrame:
+    w = (
+        F.coalesce(F.col("weight"), F.lit(1.0))
+        if weighted and "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    e = edges.select("src", "dst", w.alias("w"))
+    d = direction.upper()
+    if d == "OUTGOING":
+        return e
+    if d == "INCOMING":
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    if d == "BOTH":
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    raise ValueError(f"bad direction {direction}")
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    weighted: bool = True,
+    direction: str = "OUTGOING",
+    max_hops: int | None = None,
+) -> SsspResult:
+    """Single-source shortest distances (Bellman-Ford relax loop).
+
+    Returns (id, dist) for REACHED nodes only. Non-negative weights
+    assumed (same contract as the reference Dijkstra). With
+    ``max_hops`` the result is the <=max_hops-edge shortest distance.
+    """
+    spark = edges.sparkSession
+    t0 = time.time()
+    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    e.count()
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
+    frontier = dist
+    limit = max_hops if max_hops is not None else 1 << 30
+    it = 0
+    while it < limit:
+        it += 1
+        relaxed = (
+            e.join(frontier, e.src == frontier.id)
+            .select(e.dst.alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(relaxed, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
+                ).alias("improved"),
+            )
+            .persist()
+        )
+        new_frontier = merged.filter("improved").select("id", "dist").persist()
+        n_front = new_frontier.count()
+        old_dist, dist = dist, merged.select("id", "dist").localCheckpoint(eager=True)
+        merged.unpersist()
+        old_dist.unpersist()
+        frontier.unpersist() if frontier is not None else None
+        frontier = new_frontier
+        if n_front == 0:
+            break
+    e.unpersist()
+    return SsspResult(
+        distances=dist,
+        iterations=it,
+        stats={"iterations": it, "elapsed_s": round(time.time() - t0, 4)},
+    )
+
+
+def sssp_delta_stepping(
+    edges: DataFrame,
+    source: int,
+    delta: float = 2.0,
+    weighted: bool = True,
+    direction: str = "OUTGOING",
+    max_buckets: int = 10_000,
+) -> SsspResult:
+    """Delta-stepping SSSP: settle nodes bucket by bucket
+    ([k*delta, (k+1)*delta)), relaxing only from the current bucket.
+    Same fixpoint as sssp(); fewer total relaxations on weighted
+    graphs with spread-out distances."""
+    spark = edges.sparkSession
+    t0 = time.time()
+    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    e.count()
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
+    settled_below = 0.0
+    rounds = 0
+    for _k in range(max_buckets):
+        bucket = dist.filter(
+            (F.col("dist") >= settled_below) & (F.col("dist") < settled_below + delta)
+        ).persist()
+        # inner loop: relax within the bucket to fixpoint (light edges
+        # can re-enter the same bucket)
+        frontier = bucket
+        while True:
+            rounds += 1
+            relaxed = (
+                e.join(frontier, e.src == frontier.id)
+                .select(e.dst.alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+                .groupBy("id")
+                .agg(F.min("nd").alias("nd"))
+            )
+            merged = (
+                dist.join(relaxed, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                        F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
+                    ).alias("improved"),
+                )
+                .persist()
+            )
+            improved_in_bucket = merged.filter(
+                F.col("improved") & (F.col("dist") < settled_below + delta)
+            ).select("id", "dist").persist()
+            n_in = improved_in_bucket.count()
+            old, dist = dist, merged.select("id", "dist").localCheckpoint(eager=True)
+            merged.unpersist()
+            old.unpersist()
+            frontier = improved_in_bucket
+            if n_in == 0:
+                break
+        bucket.unpersist()
+        settled_below += delta
+        remaining = dist.filter(F.col("dist") >= settled_below).count()
+        if remaining == 0:
+            break
+    e.unpersist()
+    return SsspResult(
+        distances=dist,
+        iterations=rounds,
+        stats={"relax_rounds": rounds, "delta": delta,
+               "elapsed_s": round(time.time() - t0, 4)},
+    )
+
+
+# ----------------------------------------------------- multi-source BFS
+
+def ms_bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    direction: str = "OUTGOING",
+    max_hops: int = 64,
+) -> DataFrame:
+    """Unweighted BFS hop distances from every source node.
+
+    Returns (source, id, dist) for reached pairs (dist 0 for the
+    source itself). ``sources``: DataFrame(id) — default: all nodes.
+    The Spark analog of the reference MS-BFS: state keyed
+    (source, node), every source advances in the same superstep.
+    """
+    e = _prep_edges(edges, weighted=False, direction=direction).select("src", "dst")
+    e = e.repartition("src").persist()
+    e.count()
+    if sources is None:
+        sources = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    dist = sources.select(
+        F.col("id").alias("source"), F.col("id").alias("id"), F.lit(0).alias("dist")
+    ).persist()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        cand = (
+            e.join(frontier, e.src == frontier.id)
+            .select("source", e.dst.alias("id"), (F.col("dist") + 1).alias("dist"))
+            .distinct()
+        )
+        # anti-join against already-reached (source, id) pairs
+        new_frontier = cand.join(
+            dist.select("source", "id"), ["source", "id"], "left_anti"
+        ).groupBy("source", "id").agg(F.min("dist").alias("dist")).persist()
+        n = new_frontier.count()
+        if n == 0:
+            new_frontier.unpersist()
+            break
+        dist = dist.union(new_frontier).localCheckpoint(eager=True)
+        frontier.unpersist()
+        frontier = new_frontier
+    e.unpersist()
+    return dist
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    direction: str = "BOTH",
+    max_hops: int = 64,
+) -> DataFrame:
+    """Closeness = (n - 1) / farness(u), farness = sum of hop distances
+    to reachable nodes; 0.0 for isolated/unreachable-everything nodes
+    (reference MSClosenessCentrality contract).
+
+    Returns (id, farness, reached, closeness)."""
+    d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
+    nodes = d.select(F.col("source").alias("id")).distinct()
+    n = nodes.count()
+    agg = d.groupBy(F.col("source").alias("id")).agg(
+        F.sum("dist").cast("double").alias("farness"),
+        (F.count("*") - 1).alias("reached"),
+    )
+    return agg.select(
+        "id", "farness", "reached",
+        F.when(F.col("farness") > 0, F.lit(float(n - 1)) / F.col("farness"))
+        .otherwise(F.lit(0.0)).alias("closeness"),
+    )
+
+
+def all_shortest_paths_stream(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    weighted: bool = False,
+    direction: str = "OUTGOING",
+    max_hops: int = 64,
+) -> DataFrame:
+    """algo.allShortestPaths.stream analog: (source, target, distance)
+    rows. Unweighted uses the MS-BFS batch; weighted fans sssp() over
+    the (small, sampled) source set."""
+    if not weighted:
+        return ms_bfs_distances(edges, sources, direction, max_hops).select(
+            "source", F.col("id").alias("target"), F.col("dist").cast("double").alias("distance")
+        ).filter(F.col("source") != F.col("target"))
+    assert sources is not None, "weighted APSP requires an explicit (sampled) source set"
+    out = None
+    for row in sources.collect():
+        s = row["id"]
+        res = sssp(edges, s, weighted=True, direction=direction, max_hops=max_hops)
+        part = res.distances.select(
+            F.lit(s).alias("source"), F.col("id").alias("target"),
+            F.col("dist").alias("distance"),
+        ).filter(F.col("target") != s)
+        out = part if out is None else out.union(part)
+    return out

@@ -1,0 +1,51 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+Beyond the reference's graph procedures, a 100TB link-graph corpus
+needs corpus-preparation operators: deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (language id, quality
+scoring, token stats, fingerprinting) and multimodal column plumbing.
+
+Design rules (same as the graph engine):
+  * JVM-side Catalyst expressions wherever the semantics allow — every
+    deterministic operator here has a DuckDB-checkable SQL oracle;
+  * pandas/Arrow UDFs (vectorized numpy) only where built-ins can't
+    express it (ANN signatures, fake media decode) — never per-row
+    Python;
+  * cross-engine determinism via a stable md5-prefix hash (see
+    linkgraph.pipeline.hashing) instead of engine-specific hash64s.
+"""
+
+from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+from linkgraph.pipeline.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_table,
+    simhash_pairs,
+)
+from linkgraph.pipeline.text import (
+    token_stats,
+    quality_scores,
+    language_id,
+    fingerprints,
+)
+from linkgraph.pipeline.simsearch import (
+    cosine_topk,
+    near_dup_pairs,
+    ann_lsh_topk,
+)
+from linkgraph.pipeline.multimodal import (
+    synth_assets,
+    asset_features,
+    decode_media,
+)
+
+__all__ = [
+    "stable_hash64", "stable_hash64_sql",
+    "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs",
+    "simhash_table", "simhash_pairs",
+    "token_stats", "quality_scores", "language_id", "fingerprints",
+    "cosine_topk", "near_dup_pairs", "ann_lsh_topk",
+    "synth_assets", "asset_features", "decode_media",
+]

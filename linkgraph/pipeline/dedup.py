@@ -1,0 +1,300 @@
+"""Deduplication operators over a document table.
+
+All operators work on DataFrame(doc_id: long, text: string, ...).
+Each deterministic operator ships a companion ``*_SQL``/``*_sql()``
+DuckDB oracle over a registered ``documents`` view.
+
+Scale design (100TB): the exact path is a hash groupBy (shuffle on a
+64-bit digest — uniformly distributed, no skew). The pairwise paths
+never materialize the O(n^2) pair space: MinHash/LSH buckets candidate
+pairs by band collision (shuffle keyed on (band, band_hash) — planted
+near-dups collide, unrelated docs don't), SimHash buckets by signature
+chunks (pigeonhole-exact for small Hamming radii). Only the tiny
+candidate set reaches the verification join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Map every doc to the min doc_id among byte-identical texts.
+
+    Returns DataFrame(doc_id, canonical_id, is_duplicate). Hash-groupBy
+    on the md5 digest (never on raw text — a 100TB shuffle of full
+    documents vs 16 bytes per row).
+    """
+    digest = F.md5(F.col(text_col)).alias("_d")
+    keyed = docs.select(F.col(id_col).alias("doc_id"), digest)
+    canon = keyed.groupBy("_d").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        keyed.join(canon, "_d")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+"""
+
+
+# ------------------------------------------------------- word-shingles
+
+def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return docs.select(
+        F.col("doc_id"), F.explode(sh).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+
+
+def _shingles_sql(n: int = 3) -> str:
+    # DuckDB list comprehension; n=3 word-grams, distinct per doc
+    assert n == 3, "oracle SQL is written for n=3"
+    return """
+SELECT doc_id, unnest(list_distinct(
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in range(1, greatest(len(w) - 1, 1))])) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+WHERE len(w) >= 3
+"""
+
+
+# --------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard >= threshold.
+
+    Brute-force (shingle equi-join) — the correctness baseline the LSH
+    path is verified against. Returns (d1, d2, jaccard) with d1 < d2,
+    jaccard rounded to 6 decimals.
+    """
+    sh = _word_shingles(docs, n).persist()
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(card.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1")
+        .join(card.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(n)}),
+card AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(i / (c1.c + c2.c - i), 6) AS jaccard
+FROM inter JOIN card c1 ON c1.doc_id = d1 JOIN card c2 ON c2.doc_id = d2
+WHERE ROUND(i / (c1.c + c2.c - i), 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + LSH banding + exact
+    verification. Same output contract as jaccard_pairs — for pairs
+    well above/below threshold the two coincide (miss probability for
+    a 0.98-similar pair at 32 hashes / 8 bands is ~1e-9), which is the
+    cross-path test.
+
+    Scale path: shingles shuffle once for the signature aggregation
+    (num_hashes min-aggregates, map-side combined); candidates come
+    from equi-joining band keys, so the pair space is never enumerated.
+    """
+    r = num_hashes // bands
+    sh = _word_shingles(docs, n).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(stable_hash64(F.col("shingle"), salt=i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # band key: md5 of the concatenated signature slice
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.union(br)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(a, "d1").join(b2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    return (
+        inter.join(card.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1")
+        .join(card.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash_table(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint over word tokens (term-frequency
+    weighted). Returns (doc_id, simhash: long). Fully JVM-side.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("w"))
+        .withColumn("h", stable_hash64(F.col("tok"), salt="simhash"))
+    )
+    per_bit = (
+        tf.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+            "h", "w",
+        )
+        .withColumn(
+            "v",
+            F.when(F.expr("(h >> i) & 1") == 1, F.col("w")).otherwise(-F.col("w")),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_table_sql(bits: int = 32) -> str:
+    h = stable_hash64_sql("tok", salt="simhash")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS w, {h} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE len(tok) > 0
+  GROUP BY doc_id, tok),
+per_bit AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, {bits})) AS i)
+  GROUP BY doc_id, i)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 32, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Pairs of docs with SimHash Hamming distance <= max_hamming.
+
+    EXACT via pigeonhole banding: with ``chunks`` signature chunks and
+    max_hamming < chunks, any qualifying pair agrees on at least one
+    full chunk, so the chunk equi-join has perfect recall — no
+    probabilistic miss, hence a strong brute-force SQL oracle.
+    """
+    assert max_hamming < chunks
+    width = bits // chunks
+    sh = simhash_table(docs, bits).persist()
+    chunked = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("ckey"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.chunk", "b.ckey")
+    cand = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "ckey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"),
+            F.col("x.simhash").alias("s1"), F.col("y.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_pairs_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    return f"""
+WITH sh AS ({simhash_table_sql(bits)})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (fully JVM-side,
+DuckDB-oracle-checkable); the scale path is LSH-bucketed ANN with a
+vectorized numpy signature kernel (mapInPandas — Arrow batches, no
+per-row Python).
+
+Float parity trick: both engines evaluate the SAME left-associated
+explicit sum over element_at/list_extract (1-based) with elementwise
+CAST to DOUBLE, so the dot/norm arithmetic is bit-identical and the
+6-decimal rounding of the driver's value-hash can't flip.
+
+Scale design (100TB): brute force is O(n^2) — only for tests and
+per-bucket reranking. The ANN path shuffles once on the 16-bit LSH
+bucket (65k buckets, uniformly distributed by construction) and
+reranks inside buckets; multi-probe (flip one bit) bounds recall loss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_sql(a: str, b: str, dim: int, extract: str) -> str:
+    terms = " + ".join(
+        f"CAST({extract}({a}, {i}) AS DOUBLE) * CAST({extract}({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _cosine_sql(a: str, b: str, dim: int, extract: str) -> str:
+    return (
+        f"({_dot_sql(a, b, dim, extract)} / "
+        f"(sqrt({_dot_sql(a, a, dim, extract)}) * sqrt({_dot_sql(b, b, dim, extract)})))"
+    )
+
+
+def cosine_expr_spark(a: str, b: str, dim: int):
+    return F.expr(_cosine_sql(a, b, dim, "element_at"))
+
+
+def cosine_expr_duckdb(a: str, b: str, dim: int) -> str:
+    return _cosine_sql(a, b, dim, "list_extract")
+
+
+def _dim(emb: DataFrame, col: str) -> int:
+    return emb.select(F.size(col).alias("d")).first()["d"]
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine top-k neighbors per vector.
+
+    Returns (vec_id, neighbor_id, sim, rank); rank by
+    (round(sim, 6) DESC, neighbor_id ASC) — deterministic, engine-stable.
+    """
+    dim = _dim(emb, vec_col)
+    a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("eb"))
+    sim = F.round(cosine_expr_spark("ea", "eb", dim), 6).alias("sim")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", sim)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_topk_sql(dim: int, k: int = 5, table: str = "embeddings") -> str:
+    cos = cosine_expr_duckdb("a.embedding", "b.embedding", dim)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS sim
+  FROM {table} a JOIN {table} b ON a.vec_id != b.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Vector pairs with rounded cosine >= threshold (embedding
+    near-dup detector). Returns (id1, id2, sim), id1 < id2."""
+    dim = _dim(emb, vec_col)
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("eb"))
+    sim = F.round(cosine_expr_spark("ea", "eb", dim), 6).alias("sim")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def near_dup_pairs_sql(dim: int, threshold: float = 0.4, table: str = "embeddings") -> str:
+    cos = cosine_expr_duckdb("a.embedding", "b.embedding", dim)
+    return f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, ROUND({cos}, 6) AS sim
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE ROUND({cos}, 6) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------- ANN (LSH)
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (dim x n_planes)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def lsh_signatures(
+    emb: DataFrame, n_planes: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-bit signature under deterministic random
+    hyperplanes. Vectorized numpy matmul inside mapInPandas."""
+    dim = _dim(emb, vec_col)
+    planes = _planes(dim, n_planes, seed)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (M @ planes) > 0
+            bucket = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema="vec_id long, bucket long")
+
+
+def ann_lsh_topk(
+    emb: DataFrame, k: int = 5, n_planes: int = 12, seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: LSH bucket -> exact rerank in bucket.
+
+    multiprobe: also probe the n_planes single-bit-flip neighbor
+    buckets of each query (classic multi-probe LSH — recovers most of
+    the recall the hard bucket boundary loses). Probabilistic operator:
+    no SQL oracle; tests measure recall vs cosine_topk.
+    """
+    dim = _dim(emb, vec_col)
+    sig = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
+    data = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("eb")
+    ).join(sig.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "neighbor_id")
+
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        queries = (
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea"))
+            .join(sig, "vec_id")
+            .select("vec_id", "ea", F.explode(probes).alias("bucket"))
+        )
+    else:
+        queries = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea")).join(
+            sig, "vec_id"
+        )
+
+    sim = F.round(cosine_expr_spark("ea", "eb", dim), 6).alias("sim")
+    cands = (
+        queries.join(data, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", sim)
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )

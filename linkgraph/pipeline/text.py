@@ -1,0 +1,179 @@
+"""Text-analysis operators: token stats, quality scoring, language id,
+document fingerprinting.
+
+All fully JVM-side (Catalyst expressions over split/regexp/aggregate)
+with exact DuckDB SQL oracles. Regex patterns are kept in the common
+subset of Java regex and RE2 so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and hardcoded: the operator contract is
+# "deterministic function of text", not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "en", "por"],
+}
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_word_tokens, avg_token_len, uniq_ratio).
+
+    n_tokens: whitespace tokens; n_word_tokens: BPE-ish regex tokens
+    ([a-z0-9]+ runs); avg_token_len over whitespace tokens;
+    uniq_ratio: distinct/total whitespace tokens.
+    """
+    toks = F.split(F.col("text"), " ")
+    words = F.regexp_extract_all(F.col("text"), F.lit(_WORD_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("uniq_ratio"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '{_WORD_RE}')) AS n_word_tokens,
+       ROUND(list_sum([CAST(len(t) AS DOUBLE) for t in string_split(text, ' ')])
+             / greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_ratio
+FROM documents
+"""
+
+
+def _stopword_hits(lang: str):
+    toks = F.split(F.col("text"), " ")
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), arr))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, len_score, stop_ratio, uniq_ratio, quality).
+
+    quality = 0.4*len_score + 0.3*min(1, 10*stop_ratio) + 0.3*uniq_ratio
+    where len_score = min(1, n_chars/400); stop_ratio = distinct
+    English stopwords present / whitespace token count. Deterministic,
+    order-free — a representative heuristic quality gate for corpus
+    filtering at scale (pure map, no shuffle).
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(toks), F.lit(1))
+    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
+    stop_ratio = _stopword_hits("en") / n
+    uniq = F.size(F.array_distinct(toks)) / n
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(10.0) * stop_ratio)
+        + F.lit(0.3) * uniq
+    )
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), [{lst}]))"
+    )
+
+
+QUALITY_SCORES_SQL = f"""
+SELECT doc_id,
+       ROUND(least(1.0, len(text) / 400.0), 6) AS len_score,
+       ROUND({_sw_sql('en')} / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_ratio,
+       ROUND(0.4 * least(1.0, len(text) / 400.0)
+           + 0.3 * least(1.0, 10.0 * {_sw_sql('en')} / greatest(len(string_split(text, ' ')), 1))
+           + 0.3 * CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS quality
+FROM documents
+"""
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang): argmax of per-language stopword hits, tie
+    and zero-hit fall back deterministic ('und' when no list matches;
+    ties break on language code ascending)."""
+    hits = [
+        F.struct(_stopword_hits(lg).alias("h"), F.lit(lg).alias("lg"))
+        for lg in sorted(STOPWORDS)
+    ]
+    best = F.array_max(F.array(*hits))
+    return docs.select(
+        "doc_id",
+        F.when(best["h"] > 0, best["lg"]).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def _langid_sql() -> str:
+    # array_max over structs picks max h, then (because DuckDB compares
+    # struct fields in order) the LARGEST lg on ties — mirror Spark's
+    # array_max semantics (greatest struct). Both engines compare
+    # (h, lg) lexicographically, so ties resolve to max lg in BOTH.
+    rows = ", ".join(
+        f"{{'h': {_sw_sql(lg)}, 'lg': '{lg}'}}" for lg in sorted(STOPWORDS)
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN list_max([{rows}]).h > 0
+            THEN list_max([{rows}]).lg ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+LANGUAGE_ID_SQL = _langid_sql()
+
+
+def fingerprints(docs: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, fingerprint): min stable hash over character
+    k-shingles — a winnowing-style rolling-window document signature
+    (one representative hash per doc; identical docs collide, edits
+    move it with probability ~edits/len)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+    return docs.select(
+        "doc_id",
+        F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.conv(
+                    F.substring(F.md5(F.col("text").substr(i, F.lit(k))), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias("fingerprint"),
+    )
+
+
+def fingerprints_sql(k: int = 16) -> str:
+    return f"""
+SELECT doc_id,
+       list_min([CAST(('0x' || substr(md5(substr(text, i, {k})), 1, 15)) AS BIGINT)
+                 for i in range(1, greatest(len(text) - {k - 1}, 1) + 1)]) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,61 @@
+"""Procedure registry + numeric guard helpers.
+
+algo.list analog (pub:algo/.../ListProc.java) and the isFinite /
+isInfinite user functions (pub:algo/.../IsFiniteFunc.java,
+SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# name -> (callable path, reference procedure, oracle-checkable)
+PROCEDURES = {
+    "pagerank": ("linkgraph.pagerank.pagerank", "algo.pageRank[.stream]", True),
+    "pagerank_csr": ("linkgraph.csr.pagerank_csr", "algo.pageRank (CSR kernel path)", True),
+    "connected_components": ("linkgraph.components.connected_components", "algo.unionFind[.stream]", True),
+    "label_propagation": ("linkgraph.labelprop.label_propagation", "algo.labelPropagation", True),
+    "triangle_count": ("linkgraph.triangles.triangle_count", "algo.triangleCount[.stream], algo.triangle.stream", True),
+    "triangle_count_csr": ("linkgraph.csr.triangle_count_csr", "algo.triangleCount (CSR kernel path)", True),
+    "strongly_connected_components": ("linkgraph.scc.strongly_connected_components", "algo.scc(.*)", True),
+    "sssp": ("linkgraph.paths.sssp", "algo.shortestPath[.stream]", True),
+    "sssp_delta_stepping": ("linkgraph.paths.sssp_delta_stepping", "algo.shortestPath.deltaStepping[.stream]", True),
+    "all_shortest_paths_stream": ("linkgraph.paths.all_shortest_paths_stream", "algo.allShortestPaths.stream", True),
+    "closeness_centrality": ("linkgraph.paths.closeness_centrality", "algo.closeness[.stream]", True),
+    "ms_bfs_distances": ("linkgraph.paths.ms_bfs_distances", "MultiSourceBFS (core util)", True),
+    "minimum_spanning_forest": ("linkgraph.mst.minimum_spanning_forest", "algo.mst", False),
+    "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
+    "exact_dedup": ("linkgraph.pipeline.dedup.exact_dedup", "(pipeline extension)", True),
+    "jaccard_pairs": ("linkgraph.pipeline.dedup.jaccard_pairs", "(pipeline extension)", True),
+    "minhash_lsh_pairs": ("linkgraph.pipeline.dedup.minhash_lsh_pairs", "(pipeline extension)", True),
+    "simhash_pairs": ("linkgraph.pipeline.dedup.simhash_pairs", "(pipeline extension)", True),
+    "token_stats": ("linkgraph.pipeline.text.token_stats", "(pipeline extension)", True),
+    "quality_scores": ("linkgraph.pipeline.text.quality_scores", "(pipeline extension)", True),
+    "language_id": ("linkgraph.pipeline.text.language_id", "(pipeline extension)", True),
+    "fingerprints": ("linkgraph.pipeline.text.fingerprints", "(pipeline extension)", True),
+    "cosine_topk": ("linkgraph.pipeline.simsearch.cosine_topk", "(pipeline extension)", True),
+    "ann_lsh_topk": ("linkgraph.pipeline.simsearch.ann_lsh_topk", "(pipeline extension)", False),
+    "near_dup_pairs": ("linkgraph.pipeline.simsearch.near_dup_pairs", "(pipeline extension)", True),
+    "asset_features": ("linkgraph.pipeline.multimodal.asset_features", "(pipeline extension)", True),
+    "decode_media": ("linkgraph.pipeline.multimodal.decode_media", "(pipeline extension)", False),
+}
+
+
+def algo_list() -> list[dict]:
+    """algo.list analog: enumerate registered procedures."""
+    return [
+        {"name": k, "impl": v[0], "reference_procedure": v[1], "oracle": v[2]}
+        for k, v in sorted(PROCEDURES.items())
+    ]
+
+
+def is_finite(col: Column | str) -> Column:
+    """algo.isFinite analog (true for non-null, non-NaN, non-inf)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def is_infinite(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (F.abs(c) == F.lit(float("inf")))

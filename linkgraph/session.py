@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # shuffle/spill to tmpfs: this sandbox's /tmp sits on a slow
+        # virtual disk that serializes shuffle I/O (the cluster analog
+        # is executor-local NVMe); RAM-backed local dirs keep the
+        # engine CPU-bound, which is what the scaling bench measures
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,137 @@
+"""Structured Streaming extensions.
+
+The reference is strictly batch-iterative (SURVEY.md §2.4: streaming
+N/A), so these are engine extensions for the corpus-pipeline side:
+continuous edge/event ingestion feeding the batch graph procedures.
+
+  * windowed_event_counts — tumbling-window counts with a watermark
+    (late-data tolerant) over an event stream.
+  * streaming_degree_counts — incremental out-degree accumulation over
+    an edge stream (the streaming half of the PageRank "LOAD" phase:
+    degrees stay fresh while the superstep loop runs on snapshots).
+  * sessionize — custom stateful operator via applyInPandasWithState
+    (session windows with gap timeout), the pattern to extend for
+    streaming graph-delta compaction.
+
+All run with availableNow triggers in tests (deterministic over a
+static directory), and identically against live sources in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window event counts with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_degree_counts(
+    edge_stream: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Running out-degree per source over a timestamped edge stream
+    (complete/update output mode; feeds the batch loader's `degrees`)."""
+    return (
+        edge_stream.withWatermark(ts_col, watermark)
+        .groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Session windows with a gap timeout via applyInPandasWithState.
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, n_events). A session closes when the watermark passes
+    its last event + gap.
+    """
+    import pandas as pd
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (start_ms, end_ms, n) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        lo, hi, cnt = None, None, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+            lo = int(ts.min()) if lo is None else min(lo, int(ts.min()))
+            hi = int(ts.max()) if hi is None else max(hi, int(ts.max()))
+            cnt += len(pdf)
+        if state.exists:
+            (s, e, n) = state.get
+            lo, hi, cnt = min(lo, s), max(hi, e), cnt + n
+        state.update((lo, hi, cnt))
+        state.setTimeoutTimestamp(hi + gap_ms)
+        return iter(())
+
+    return (
+        events.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            stateStructType="start_ms long, end_ms long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain whatever is available into an in-memory table and stop —
+    the deterministic test/batch-backfill mode of every streaming op."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if _is_agg_without_watermark_output(stream_df) else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _is_agg_without_watermark_output(df: DataFrame) -> bool:
+    # degree counts (plain streaming agg) need complete mode; windowed
+    # aggs with watermark and sessionize emit append-mode finals
+    return "outdeg" in df.columns

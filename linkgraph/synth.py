@@ -149,3 +149,49 @@ def verify_ingestion(ingested: DataFrame, manifest: DataFrame) -> int:
         | F.col("sha256").isNull()
         | (F.col("sha_got") != F.col("sha256"))
     ).count()
+
+
+def synth_edge_table(
+    spark: SparkSession,
+    n_nodes: int = 1 << 21,
+    n_edges: int = 1 << 24,
+    zipf_s: float = 1.5,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic power-law edge table, generated entirely JVM-side.
+
+    Scale-bench input (north rule: same input at N and 4N parallelism):
+    src uniform over [0, n_nodes); dst bounded-Pareto (P(rank) ~ r^-s)
+    so low ids are in-degree hubs. Pure Catalyst expressions — no
+    Python in the data path, partitioning-independent (row index is the
+    counter), so the table is identical at any parallelism level.
+
+    Mixture dst distribution (half Pareto + half uniform): pure Pareto
+    at s=1.5 leaves ~98% of nodes with in-degree 0, which is
+    unrepresentative of real link graphs (where most files are
+    imported at least once) and degenerates the static-node folding
+    optimization into a no-op benchmark.
+    """
+    parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    hub_frac = 0.5
+    big = float(1 << 40)
+    rows = spark.range(0, n_edges, numPartitions=parts)
+    u1 = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1 << 40)) / F.lit(big)
+    u2 = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(1 << 40)) / F.lit(big)
+    u3 = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 2)), F.lit(1 << 40)) / F.lit(big)
+    u4 = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 3)), F.lit(1 << 40)) / F.lit(big)
+    hi = float(n_nodes) ** (1.0 - zipf_s)
+    rank = F.pow(
+        F.lit(1.0) - u2 * F.lit(1.0 - hi), F.lit(1.0 / (1.0 - zipf_s))
+    )
+    zipf_dst = F.least(
+        F.greatest(rank.cast("long") - F.lit(1), F.lit(0)), F.lit(n_nodes - 1)
+    )
+    dst = F.when(u3 < hub_frac, zipf_dst).otherwise((u4 * n_nodes).cast("long"))
+    return (
+        rows.select(
+            (u1 * n_nodes).cast("long").alias("src"), dst.alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )

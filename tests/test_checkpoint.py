@@ -1,10 +1,14 @@
 """Resumability: a run killed at superstep k and resumed from the
-checkpoint manifest finishes bit-identical to an uninterrupted run
-(SURVEY.md §5.5; north_rule "resumable from checkpoint with
-per-partition lineage + metrics")."""
+checkpoint manifest finishes equal to an uninterrupted run within
+float round-off (<=1e-12 — parquet round-trips IEEE doubles exactly,
+but the cross-partition merge order of partial sums is shuffle-fetch-
+dependent, so the last ulp can differ). SURVEY.md §5.5; north_rule
+"resumable from checkpoint with per-partition lineage + metrics"."""
 
 import json
 import os
+
+import numpy as np
 
 from linkgraph import edges_from_pairs, pagerank
 from tests.fixtures import PAGERANK_WIKI_EDGES, PAGERANK_WIKI_ISOLATED
@@ -32,7 +36,9 @@ def test_pagerank_resume_bit_identical(spark, tmp_path):
     res = pagerank(edges, nodes=nodes, damping=0.85, max_iter=12,
                    checkpoint_dir=ckpt, checkpoint_every=3, resume=True)
     got = {r["id"]: r["rank"] for r in res.scores.collect()}
-    assert got == want  # bit-identical (parquet round-trips IEEE doubles)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert np.isclose(got[k], want[k], rtol=0, atol=1e-12), (k, got[k], want[k])
 
 
 def test_manifest_metrics_recorded(spark, tmp_path):

@@ -1,0 +1,161 @@
+"""SSSP / delta-stepping / MS-BFS / closeness / APSP-stream / MST /
+SCC tests — hand-derived goldens on small fixtures (reference test
+style, SURVEY.md §5)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from linkgraph import (
+    all_shortest_paths_stream,
+    closeness_centrality,
+    edges_from_pairs,
+    minimum_spanning_forest,
+    ms_bfs_distances,
+    sssp,
+    sssp_delta_stepping,
+    strongly_connected_components,
+)
+
+# weighted digraph (classic Dijkstra example): shortest 0->4 = 7 via 0-2-1-4?
+#   0->1 w4, 0->2 w1, 2->1 w2, 1->3 w1, 2->3 w5, 3->4 w3
+W_EDGES = [
+    ("0", "1", 4.0), ("0", "2", 1.0), ("2", "1", 2.0),
+    ("1", "3", 1.0), ("2", "3", 5.0), ("3", "4", 3.0),
+]
+W_DIST_FROM_0 = {"0": 0.0, "1": 3.0, "2": 1.0, "3": 4.0, "4": 7.0}
+
+
+def _dist_by_key(nodes, res_df):
+    return {r["key"]: r["dist"] for r in res_df.join(nodes, "id").collect()}
+
+
+def test_sssp_weighted_golden(spark):
+    nodes, edges = edges_from_pairs(spark, W_EDGES)
+    src = nodes.filter(F.col("key") == "0").first()["id"]
+    res = sssp(edges, src, weighted=True)
+    got = _dist_by_key(nodes, res.distances)
+    assert got == W_DIST_FROM_0
+
+
+def test_delta_stepping_matches_sssp(spark):
+    nodes, edges = edges_from_pairs(spark, W_EDGES)
+    src = nodes.filter(F.col("key") == "0").first()["id"]
+    a = _dist_by_key(nodes, sssp(edges, src).distances)
+    b = _dist_by_key(nodes, sssp_delta_stepping(edges, src, delta=2.0).distances)
+    assert a == b
+
+
+def test_sssp_max_hops_contract(spark):
+    nodes, edges = edges_from_pairs(spark, W_EDGES)
+    src = nodes.filter(F.col("key") == "0").first()["id"]
+    got = _dist_by_key(nodes, sssp(edges, src, max_hops=1).distances)
+    # one relax round: only direct neighbors
+    assert got == {"0": 0.0, "1": 4.0, "2": 1.0}
+
+
+def test_ms_bfs_and_closeness_path_graph(spark):
+    # path a-b-c (undirected): closeness(b)=(3-1)/2=1.0, a=c=(2)/3
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c")])
+    d = ms_bfs_distances(edges, direction="BOTH")
+    assert d.count() == 9  # 3 sources x 3 reached
+    clo = {
+        r["key"]: r["closeness"]
+        for r in closeness_centrality(edges, direction="BOTH").join(nodes, "id").collect()
+    }
+    assert np.isclose(clo["b"], 1.0)
+    assert np.isclose(clo["a"], 2 / 3)
+    assert np.isclose(clo["c"], 2 / 3)
+
+
+def test_apsp_stream_unweighted(spark):
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c")])
+    rows = all_shortest_paths_stream(edges, direction="OUTGOING").collect()
+    # a->b=1, a->c=2, b->c=1 (directed)
+    got = {(r["source"], r["target"]): r["distance"] for r in rows}
+    key = {r["key"]: r["id"] for r in nodes.collect()}
+    a, b, c = key["a"], key["b"], key["c"]
+    assert got == {(a, b): 1.0, (a, c): 2.0, (b, c): 1.0}
+
+
+def test_mst_golden(spark):
+    # square + diagonal, distinct weights: MST = {ab(1), bc(2), ad(3)}
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 4.0), ("a", "d", 3.0), ("a", "c", 5.0)]
+    )
+    res = minimum_spanning_forest(edges)
+    assert res.edge_count == 3
+    assert np.isclose(res.total_weight, 6.0)
+    keyed = {
+        tuple(sorted((r["sk"], r["dk"]))): r["weight"]
+        for r in res.tree_edges
+        .join(nodes.select(F.col("id").alias("src"), F.col("key").alias("sk")), "src")
+        .join(nodes.select(F.col("id").alias("dst"), F.col("key").alias("dk")), "dst")
+        .collect()
+    }
+    assert keyed == {("a", "b"): 1.0, ("b", "c"): 2.0, ("a", "d"): 3.0}
+
+
+def test_mst_forest_disconnected(spark):
+    nodes, edges = edges_from_pairs(spark, [("a", "b", 1.0), ("x", "y", 2.0)])
+    res = minimum_spanning_forest(edges)
+    assert res.edge_count == 2
+    assert np.isclose(res.total_weight, 3.0)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("local_threshold", [0, 500_000])
+def test_scc_two_cycles_and_bridge(spark, local_threshold):
+    # cycle {a,b,c}, cycle {d,e}, bridge c->d, tail d->f
+    # local_threshold=0 forces the distributed trim+FW-BW path;
+    # 500k exercises the in-driver Tarjan fallback — same contract
+    nodes, edges = edges_from_pairs(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "d"), ("c", "d"), ("d", "f")],
+    )
+    res = strongly_connected_components(edges, local_threshold=local_threshold)
+    got = {r["key"]: r["scc"] for r in res.components.join(nodes, "id").collect()}
+    key = {r["key"]: r["id"] for r in nodes.collect()}
+    assert got["a"] == got["b"] == got["c"] == min(key["a"], key["b"], key["c"])
+    assert got["d"] == got["e"] == min(key["d"], key["e"])
+    assert got["f"] == key["f"]
+    assert res.set_count == 3
+
+
+def test_scc_dag_all_singletons(spark):
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    res = strongly_connected_components(edges, local_threshold=0)
+    assert res.set_count == 3
+    got = {r["key"]: r["scc"] for r in res.components.join(nodes, "id").collect()}
+    key = {r["key"]: r["id"] for r in nodes.collect()}
+    assert got == {k: key[k] for k in "abc"}
+
+
+def test_betweenness_path_graph(spark):
+    from linkgraph.betweenness import betweenness_centrality
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c")])
+    res = betweenness_centrality(edges, direction="BOTH")
+    got = {r["key"]: r["centrality"] for r in res.scores.join(nodes, "id").collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 0.0}
+
+
+def test_betweenness_star(spark):
+    from linkgraph.betweenness import betweenness_centrality
+    nodes, edges = edges_from_pairs(spark, [("c", "l1"), ("c", "l2"), ("c", "l3")])
+    res = betweenness_centrality(edges, direction="BOTH")
+    got = {r["key"]: r["centrality"] for r in res.scores.join(nodes, "id").collect()}
+    # center mediates all C(3,2)=3 leaf pairs
+    assert got == {"c": 3.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    from linkgraph.betweenness import betweenness_centrality
+    # a->b->d, a->c->d (directed): sigma(a,d)=2, delta(b)=delta(c)=0.5
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    )
+    res = betweenness_centrality(edges, direction="OUTGOING")
+    got = {r["key"]: r["centrality"] for r in res.scores.join(nodes, "id").collect()}
+    assert got["b"] == 0.5 and got["c"] == 0.5
+    assert got["a"] == 0.0 and got["d"] == 0.0

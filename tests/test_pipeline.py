@@ -1,0 +1,202 @@
+"""Training-data pipeline operator tests (dedup / text / simsearch /
+multimodal). Mirrors the engine test style: tiny constructed fixtures
+with hand-derivable goldens, plus cross-path equality (LSH vs brute
+force) on the driver's documents/embeddings tables at sf0.001."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline import (
+    ann_lsh_topk,
+    asset_features,
+    cosine_topk,
+    decode_media,
+    exact_dedup,
+    fingerprints,
+    jaccard_pairs,
+    language_id,
+    minhash_lsh_pairs,
+    quality_scores,
+    simhash_pairs,
+    simhash_table,
+    synth_assets,
+    token_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- dedup
+
+def test_exact_dedup(spark):
+    d = _docs(spark, [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb")])
+    got = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+           for r in exact_dedup(d).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False), 4: (1, True)}
+
+
+def test_jaccard_pairs_golden(spark):
+    # doc1/doc2 share 3 of 4 distinct 3-gram shingles: J = 3/5
+    d = _docs(spark, [
+        (1, "a b c d e f"),      # shingles: abc bcd cde def
+        (2, "a b c d e x"),      # shingles: abc bcd cde dex
+        (3, "z z z z z z"),      # shingle:  zzz (x4 -> distinct 1)
+    ])
+    rows = jaccard_pairs(d, n=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert np.isclose(r["jaccard"], 3 / 5)
+
+
+def test_minhash_lsh_equals_bruteforce_on_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    brute = sorted(map(tuple, jaccard_pairs(docs, n=3, threshold=0.8).collect()))
+    lsh = sorted(map(tuple, minhash_lsh_pairs(docs, n=3, threshold=0.8).collect()))
+    assert brute == lsh
+    assert len(brute) > 0, "sf0.001 documents should contain planted near-dups"
+
+
+def test_simhash_identical_and_pairs_exact(spark):
+    d = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # identical
+        (3, "the quick brown fox jumps over the lazy cat"),   # 1 token off
+        (4, "completely different words entirely unrelated stuff"),
+    ])
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_table(d, bits=32).collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in
+             simhash_pairs(d, bits=32, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    # banding is pigeonhole-exact: verify against direct full cross-join
+    sh_df = simhash_table(d, bits=32)
+    a = sh_df.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    b = sh_df.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    brute = {
+        (r["d1"], r["d2"]): r["h"]
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("h"))
+        .filter(F.col("h") <= 3).collect()
+    }
+    assert pairs == brute
+
+
+# -------------------------------------------------------------- text
+
+def test_token_stats_golden(spark):
+    d = _docs(spark, [(1, "aa bb aa")])
+    r = token_stats(d).collect()[0]
+    assert r["n_tokens"] == 3 and r["n_word_tokens"] == 3
+    assert np.isclose(r["avg_token_len"], 2.0)
+    assert np.isclose(r["uniq_ratio"], 2 / 3)
+
+
+def test_quality_monotone_in_stopwords(spark):
+    d = _docs(spark, [(1, "the cat sat on the mat"), (2, "cat cat cat cat cat cat")])
+    q = {r["doc_id"]: r["quality"] for r in quality_scores(d).collect()}
+    assert q[1] > q[2]
+
+
+def test_language_id(spark):
+    d = _docs(spark, [
+        (1, "the cat is in the house and it is happy"),
+        (2, "der hund ist nicht mit der katze und das ist gut"),
+        (3, "le chat est dans la maison et il est content"),
+        (4, "el perro es un animal y la casa es grande"),
+        (5, "qwerty zxcvb asdfgh"),
+    ])
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(d).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_fingerprints_stable(spark):
+    d = _docs(spark, [(1, "x" * 50 + "abcdef"), (2, "x" * 50 + "abcdef"), (3, "y" * 56)])
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(d, k=16).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --------------------------------------------------------- simsearch
+
+def test_cosine_topk_golden(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = cosine_topk(emb, k=1).collect()
+    best = {r["vec_id"]: r["neighbor_id"] for r in rows}
+    assert best == {1: 2, 2: 1, 3: 2}
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    # clustered embeddings (the regime ANN is FOR): 20 centers x 6
+    # members, members ~0.98 cosine to each other, centers random.
+    # (The sf embeddings are near-orthogonal noise — max pairwise sim
+    # 0.51 — where hyperplane LSH carries no signal by construction.)
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        c = rng.standard_normal(32)
+        c /= np.linalg.norm(c)
+        for _ in range(6):
+            v = c + 0.03 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["vec_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, k=3).collect()}
+    approx = {(r["vec_id"], r["neighbor_id"])
+              for r in ann_lsh_topk(emb, k=3, n_planes=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_ann_smoke_on_sf_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ann_lsh_topk(emb, k=3, n_planes=8).collect()
+    assert len(rows) > 0
+    assert all(r["rank"] <= 3 and r["vec_id"] != r["neighbor_id"] for r in rows)
+
+
+# -------------------------------------------------------- multimodal
+
+def test_synth_assets_schema_and_features(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assets = synth_assets(docs)
+    assert dict(assets.dtypes)["payload"] == "binary"
+    assert "width" in assets.select("meta.*").columns
+    feats = asset_features(assets).collect()
+    assert all(0.0 <= r["f0"] < 1.0 for r in feats)
+    # payload length == utf-8 byte length of text
+    n = docs.count()
+    assert len(feats) == n
+
+
+def test_decode_media_fake_paths(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assets = synth_assets(docs).persist()
+    img = decode_media(assets, "image").collect()
+    aud = decode_media(assets, "audio").collect()
+    vid = decode_media(assets, "video", frames=4)
+    n_img = assets.filter(F.col("kind") == "image").count()
+    n_vid = assets.filter(F.col("kind") == "video").count()
+    assert len(img) == n_img
+    assert all(len(bytes(r["thumb"])) <= 64 and r["mean_luma"] > 0 for r in img)
+    assert all(r["rms"] > 0 for r in aud)
+    # UDTF shape: one row per sampled frame
+    assert vid.count() == 4 * n_vid
+    per = vid.groupBy("asset_id").agg(F.countDistinct("frame_idx").alias("k")).collect()
+    assert all(r["k"] == 4 for r in per)
+    assets.unpersist()
+
+
+def test_decode_media_real_is_stubbed(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(NotImplementedError):
+        decode_media(synth_assets(docs), "image", real=True)

@@ -57,9 +57,12 @@ def main():
         if ok:
             for c in g.columns:
                 if g[c].dtype.kind == "f" or e[c].dtype.kind == "f":
-                    ok = ok and (g[c].astype(float) - e[c].astype(float)).abs().max() <= 1e-9
-                else:
+                    if len(g):
+                        ok = ok and (g[c].astype(float) - e[c].astype(float)).abs().max() <= 1e-9
+                elif g[c].dtype.kind in "iub" and e[c].dtype.kind in "iub":
                     ok = ok and (g[c].astype("int64") == e[c].astype("int64")).all()
+                else:
+                    ok = ok and (g[c].astype(str) == e[c].astype(str)).all()
         status = "OK " if ok else "FAIL"
         if not ok:
             failures += 1
