@@ -44,6 +44,14 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mode (engine extension): contribution rank*w/sum_w."""
+    res = pagerank(
+        cosupplier_edges(spark, sf_dir), damping=DAMPING, max_iter=PR_ITERS, weighted=True
+    )
+    return res.scores.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = connected_components(purchase_edges(spark, sf_dir))
     return res.components.select("id", "comp")
@@ -54,6 +62,13 @@ def _q_wcc_setcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.components.agg(F.countDistinct("comp").alias("set_count"))
 
 
+def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """large-star/small-star CC (Kiveris SoCC'14) — same oracle as the
+    min-label path: identical output contract, O(log n) rounds."""
+    res = connected_components(purchase_edges(spark, sf_dir), algorithm="star")
+    return res.components.select("id", "comp")
+
+
 def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = connected_components(cosupplier_edges(spark, sf_dir), threshold=2.0)
     return res.components.select("id", "comp")
@@ -61,6 +76,11 @@ def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(cosupplier_edges(spark, sf_dir), direction="BOTH", max_iter=1)
+    return res.labels.select("id", "label")
+
+
+def _q_labelprop2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = label_propagation(cosupplier_edges(spark, sf_dir), direction="BOTH", max_iter=2)
     return res.labels.select("id", "label")
 
 
@@ -315,10 +335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph procedures (SURVEY.md §2.1)
         "pagerank_purchase_5iter": _q_pagerank,
+        "pagerank_weighted_cosupplier": _q_pagerank_weighted,
         "wcc_purchase": _q_wcc,
+        "wcc_purchase_star": _q_wcc_star,
         "wcc_purchase_setcount": _q_wcc_setcount,
         "wcc_threshold_cosupplier": _q_wcc_threshold,
         "labelprop_cosupplier_1iter": _q_labelprop,
+        "labelprop_cosupplier_2iter": _q_labelprop2,
         "triangle_count_cosupplier": _q_triangle_count,
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
@@ -351,12 +374,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ------------------------------------------------------------- oracle SQL
 
-def _pagerank_sql(iters: int = PR_ITERS, d: float = DAMPING) -> str:
+def _pagerank_sql(
+    iters: int = PR_ITERS,
+    d: float = DAMPING,
+    edge_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
     alpha = repr(1.0 - d)  # same IEEE double literal the engine uses
+    edge_sql = edge_sql or PURCHASE_EDGES_SQL
+    if weighted:
+        # parenthesized (weight / sw) mirrors the engine's precomputed
+        # per-edge share, keeping IEEE rounding identical per term
+        deg = "outdeg AS (SELECT src, SUM(weight) AS sw FROM edges GROUP BY src),"
+        contrib = "SUM(p.rank * (e.weight / od.sw))"
+    else:
+        deg = "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),"
+        contrib = "SUM(p.rank * (1.0 / od.outdeg))"
     parts = [
-        f"WITH edges AS ({PURCHASE_EDGES_SQL}),",
+        f"WITH edges AS ({edge_sql}),",
         "nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),",
-        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        deg,
         f"p0 AS (SELECT id, CAST({alpha} AS DOUBLE) AS rank FROM nodes)",
     ]
     for k in range(1, iters + 1):
@@ -364,7 +401,7 @@ def _pagerank_sql(iters: int = PR_ITERS, d: float = DAMPING) -> str:
             f""", p{k} AS (
   SELECT n.id AS id, {alpha} + {d!r} * COALESCE(s.s, 0.0) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS dst, SUM(p.rank / od.outdeg) AS s
+    SELECT e.dst AS dst, {contrib} AS s
     FROM edges e JOIN p{k-1} p ON p.id = e.src JOIN outdeg od ON od.src = e.src
     GROUP BY e.dst) s ON s.dst = n.id)"""
         )
@@ -401,7 +438,11 @@ tri AS (
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_purchase_5iter": _pagerank_sql(),
+        "pagerank_weighted_cosupplier": _pagerank_sql(
+            edge_sql=COSUPPLIER_EDGES_SQL, weighted=True
+        ),
         "wcc_purchase": _wcc_reach_sql(PURCHASE_EDGES_SQL),
+        "wcc_purchase_star": _wcc_reach_sql(PURCHASE_EDGES_SQL),
         "wcc_purchase_setcount": (
             f"SELECT COUNT(DISTINCT comp) AS set_count FROM ({_wcc_reach_sql(PURCHASE_EDGES_SQL)})"
         ),
@@ -417,6 +458,24 @@ best AS (SELECT node AS id, label,
                 ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
          FROM votes)
 SELECT id, label FROM best WHERE rk = 1
+""",
+        "labelprop_cosupplier_2iter": f"""
+WITH e AS ({COSUPPLIER_EDGES_SQL}),
+sym AS (SELECT src AS node, dst AS nbr, weight FROM e
+        UNION ALL SELECT dst, src, weight FROM e),
+l0 AS (SELECT DISTINCT node AS id, node AS label FROM sym),
+v1 AS (SELECT s.node, l.label, SUM(s.weight) AS v
+       FROM sym s JOIN l0 l ON l.id = s.nbr GROUP BY 1, 2),
+b1 AS (SELECT node AS id, label,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
+       FROM v1),
+l1 AS (SELECT id, label FROM b1 WHERE rk = 1),
+v2 AS (SELECT s.node, l.label, SUM(s.weight) AS v
+       FROM sym s JOIN l1 l ON l.id = s.nbr GROUP BY 1, 2),
+b2 AS (SELECT node AS id, label,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
+       FROM v2)
+SELECT id, label FROM b2 WHERE rk = 1
 """,
         "triangle_count_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT COUNT(*) AS triangle_count FROM tri",
         "triangles_per_node_cosupplier": f"""

@@ -59,13 +59,24 @@ def connected_components(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    algorithm: str = "minlabel",
 ) -> ComponentsResult:
     """Undirected connected components over an edge table.
 
     threshold: keep only edges with weight >= threshold before
       connecting (reference ``algo.unionFind(..., {threshold})``,
       FIXTURES.md §2b). Missing weight column => all edges kept.
+    algorithm: "minlabel" (default — min-id propagation; rounds =
+      graph diameter, cheapest per round) or "star" (alternating
+      large-star / small-star, Kiveris et al. SoCC'14 — O(log n)
+      rounds regardless of diameter; the scale path for long-chain
+      graphs). Identical output contract.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            edges, nodes, threshold, max_iter, checkpoint_dir, checkpoint_every
+        )
+    assert algorithm == "minlabel", algorithm
     spark = edges.sparkSession
     t0 = time.time()
     e = edges
@@ -137,3 +148,108 @@ def canonical_components(components: DataFrame, nodes: DataFrame) -> DataFrame:
     labeled = components.join(nodes, "id")
     rep = labeled.groupBy("comp").agg(F.min("key").alias("set_key"))
     return labeled.join(rep, "comp").select("key", "set_key")
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    threshold: float | None,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+) -> ComponentsResult:
+    """Alternating large-star / small-star CC (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+    State is an edge set over node ids. Each round:
+      large-star(u): for every neighbor v > u, emit (v, m(u)) where
+                     m(u) = min(neighbors(u) + {u})
+      small-star(u): for every neighbor v <= u (v != m), emit (v, m(u))
+    Both operations preserve connectivity and strictly reduce a
+    monotone potential; the edge set converges in O(log n) rounds to a
+    forest of depth-1 stars rooted at each component's min id —
+    diameter-independent, unlike min-label propagation.
+    """
+    spark = edges.sparkSession
+    t0 = time.time()
+    e = edges
+    if threshold is not None and "weight" in e.columns:
+        e = e.filter(F.coalesce(F.col("weight"), F.lit(1.0)) >= F.lit(threshold))
+    e = e.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if nodes is not None:
+        base = nodes.select("id")
+    else:
+        base = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+    base = base.persist()
+    n_nodes = base.count()
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        g = _sym(df).groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+        m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("src"))))
+        return (
+            g.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"), m.alias("m"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient edges to (hi -> lo) first: each u aggregates its
+        # smaller-or-equal neighbors, links them all to the minimum
+        oriented = _sym(df).filter(F.col("dst") < F.col("src"))
+        g = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+        m = F.array_min(F.col("nbrs"))
+        return (
+            g.select(
+                F.col("src").alias("u"),
+                F.explode(F.array_union(F.col("nbrs"), F.array(F.col("src")))).alias("v"),
+                m.alias("m"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="components_star")
+    cur = e.distinct()
+    cur = loop.advance(0, cur, force_checkpoint=bool(checkpoint_dir))
+    it = 0
+    prev_sig = None
+    t1 = time.time()
+    for it in range(1, max_iter + 1):
+        nxt = _small_star(_large_star(cur))
+        nxt = loop.advance(it, nxt, metrics={"round": it})
+        sig = nxt.agg(
+            F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+        ).first()
+        sig = (sig["n"], sig["s"])
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: edge set is (child -> root) stars; roots are min ids
+    parents = cur.groupBy("src").agg(F.min("dst").alias("comp"))
+    labels = (
+        base.join(parents, base.id == parents.src, "left")
+        .select("id", F.coalesce(F.col("comp"), F.col("id")).alias("comp"))
+        .persist()
+    )
+    set_count = labels.select("comp").distinct().count()
+    stats = {
+        "nodes": n_nodes,
+        "setCount": set_count,
+        "iterations": it,
+        "threshold": threshold,
+        "algorithm": "star",
+        "load_s": round(t1 - t0, 4),
+        "compute_s": round(time.time() - t1, 4),
+    }
+    base.unpersist()
+    return ComponentsResult(components=labels, set_count=set_count, iterations=it, stats=stats)

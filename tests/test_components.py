@@ -35,3 +35,25 @@ def test_components_comp_is_min_dense_id(spark):
     comp = {r["id"]: r["comp"] for r in res.components.collect()}
     assert comp[ids["a"]] == comp[ids["b"]] == comp[ids["c"]] == min(ids["a"], ids["b"], ids["c"])
     assert comp[ids["x"]] == comp[ids["y"]] == min(ids["x"], ids["y"])
+
+
+def test_star_algorithm_matches_minlabel(spark):
+    from tests.fixtures import UNIONFIND_EDGES, UNIONFIND_ISOLATED
+    from linkgraph import connected_components, edges_from_pairs
+    nodes, edges = edges_from_pairs(spark, UNIONFIND_EDGES, extra_keys=UNIONFIND_ISOLATED)
+    a = connected_components(edges, nodes=nodes)
+    b = connected_components(edges, nodes=nodes, algorithm="star")
+    ra = sorted(map(tuple, a.components.collect()))
+    rb = sorted(map(tuple, b.components.collect()))
+    assert ra == rb
+    assert a.set_count == b.set_count == 6
+
+
+def test_star_algorithm_long_chain_few_rounds(spark):
+    from linkgraph import connected_components, edges_from_pairs
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
+    nodes, edges = edges_from_pairs(spark, chain)
+    res = connected_components(edges, nodes=nodes, algorithm="star")
+    assert res.set_count == 1
+    # O(log n) rounds — a 61-node chain must NOT take ~60 rounds
+    assert res.iterations <= 12, res.iterations

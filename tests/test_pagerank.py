@@ -69,3 +69,16 @@ def test_pagerank_matches_numpy_reference_on_random_graph(spark):
     got = _scores_by_key(nodes, res)
     for i in range(n):
         assert np.isclose(got[f"v{i:02d}"], p[i], atol=1e-9)
+
+
+def test_pagerank_salted_aggregation_equivalent(spark):
+    """hot_key_salt two-phase sum computes the same scores (within
+    float round-off of the regrouped summation)."""
+    nodes, edges = edges_from_pairs(spark, PAGERANK_WIKI_EDGES)
+    a = pagerank(edges, nodes=nodes, damping=0.85, max_iter=10)
+    b = pagerank(edges, nodes=nodes, damping=0.85, max_iter=10, hot_key_salt=4)
+    ga = {r["id"]: r["rank"] for r in a.scores.collect()}
+    gb = {r["id"]: r["rank"] for r in b.scores.collect()}
+    assert ga.keys() == gb.keys()
+    for k in ga:
+        assert np.isclose(ga[k], gb[k], atol=1e-12), (k, ga[k], gb[k])

@@ -19,9 +19,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events_stream_dir(spark, tmp_path):
-    # stage the events table as a parquet dir the stream can read
+    # stage the events table as a parquet dir the stream can read;
+    # watermarks need TIMESTAMP (LTZ) — the source is TIMESTAMP_NTZ
     out = str(tmp_path / "events_in")
-    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(out)
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.parquet(out)
+    )
     return out
 
 
