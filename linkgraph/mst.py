@@ -82,10 +82,39 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
             best.select("a", "b", "w")
         )
         chosen = chosen.localCheckpoint(eager=True)
-        # contract: CC over the component graph of picked edges
-        cg = best.select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
-        cc = connected_components(cg)
-        mapping = cc.components.select(F.col("id").alias("comp"), F.col("comp").alias("newc"))
+        # contract: CC over the component graph of picked edges. The
+        # comp graph has at most one edge per component; below the
+        # broadcast-ish threshold a driver-side union-find beats a
+        # distributed fixpoint by orders of magnitude (same size-gated
+        # escape hatch as scc.py / Spark's broadcast joins).
+        cg_rows = best.select(F.col("comp_a").alias("src"), F.col("comp_b").alias("dst"))
+        n_cg = cg_rows.count()
+        if n_cg <= 500_000:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            pairs = cg_rows.collect()
+            for row in pairs:
+                ra, rb = find(row["src"]), find(row["dst"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = {x: find(x) for x in set(parent)}
+            mapping = spark.createDataFrame(
+                [(k, v) for k, v in roots.items()], "comp long, newc long"
+            )
+            mapping = F.broadcast(mapping)
+        else:
+            cc = connected_components(cg_rows)
+            mapping = cc.components.select(
+                F.col("id").alias("comp"), F.col("comp").alias("newc")
+            )
         comp2 = (
             comp.join(mapping, "comp", "left")
             .select("id", F.coalesce(F.col("newc"), F.col("comp")).alias("comp"))
