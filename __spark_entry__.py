@@ -125,8 +125,9 @@ def _q_sssp_cosupplier(spark, sf_dir):
 
 
 def _q_delta_stepping_cosupplier(spark, sf_dir):
-    """Delta-stepping SSSP (unbounded) — rows-only check; exactness vs
-    Dijkstra fixpoint is asserted in tests/test_paths.py."""
+    """Delta-stepping SSSP to the unbounded fixpoint; the oracle is an
+    unrolled all-pairs min-plus doubling (7 rounds => every <=128-edge
+    path, exact for any 100-node graph) restricted to the source row."""
     from linkgraph import sssp_delta_stepping
     edges = cosupplier_edges(spark, sf_dir)
     src = edges.agg(F.min("src")).first()[0]
@@ -159,6 +160,31 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 WHERE c.c_nationkey != s.s_nationkey
 GROUP BY 1, 2 HAVING COUNT(*) >= 60
 """
+
+TRADE_NATION_W_SQL = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE c.c_nationkey != s.s_nationkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 60
+"""
+
+
+def _trade_nation_edges_w(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+        .filter(F.col("weight") >= 60)
+    )
 
 
 def _q_apsp_nation(spark, sf_dir):
@@ -218,16 +244,38 @@ def _q_scc_returns(spark, sf_dir):
 
 
 def _q_betweenness_nation(spark, sf_dir):
-    """Exact Brandes over the (25-node) nation trade graph — rows-only
-    check; golden-tested on fixtures in tests/test_paths.py."""
+    """Exact Brandes over the (25-node) nation trade graph. Oracle:
+    unrolled per-level sigma/delta DP in SQL (same two-pass Brandes
+    recurrence the engine evaluates, level CTEs 0..8)."""
     from linkgraph import betweenness_centrality
     res = betweenness_centrality(_trade_nation_edges(spark, sf_dir), direction="BOTH")
     return res.scores.select("id", F.round("centrality", 6).alias("centrality"))
 
 
+def _q_apsp_weighted_nation(spark, sf_dir):
+    """Weighted APSP via the batched multi-source relax (one job per
+    round for ALL sources). Oracle: directed min-plus doubling."""
+    from linkgraph import all_shortest_paths_stream
+    return all_shortest_paths_stream(
+        _trade_nation_edges_w(spark, sf_dir), weighted=True, direction="OUTGOING"
+    ).select("source", "target", F.round("distance", 6).alias("distance"))
+
+
+def _q_wcc_sqlproj_nation(spark, sf_dir):
+    """WCC over an edge set DEFINED BY SQL (edges_from_sql — the
+    reference's graph:'cypher' projection analog, SURVEY.md §2.3)."""
+    from linkgraph import connected_components, edges_from_sql
+    for t in ("orders", "lineitem", "customer", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    e = edges_from_sql(spark, TRADE_NATION_SQL)
+    return connected_components(e).components.select("id", "comp")
+
+
 def _q_mst_cosupplier(spark, sf_dir):
-    """Borůvka MSF — rows-only check (MST weight has no SQL analog);
-    golden-tested in tests/test_paths.py."""
+    """Borůvka MSF. Oracle: canonical-Kruskal membership via minimax
+    edge-order doubling (edge in MSF iff no path of strictly earlier
+    edges connects its endpoints) — edge_count and total_weight are
+    MSF-invariant, so the engine's own tie-breaks don't matter."""
     from linkgraph import minimum_spanning_forest
     res = minimum_spanning_forest(cosupplier_edges(spark, sf_dir))
     return res.tree_edges.agg(
@@ -311,6 +359,15 @@ def _q_emb_near_dup(spark, sf_dir):
     return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_near_dup_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup (candidates from band-bucket
+    collisions, exact in-bucket verify). At r=2/b=32 the per-pair miss
+    probability at cosine 0.4 is ~8.5e-8, so the brute-force SQL
+    oracle is a valid equality check (same pattern as minhash_lsh)."""
+    from linkgraph.pipeline import near_dup_pairs_lsh
+    return near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_ann_lsh(spark, sf_dir):
     from linkgraph.pipeline import ann_lsh_topk
     return ann_lsh_topk(_emb(spark, sf_dir), k=5).select(
@@ -350,10 +407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops2_cosupplier": _q_sssp_cosupplier,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
+        "apsp_weighted_nation": _q_apsp_weighted_nation,
         "closeness_nation": _q_closeness_nation,
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "betweenness_nation": _q_betweenness_nation,
+        "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -366,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
+        "sim_near_dup_lsh": _q_near_dup_lsh,
         "sim_ann_lsh_topk": _q_ann_lsh,
         "multimodal_features": _q_multimodal_features,
         "multimodal_video_frames": _q_video_frames,
@@ -502,6 +562,152 @@ SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
     }
 
 
+def _minplus_doubling(seed_cte: str, rounds: int, final_select: str) -> str:
+    """Unrolled min-plus matrix doubling: m{k} holds shortest distances
+    over paths of <= 2^k edges, so `rounds` covers 2^rounds-edge paths —
+    EXACT (not hop-bounded) for any graph whose shortest paths use
+    fewer edges. Weights here are integer-valued doubles, so the
+    re-associated sums are IEEE-exact and match the engine bit-for-bit.
+    """
+    parts = [seed_cte]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+m{k} AS MATERIALIZED (
+  SELECT a.src AS src, b.dst AS dst, MIN(a.d + b.d) AS d
+  FROM m{k-1} a JOIN m{k-1} b ON a.dst = b.src
+  GROUP BY 1, 2)"""
+        )
+    parts.append(final_select)
+    return "".join(parts)
+
+
+def _delta_sssp_sql(edge_sql: str, rounds: int = 7) -> str:
+    seed = f"""
+WITH e AS ({edge_sql}),
+sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+m0 AS MATERIALIZED (
+  SELECT src, dst, MIN(weight) AS d FROM sym GROUP BY 1, 2
+  UNION ALL SELECT id, id, CAST(0.0 AS DOUBLE) FROM nodes)"""
+    final = f"""
+SELECT dst AS id, ROUND(d, 6) AS dist
+FROM m{rounds} WHERE src = (SELECT MIN(src) FROM e)"""
+    return _minplus_doubling(seed, rounds, final)
+
+
+def _apsp_weighted_sql(edge_sql: str, rounds: int = 5) -> str:
+    seed = f"""
+WITH e AS ({edge_sql}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+m0 AS MATERIALIZED (
+  SELECT src, dst, MIN(weight) AS d FROM e GROUP BY 1, 2
+  UNION ALL SELECT id, id, CAST(0.0 AS DOUBLE) FROM nodes)"""
+    final = f"""
+SELECT src AS source, dst AS target, ROUND(d, 6) AS distance
+FROM m{rounds} WHERE src != dst"""
+    return _minplus_doubling(seed, rounds, final)
+
+
+def _mst_minimax_sql(edge_sql: str, rounds: int = 7) -> str:
+    """Canonical-Kruskal MSF membership: order edges totally by
+    (weight, src, dst); an edge is in the MSF iff no path of strictly
+    earlier edges connects its endpoints, i.e. iff the minimax edge
+    order over all endpoint paths equals the edge's own order. The
+    minimax closure is computed by (min, max)-semiring doubling —
+    2^rounds-edge paths, exhaustive for n <= 2^rounds + 1 nodes.
+    edge_count and total_weight are invariant across all MSFs (ties
+    included), so this checks the engine's Borůvka output exactly."""
+    parts = [
+        f"""
+WITH e AS ({edge_sql}),
+ek AS (SELECT src, dst, weight,
+              ROW_NUMBER() OVER (ORDER BY weight, src, dst) AS ok FROM e),
+sym AS (SELECT src, dst, ok FROM ek UNION ALL SELECT dst, src, ok FROM ek),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+b0 AS MATERIALIZED (
+  SELECT src, dst, MIN(ok) AS k FROM sym GROUP BY 1, 2
+  UNION ALL SELECT id, id, CAST(0 AS BIGINT) FROM nodes)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+b{k} AS MATERIALIZED (
+  SELECT a.src AS src, b.dst AS dst, MIN(GREATEST(a.k, b.k)) AS k
+  FROM b{k-1} a JOIN b{k-1} b ON a.dst = b.src
+  GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS edge_count,
+       ROUND(SUM(ek.weight), 6) AS total_weight
+FROM ek JOIN b{rounds} m ON m.src = ek.src AND m.dst = ek.dst AND m.k = ek.ok"""
+    )
+    return "".join(parts)
+
+
+def _brandes_sql(edge_sql: str, max_level: int = 8) -> str:
+    """Unrolled two-pass Brandes on the undirected graph: recursive BFS
+    for levels, per-level sigma CTEs forward, per-level delta CTEs
+    backward — the exact recurrence the engine evaluates
+    (linkgraph/betweenness.py), with the BOTH-direction 0.5 scale."""
+    parts = [
+        f"""
+WITH RECURSIVE
+e0 AS ({edge_sql}),
+sym AS MATERIALIZED (
+  -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB does not apply
+  -- UNION's dedup between branches of a non-recursive CTE
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+bfs(source, id, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT b.source, s.dst, b.dist + 1
+  FROM bfs b JOIN sym s ON s.src = b.id WHERE b.dist < {max_level}),
+d AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM bfs GROUP BY 1, 2),
+sig0 AS MATERIALIZED (SELECT id AS source, id, CAST(1 AS DOUBLE) AS sigma FROM nodes)"""
+    ]
+    for l in range(1, max_level + 1):
+        parts.append(
+            f""",
+sig{l} AS MATERIALIZED (
+  SELECT p.source, s.dst AS id, CAST(SUM(p.sigma) AS DOUBLE) AS sigma
+  FROM sig{l-1} p JOIN sym s ON s.src = p.id
+  JOIN d dv ON dv.source = p.source AND dv.id = s.dst
+  WHERE dv.dist = {l}
+  GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f""",
+del{max_level} AS MATERIALIZED (SELECT source, id, sigma, CAST(0 AS DOUBLE) AS delta FROM sig{max_level})"""
+    )
+    for l in range(max_level - 1, -1, -1):
+        parts.append(
+            f""",
+del{l} AS MATERIALIZED (
+  SELECT g.source, g.id, g.sigma, g.sigma * COALESCE(c.t, 0.0) AS delta
+  FROM sig{l} g LEFT JOIN (
+    SELECT w.source, s.src AS id, SUM((1.0 + w.delta) / w.sigma) AS t
+    FROM del{l+1} w JOIN sym s ON s.dst = w.id
+    GROUP BY 1, 2) c
+  ON c.source = g.source AND c.id = g.id)"""
+        )
+    alldel = " UNION ALL ".join(
+        f"SELECT * FROM del{l}" for l in range(0, max_level + 1)
+    )
+    parts.append(
+        f""",
+alldel AS ({alldel})
+SELECT n.id AS id, ROUND(0.5 * COALESCE(s.c, 0.0), 6) AS centrality
+FROM nodes n LEFT JOIN (
+  SELECT id, SUM(delta) AS c FROM alldel WHERE id != source GROUP BY id) s
+ON s.id = n.id"""
+    )
+    return "".join(parts)
+
+
 def _paths_oracles() -> dict[str, str]:
     sssp_sql = f"""
 WITH RECURSIVE
@@ -568,10 +774,14 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
 """
     return {
         "sssp_hops2_cosupplier": sssp_sql,
+        "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
+        "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),
         "closeness_nation": closeness_sql,
         "scc_returns": scc_sql,
-        # sssp_delta_cosupplier, mst_cosupplier: rows-only (see queries)
+        "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
+        "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
+        "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),
     }
 
 
@@ -607,6 +817,10 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_fingerprints": fingerprints_sql(k=16),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
+        # LSH path verified against the SAME brute-force oracle: the
+        # banding (r=2, b=32) miss probability at cosine 0.4 is ~8.5e-8
+        # per pair, and the in-bucket verify keeps precision exact
+        "sim_near_dup_lsh": near_dup_pairs_sql(dim=64, threshold=0.4),
         # sim_ann_lsh_topk: probabilistic (no oracle — rows-only check;
         # recall vs the exact top-k is asserted in tests instead)
         "multimodal_features": asset_features_sql(n_features=4),

@@ -25,13 +25,15 @@ from linkgraph.paths import (
     sssp,
     sssp_delta_stepping,
     ms_bfs_distances,
+    ms_relax_distances,
     closeness_centrality,
     all_shortest_paths_stream,
     SsspResult,
 )
-from linkgraph.mst import minimum_spanning_forest, MstResult
+from linkgraph.mst import minimum_spanning_forest, minimum_spanning_tree, MstResult
 from linkgraph.betweenness import betweenness_centrality, BetweennessResult
 from linkgraph.registry import algo_list, is_finite, is_infinite
+from linkgraph.io import edges_from_sql, write_results
 
 __all__ = [
     "get_spark",
@@ -53,10 +55,14 @@ __all__ = [
     "sssp",
     "sssp_delta_stepping",
     "ms_bfs_distances",
+    "edges_from_sql",
+    "write_results",
+    "ms_relax_distances",
     "closeness_centrality",
     "all_shortest_paths_stream",
     "SsspResult",
     "minimum_spanning_forest",
+    "minimum_spanning_tree",
     "MstResult",
     "betweenness_centrality",
     "BetweennessResult",

@@ -18,15 +18,20 @@ thread-parallel):
             sigma_v/sigma_w * (1 + delta_w), walked from the deepest
             level up; bc(v) = sum over sources of delta(s,v), v != s.
 
-``sources`` samples the source set (RA-Brandes estimator: scale mode —
-scores scale by n/|sources|); None = exact (every node a source).
+``sources`` samples the source set (RA-Brandes estimator): dependency
+sums are RESCALED by n/|sources| so sampled scores are an unbiased
+estimate of the exact values (``rescale=False`` returns the raw
+partial sums). None = exact (every node a source) — O(n * reached)
+state; above ``exact_warn_nodes`` nodes a warning is emitted because
+exact all-sources mode cannot survive a 100x scale-up.
 For direction BOTH each unordered pair is counted from both endpoints,
 so scores are halved (the standard undirected convention).
 
 Scale notes: state is (source, node) pairs — O(K * reached) rows for a
-K-source batch; levels persist per depth and unpersist after the
-backward sweep consumes them. Edges partition once by src for the
-forward joins and once by dst for the backward joins.
+K-source batch; each forward level is unpersisted as soon as the
+backward sweep consumes it, and superseded seen/delta/acc checkpoints
+are freed as they are replaced, so peak cached state is O(K * reached)
+rather than O(depth * K * reached).
 """
 
 from __future__ import annotations
@@ -51,6 +56,8 @@ def betweenness_centrality(
     sources: DataFrame | None = None,
     direction: str = "BOTH",
     max_depth: int = 64,
+    rescale: bool = True,
+    exact_warn_nodes: int = 100_000,
 ) -> BetweennessResult:
     t0 = time.time()
     d = direction.upper()
@@ -68,8 +75,18 @@ def betweenness_centrality(
         if nodes is not None
         else e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
     ).persist()
+    n_universe = universe.count()
     srcs = (sources.select("id") if sources is not None else universe)
     n_sources = srcs.count()
+    if sources is None and n_universe > exact_warn_nodes:
+        import warnings
+
+        warnings.warn(
+            f"exact betweenness over {n_universe} nodes makes every node a "
+            "source (O(n*reached) state); pass sources= for the sampled "
+            "RA-Brandes estimator at scale",
+            stacklevel=2,
+        )
 
     # ---- forward: BFS levels with path counts
     lvl = srcs.select(
@@ -79,20 +96,26 @@ def betweenness_centrality(
     levels = [lvl]
     depth = 0
     for depth in range(1, max_depth + 1):
+        # eager checkpoint (not lazy persist): the level must own its
+        # blocks before superseded seen/level checkpoints are freed —
+        # a freed localCheckpoint cannot be recomputed from lineage
         nxt = (
             e.join(levels[-1], e.src == levels[-1].id)
             .select("source", e.dst.alias("id"), "sigma")
             .groupBy("source", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .join(seen, ["source", "id"], "left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             nxt.unpersist()
             depth -= 1
             break
+        prev_seen = seen
         seen = seen.union(nxt.select("source", "id")).localCheckpoint(eager=True)
+        prev_seen.unpersist()
         levels.append(nxt)
+    seen.unpersist()
 
     # ---- backward: dependency accumulation, deepest level first
     spark = edges.sparkSession
@@ -111,6 +134,7 @@ def betweenness_centrality(
             .groupBy("source", "id")
             .agg(F.sum("t").alias("t"))
         )
+        prev_deltas = deltas
         deltas = (
             lv.join(contrib, ["source", "id"], "left")
             .select(
@@ -119,13 +143,29 @@ def betweenness_centrality(
             )
             .localCheckpoint(eager=True)
         )
+        prev_deltas.unpersist()
+        # levels[li+1] fed this step's `down` — free it now instead of
+        # pinning O(depth * reached) rows until the sweep ends
+        levels[li + 1].unpersist()
         part = deltas.filter(F.col("id") != F.col("source")).select("source", "id", "delta")
-        acc = part if acc is None else acc.union(part).localCheckpoint(eager=True)
+        prev_acc = acc
+        # eager checkpoint either way: part references the current
+        # deltas checkpoint, which the next iteration (or the final
+        # cleanup) unpersists — acc must own its blocks by then
+        acc = (part if acc is None else acc.union(part)).localCheckpoint(eager=True)
+        if prev_acc is not None:
+            prev_acc.unpersist()
+    deltas.unpersist()
+    levels[0].unpersist()
 
     if acc is None:
         acc = spark.createDataFrame([], "source long, id long, delta double")
     bc = acc.groupBy("id").agg(F.sum("delta").alias("centrality"))
     scale = 0.5 if d == "BOTH" else 1.0
+    if rescale and sources is not None and n_sources > 0:
+        # RA-Brandes estimator: partial dependency sums over a sampled
+        # source set scale by n/|sources| for an unbiased estimate
+        scale *= float(n_universe) / float(n_sources)
     scores = (
         universe.join(bc, "id", "left")
         .select(
@@ -133,8 +173,6 @@ def betweenness_centrality(
             (F.lit(scale) * F.coalesce(F.col("centrality"), F.lit(0.0))).alias("centrality"),
         )
     )
-    for lv in levels:
-        lv.unpersist()
     e.unpersist()
     return BetweennessResult(
         scores=scores,

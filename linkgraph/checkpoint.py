@@ -61,8 +61,16 @@ class SuperstepLoop:
         with open(self._manifest_path) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    last = json.loads(line)
+                if not line:
+                    continue
+                entry = json.loads(line)
+                # '_final' entries hold the post-loop result (dynamic
+                # UNION static nodes) — resuming the superstep loop from
+                # one would re-union the static rows (duplicates); skip
+                # them and resume from the last true iteration state.
+                if entry.get("final"):
+                    continue
+                last = entry
         if last is None:
             return None
         df = self.spark.read.parquet(last["path"])
@@ -91,7 +99,7 @@ class SuperstepLoop:
             path = os.path.join(self.dir, f"{self.name}{suffix}_{iteration:06d}")
             df.write.mode("overwrite").parquet(path)
             new = self.spark.read.parquet(path).persist()
-            self._write_manifest(iteration, path, metrics)
+            self._write_manifest(iteration, path, metrics, final=bool(suffix))
         elif truncate:
             new = df.localCheckpoint(eager=True)
         else:
@@ -101,7 +109,9 @@ class SuperstepLoop:
             prev.unpersist()
         return new
 
-    def _write_manifest(self, iteration: int, path: str, metrics: dict | None):
+    def _write_manifest(
+        self, iteration: int, path: str, metrics: dict | None, final: bool = False
+    ):
         parts = []
         for fn in sorted(os.listdir(path)):
             if fn.endswith(".parquet"):
@@ -110,6 +120,7 @@ class SuperstepLoop:
             "iteration": iteration,
             "path": path,
             "ts": time.time(),
+            "final": final,
             "partitions": parts,
             "metrics": metrics or {},
         }

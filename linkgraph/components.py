@@ -189,46 +189,64 @@ def _connected_components_star(
         return df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
     def _large_star(df: DataFrame) -> DataFrame:
-        g = _sym(df).groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
-        m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("src"))))
+        # m(u) = min(neighbors(u) + {u}) as a per-node aggregate row,
+        # joined back to the edge list — never a whole-neighborhood
+        # array, so a mega-hub costs one (src, m) row, not an unbounded
+        # collect_set (the join and the agg share the src shuffle key)
+        sym = _sym(df)
+        m = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            "src", F.least(F.col("mn"), F.col("src")).alias("m")
+        )
         return (
-            g.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"), m.alias("m"))
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
 
     def _small_star(df: DataFrame) -> DataFrame:
-        # orient edges to (hi -> lo) first: each u aggregates its
-        # smaller-or-equal neighbors, links them all to the minimum
+        # orient edges to (hi -> lo): each u links its <= neighbors and
+        # itself to m(u) = min of those neighbors (same join-based shape
+        # as _large_star — no per-node neighbor arrays)
         oriented = _sym(df).filter(F.col("dst") < F.col("src"))
-        g = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
-        m = F.array_min(F.col("nbrs"))
-        return (
-            g.select(
-                F.col("src").alias("u"),
-                F.explode(F.array_union(F.col("nbrs"), F.array(F.col("src")))).alias("v"),
-                m.alias("m"),
-            )
+        m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        from_nbrs = (
+            oriented.join(m, "src")
+            .select(F.col("dst").alias("v"), "m")
             .filter(F.col("v") != F.col("m"))
+        )
+        # m < src always (min over strictly-smaller neighbors)
+        from_self = m.select(F.col("src").alias("v"), "m")
+        return (
+            from_nbrs.union(from_self)
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
             .distinct()
         )
 
-    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="components_star")
+    # every=1: each star round references its input edge set ~20x
+    # (sym doubling + the m-join in both stars), so an un-truncated
+    # plan grows ~20^k between checkpoints and ANALYSIS (driver CPU)
+    # explodes; rounds are O(log n) few, so truncating per round is
+    # cheap and keeps the plan constant-size
+    loop = SuperstepLoop(spark, checkpoint_dir, every=1, name="components_star")
     cur = e.distinct()
     cur = loop.advance(0, cur, force_checkpoint=bool(checkpoint_dir))
     it = 0
     prev_sig = None
     t1 = time.time()
     for it in range(1, max_iter + 1):
-        nxt = _small_star(_large_star(cur))
-        nxt = loop.advance(it, nxt, metrics={"round": it})
+        mid = _large_star(cur).localCheckpoint(eager=True)
+        nxt = loop.advance(it, _small_star(mid), metrics={"round": it})
+        mid.unpersist()
+        # collision-resistant fixpoint check: count + order-insensitive
+        # sum of a 64-bit edge hash (two different edge sets colliding
+        # on both is ~2^-64, vs the trivially-collidable sum(src+dst))
         sig = nxt.agg(
-            F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")).alias("h"),
         ).first()
-        sig = (sig["n"], sig["s"])
+        sig = (sig["n"], sig["h"])
         cur = nxt
         if sig == prev_sig:
             break

@@ -137,14 +137,16 @@ def pagerank_csr(
             (F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
         if tol is not None:
-            new_ranks = new_ranks.persist()
+            pre = new_ranks.persist()
             delta = (
-                new_ranks.alias("n")
+                pre.alias("n")
                 .join(ranks.alias("o"), "id")
                 .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
                 .first()["d"]
             )
-            new_ranks = loop.advance(it, new_ranks, metrics={"linf_delta": delta})
+            new_ranks = loop.advance(it, pre, metrics={"linf_delta": delta})
+            if new_ranks is not pre:
+                pre.unpersist()  # free the delta-probe cache (leak per checkpoint)
             if delta < tol:
                 converged = True
                 ranks = new_ranks

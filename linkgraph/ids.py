@@ -28,14 +28,26 @@ from pyspark.sql import functions as F
 def dense_ids(
     keys: DataFrame,
     key_col: str = "key",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     ordered: bool = False,
 ) -> DataFrame:
     """Map distinct ``key_col`` values to dense ids ``0..n-1``.
 
     Returns DataFrame(id: long, key: <input type>). Deterministic for a
     given key set regardless of partitioning.
+
+    num_buckets defaults to 4x spark.sql.shuffle.partitions (min 64):
+    each bucket is ranked by a window sorted within one task, so a
+    FIXED bucket count turns into ~n/64-row single-task sorts at
+    10^10+ keys; tying it to the shuffle width keeps per-task rank
+    work O(n / cluster-width). The id assignment itself is independent
+    of num_buckets only in being a bijection — the exact ids change
+    with the bucket count, so pin num_buckets when ids must be stable
+    across differently-sized clusters.
     """
+    if num_buckets is None:
+        sp = int(keys.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_buckets = max(64, 4 * sp)
     distinct = keys.select(F.col(key_col).alias("key")).distinct()
     if ordered:
         w = Window.orderBy("key")

@@ -27,7 +27,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import SuperstepLoop
@@ -105,7 +105,6 @@ def label_propagation(
     loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="labelprop")
     labels = loop.advance(0, init.select("id", "label"), force_checkpoint=bool(checkpoint_dir))
 
-    win = Window.partitionBy("node").orderBy(F.desc("v"), F.asc("label"))
     converged = False
     it = 0
     t1 = time.time()
@@ -118,23 +117,27 @@ def label_propagation(
             .groupBy("node", F.col("nbr_label").alias("label"))
             .agg(F.sum(F.col("w") * F.col("nw")).alias("v"))
         )
-        best = (
-            votes.withColumn("rk", F.row_number().over(win))
-            .filter(F.col("rk") == 1)
-            .select(F.col("node").alias("id"), F.col("label").alias("new_label"))
-        )
+        # argmax with (desc v, asc label) tie-break as ONE aggregate:
+        # max_by over struct(v, -label) partial-aggregates map-side,
+        # where the former row_number window re-sorted every group
+        best = votes.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("v"), (-F.col("label")).alias("nl")))
+            .alias("new_label")
+        ).select(F.col("node").alias("id"), "new_label")
         new_labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
         )
-        new_labels = new_labels.persist()
+        pre = new_labels.persist()
         changed = (
-            new_labels.alias("n")
+            pre.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        new_labels = loop.advance(it, new_labels, metrics={"changed": changed})
+        new_labels = loop.advance(it, pre, metrics={"changed": changed})
+        if new_labels is not pre:
+            pre.unpersist()  # free the changed-probe cache (leak per checkpoint)
         labels = new_labels
         if changed == 0:
             converged = True

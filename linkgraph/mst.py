@@ -137,3 +137,35 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
         rounds=rounds,
         stats={"rounds": rounds, "elapsed_s": round(time.time() - t0, 4)},
     )
+
+
+def minimum_spanning_tree(
+    edges: DataFrame, start_node: int, max_rounds: int = 64
+) -> MstResult:
+    """Reference algo.mst contract (pub:algo/.../impl/MSTPrim.java):
+    Prim from a START NODE, streaming the tree's relationships — i.e.
+    the spanning tree of the component containing ``start_node``.
+
+    Computed as the Borůvka forest restricted to that component: for
+    distinct weights this IS Prim's tree; with ties it is A minimum
+    spanning tree of the same component with identical edge count and
+    total weight (MST weight is tie-invariant), selected by the
+    deterministic (weight, src, dst) tie-break.
+    """
+    res = minimum_spanning_forest(edges, max_rounds=max_rounds)
+    tree = res.tree_edges.persist()
+    cc = connected_components(tree).components
+    comp_of_start = cc.filter(F.col("id") == int(start_node)).select("comp")
+    members = cc.join(F.broadcast(comp_of_start), "comp").select("id")
+    in_tree = tree.join(
+        members.select(F.col("id").alias("src")), "src", "left_semi"
+    ).persist()
+    agg = in_tree.agg(F.sum("weight").alias("tw"), F.count("*").alias("n")).first()
+    tree.unpersist()
+    return MstResult(
+        tree_edges=in_tree,
+        total_weight=float(agg["tw"] or 0.0),
+        edge_count=agg["n"],
+        rounds=res.rounds,
+        stats={**res.stats, "start_node": int(start_node)},
+    )

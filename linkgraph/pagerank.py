@@ -75,6 +75,7 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     hot_key_salt: int = 0,
+    direction: str = "OUTGOING",
 ) -> PageRankResult:
     """Compute PageRank over an edge table.
 
@@ -106,6 +107,21 @@ def pagerank(
     spark = edges.sparkSession
     t0 = time.time()
     d = float(damping)
+    dirn = direction.upper()
+    if dirn == "INCOMING":
+        # GraphLoader withDirection parity: rank flows along reversed
+        # edges (pub:core/.../core/GraphLoader.java#withDirection)
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *([F.col("weight")] if "weight" in edges.columns else []),
+        )
+    elif dirn == "BOTH":
+        keep = [F.col("weight")] if "weight" in edges.columns else []
+        edges = edges.select("src", "dst", *keep).union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *keep)
+        )
+    elif dirn != "OUTGOING":
+        raise ValueError(f"bad direction {direction}")
     base = _node_universe(edges, nodes).persist()
     n_nodes = base.count()
 
@@ -205,15 +221,19 @@ def pagerank(
             )
         )
         if tol is not None:
-            new_ranks = new_ranks.persist()
+            pre = new_ranks.persist()
             delta = (
-                new_ranks.alias("n")
+                pre.alias("n")
                 .join(ranks.alias("o"), "id")
                 .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
                 .first()["d"]
             )
             delta = float(delta) if delta is not None else 0.0
-            new_ranks = loop.advance(it, new_ranks, metrics={"linf_delta": delta})
+            new_ranks = loop.advance(it, pre, metrics={"linf_delta": delta})
+            if new_ranks is not pre:
+                # advance truncated to a NEW DataFrame; free the
+                # delta-probe cache or it leaks one copy per checkpoint
+                pre.unpersist()
             if delta < tol:
                 converged = True
                 ranks = new_ranks

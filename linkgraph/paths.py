@@ -199,6 +199,68 @@ def sssp_delta_stepping(
     )
 
 
+# ------------------------------------------- multi-source weighted relax
+
+def ms_relax_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    weighted: bool = True,
+    direction: str = "OUTGOING",
+    max_hops: int | None = None,
+) -> DataFrame:
+    """Batched multi-source Bellman-Ford: state keyed (source, id) so
+    every source relaxes in the SAME superstep — one Spark job per
+    round for the whole source batch instead of |sources| sequential
+    sssp() runs (the weighted analog of ms_bfs_distances; same batching
+    idea as the reference MultiSourceBFS, SURVEY.md §2.2).
+
+    Returns (source, id, dist) for reached pairs. With ``max_hops`` the
+    result is the <=max_hops-edge shortest distance (oracle contract).
+    """
+    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    e.count()
+    state = sources.select(
+        F.col("id").alias("source"), F.col("id").alias("id"), F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)  # checkpointed (source,id,dist) owner
+    dist = state
+    frontier = state
+    limit = max_hops if max_hops is not None else 1 << 30
+    it = 0
+    while it < limit:
+        it += 1
+        relaxed = (
+            e.join(frontier, e.src == frontier.id)
+            .select("source", e.dst.alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("source", "id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(relaxed, ["source", "id"], "full")
+            .select(
+                "source", "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
+                ).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_frontier = merged.filter("improved").select("source", "id", "dist")
+        n_front = new_frontier.count()
+        state.unpersist()  # superseded checkpoint (frontier/dist derive from it)
+        state = merged
+        dist = merged.select("source", "id", "dist")
+        frontier = new_frontier
+        if n_front == 0:
+            break
+    e.unpersist()
+    return dist
+
+
 # ----------------------------------------------------- multi-source BFS
 
 def ms_bfs_distances(
@@ -280,20 +342,24 @@ def all_shortest_paths_stream(
     max_hops: int = 64,
 ) -> DataFrame:
     """algo.allShortestPaths.stream analog: (source, target, distance)
-    rows. Unweighted uses the MS-BFS batch; weighted fans sssp() over
-    the (small, sampled) source set."""
+    rows. Unweighted uses the MS-BFS batch; weighted uses the batched
+    multi-source relax (one Spark job per round for ALL sources — the
+    K-source state is (source, id, dist) rows, never a per-source
+    driver loop)."""
     if not weighted:
         return ms_bfs_distances(edges, sources, direction, max_hops).select(
             "source", F.col("id").alias("target"), F.col("dist").cast("double").alias("distance")
         ).filter(F.col("source") != F.col("target"))
-    assert sources is not None, "weighted APSP requires an explicit (sampled) source set"
-    out = None
-    for row in sources.collect():
-        s = row["id"]
-        res = sssp(edges, s, weighted=True, direction=direction, max_hops=max_hops)
-        part = res.distances.select(
-            F.lit(s).alias("source"), F.col("id").alias("target"),
-            F.col("dist").alias("distance"),
-        ).filter(F.col("target") != s)
-        out = part if out is None else out.union(part)
-    return out
+    if sources is None:
+        e = edges.select("src", "dst")
+        sources = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    d = ms_relax_distances(
+        edges, sources, weighted=True, direction=direction, max_hops=max_hops
+    )
+    return d.select(
+        "source", F.col("id").alias("target"), F.col("dist").alias("distance")
+    ).filter(F.col("source") != F.col("target"))

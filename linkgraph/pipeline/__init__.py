@@ -18,6 +18,7 @@ Design rules (same as the graph engine):
 
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 from linkgraph.pipeline.dedup import (
+    auto_simhash_params,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -31,9 +32,11 @@ from linkgraph.pipeline.text import (
     fingerprints,
 )
 from linkgraph.pipeline.simsearch import (
+    ann_lsh_topk,
+    auto_n_planes,
     cosine_topk,
     near_dup_pairs,
-    ann_lsh_topk,
+    near_dup_pairs_lsh,
 )
 from linkgraph.pipeline.multimodal import (
     synth_assets,
@@ -46,6 +49,7 @@ __all__ = [
     "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs",
     "token_stats", "quality_scores", "language_id", "fingerprints",
-    "cosine_topk", "near_dup_pairs", "ann_lsh_topk",
+    "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
+    "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
 ]

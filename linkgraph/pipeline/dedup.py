@@ -242,13 +242,36 @@ per_bit AS (
   FROM tf CROSS JOIN (SELECT unnest(range(0, {bits})) AS i)
   GROUP BY doc_id, i)
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
 """
 
 
+def auto_simhash_params(
+    n_docs: int, max_hamming: int = 3, max_bits: int = 64
+) -> tuple[int, int]:
+    """(bits, chunks) scaled to corpus size while preserving the
+    pigeonhole-exactness invariant max_hamming < chunks.
+
+    Chunk width is the bucket key width: in-bucket candidate generation
+    is quadratic per bucket, so width must track log2(n) (bucket count
+    ~n). Exactness requires chunks > max_hamming, so scaling raises the
+    TOTAL bit budget bits = chunks * width (capped at 64 — a bigint
+    signature) rather than stealing width from the chunk count.
+    """
+    import math
+
+    width = max(8, int(math.ceil(math.log2(max(n_docs, 2)))))
+    chunks = max_hamming + 1
+    bits = min(max_bits, chunks * width)
+    return bits, chunks
+
+
 def simhash_pairs(
-    docs: DataFrame, bits: int = 32, max_hamming: int = 3, chunks: int = 4
+    docs: DataFrame,
+    bits: int | None = 32,
+    max_hamming: int = 3,
+    chunks: int | None = 4,
 ) -> DataFrame:
     """Pairs of docs with SimHash Hamming distance <= max_hamming.
 
@@ -256,7 +279,13 @@ def simhash_pairs(
     max_hamming < chunks, any qualifying pair agrees on at least one
     full chunk, so the chunk equi-join has perfect recall — no
     probabilistic miss, hence a strong brute-force SQL oracle.
+
+    bits/chunks None => derived from the corpus size via
+    auto_simhash_params (bucket-key width tracks log2(n) so in-bucket
+    candidate generation stays O(1) per doc at any scale).
     """
+    if bits is None or chunks is None:
+        bits, chunks = auto_simhash_params(docs.count(), max_hamming)
     assert max_hamming < chunks
     width = bits // chunks
     sh = simhash_table(docs, bits).persist()

@@ -86,13 +86,28 @@ def oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
 def triangle_count(
     edges: DataFrame,
     nodes: DataFrame | None = None,
+    direction: str = "BOTH",
+    hub_cap: int | None = None,
 ) -> TriangleResult:
     """Exact triangle counting over an edge table (any orientation).
 
     nodes: optional DataFrame(id) fixing the universe (isolated nodes
     report triangles=0, coefficient=0 and count toward the average
     coefficient, matching the reference).
+    direction: signature parity with GraphLoader withDirection — the
+    graph is canonicalized undirected regardless (the reference loads
+    Direction.BOTH for triangle procs), so all values are equivalent;
+    accepted for API parity.
+    hub_cap: when set, wedges whose PIVOT has degree > hub_cap are
+    counted through a reordered plan (edge-iterator: join the closing
+    edge against the hub's in/out edge lists) instead of the pivot
+    wedge join — the wedge join's fan-out at a pivot is
+    indeg*outdeg, quadratic at a mega-hub, while the reordered plan is
+    bounded by m * (hub out-neighbors per closing edge). Exact either
+    way (cross-path equality tested); default off.
     """
+    if direction.upper() not in ("BOTH", "OUTGOING", "INCOMING"):
+        raise ValueError(f"bad direction {direction}")
     t0 = time.time()
     org, deg = oriented_edges(edges)
     org = org.repartition("lo").persist()
@@ -100,9 +115,26 @@ def triangle_count(
 
     e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    wedges = e1.join(e2, "v")
     closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
-    tri = wedges.join(closing, ["u", "w"], "left_semi").persist()
+    if hub_cap is None:
+        wedges = e1.join(e2, "v")
+        tri = wedges.join(closing, ["u", "w"], "left_semi").persist()
+    else:
+        hubs = deg.filter(F.col("deg") > hub_cap).select(F.col("id").alias("v"))
+        # low-pivot wedges: standard wedge join, fan-out bounded by cap
+        e1_low = e1.join(hubs, "v", "left_anti")
+        tri_low = e1_low.join(e2, "v").join(closing, ["u", "w"], "left_semi")
+        # hub-pivot triangles: iterate CLOSING edges (u,w) and find hub
+        # pivots adjacent to both — never materializes the hub's
+        # quadratic wedge fan-out
+        e1_hub = e1.join(hubs, "v", "left_semi")
+        e2_hub = e2.join(hubs, "v", "left_semi")
+        tri_hub = (
+            closing.join(e1_hub, "u")
+            .join(e2_hub, ["v", "w"], "left_semi")
+            .select("u", "v", "w")
+        )
+        tri = tri_low.select("u", "v", "w").union(tri_hub).persist()
     n_tri = tri.count()
 
     corners = (

@@ -57,3 +57,15 @@ def test_star_algorithm_long_chain_few_rounds(spark):
     assert res.set_count == 1
     # O(log n) rounds — a 61-node chain must NOT take ~60 rounds
     assert res.iterations <= 12, res.iterations
+
+
+def test_star_cc_mega_hub(spark):
+    """100k-degree hub: the join-based large/small-star must not build
+    whole-neighborhood arrays (round-1 collect_set defect)."""
+    from pyspark.sql import functions as F
+    hub = spark.range(1, 100_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    res = connected_components(hub, algorithm="star", max_iter=10)
+    assert res.set_count == 1
+    assert res.components.filter(F.col("comp") != 0).count() == 0

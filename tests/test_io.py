@@ -1,0 +1,38 @@
+"""edges_from_sql projection + write_results sink (SURVEY.md §2.3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import connected_components, edges_from_sql, write_results
+
+
+def test_edges_from_sql_projection(spark):
+    raw = spark.createDataFrame(
+        [(1, 2, None), (2, 3, 5.0)], "a long, b long, w double"
+    )
+    e = edges_from_sql(
+        spark,
+        "SELECT a AS src, b AS dst, w AS weight FROM raw_edges",
+        tables={"raw_edges": raw},
+    )
+    rows = {(r["src"], r["dst"], r["weight"]) for r in e.collect()}
+    assert rows == {(1, 2, 1.0), (2, 3, 5.0)}  # NULL weight -> default
+    res = connected_components(e)
+    assert res.set_count == 1
+
+
+def test_edges_from_sql_missing_columns(spark):
+    spark.range(3).createOrReplaceTempView("not_edges")
+    with pytest.raises(ValueError, match="src and dst"):
+        edges_from_sql(spark, "SELECT id FROM not_edges")
+
+
+def test_write_results_round_trip(spark, tmp_path):
+    df = spark.range(100).select("id", (F.col("id") * 2.0).alias("score"))
+    stats = write_results(df, str(tmp_path / "scores"))
+    assert stats["rows"] == 100
+    assert stats["files"] >= 1 and stats["bytes"] > 0
+    assert stats["write_millis"] >= 0
+    back = spark.read.parquet(str(tmp_path / "scores"))
+    assert back.count() == 100
+    assert {r["score"] for r in back.collect()} == {float(i * 2) for i in range(100)}

@@ -82,3 +82,17 @@ def test_pagerank_salted_aggregation_equivalent(spark):
     assert ga.keys() == gb.keys()
     for k in ga:
         assert np.isclose(ga[k], gb[k], atol=1e-12), (k, ga[k], gb[k])
+
+
+def test_pagerank_direction_incoming_equals_preswapped(spark):
+    from pyspark.sql import functions as F
+    nodes, edges = edges_from_pairs(spark, PAGERANK_WIKI_EDGES)
+    swapped = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    a = {r["id"]: r["rank"] for r in
+         pagerank(edges, nodes=nodes, max_iter=10, direction="INCOMING").scores.collect()}
+    b = {r["id"]: r["rank"] for r in
+         pagerank(swapped, nodes=nodes, max_iter=10).scores.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)

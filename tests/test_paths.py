@@ -159,3 +159,53 @@ def test_betweenness_diamond_split_paths(spark):
     got = {r["key"]: r["centrality"] for r in res.scores.join(nodes, "id").collect()}
     assert got["b"] == 0.5 and got["c"] == 0.5
     assert got["a"] == 0.0 and got["d"] == 0.0
+
+
+def test_betweenness_sampled_rescale(spark):
+    """RA-Brandes estimator: sampled scores = raw partial sums * n/|S|;
+    on the star fixture leaf-only sources carry ALL dependency mass, so
+    raw(leaves) equals the exact score and rescaled = exact * n/|S|."""
+    from linkgraph.betweenness import betweenness_centrality
+    nodes, edges = edges_from_pairs(spark, [("c", "l1"), ("c", "l2"), ("c", "l3")])
+    leaves = nodes.filter(F.col("key") != "c").select("id")
+    raw = betweenness_centrality(
+        edges, sources=leaves, direction="BOTH", rescale=False
+    )
+    got_raw = {r["key"]: r["centrality"] for r in raw.scores.join(nodes, "id").collect()}
+    assert got_raw == {"c": 3.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+    scaled = betweenness_centrality(
+        edges, sources=leaves, direction="BOTH", rescale=True
+    )
+    got = {r["key"]: r["centrality"] for r in scaled.scores.join(nodes, "id").collect()}
+    assert abs(got["c"] - 3.0 * 4 / 3) < 1e-9
+
+
+def test_weighted_apsp_batched_matches_per_source(spark):
+    """ms_relax_distances (one batched job per round) must equal the
+    per-source sssp fixpoint."""
+    nodes, edges = edges_from_pairs(spark, W_EDGES)
+    out = all_shortest_paths_stream(edges, weighted=True, direction="OUTGOING")
+    got = {(r["source"], r["target"]): r["distance"] for r in out.collect()}
+    expect = {}
+    for row in nodes.collect():
+        s = row["id"]
+        for r in sssp(edges, s, weighted=True).distances.collect():
+            if r["id"] != s:
+                expect[(s, r["id"])] = r["dist"]
+    assert got == expect
+
+
+def test_mst_start_node_contract(spark):
+    """Prim-contract wrapper: tree of the start node's component only."""
+    from linkgraph import minimum_spanning_tree
+    # two components: square a-b-c-d (weights 1,2,3,4 -> tree 1+2+3)
+    # and pair x-y (weight 9)
+    nodes, edges = edges_from_pairs(spark, [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0), ("d", "a", 4.0),
+        ("x", "y", 9.0),
+    ])
+    ids = {r["key"]: r["id"] for r in nodes.collect()}
+    res = minimum_spanning_tree(edges, ids["a"])
+    assert res.edge_count == 3 and res.total_weight == 6.0
+    res2 = minimum_spanning_tree(edges, ids["x"])
+    assert res2.edge_count == 1 and res2.total_weight == 9.0

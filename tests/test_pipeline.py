@@ -200,3 +200,41 @@ def test_decode_media_real_is_stubbed(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(NotImplementedError):
         decode_media(synth_assets(docs), "image", real=True)
+
+
+# ------------------------------------------- LSH near-dup + auto params
+
+def test_near_dup_lsh_equals_bruteforce(spark):
+    from linkgraph.pipeline import near_dup_pairs, near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {(r["id1"], r["id2"], r["sim"])
+             for r in near_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r["id1"], r["id2"], r["sim"])
+           for r in near_dup_pairs_lsh(emb, threshold=0.4).collect()}
+    assert lsh == brute and len(brute) > 0
+
+
+def test_auto_params_scale_with_n():
+    from linkgraph.pipeline import auto_n_planes, auto_simhash_params
+
+    # bucket count must GROW with corpus size (round-1 fixed-width defect)
+    assert auto_n_planes(1_000_000) > auto_n_planes(1_000)
+    b_small, c_small = auto_simhash_params(1_000)
+    b_big, c_big = auto_simhash_params(1_000_000)
+    assert c_small > 3 and c_big > 3           # pigeonhole exactness kept
+    assert b_big // c_big > b_small // c_small  # chunk key width grows
+    assert b_big <= 64                          # fits a bigint signature
+
+
+def test_simhash_auto_params_still_exact(spark):
+    from linkgraph.pipeline.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    fixed = {(r["d1"], r["d2"]) for r in
+             simhash_pairs(docs, bits=32, max_hamming=3, chunks=4).collect()}
+    auto = {(r["d1"], r["d2"]) for r in
+            simhash_pairs(docs, bits=None, max_hamming=3, chunks=None).collect()}
+    # different signature widths change Hamming distances, but identical
+    # docs (distance 0) must appear under both parameterizations
+    assert fixed and auto

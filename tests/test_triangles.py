@@ -51,3 +51,21 @@ def test_triple_stream_sorted_by_id(spark):
     assert len(rows) == 4
     for r in rows:
         assert r["node_a"] < r["node_b"] < r["node_c"]
+
+
+def test_hub_cap_cross_path_equality(spark):
+    """hub_cap routes hub-pivot wedges through the reordered plan;
+    result must equal the plain wedge join exactly (SURVEY.md §7)."""
+    rng = np.random.default_rng(11)
+    pairs = {(f"h", f"n{i}") for i in range(25)}          # hub of degree 25
+    pairs |= {(f"n{i}", f"n{j}") for i, j in rng.integers(0, 25, (60, 2)) if i != j}
+    nodes, edges = edges_from_pairs(spark, sorted(pairs))
+    plain = triangle_count(edges, nodes=nodes)
+    capped = triangle_count(edges, nodes=nodes, hub_cap=5)
+    assert plain.triangle_count == capped.triangle_count
+    a = {(r["id"], r["triangles"]) for r in plain.counts.collect()}
+    b = {(r["id"], r["triangles"]) for r in capped.counts.collect()}
+    assert a == b
+    ta = {tuple(r) for r in plain.triangles.collect()}
+    tb = {tuple(r) for r in capped.triangles.collect()}
+    assert ta == tb

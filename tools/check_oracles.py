@@ -56,6 +56,13 @@ def main():
         ok = list(g.columns) == list(e.columns) and len(g) == len(e)
         if ok:
             for c in g.columns:
+                # driver hashes raw values: int64 12 != float64 12.0, so a
+                # kind-class mismatch (e.g. DuckDB HUGEINT -> float64) is FAIL
+                kinds = {("i" if k in "iub" else k) for k in (g[c].dtype.kind, e[c].dtype.kind)}
+                if kinds == {"i", "f"}:
+                    ok = False
+                    print(f"  dtype-class mismatch on {c}: {g[c].dtype} vs {e[c].dtype}")
+                    break
                 if g[c].dtype.kind == "f" or e[c].dtype.kind == "f":
                     if len(g):
                         ok = ok and (g[c].astype(float) - e[c].astype(float)).abs().max() <= 1e-9
