@@ -70,3 +70,47 @@ def test_pagerank_iteration_has_single_exchange_on_big_side(spark):
     upstream = plan[: plan.index("InMemoryRelation")]
     assert upstream.count("Exchange hashpartitioning") <= 2, upstream
     ep.unpersist()
+
+
+def test_near_dup_lsh_has_no_cartesian(spark):
+    """The LSH production near-dup must never plan a cross join — the
+    candidate space comes from the (band, bkey) equi-join only."""
+    from linkgraph.pipeline import near_dup_pairs_lsh
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(near_dup_pairs_lsh(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_hub_cap_plan_splits_pivots(spark):
+    """With hub_cap, the plan contains the hub-path semi-joins but
+    still no cartesian products."""
+    from linkgraph.ids import edges_from_pairs
+    from linkgraph import triangle_count
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    )
+    res = triangle_count(edges, nodes=nodes, hub_cap=2)
+    plan = _plan(res.triangles)
+    assert "CartesianProduct" not in plan
+
+
+def test_ms_relax_state_is_single_aggregate_per_round(spark):
+    """One relax round of the batched multi-source state plans one
+    aggregation exchange over (source, id) — no per-source fan-out."""
+    from linkgraph.ids import edges_from_pairs
+    nodes, edges = edges_from_pairs(spark, [("a", "b", 2.0), ("b", "c", 3.0)])
+    e = edges.select("src", "dst", F.col("weight").alias("w")).repartition("src").persist()
+    e.count()
+    frontier = nodes.select(
+        F.col("id").alias("source"), F.col("id").alias("id"), F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)
+    relaxed = (
+        e.join(frontier, e.src == frontier.id)
+        .select("source", e.dst.alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+        .groupBy("source", "id").agg(F.min("nd").alias("nd"))
+    )
+    plan = _plan(relaxed)
+    upstream = plan[: plan.index("InMemoryRelation")] if "InMemoryRelation" in plan else plan
+    assert upstream.count("Exchange hashpartitioning") <= 2, upstream
+    e.unpersist()
