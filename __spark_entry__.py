@@ -112,6 +112,27 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution probe (SURVEY.md §7 skew measurement)."""
+    from linkgraph import degree_histogram
+    return degree_histogram(purchase_edges(spark, sf_dir), direction="OUTGOING")
+
+
+def _q_sp_pair_cosupplier(spark, sf_dir):
+    """Single-pair shortest path (reference algo.shortestPath start/end
+    contract). The driver-checked value is total_cost — unique across
+    equal-cost path choices; the path rows themselves are golden-tested
+    on a unique-path fixture in tests/test_paths.py."""
+    from linkgraph import shortest_path_pair
+    edges = cosupplier_edges(spark, sf_dir)
+    lo = edges.agg(F.min("src")).first()[0]
+    hi = edges.agg(F.max("dst")).first()[0]
+    _path, cost = shortest_path_pair(edges, lo, hi, weighted=True, direction="BOTH")
+    return spark.createDataFrame(
+        [(round(float(cost), 6),)], "total_cost double"
+    )
+
+
 # ------------------------------------------------- paths / scc / mst
 
 def _q_sssp_cosupplier(spark, sf_dir):
@@ -309,6 +330,15 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Near-dup pairs collapsed to transitive clusters — the pair
+    table is an edge table, clustering IS connected_components()."""
+    from linkgraph.pipeline import minhash_lsh_pairs, near_dup_clusters
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    return near_dup_clusters(pairs, docs)
+
+
 def _q_simhash(spark, sf_dir):
     from linkgraph.pipeline import simhash_table
     return simhash_table(_docs(spark, sf_dir), bits=32)
@@ -403,8 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
         "degrees_purchase": _q_degrees,
+        "degree_histogram_purchase": _q_degree_histogram,
         # paths / scc / mst (SURVEY.md §2.2)
         "sssp_hops2_cosupplier": _q_sssp_cosupplier,
+        "sp_pair_cosupplier": _q_sp_pair_cosupplier,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
@@ -417,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_near_dup_clusters": _q_near_dup_clusters,
         "simhash_table": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "text_token_stats": _q_token_stats,
@@ -556,6 +589,11 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
         "degrees_purchase": f"""
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
+""",
+        "degree_histogram_purchase": f"""
+WITH edges AS ({PURCHASE_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
 """,
         **_paths_oracles(),
         **_pipeline_oracles(),
@@ -772,8 +810,13 @@ mutual AS (
 )
 SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
 """
+    sp_pair_sql = _delta_sssp_sql(COSUPPLIER_EDGES_SQL).replace(
+        "SELECT dst AS id, ROUND(d, 6) AS dist",
+        "SELECT ROUND(d, 6) AS total_cost",
+    ) + "\n  AND dst = (SELECT MAX(dst) FROM e)"
     return {
         "sssp_hops2_cosupplier": sssp_sql,
+        "sp_pair_cosupplier": sp_pair_sql,
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),
@@ -789,6 +832,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.dedup import (
         EXACT_DEDUP_SQL,
         jaccard_pairs_sql,
+        near_dup_clusters_sql,
         simhash_pairs_sql,
         simhash_table_sql,
     )
@@ -809,6 +853,10 @@ def _pipeline_oracles() -> dict[str, str]:
         # LSH output equals the brute-force oracle (and the candidate
         # verification step guarantees precision).
         "dedup_minhash_lsh": jaccard_pairs_sql(n=3, threshold=0.8),
+        # clusters over the same (LSH == brute-force here) pair set
+        "dedup_near_dup_clusters": near_dup_clusters_sql(
+            jaccard_pairs_sql(n=3, threshold=0.8)
+        ),
         "simhash_table": simhash_table_sql(bits=32),
         "simhash_pairs": simhash_pairs_sql(bits=32, max_hamming=3),
         "text_token_stats": TOKEN_STATS_SQL,

@@ -22,6 +22,7 @@ from linkgraph.triangles import triangle_count, TriangleResult
 from linkgraph.csr import pagerank_csr, triangle_count_csr
 from linkgraph.scc import strongly_connected_components, SccResult
 from linkgraph.paths import (
+    shortest_path_pair,
     sssp,
     sssp_delta_stepping,
     ms_bfs_distances,
@@ -34,6 +35,8 @@ from linkgraph.mst import minimum_spanning_forest, minimum_spanning_tree, MstRes
 from linkgraph.betweenness import betweenness_centrality, BetweennessResult
 from linkgraph.registry import algo_list, is_finite, is_infinite
 from linkgraph.io import edges_from_sql, write_results
+from linkgraph.checkpoint import TerminatedError, TerminationFlag
+from linkgraph.graphs import degree_histogram
 
 __all__ = [
     "get_spark",
@@ -52,10 +55,14 @@ __all__ = [
     "TriangleResult",
     "strongly_connected_components",
     "SccResult",
+    "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",
     "ms_bfs_distances",
     "edges_from_sql",
+    "degree_histogram",
+    "TerminationFlag",
+    "TerminatedError",
     "write_results",
     "ms_relax_distances",
     "closeness_centrality",

@@ -34,6 +34,28 @@ import time
 from pyspark.sql import DataFrame
 
 
+class TerminatedError(RuntimeError):
+    """Raised by SuperstepLoop.advance when its TerminationFlag is set."""
+
+
+class TerminationFlag:
+    """Cooperative cancellation — the reference TerminationFlag analog
+    (pub:core/.../core/utils/TerminationFlag.java checks transaction
+    termination between batches). ``set()`` from any thread: the next
+    superstep boundary raises TerminatedError AND cancels the loop's
+    Spark job group so in-flight stages stop too (the checkpointed
+    state on disk stays resumable)."""
+
+    def __init__(self):
+        self._stop = False
+
+    def set(self):
+        self._stop = True
+
+    def is_set(self) -> bool:
+        return self._stop
+
+
 class SuperstepLoop:
     def __init__(
         self,
@@ -41,11 +63,13 @@ class SuperstepLoop:
         checkpoint_dir: str | None = None,
         every: int = 5,
         name: str = "state",
+        termination: TerminationFlag | None = None,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
         self.every = max(1, every)
         self.name = name
+        self.termination = termination
         self._current: DataFrame | None = None
         self._manifest_path = None
         if self.dir:
@@ -93,6 +117,19 @@ class SuperstepLoop:
         mode("overwrite") onto the directory the lineage is currently
         reading would delete the input mid-job.
         """
+        if self.termination is not None and self.termination.is_set():
+            try:
+                self.spark.sparkContext.cancelJobGroup(f"linkgraph-{self.name}")
+            except Exception:
+                pass
+            raise TerminatedError(
+                f"{self.name} terminated at superstep {iteration} "
+                "(state up to the last durable checkpoint is resumable)"
+            )
+        self.spark.sparkContext.setJobGroup(
+            f"linkgraph-{self.name}", f"{self.name} superstep {iteration}",
+            interruptOnCancel=True,
+        )
         truncate = force_checkpoint or (iteration % self.every == 0)
         prev = self._current
         if truncate and self.dir:

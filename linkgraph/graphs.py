@@ -67,3 +67,26 @@ JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 GROUP BY a.l_suppkey, b.l_suppkey
 """
+
+
+def degree_histogram(edges: DataFrame, direction: str = "OUTGOING") -> DataFrame:
+    """(degree, n_nodes) — the degree distribution of the edge table.
+
+    The skew probe SURVEY.md §7 calls for: run it before choosing
+    hot-key salting / hub caps (a power-law tail in this table is the
+    signal that the 1000-executor plan needs the skew paths). Two
+    aggregations, both map-side combinable; no joins.
+    """
+    d = direction.upper()
+    if d == "OUTGOING":
+        ends = edges.select(F.col("src").alias("id"))
+    elif d == "INCOMING":
+        ends = edges.select(F.col("dst").alias("id"))
+    elif d == "BOTH":
+        ends = edges.select(F.col("src").alias("id")).union(
+            edges.select(F.col("dst").alias("id"))
+        )
+    else:
+        raise ValueError(f"bad direction {direction}")
+    deg = ends.groupBy("id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

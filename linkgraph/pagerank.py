@@ -76,6 +76,7 @@ def pagerank(
     resume: bool = False,
     hot_key_salt: int = 0,
     direction: str = "OUTGOING",
+    termination=None,
 ) -> PageRankResult:
     """Compute PageRank over an edge table.
 
@@ -184,7 +185,10 @@ def pagerank(
     edges_pre.unpersist()
     t_load = time.time() - t0
 
-    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="pagerank")
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="pagerank",
+        termination=termination,
+    )
     start_iter = 0
     ranks = None
     if resume:

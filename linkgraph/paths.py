@@ -199,6 +199,91 @@ def sssp_delta_stepping(
     )
 
 
+def shortest_path_pair(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    weighted: bool = True,
+    direction: str = "OUTGOING",
+    max_hops: int | None = None,
+):
+    """Single-PAIR shortest path — the reference algo.shortestPath
+    contract (pub:algo/.../impl/ShortestPathDijkstra.java takes a start
+    AND an end node and streams the path's (nodeId, cost) rows).
+
+    Runs the SSSP relax loop with predecessor tracking (pred chosen by
+    min (dist, pred) — deterministic among equal-cost paths), then
+    reconstructs the path by walking predecessors driver-side (path
+    length <= relax rounds, so the walk is a bounded small loop, not a
+    data-scale collect). Returns (path DataFrame(step, id, cost),
+    total_cost) — path empty when target is unreachable.
+    """
+    spark = edges.sparkSession
+    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    e.count()
+    dist = spark.createDataFrame(
+        [(int(source), 0.0, None)], "id long, dist double, pred long"
+    ).persist()
+    frontier = dist.select("id", "dist")
+    limit = max_hops if max_hops is not None else 1 << 30
+    it = 0
+    while it < limit:
+        it += 1
+        relaxed = (
+            e.join(frontier, e.src == frontier.id)
+            .select(
+                e.dst.alias("id"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+                frontier.id.alias("npred"),
+            )
+            .groupBy("id")
+            .agg(F.min(F.struct(F.col("nd"), F.col("npred"))).alias("m"))
+            .select("id", F.col("m.nd").alias("nd"), F.col("m.npred").alias("npred"))
+        )
+        merged = (
+            dist.join(relaxed, "id", "full")
+            .select(
+                "id",
+                F.when(
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist")),
+                    F.struct(F.col("nd").alias("dist"), F.col("npred").alias("pred"),
+                             F.lit(True).alias("improved")),
+                ).otherwise(
+                    F.struct(F.col("dist"), F.col("pred"), F.lit(False).alias("improved"))
+                ).alias("s"),
+            )
+            .select("id", "s.dist", "s.pred", "s.improved")
+            .localCheckpoint(eager=True)
+        )
+        n_front = merged.filter("improved").count()
+        dist.unpersist()
+        dist = merged.select("id", "dist", "pred").persist()
+        frontier = merged.filter("improved").select("id", "dist")
+        if n_front == 0:
+            break
+    # driver-side path walk: one tiny point-lookup job per hop (path
+    # length <= relax rounds) — never a full collect of the distance
+    # table, so the walk is scale-independent
+    e.unpersist()
+    path = []
+    cur = int(target)
+    total = None
+    while cur is not None:
+        row = dist.filter(F.col("id") == cur).first()
+        if row is None:  # target unreachable
+            dist.unpersist()
+            return spark.createDataFrame([], "step long, id long, cost double"), None
+        path.append((cur, float(row["dist"])))
+        if total is None:
+            total = float(row["dist"])
+        cur = row["pred"]
+    dist.unpersist()
+    path.reverse()
+    rows = [(i, n, c) for i, (n, c) in enumerate(path)]
+    return spark.createDataFrame(rows, "step long, id long, cost double"), total
+
+
 # ------------------------------------------- multi-source weighted relax
 
 def ms_relax_distances(

@@ -20,6 +20,7 @@ from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 from linkgraph.pipeline.dedup import (
     auto_simhash_params,
     exact_dedup,
+    near_dup_clusters,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_table,
@@ -47,7 +48,7 @@ from linkgraph.pipeline.multimodal import (
 __all__ = [
     "stable_hash64", "stable_hash64_sql",
     "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_table", "simhash_pairs",
+    "simhash_table", "simhash_pairs", "near_dup_clusters",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",

@@ -195,6 +195,51 @@ def minhash_lsh_pairs(
     )
 
 
+# -------------------------------------------------- near-dup clustering
+
+def near_dup_clusters(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: every document maps to
+    the minimum doc_id of its connected component in the pair graph
+    (transitive closure — if A~B and B~C, all three share a canonical
+    id even when A~C was never emitted).
+
+    This is the composition point between the dedup pipeline and the
+    graph engine: the pair table IS an edge table, so clustering is
+    connected_components() (min-id propagation, O(diameter) rounds —
+    near-dup clusters are shallow). Returns
+    (doc_id, canonical_id, is_duplicate) for EVERY input document
+    (singletons are their own canonical id).
+    """
+    from linkgraph.components import connected_components
+
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(edges, nodes=ids).components
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        (F.col("id") != F.col("comp")).alias("is_duplicate"),
+    )
+
+
+def near_dup_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-reach oracle over the same pair graph (components =
+    min reachable doc_id), over ALL documents."""
+    return f"""
+WITH RECURSIVE
+p AS ({pairs_sql}),
+und AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS canonical_id,
+       id != MIN(comp) AS is_duplicate
+FROM reach GROUP BY id
+"""
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash_table(docs: DataFrame, bits: int = 32) -> DataFrame:

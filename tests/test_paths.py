@@ -209,3 +209,31 @@ def test_mst_start_node_contract(spark):
     assert res.edge_count == 3 and res.total_weight == 6.0
     res2 = minimum_spanning_tree(edges, ids["x"])
     assert res2.edge_count == 1 and res2.total_weight == 9.0
+
+
+def test_shortest_path_pair_golden(spark):
+    """Reference algo.shortestPath(start, end): path rows + total cost
+    on the classic Dijkstra fixture (unique path 0-2-1-3-4, cost 7)."""
+    from linkgraph import shortest_path_pair
+    nodes, edges = edges_from_pairs(spark, W_EDGES)
+    ids = {r["key"]: r["id"] for r in nodes.collect()}
+    path, cost = shortest_path_pair(edges, ids["0"], ids["4"])
+    assert cost == 7.0
+    rows = sorted(path.collect(), key=lambda r: r["step"])
+    key_of = {v: k for k, v in ids.items()}
+    assert [key_of[r["id"]] for r in rows] == ["0", "2", "1", "3", "4"]
+    assert [r["cost"] for r in rows] == [0.0, 1.0, 3.0, 4.0, 7.0]
+    # unreachable target -> empty path, None cost
+    p2, c2 = shortest_path_pair(edges, ids["4"], ids["0"])
+    assert c2 is None and p2.count() == 0
+
+
+def test_termination_flag_stops_loop_resumably(spark, tmp_path):
+    from linkgraph import TerminatedError, TerminationFlag, pagerank
+    import pytest as _pytest
+    nodes, edges = edges_from_pairs(spark, W_EDGES)
+    flag = TerminationFlag()
+    flag.set()
+    with _pytest.raises(TerminatedError):
+        pagerank(edges, max_iter=5, termination=flag,
+                 checkpoint_dir=str(tmp_path / "ck"))

@@ -238,3 +238,26 @@ def test_simhash_auto_params_still_exact(spark):
     # different signature widths change Hamming distances, but identical
     # docs (distance 0) must appear under both parameterizations
     assert fixed and auto
+
+
+def test_near_dup_clusters_transitive(spark):
+    from linkgraph.pipeline import near_dup_clusters
+
+    docs = _docs(spark, [(1, "x"), (2, "x"), (3, "x"), (9, "y")])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    got = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+           for r in near_dup_clusters(pairs, docs).collect()}
+    # 1~2 and 2~3 => {1,2,3} one cluster canonical 1; 9 is a singleton
+    assert got == {1: (1, False), 2: (1, True), 3: (1, True), 9: (9, False)}
+
+
+def test_degree_histogram_golden(spark):
+    from linkgraph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges, "OUTGOING").collect()}
+    assert out == {2: 1, 1: 1}
+    both = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges, "BOTH").collect()}
+    assert both == {2: 3}
