@@ -37,6 +37,7 @@ from linkgraph.registry import algo_list, is_finite, is_infinite
 from linkgraph.io import edges_from_sql, write_results
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
 from linkgraph.graphs import degree_histogram
+from linkgraph.loader import LinkGraph
 
 __all__ = [
     "get_spark",
@@ -61,6 +62,7 @@ __all__ = [
     "ms_bfs_distances",
     "edges_from_sql",
     "degree_histogram",
+    "LinkGraph",
     "TerminationFlag",
     "TerminatedError",
     "write_results",

@@ -1,0 +1,87 @@
+"""GraphLoader-builder facade — SURVEY.md §2.5 surface 3.
+
+The reference's fluent loader
+(`pub:core/.../core/GraphLoader.java#withLabel/withRelationshipType/
+withDirection/withRelationshipWeightsFromProperty`) builds one
+immutable projected graph. The Spark-native analog is a bundle of
+three DataFrames (nodes, edges, degrees) built from the source-code
+table by a named edge strategy:
+
+  * ``imports``          — file -> file edges from vectorized import
+                           extraction (linkgraph.ingest.derive_graph);
+  * ``path_cooccurrence``— undirected file -- file edges between files
+                           in the same (repo, directory), weight 1 —
+                           the structural co-location signal of the
+                           north star's "import/path co-occurrence".
+
+Direction is applied edge-table-side exactly like GraphLoader
+withDirection: as-is / swapped / symmetrized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.ingest import derive_graph, file_key
+from linkgraph.ids import dense_ids
+
+
+@dataclass
+class LinkGraph:
+    nodes: DataFrame    # (id, key)
+    edges: DataFrame    # (src, dst, weight)
+    degrees: DataFrame  # (id, outdeg)
+
+    @staticmethod
+    def from_source_table(
+        source: DataFrame,
+        edge_strategy: str = "imports",
+        direction: str = "OUTGOING",
+        weight_default: float = 1.0,
+    ) -> "LinkGraph":
+        if edge_strategy == "imports":
+            nodes, edges, _repo_edges = derive_graph(source)
+        elif edge_strategy == "path_cooccurrence":
+            nodes, edges = _path_cooccurrence(source)
+        else:
+            raise ValueError(f"unknown edge_strategy {edge_strategy}")
+        w = F.coalesce(F.col("weight"), F.lit(float(weight_default)))
+        e = edges.select("src", "dst", w.alias("weight"))
+        d = direction.upper()
+        if d == "INCOMING":
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        elif d == "BOTH":
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+            )
+        elif d != "OUTGOING":
+            raise ValueError(f"bad direction {direction}")
+        degrees = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+        return LinkGraph(nodes=nodes, edges=e, degrees=degrees)
+
+
+def _path_cooccurrence(source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Undirected (src < dst) file--file edges between files sharing
+    (repo, dirname(path)); weight 1. One equi-join on the directory
+    key — pairwise within a directory, bounded by directory fan-in
+    (the synthetic tree keeps packages small; a real 100TB catalog
+    would cap or sample mega-directories the same way triangles cap
+    hubs)."""
+    files = source.select(
+        "repo",
+        file_key(source).alias("key"),
+        F.regexp_replace(F.col("path"), r"/[^/]+$", "").alias("dir"),
+    )
+    nodes = dense_ids(files.select("key"), num_buckets=64).persist()
+    keyed = files.join(nodes, "key").select("repo", "dir", "id")
+    a = keyed.select("repo", "dir", F.col("id").alias("src"))
+    b = keyed.select("repo", "dir", F.col("id").alias("dst"))
+    edges = (
+        a.join(b, ["repo", "dir"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return nodes, edges

@@ -139,6 +139,10 @@ def pagerank(
             "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share")
         )
 
+    # persist BEFORE counting: the caller's edge table may hide an
+    # expensive upstream (Arrow-UDF derivation); the count materializes
+    # it once and every later pass (split decision, edges_dyn layout)
+    # reads the cache instead of recomputing the lineage
     edges_pre = edges_pre.persist()
     n_edges = edges_pre.count()
 

@@ -65,3 +65,24 @@ def test_imports_follow_powerlaw_hubs(spark):
     indeg = file_edges.groupBy("dst").agg(F.count("*").alias("d"))
     stats = indeg.agg(F.max("d").alias("mx"), F.avg("d").alias("avg")).first()
     assert stats["mx"] >= 5 * stats["avg"], "expected power-law in-degree skew"
+
+
+def test_linkgraph_loader_facade(spark):
+    """GraphLoader-builder surface (SURVEY §2.5): both edge strategies
+    produce a (nodes, edges, degrees) bundle; direction symmetrizes."""
+    from linkgraph import LinkGraph
+    from linkgraph.synth import generate_source_table
+
+    src = generate_source_table(spark, repos=4, files_per_repo=20, seed=7)
+    g = LinkGraph.from_source_table(src, edge_strategy="imports")
+    assert set(g.edges.columns) == {"src", "dst", "weight"}
+    n_edges = g.edges.count()
+    assert n_edges > 0
+    assert g.degrees.count() > 0
+    both = LinkGraph.from_source_table(src, edge_strategy="imports", direction="BOTH")
+    assert both.edges.count() == 2 * n_edges
+
+    co = LinkGraph.from_source_table(src, edge_strategy="path_cooccurrence")
+    assert co.edges.count() > 0
+    # co-occurrence is canonical src<dst
+    assert co.edges.filter("src >= dst").count() == 0
