@@ -42,6 +42,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import release_state
+
 
 @dataclass
 class BetweennessResult:
@@ -96,9 +98,11 @@ def betweenness_centrality(
     levels = [lvl]
     depth = 0
     for depth in range(1, max_depth + 1):
-        # eager checkpoint (not lazy persist): the level must own its
-        # blocks before superseded seen/level checkpoints are freed —
-        # a freed localCheckpoint cannot be recomputed from lineage
+        # localCheckpoint (eager) truncates lineage — a persist chain
+        # keeps the whole logical plan alive and every action then
+        # re-stringifies an O(depth^2) tree (driver CPU blowup);
+        # release_state() frees the superseded checkpoint's blocks for
+        # real (plain unpersist is a no-op on localCheckpoints)
         nxt = (
             e.join(levels[-1], e.src == levels[-1].id)
             .select("source", e.dst.alias("id"), "sigma")
@@ -108,14 +112,14 @@ def betweenness_centrality(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
-            nxt.unpersist()
+            release_state(nxt)
             depth -= 1
             break
         prev_seen = seen
         seen = seen.union(nxt.select("source", "id")).localCheckpoint(eager=True)
-        prev_seen.unpersist()
+        release_state(prev_seen)
         levels.append(nxt)
-    seen.unpersist()
+    release_state(seen)
 
     # ---- backward: dependency accumulation, deepest level first
     spark = edges.sparkSession
@@ -143,20 +147,22 @@ def betweenness_centrality(
             )
             .localCheckpoint(eager=True)
         )
-        prev_deltas.unpersist()
+        if li < len(levels) - 2:  # the first prev_deltas is a plain view
+            release_state(prev_deltas)
         # levels[li+1] fed this step's `down` — free it now instead of
         # pinning O(depth * reached) rows until the sweep ends
-        levels[li + 1].unpersist()
+        release_state(levels[li + 1])
         part = deltas.filter(F.col("id") != F.col("source")).select("source", "id", "delta")
         prev_acc = acc
         # eager checkpoint either way: part references the current
         # deltas checkpoint, which the next iteration (or the final
-        # cleanup) unpersists — acc must own its blocks by then
+        # cleanup) frees — acc must own its blocks by then
         acc = (part if acc is None else acc.union(part)).localCheckpoint(eager=True)
         if prev_acc is not None:
-            prev_acc.unpersist()
-    deltas.unpersist()
-    levels[0].unpersist()
+            release_state(prev_acc)
+    if len(levels) > 1:
+        release_state(deltas)
+    release_state(levels[0])
 
     if acc is None:
         acc = spark.createDataFrame([], "source long, id long, delta double")

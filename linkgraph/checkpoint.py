@@ -34,6 +34,40 @@ import time
 from pyspark.sql import DataFrame
 
 
+def release_state(df: DataFrame | None) -> bool:
+    """Free the storage behind a superseded state DataFrame — works for
+    BOTH persisted and localCheckpointed frames.
+
+    ``DataFrame.unpersist()`` silently does nothing for a
+    localCheckpointed frame: its materialized RDD is registered with
+    the BlockManager directly, not the CacheManager, so the cached
+    blocks survive until the ContextCleaner eventually GCs them — an
+    unbounded cache leak in iterative loops. The RDD is reachable
+    through the LogicalRDD node of the checkpointed plan; this helper
+    unpersists it there (falling back to plain unpersist for
+    CacheManager-registered frames, and to the ContextCleaner if the
+    internals are unavailable).
+
+    After release the frame is NOT readable (a freed localCheckpoint
+    has no lineage to recompute from) — only call on state that
+    nothing still references.
+    """
+    if df is None:
+        return False
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:
+        pass
+    try:
+        df.unpersist()
+        return True
+    except Exception:
+        return False
+
+
 class TerminatedError(RuntimeError):
     """Raised by SuperstepLoop.advance when its TerminationFlag is set."""
 
@@ -140,10 +174,15 @@ class SuperstepLoop:
         elif truncate:
             new = df.localCheckpoint(eager=True)
         else:
+            # materialize eagerly: release_state below REALLY frees the
+            # previous state's blocks (unlike the former no-op
+            # unpersist), so the new state must not still need prev's
+            # lineage when prev goes away
             new = df.persist()
+            new.count()
         self._current = new
         if prev is not None:
-            prev.unpersist()
+            release_state(prev)
         return new
 
     def _write_manifest(

@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import SuperstepLoop
+from linkgraph.checkpoint import SuperstepLoop, release_state
 
 
 @dataclass
@@ -238,7 +238,7 @@ def _connected_components_star(
     for it in range(1, max_iter + 1):
         mid = _large_star(cur).localCheckpoint(eager=True)
         nxt = loop.advance(it, _small_star(mid), metrics={"round": it})
-        mid.unpersist()
+        release_state(mid)
         # collision-resistant fixpoint check: count + order-insensitive
         # sum of a 64-bit edge hash (two different edge sets colliding
         # on both is ~2^-64, vs the trivially-collidable sum(src+dst))

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import release_state
 from linkgraph.components import connected_components
 
 
@@ -78,10 +79,13 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
             .dropDuplicates(["a", "b"])
             .persist()
         )
+        prev_chosen = chosen
         chosen = best.select("a", "b", "w") if chosen is None else chosen.union(
             best.select("a", "b", "w")
         )
         chosen = chosen.localCheckpoint(eager=True)
+        if prev_chosen is not None:
+            release_state(prev_chosen)
         # contract: CC over the component graph of picked edges. The
         # comp graph has at most one edge per component; below the
         # broadcast-ish threshold a driver-side union-find beats a
@@ -120,7 +124,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
             .select("id", F.coalesce(F.col("newc"), F.col("comp")).alias("comp"))
             .localCheckpoint(eager=True)
         )
-        comp.unpersist()
+        release_state(comp)
         comp = comp2
         best.unpersist()
 
@@ -129,7 +133,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
     tree = chosen.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight"))
     agg = tree.agg(F.sum("weight").alias("tw"), F.count("*").alias("n")).first()
     und.unpersist()
-    comp.unpersist()
+    release_state(comp)
     return MstResult(
         tree_edges=tree,
         total_weight=float(agg["tw"] or 0.0),

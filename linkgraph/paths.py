@@ -38,6 +38,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import release_state
+
 
 @dataclass
 class SsspResult:
@@ -113,7 +115,7 @@ def sssp(
         n_front = new_frontier.count()
         old_dist, dist = dist, merged.select("id", "dist").localCheckpoint(eager=True)
         merged.unpersist()
-        old_dist.unpersist()
+        release_state(old_dist)
         frontier.unpersist() if frontier is not None else None
         frontier = new_frontier
         if n_front == 0:
@@ -181,10 +183,14 @@ def sssp_delta_stepping(
             n_in = improved_in_bucket.count()
             old, dist = dist, merged.select("id", "dist").localCheckpoint(eager=True)
             merged.unpersist()
-            old.unpersist()
+            release_state(old)
+            if frontier is not bucket:
+                frontier.unpersist()
             frontier = improved_in_bucket
             if n_in == 0:
                 break
+        if frontier is not bucket:
+            frontier.unpersist()
         bucket.unpersist()
         settled_below += delta
         remaining = dist.filter(F.col("dist") >= settled_below).count()
@@ -221,9 +227,10 @@ def shortest_path_pair(
     spark = edges.sparkSession
     e = _prep_edges(edges, weighted, direction).repartition("src").persist()
     e.count()
-    dist = spark.createDataFrame(
+    state = spark.createDataFrame(
         [(int(source), 0.0, None)], "id long, dist double, pred long"
-    ).persist()
+    ).localCheckpoint(eager=True)
+    dist = state
     frontier = dist.select("id", "dist")
     limit = max_hops if max_hops is not None else 1 << 30
     it = 0
@@ -257,8 +264,9 @@ def shortest_path_pair(
             .localCheckpoint(eager=True)
         )
         n_front = merged.filter("improved").count()
-        dist.unpersist()
-        dist = merged.select("id", "dist", "pred").persist()
+        release_state(state)
+        state = merged
+        dist = merged.select("id", "dist", "pred")
         frontier = merged.filter("improved").select("id", "dist")
         if n_front == 0:
             break
@@ -272,13 +280,13 @@ def shortest_path_pair(
     while cur is not None:
         row = dist.filter(F.col("id") == cur).first()
         if row is None:  # target unreachable
-            dist.unpersist()
+            release_state(state)
             return spark.createDataFrame([], "step long, id long, cost double"), None
         path.append((cur, float(row["dist"])))
         if total is None:
             total = float(row["dist"])
         cur = row["pred"]
-    dist.unpersist()
+    release_state(state)
     path.reverse()
     rows = [(i, n, c) for i, (n, c) in enumerate(path)]
     return spark.createDataFrame(rows, "step long, id long, cost double"), total
@@ -336,7 +344,7 @@ def ms_relax_distances(
         )
         new_frontier = merged.filter("improved").select("source", "id", "dist")
         n_front = new_frontier.count()
-        state.unpersist()  # superseded checkpoint (frontier/dist derive from it)
+        release_state(state)  # superseded checkpoint (frontier/dist derived from it)
         state = merged
         dist = merged.select("source", "id", "dist")
         frontier = new_frontier

@@ -37,6 +37,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import release_state
+
 
 @dataclass
 class SccResult:
@@ -60,7 +62,7 @@ def _fixpoint_min_prop(nodes: DataFrame, edges: DataFrame, max_iter: int = 10_00
             .localCheckpoint(eager=True)
         )
         cur = new.agg(F.sum("c")).first()[0] or 0
-        labels.unpersist()
+        release_state(labels)
         labels = new
         if cur == prev:
             break
@@ -169,7 +171,9 @@ def strongly_connected_components(
                 local_df = spark.createDataFrame(
                     [(k, v) for k, v in local.items()], "id long, scc long"
                 )
+                prev_assigned = assigned
                 assigned = assigned.union(local_df).localCheckpoint(eager=True)
+                release_state(prev_assigned)
             e.unpersist()
             break
         # 1. TRIM singleton SCCs (no active in- or out-edges), repeatedly
@@ -183,10 +187,13 @@ def strongly_connected_components(
             if n_triv == 0:
                 trivial.unpersist()
                 break
+            prev_assigned = assigned
             assigned = assigned.union(
                 trivial.select("id", F.col("id").alias("scc"))
             ).localCheckpoint(eager=True)
+            release_state(prev_assigned)
             active2 = active.join(trivial, "id", "left_anti").persist()
+            active2.count()  # materialize before trivial/old active go away
             active.unpersist()
             active = active2
             e2 = (
@@ -226,17 +233,26 @@ def strongly_connected_components(
             if step.isEmpty():
                 step.unpersist()
                 break
+            prev_member = member
             member = member.union(step).localCheckpoint(eager=True)
+            if prev_member is not frontier:
+                release_state(prev_member)
+            if frontier is not None:
+                frontier.unpersist()
             frontier = step
+        prev_assigned = assigned
         assigned = assigned.union(
             member.select("id", F.col("c").alias("scc"))
         ).localCheckpoint(eager=True)
+        release_state(prev_assigned)
         active2 = active.join(member, "id", "left_anti").persist()
+        active2.count()  # materialize before member/colors are freed
         active.unpersist()
         active = active2
         e.unpersist()
         ec.unpersist()
-        member.unpersist()
+        release_state(member)
+        release_state(colors)
         if active.isEmpty():
             break
 

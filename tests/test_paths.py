@@ -237,3 +237,23 @@ def test_termination_flag_stops_loop_resumably(spark, tmp_path):
     with _pytest.raises(TerminatedError):
         pagerank(edges, max_iter=5, termination=flag,
                  checkpoint_dir=str(tmp_path / "ck"))
+
+
+def test_betweenness_frees_cached_state(spark):
+    """Forward levels and superseded seen/delta checkpoints must be
+    freed as the backward sweep consumes them — exact mode at 100x
+    otherwise pins O(depth * reached) cached rows (round-1 finding)."""
+    from linkgraph.betweenness import betweenness_centrality
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    before = len(sc._jsc.getPersistentRDDs())
+    nodes, edges = edges_from_pairs(
+        spark, [(str(i), str(i + 1)) for i in range(12)]  # 13-node path
+    )
+    res = betweenness_centrality(edges, direction="BOTH")
+    res.scores.count()
+    after = len(sc._jsc.getPersistentRDDs())
+    # allowed residue: the acc checkpoint that scores derive from, the
+    # node-universe persist, and the fixture's own persisted nodes df —
+    # NOT the ~13 forward levels + 13 seen/delta chains the old code kept
+    assert after - before <= 5, f"leaked {after - before} cached RDDs"
