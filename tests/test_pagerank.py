@@ -96,3 +96,23 @@ def test_pagerank_direction_incoming_equals_preswapped(spark):
          pagerank(swapped, nodes=nodes, max_iter=10).scores.collect()}
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_pagerank_auto_salt_engages_on_hub_and_matches(spark):
+    """hot_key_salt='auto' reads the in-degree skew probe: a mega-hub
+    engages the 16-way salted two-phase sum, a ring does not; salted
+    results equal unsalted exactly (sum reassociation only)."""
+    hub_pairs = [(f"l{i}", "hub") for i in range(80)] + [("hub", "l0")]
+    nodes, edges = edges_from_pairs(spark, hub_pairs)
+    auto = pagerank(edges, nodes=nodes, max_iter=5, hot_key_salt="auto")
+    assert auto.stats["hot_key_salt"] == 16
+    plain = pagerank(edges, nodes=nodes, max_iter=5)
+    a = {r["id"]: r["rank"] for r in auto.scores.collect()}
+    b = {r["id"]: r["rank"] for r in plain.scores.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+    ring = [(str(i), str((i + 1) % 12)) for i in range(12)]
+    nodes2, edges2 = edges_from_pairs(spark, ring)
+    res2 = pagerank(edges2, nodes=nodes2, max_iter=2, hot_key_salt="auto")
+    assert res2.stats["hot_key_salt"] == 0
