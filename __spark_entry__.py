@@ -52,6 +52,20 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass lands only on the source
+    set (every 17th node id) — the later-lineage sourceNodes option."""
+    edges = purchase_edges(spark, sf_dir)
+    universe = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    sources = universe.filter(F.col("id") % 17 == 0)
+    res = pagerank(
+        edges, damping=DAMPING, max_iter=PR_ITERS, source_nodes=sources
+    )
+    return res.scores.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = connected_components(purchase_edges(spark, sf_dir))
     return res.components.select("id", "comp")
@@ -222,6 +236,19 @@ def _q_closeness_nation(spark, sf_dir):
     ).select(
         "id", "farness", F.col("reached").cast("long").alias("reached"),
         F.round("closeness", 6).alias("closeness"),
+    )
+
+
+def _q_harmonic_nation(spark, sf_dir):
+    """Harmonic centrality (algo.closeness.harmonic lineage): sum of
+    1/dist over reachable nodes — defined on disconnected graphs."""
+    from linkgraph import harmonic_centrality
+    return harmonic_centrality(
+        _trade_nation_edges(spark, sf_dir), direction="BOTH", max_hops=8
+    ).select(
+        "id", F.col("reached").cast("long").alias("reached"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("normalized", 6).alias("normalized"),
     )
 
 
@@ -405,6 +432,24 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_jaccard_df_capped(spark, sf_dir):
+    """DF-capped candidate generation (production fix for the shingle
+    equi-join's hyper-common-shingle fan-out); exact verify on full
+    shingle sets. Oracle mirrors the same capped contract."""
+    from linkgraph.pipeline import jaccard_pairs_df_capped
+    return jaccard_pairs_df_capped(_docs(spark, sf_dir), n=3, threshold=0.8, df_cap=50)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (deterministic rank-stride centroids) — unlike the
+    hyperplane-LSH path this one is deterministic end-to-end, so it is
+    oracle-checked exactly; recall vs brute force is pytest-asserted."""
+    from linkgraph.pipeline import ann_ivf_topk
+    return ann_ivf_topk(_emb(spark, sf_dir), k=5, n_centroids=16, n_probe=4).select(
+        "vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from linkgraph.pipeline import asset_features, synth_assets
     return asset_features(synth_assets(_docs(spark, sf_dir))).select(
@@ -423,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph procedures (SURVEY.md §2.1)
         "pagerank_purchase_5iter": _q_pagerank,
         "pagerank_weighted_cosupplier": _q_pagerank_weighted,
+        "pagerank_personalized_purchase": _q_pagerank_personalized,
         "wcc_purchase": _q_wcc,
         "wcc_purchase_star": _q_wcc_star,
         "wcc_purchase_setcount": _q_wcc_setcount,
@@ -441,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_nation": _q_apsp_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
         "closeness_nation": _q_closeness_nation,
+        "harmonic_nation": _q_harmonic_nation,
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "betweenness_nation": _q_betweenness_nation,
@@ -448,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (documents / embeddings)
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_jaccard_df_capped": _q_jaccard_df_capped,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_near_dup_clusters": _q_near_dup_clusters,
         "simhash_table": _q_simhash,
@@ -460,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
         "sim_ann_lsh_topk": _q_ann_lsh,
+        "sim_ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal_features,
         "multimodal_video_frames": _q_video_frames,
     }
@@ -472,9 +521,17 @@ def _pagerank_sql(
     d: float = DAMPING,
     edge_sql: str | None = None,
     weighted: bool = False,
+    source_pred: str | None = None,
 ) -> str:
     alpha = repr(1.0 - d)  # same IEEE double literal the engine uses
     edge_sql = edge_sql or PURCHASE_EDGES_SQL
+    # personalized mode: teleport lands only on nodes matching
+    # source_pred (SQL predicate template with an `{id}` placeholder,
+    # e.g. "{id} % 17 = 0"); classic mode: constant alpha
+    def tp(id_expr: str) -> str:
+        if not source_pred:
+            return alpha
+        return f"CASE WHEN {source_pred.format(id=id_expr)} THEN {alpha} ELSE 0.0 END"
     if weighted:
         # parenthesized (weight / sw) mirrors the engine's precomputed
         # per-edge share, keeping IEEE rounding identical per term
@@ -487,12 +544,12 @@ def _pagerank_sql(
         f"WITH edges AS ({edge_sql}),",
         "nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),",
         deg,
-        f"p0 AS (SELECT id, CAST({alpha} AS DOUBLE) AS rank FROM nodes)",
+        f"p0 AS (SELECT id, CAST({tp('id')} AS DOUBLE) AS rank FROM nodes)",
     ]
     for k in range(1, iters + 1):
         parts.append(
             f""", p{k} AS (
-  SELECT n.id AS id, {alpha} + {d!r} * COALESCE(s.s, 0.0) AS rank
+  SELECT n.id AS id, CAST({tp('n.id')} AS DOUBLE) + {d!r} * COALESCE(s.s, 0.0) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS dst, {contrib} AS s
     FROM edges e JOIN p{k-1} p ON p.id = e.src JOIN outdeg od ON od.src = e.src
@@ -533,6 +590,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_purchase_5iter": _pagerank_sql(),
         "pagerank_weighted_cosupplier": _pagerank_sql(
             edge_sql=COSUPPLIER_EDGES_SQL, weighted=True
+        ),
+        "pagerank_personalized_purchase": _pagerank_sql(
+            source_pred="{id} % 17 = 0"
         ),
         "wcc_purchase": _wcc_reach_sql(PURCHASE_EDGES_SQL),
         "wcc_purchase_star": _wcc_reach_sql(PURCHASE_EDGES_SQL),
@@ -794,6 +854,16 @@ SELECT b.source AS id,
              ELSE 0.0 END, 6) AS closeness
 FROM best b GROUP BY b.source
 """
+    harmonic_sql = f"""
+WITH RECURSIVE {bfs_base}
+SELECT nd.id AS id,
+       CAST(COALESCE(h.reached, 0) AS BIGINT) AS reached,
+       ROUND(COALESCE(h.harm, 0.0), 6) AS harmonic,
+       ROUND(COALESCE(h.harm, 0.0) / ((SELECT COUNT(*) FROM nodes) - 1), 6) AS normalized
+FROM nodes nd LEFT JOIN (
+  SELECT source AS id, COUNT(*) AS reached, SUM(1.0 / dist) AS harm
+  FROM best WHERE dist > 0 GROUP BY source) h ON h.id = nd.id
+"""
     scc_sql = f"""
 WITH RECURSIVE
 e AS ({RETURNS_DIGRAPH_SQL}),
@@ -821,6 +891,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "apsp_nation": apsp_sql,
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),
         "closeness_nation": closeness_sql,
+        "harmonic_nation": harmonic_sql,
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
@@ -831,13 +902,18 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
 def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.dedup import (
         EXACT_DEDUP_SQL,
+        jaccard_pairs_df_capped_sql,
         jaccard_pairs_sql,
         near_dup_clusters_sql,
         simhash_pairs_sql,
         simhash_table_sql,
     )
     from linkgraph.pipeline.multimodal import asset_features_sql
-    from linkgraph.pipeline.simsearch import cosine_topk_sql, near_dup_pairs_sql
+    from linkgraph.pipeline.simsearch import (
+        ann_ivf_topk_sql,
+        cosine_topk_sql,
+        near_dup_pairs_sql,
+    )
     from linkgraph.pipeline.text import (
         LANGUAGE_ID_SQL,
         QUALITY_SCORES_SQL,
@@ -848,6 +924,9 @@ def _pipeline_oracles() -> dict[str, str]:
     return {
         "dedup_exact": EXACT_DEDUP_SQL,
         "dedup_jaccard_pairs": jaccard_pairs_sql(n=3, threshold=0.8),
+        "dedup_jaccard_df_capped": jaccard_pairs_df_capped_sql(
+            n=3, threshold=0.8, df_cap=50
+        ),
         # LSH banding at 32 hashes / 8 bands has ~1e-9 miss probability
         # for the >=0.8-Jaccard pairs in this corpus, so the verified
         # LSH output equals the brute-force oracle (and the candidate
@@ -871,6 +950,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "sim_near_dup_lsh": near_dup_pairs_sql(dim=64, threshold=0.4),
         # sim_ann_lsh_topk: probabilistic (no oracle — rows-only check;
         # recall vs the exact top-k is asserted in tests instead)
+        # sim_ann_ivf_topk: deterministic IVF => exact oracle
+        "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
         "multimodal_features": asset_features_sql(n_features=4),
         # multimodal_video_frames: mapInPandas UDTF-shaped decode stub —
         # rows-only check (blob chunk slicing has no clean SQL analog)

@@ -28,6 +28,7 @@ from linkgraph.paths import (
     ms_bfs_distances,
     ms_relax_distances,
     closeness_centrality,
+    harmonic_centrality,
     all_shortest_paths_stream,
     SsspResult,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "write_results",
     "ms_relax_distances",
     "closeness_centrality",
+    "harmonic_centrality",
     "all_shortest_paths_stream",
     "SsspResult",
     "minimum_spanning_forest",

@@ -76,6 +76,8 @@ def pagerank(
     resume: bool = False,
     hot_key_salt: int | str = 0,
     direction: str = "OUTGOING",
+    source_nodes: DataFrame | list | None = None,
+    static_folding: bool | None = None,
     termination=None,
 ) -> PageRankResult:
     """Compute PageRank over an edge table.
@@ -101,6 +103,17 @@ def pagerank(
       probe inlined) and engages a 16-way salt when the max in-degree
       exceeds 32x the mean: the decision the operator docs tell users
       to make by hand, made from the data.
+    source_nodes: personalized PageRank (the later-lineage
+      `sourceNodes` option of the reference procedure family): the
+      teleport term lands ONLY on the given nodes — tp_i = 1-d for
+      i in the source set, 0 elsewhere — so
+      p_i^(t+1) = tp_i + d * sum contributions. Non-normalized like
+      the base mode: a source with no in-edges scores exactly 1-d and
+      any node unreachable from the set scores exactly 0.
+    static_folding: force the static-node split on (True) or off
+      (False); None (default) auto-enables at >= 2M edges. The split
+      is a pure optimization — results are identical either way
+      (cross-checked in tests/test_pagerank.py).
 
     Static-node optimization (scale): nodes with in-degree 0 hold rank
     (1-d) at EVERY iteration (nothing flows into them), so their
@@ -131,6 +144,27 @@ def pagerank(
     base = _node_universe(edges, nodes).persist()
     n_nodes = base.count()
 
+    srcs = None
+    if source_nodes is not None:
+        if isinstance(source_nodes, DataFrame):
+            srcs = source_nodes.select("id").distinct()
+        else:
+            srcs = spark.createDataFrame(
+                [(int(s),) for s in source_nodes], "id long"
+            )
+
+    def _with_tp(df: DataFrame) -> DataFrame:
+        """Attach the per-node teleport column tp (alpha on sources,
+        0 elsewhere; constant alpha in the classic mode)."""
+        if srcs is None:
+            return df.withColumn("tp", F.lit(1.0 - d))
+        flagged = df.join(
+            srcs.select("id").withColumn("_s", F.lit(True)), "id", "left"
+        )
+        return flagged.withColumn(
+            "tp", F.when(F.col("_s"), F.lit(1.0 - d)).otherwise(F.lit(0.0))
+        ).drop("_s")
+
     if weighted:
         w = F.coalesce(F.col("weight"), F.lit(1.0))
         deg = edges.groupBy("src").agg(F.sum(w).alias("outdeg"))
@@ -153,7 +187,9 @@ def pagerank(
 
     # The static-node split costs ~6 extra jobs at load; it pays for
     # itself through smaller per-superstep joins only on large graphs.
-    split_static = n_edges >= 2_000_000
+    split_static = (
+        static_folding if static_folding is not None else n_edges >= 2_000_000
+    )
     if split_static:
         # split node universe: dynamic = in-degree > 0 (rank can
         # change), static = in-degree 0 (rank pinned at 1-d forever)
@@ -163,15 +199,27 @@ def pagerank(
         edges_src_filtered = edges_pre.join(
             dyn_base.select(F.col("id").alias("src")), "src", "left_semi"
         )
-        # constant baseline: contributions of static sources, folded once
-        s0 = (
-            edges_pre.join(dyn_base.select(F.col("id").alias("src")), "src", "left_anti")
-            .groupBy("dst")
-            .agg((F.lit(1.0 - d) * F.sum("share")).alias("s0"))
+        # constant baseline: contributions of static sources, folded
+        # once — a static source's rank is pinned at its teleport value
+        # (1-d classic, tp personalized), so it contributes tp * share
+        static_src_edges = edges_pre.join(
+            dyn_base.select(F.col("id").alias("src")), "src", "left_anti"
         )
+        if srcs is None:
+            s0 = static_src_edges.groupBy("dst").agg(
+                (F.lit(1.0 - d) * F.sum("share")).alias("s0")
+            )
+        else:
+            s0 = (
+                static_src_edges.join(
+                    _with_tp(base).select(F.col("id").alias("src"), "tp"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("tp") * F.col("share")).alias("s0"))
+            )
         dyn = (
-            dyn_base.join(s0, dyn_base.id == s0.dst, "left")
-            .select("id", F.coalesce(F.col("s0"), F.lit(0.0)).alias("s0"))
+            _with_tp(dyn_base.join(s0, dyn_base.id == s0.dst, "left")
+                     .select("id", F.coalesce(F.col("s0"), F.lit(0.0)).alias("s0")))
             .repartition("id")
             .persist()
         )
@@ -180,7 +228,11 @@ def pagerank(
         dyn_base = base
         static_nodes = None
         edges_src_filtered = edges_pre
-        dyn = base.select("id", F.lit(0.0).alias("s0")).repartition("id").persist()
+        dyn = (
+            _with_tp(base.select("id", F.lit(0.0).alias("s0")))
+            .repartition("id")
+            .persist()
+        )
 
     # dynamic-source edges, pre-partitioned AND pre-sorted by src so
     # the per-iteration sort-merge join reuses the cached layout
@@ -215,7 +267,7 @@ def pagerank(
         if resumed is not None:
             start_iter, ranks = resumed
     if ranks is None:
-        ranks = dyn.select("id", F.lit(1.0 - d).alias("rank"))
+        ranks = dyn.select("id", F.col("tp").alias("rank"))
         ranks = loop.advance(0, ranks, metrics={"init": 1.0 - d}, force_checkpoint=True)
 
     converged = False
@@ -238,7 +290,7 @@ def pagerank(
             .select(
                 dyn.id.alias("id"),
                 (
-                    F.lit(1.0 - d)
+                    F.col("tp")
                     + F.lit(d) * (F.col("s0") + F.coalesce(F.col("s"), F.lit(0.0)))
                 ).alias("rank"),
             )
@@ -267,7 +319,10 @@ def pagerank(
 
     scores = ranks
     if static_nodes is not None:
-        scores = ranks.union(static_nodes.select("id", F.lit(1.0 - d).alias("rank")))
+        # a static node's rank is pinned at its teleport value forever
+        scores = ranks.union(
+            _with_tp(static_nodes.select("id")).select("id", F.col("tp").alias("rank"))
+        )
     if checkpoint_dir:
         # final durable state so a subsequent resume() sees completion
         # (distinct path: scores derive from the live iteration state)
@@ -284,6 +339,8 @@ def pagerank(
         "converged": converged,
         "linf_delta": delta,
         "hot_key_salt": hot_key_salt,
+        "personalized": srcs is not None,
+        "static_folding": split_static,
     }
     base.unpersist()
     if targets is not None:

@@ -22,6 +22,7 @@ from linkgraph.pipeline.dedup import (
     exact_dedup,
     near_dup_clusters,
     jaccard_pairs,
+    jaccard_pairs_df_capped,
     minhash_lsh_pairs,
     simhash_table,
     simhash_pairs,
@@ -33,6 +34,7 @@ from linkgraph.pipeline.text import (
     fingerprints,
 )
 from linkgraph.pipeline.simsearch import (
+    ann_ivf_topk,
     ann_lsh_topk,
     auto_n_planes,
     cosine_topk,
@@ -47,10 +49,10 @@ from linkgraph.pipeline.multimodal import (
 
 __all__ = [
     "stable_hash64", "stable_hash64_sql",
-    "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs",
+    "exact_dedup", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs", "near_dup_clusters",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
-    "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",
+    "ann_ivf_topk", "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
 ]

@@ -127,6 +127,87 @@ WHERE ROUND(i / (c1.c + c2.c - i), 6) >= {threshold}
 """
 
 
+def jaccard_pairs_df_capped(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, df_cap: int = 50
+) -> DataFrame:
+    """Jaccard near-dup pairs with document-frequency-capped candidate
+    generation — the production fix for the brute shingle equi-join's
+    scale defect: a shingle shared by f documents fans out f^2/2
+    candidate rows, so one hyper-common shingle ("the end", a license
+    header line) explodes the join at corpus scale.
+
+    Candidates come only from shingles with document frequency
+    <= df_cap; the Jaccard VERIFICATION still uses the full shingle
+    sets (exact values). Semantics: a qualifying pair is emitted iff it
+    shares at least one sub-cap shingle — at threshold >= 0.8 a missed
+    pair would need every shared shingle to be hyper-common, i.e. two
+    documents assembled entirely from boilerplate; the companion SQL
+    oracle mirrors the same contract, and the cross-path test pins
+    equality to the uncapped operator on the test corpus.
+
+    Scale shape (100TB): candidate-join fan-out is bounded by
+    df_cap^2/2 rows per shingle; the df filter is one extra map-side
+    combinable aggregation over the shingle table.
+    """
+    sh = _word_shingles(docs, n).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    a = sh_rare.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh_rare.select(F.col("doc_id").alias("d2"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # exact verification over FULL shingle sets (not just rare ones)
+    fa = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(fa, "d1").join(fb, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    return (
+        inter.join(card.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1")
+        .join(card.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_df_capped_sql(
+    n: int = 3, threshold: float = 0.8, df_cap: int = 50
+) -> str:
+    """Exact oracle of the df-capped contract (same candidate rule)."""
+    return f"""
+WITH sh AS ({_shingles_sql(n)}),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {df_cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN rare r ON r.shingle = a.shingle
+  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+card AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b
+    ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT d1, d2, ROUND(i / (c1.c + c2.c - i), 6) AS jaccard
+FROM inter JOIN card c1 ON c1.doc_id = d1 JOIN card c2 ON c2.doc_id = d2
+WHERE ROUND(i / (c1.c + c2.c - i), 6) >= {threshold}
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def minhash_lsh_pairs(

@@ -191,6 +191,128 @@ def near_dup_pairs_lsh(
     )
 
 
+# ----------------------------------------------------------- ANN (IVF)
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: inverted-file partitioning by
+    nearest centroid, query probes the ``n_probe`` nearest lists,
+    exact cosine rerank inside probed lists.
+
+    Centroids are data-sampled deterministically — every
+    ceil(n/n_centroids)-th vector in vec_id order (rank-stride
+    sampling, no RNG) — so the whole operator is deterministic and,
+    unlike the hyperplane-LSH path, has an EXACT SQL oracle
+    (ann_ivf_topk_sql): both engines compute the same centroid set,
+    the same argmax-cosine assignment (round-6 sim, centroid-id
+    tie-break), the same probed lists, the same rerank.
+
+    Scale shape (100TB): centroids are a broadcast-sized table (choose
+    n_centroids ~ sqrt(n)); assignment is one broadcast join + argmax
+    (no shuffle of the vector table beyond the final per-list
+    grouping); search touches n_probe/n_centroids of the corpus per
+    query. Recall depends on the centroid quality — rank-stride
+    sampling is the deterministic baseline; a k-means refinement would
+    drop in here without changing the search plan (same
+    assignment/probe contract).
+
+    Returns (vec_id, neighbor_id, sim, rank).
+    """
+    dim = _dim(emb, vec_col)
+    n = emb.count()
+    stride = max(1, -(-n // n_centroids))  # ceil(n / n_centroids)
+
+    # rank-stride sample: the global row_number runs over the ID COLUMN
+    # ONLY (8 bytes/row through the single sort task, a one-off), then
+    # the n_centroids vectors are fetched by an equi-join — the wide
+    # embedding column never enters the global sort
+    ranked_ids = emb.select(F.col(id_col).alias("cent_id")).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cent_id")))
+    )
+    centroids = (
+        ranked_ids.filter((F.col("rn") - 1) % stride == 0)
+        .drop("rn")
+        .join(
+            emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")),
+            "cent_id",
+        )
+    )
+
+    # assignment + probes in one broadcast join: rank centroids per
+    # vector by (round-6 cosine DESC, cent_id ASC) — rank 1 is the
+    # vector's inverted list, ranks 1..n_probe are its query probes
+    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    scored = vecs.join(F.broadcast(centroids)).select(
+        "vid", "v", "cent_id",
+        F.round(cosine_expr_spark("v", "cvec", dim), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+    ranked_cents = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked_cents.filter(F.col("crank") == 1).select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("eb"), "cent_id"
+    )
+    probes = ranked_cents.filter(F.col("crank") <= n_probe).select(
+        F.col("vid").alias("vec_id"), F.col("v").alias("ea"), "cent_id"
+    )
+
+    sim = F.round(cosine_expr_spark("ea", "eb", dim), 6).alias("sim")
+    cands = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", sim)
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ann_ivf_topk_sql(
+    dim: int, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """Exact DuckDB oracle for ann_ivf_topk — same centroid sampling,
+    assignment, probing, and rerank (IVF here is deterministic)."""
+    cos_assign = cosine_expr_duckdb("v.embedding", "c.embedding", dim)
+    cos_rerank = cosine_expr_duckdb("p.ea", "a.eb", dim)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n FROM {table}),
+ranked AS (
+  SELECT vec_id AS cent_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+  FROM {table}),
+centroids AS (
+  SELECT cent_id, embedding FROM ranked
+  WHERE (rn - 1) % (SELECT CAST(CEIL(n / {n_centroids}.0) AS BIGINT) FROM n) = 0),
+scored AS (
+  SELECT v.vec_id AS vid, v.embedding AS vv, c.cent_id,
+         ROUND({cos_assign}, 6) AS csim,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY ROUND({cos_assign}, 6) DESC, c.cent_id ASC) AS crank
+  FROM {table} v CROSS JOIN centroids c),
+assign AS (SELECT vid AS neighbor_id, vv AS eb, cent_id FROM scored WHERE crank = 1),
+probes AS (SELECT vid AS vec_id, vv AS ea, cent_id FROM scored WHERE crank <= {n_probe}),
+cands AS (
+  SELECT p.vec_id, a.neighbor_id, ROUND({cos_rerank}, 6) AS sim
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE p.vec_id != a.neighbor_id),
+rr AS (
+  SELECT vec_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cands)
+SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------------------- ANN (LSH)
 
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

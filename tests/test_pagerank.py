@@ -1,6 +1,7 @@
 """PageRank parity with the reference PageRankTest fixture (FIXTURES.md §1)."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from linkgraph import edges_from_pairs, pagerank
 from tests.fixtures import (
@@ -116,3 +117,70 @@ def test_pagerank_auto_salt_engages_on_hub_and_matches(spark):
     nodes2, edges2 = edges_from_pairs(spark, ring)
     res2 = pagerank(edges2, nodes=nodes2, max_iter=2, hot_key_salt="auto")
     assert res2.stats["hot_key_salt"] == 0
+
+
+def test_pagerank_personalized_matches_numpy(spark):
+    """Personalized mode: teleport only on the source set, numpy
+    reference of the per-node-teleport fixed point."""
+    rng = np.random.default_rng(11)
+    n, m = 30, 120
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b}
+    edges_list = [(f"v{a:02d}", f"v{b:02d}") for a, b in sorted(pairs)]
+    all_keys = [f"v{i:02d}" for i in range(n)]
+    from linkgraph import edges_from_pairs as efp
+    nodes, edges = efp(spark, edges_list, extra_keys=all_keys)
+    source_keys = {f"v{i:02d}" for i in range(0, n, 5)}
+    src_ids = nodes.filter(nodes.key.isin(*source_keys)).select("id")
+
+    d = 0.85
+    outdeg = np.zeros(n)
+    for a, b in pairs:
+        outdeg[a] += 1
+    tp = np.array([(1 - d) if f"v{i:02d}" in source_keys else 0.0 for i in range(n)])
+    p = tp.copy()
+    for _ in range(20):
+        nxt = tp.copy()
+        for a, b in pairs:
+            nxt[b] += d * p[a] / outdeg[a]
+        p = nxt
+
+    res = pagerank(edges, nodes=nodes, damping=d, max_iter=20, source_nodes=src_ids)
+    got = _scores_by_key(nodes, res)
+    assert res.stats["personalized"]
+    for i in range(n):
+        assert np.isclose(got[f"v{i:02d}"], p[i], atol=1e-9), (i, got[f"v{i:02d}"], p[i])
+
+
+def test_pagerank_personalized_unreachable_scores_zero(spark):
+    """A node unreachable from the source set scores exactly 0; an
+    isolated source scores exactly 1-d."""
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("x", "y")], extra_keys=["z"])
+    src = nodes.filter(nodes.key == "a").select("id")
+    res = pagerank(edges, nodes=nodes, damping=0.85, max_iter=10, source_nodes=src)
+    got = _scores_by_key(nodes, res)
+    assert np.isclose(got["a"], 0.15, atol=1e-12)
+    assert np.isclose(got["b"], 0.85 * 0.15, atol=1e-12)
+    for k in ("x", "y", "z"):
+        assert got[k] == 0.0
+
+
+def test_pagerank_static_folding_paths_equal(spark):
+    """The static-node split is a pure optimization: forced on/off it
+    computes identical scores, in classic AND personalized mode."""
+    rng = np.random.default_rng(23)
+    n, m = 25, 60
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b}
+    edges_list = [(f"v{a:02d}", f"v{b:02d}") for a, b in sorted(pairs)]
+    nodes, edges = edges_from_pairs(spark, edges_list, extra_keys=[f"v{i:02d}" for i in range(n)])
+    src_ids = nodes.limit(4).select("id")
+    for kwargs in ({}, {"source_nodes": src_ids}):
+        on = pagerank(edges, nodes=nodes, max_iter=8, static_folding=True, **kwargs)
+        off = pagerank(edges, nodes=nodes, max_iter=8, static_folding=False, **kwargs)
+        assert on.stats["static_folding"] and not off.stats["static_folding"]
+        j = (
+            on.scores.withColumnRenamed("rank", "r1")
+            .join(off.scores.withColumnRenamed("rank", "r2"), "id")
+        )
+        assert j.count() == n
+        mx = j.agg(F.max(F.abs(F.col("r1") - F.col("r2")))).first()[0]
+        assert mx < 1e-12, mx

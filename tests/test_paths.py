@@ -257,3 +257,21 @@ def test_betweenness_frees_cached_state(spark):
     # node-universe persist, and the fixture's own persisted nodes df —
     # NOT the ~13 forward levels + 13 seen/delta chains the old code kept
     assert after - before <= 5, f"leaked {after - before} cached RDDs"
+
+
+def test_harmonic_centrality_golden(spark):
+    """Path a-b-c plus disconnected pair d-e (harmonic is defined on
+    disconnected graphs — the reason the lineage added it):
+    h(a)=1+1/2, h(b)=2, h(d)=1; normalized divides by n-1=4."""
+    from linkgraph import harmonic_centrality
+
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c"), ("d", "e")])
+    got = {
+        r["key"]: (r["reached"], r["harmonic"], r["normalized"])
+        for r in harmonic_centrality(edges, direction="BOTH").join(nodes, "id").collect()
+    }
+    assert got["a"] == (2, 1.5, 1.5 / 4)
+    assert got["b"] == (2, 2.0, 2.0 / 4)
+    assert got["c"] == (2, 1.5, 1.5 / 4)
+    assert got["d"] == (1, 1.0, 1.0 / 4)
+    assert got["e"] == (1, 1.0, 1.0 / 4)

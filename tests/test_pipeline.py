@@ -261,3 +261,40 @@ def test_degree_histogram_golden(spark):
     assert out == {2: 1, 1: 1}
     both = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges, "BOTH").collect()}
     assert both == {2: 3}
+
+
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF on the clustered fixture: recall >= 0.8 vs brute force, and
+    (being deterministic, unlike hyperplane LSH) bit-stable on rerun."""
+    from linkgraph.pipeline import ann_ivf_topk
+
+    rng = np.random.default_rng(13)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        c = rng.standard_normal(32)
+        c /= np.linalg.norm(c)
+        for _ in range(6):
+            v = c + 0.03 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=3).collect()}
+    a1 = sorted(map(tuple, ann_ivf_topk(emb, k=3, n_centroids=12, n_probe=3).collect()))
+    a2 = sorted(map(tuple, ann_ivf_topk(emb, k=3, n_centroids=12, n_probe=3).collect()))
+    assert a1 == a2  # deterministic
+    approx = {(r[0], r[1]) for r in a1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_jaccard_df_capped_equals_uncapped(spark):
+    """On the sf docs the df-capped candidate path finds the same
+    pairs as the brute equi-join (no qualifying pair is glued together
+    only by hyper-common shingles at threshold 0.8)."""
+    from linkgraph.pipeline import jaccard_pairs_df_capped
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    brute = sorted(map(tuple, jaccard_pairs(docs, n=3, threshold=0.8).collect()))
+    capped = sorted(map(tuple, jaccard_pairs_df_capped(docs, n=3, threshold=0.8, df_cap=50).collect()))
+    assert brute == capped and len(brute) > 0
