@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import release_state
+from linkgraph.checkpoint import pin_table, release_state
 
 
 @dataclass
@@ -69,7 +69,8 @@ def betweenness_centrality(
     elif d == "INCOMING":
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     e = e.filter(F.col("src") != F.col("dst")).distinct()
-    e = e.repartition("src").sortWithinPartitions("src").persist()
+    # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
+    e = pin_table(e.repartition("src").sortWithinPartitions("src"))
     e.count()
 
     universe = (
@@ -179,7 +180,7 @@ def betweenness_centrality(
             (F.lit(scale) * F.coalesce(F.col("centrality"), F.lit(0.0))).alias("centrality"),
         )
     )
-    e.unpersist()
+    release_state(e)
     return BetweennessResult(
         scores=scores,
         max_depth=depth,

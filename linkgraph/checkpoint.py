@@ -68,6 +68,23 @@ def release_state(df: DataFrame | None) -> bool:
         return False
 
 
+def pin_table(df: DataFrame) -> DataFrame:
+    """Materialize a LOOP-INVARIANT table and truncate its plan.
+
+    For a table an iterative loop re-references every superstep,
+    ``persist()`` is not enough: the cached data is reused but the
+    table's full logical plan (a multi-join edge derivation, an
+    Arrow-UDF extraction) is re-analyzed inside every superstep's plan
+    — constant-per-iteration but proportional to the UPSTREAM plan
+    size, which dominates on derived graphs (measured ~2s/superstep of
+    driver time on the synth-ingest PageRank). localCheckpoint pins the
+    table to a LogicalRDD — tiny constant plan — and preserves the
+    physical outputPartitioning/outputOrdering, so pre-shuffled
+    pre-sorted join layouts still get reused. Free with
+    ``release_state`` (plain unpersist is a no-op on checkpoints)."""
+    return df.localCheckpoint(eager=True)
+
+
 class TerminatedError(RuntimeError):
     """Raised by SuperstepLoop.advance when its TerminationFlag is set."""
 
@@ -164,22 +181,29 @@ class SuperstepLoop:
             f"linkgraph-{self.name}", f"{self.name} superstep {iteration}",
             interruptOnCancel=True,
         )
-        truncate = force_checkpoint or (iteration % self.every == 0)
+        durable = force_checkpoint or (iteration % self.every == 0)
         prev = self._current
-        if truncate and self.dir:
+        if durable and self.dir:
             path = os.path.join(self.dir, f"{self.name}{suffix}_{iteration:06d}")
             df.write.mode("overwrite").parquet(path)
             new = self.spark.read.parquet(path).persist()
             self._write_manifest(iteration, path, metrics, final=bool(suffix))
-        elif truncate:
-            new = df.localCheckpoint(eager=True)
         else:
-            # materialize eagerly: release_state below REALLY frees the
-            # previous state's blocks (unlike the former no-op
-            # unpersist), so the new state must not still need prev's
-            # lineage when prev goes away
-            new = df.persist()
-            new.count()
+            # EVERY superstep truncates lineage (localCheckpoint), not
+            # just the durable ones: persist()+count() materializes the
+            # data but the LOGICAL PLAN keeps growing — iteration k
+            # re-analyzes a k-deep tree (each level embedding the full
+            # upstream plan, e.g. an Arrow-UDF edge derivation), so
+            # per-superstep driver cost grows superlinearly (measured:
+            # 0.5s -> 5.6s over 10 supersteps on a 65k-edge graph;
+            # 25s/superstep on a fat derivation plan). localCheckpoint
+            # costs the same one action but pins the state to a
+            # LogicalRDD — constant plan size at any iteration count.
+            # Eager is also what makes release_state(prev) safe below:
+            # the new state must not need prev's lineage once prev's
+            # blocks are freed. ``every`` only governs DURABLE parquet
+            # cadence (manifest/resume granularity) when a dir is set.
+            new = df.localCheckpoint(eager=True)
         self._current = new
         if prev is not None:
             release_state(prev)

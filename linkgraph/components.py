@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import SuperstepLoop, release_state
+from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
 
 
 @dataclass
@@ -93,7 +93,10 @@ def connected_components(
     # partition AND sort by src once: the per-iteration sort-merge join
     # reuses the cached layout (no re-shuffle/re-sort of the big side)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").sortWithinPartitions("src").persist()
+    # pin_table (not persist): the loop re-references sym every
+    # superstep; pinning keeps the per-superstep plan constant-size
+    # even when the edge table hides a fat derivation (checkpoint.py)
+    sym = pin_table(sym.repartition("src").sortWithinPartitions("src"))
     sym.count()
     t_load = time.time() - t0
 
@@ -132,7 +135,7 @@ def connected_components(
         "compute_s": round(time.time() - t1, 4),
     }
     base.unpersist()
-    sym.unpersist()
+    release_state(sym)
     return ComponentsResult(components=labels, set_count=set_count, iterations=it, stats=stats)
 
 

@@ -217,9 +217,7 @@ def triangle_count_csr(
     so `adj` arrays stay small even on power-law graphs.
     """
     t0 = time.time()
-    org, deg = oriented_edges(edges)
-    org = org.persist()
-    org.count()
+    org, deg, _n_oriented = oriented_edges(edges)
 
     adj = org.groupBy(F.col("lo").alias("id")).agg(
         F.array_sort(F.collect_list("hi")).alias("adj")

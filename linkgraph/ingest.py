@@ -71,9 +71,13 @@ def derive_graph(source: DataFrame):
     file_edges DataFrame(src, dst, weight=1.0) — importing -> imported file
     repo_edges DataFrame(src_repo, dst_repo, weight) — cross-repo only
     """
+    # no persist: both consumers (dense_ids, the resolve join) read a
+    # content-pruned projection of the source scan — a persist here
+    # would be unpersisted before anything materializes (the returned
+    # frames are lazy), so it could never be hit anyway
     files = source.select(
         "repo", "path", file_key(source).alias("key"), module_of_path().alias("module")
-    ).persist()
+    )
     nodes = dense_ids(files.select("key"), num_buckets=64).persist()
 
     refs = (
@@ -102,5 +106,4 @@ def derive_graph(source: DataFrame):
         .groupBy(F.col("src_repo"), F.col("dst_repo"))
         .agg(F.count("*").cast("double").alias("weight"))
     )
-    files.unpersist()
     return nodes, file_edges, repo_edges

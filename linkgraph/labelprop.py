@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import SuperstepLoop
+from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
 
 
 @dataclass
@@ -75,9 +75,10 @@ def label_propagation(
     spark = edges.sparkSession
     t0 = time.time()
     # partitioned+sorted by join key once; iterations reuse the layout
-    pairs = (
+    # pin_table: constant per-superstep plan (see linkgraph/checkpoint.py)
+    pairs = pin_table(
         _neighbor_pairs(edges, direction)
-        .repartition("nbr").sortWithinPartitions("nbr").persist()
+        .repartition("nbr").sortWithinPartitions("nbr")
     )
     pairs.count()
     if nodes is not None:
@@ -98,7 +99,7 @@ def label_propagation(
         if node_weight_col and node_weight_col in base.columns
         else F.lit(1.0)
     )
-    init = base.select("id", seed.alias("label"), nw.alias("nw")).persist()
+    init = pin_table(base.select("id", seed.alias("label"), nw.alias("nw")))
     n_nodes = init.count()
     t_load = time.time() - t0
 
@@ -152,6 +153,6 @@ def label_propagation(
         "load_s": round(t_load, 4),
         "compute_s": round(time.time() - t1, 4),
     }
-    pairs.unpersist()
-    init.unpersist()
+    release_state(pairs)
+    release_state(init)
     return LabelPropagationResult(labels=labels, iterations=it, converged=converged, stats=stats)

@@ -221,28 +221,31 @@ def pagerank(
             _with_tp(dyn_base.join(s0, dyn_base.id == s0.dst, "left")
                      .select("id", F.coalesce(F.col("s0"), F.lit(0.0)).alias("s0")))
             .repartition("id")
-            .persist()
         )
     else:
         targets = None
         dyn_base = base
         static_nodes = None
         edges_src_filtered = edges_pre
-        dyn = (
-            _with_tp(base.select("id", F.lit(0.0).alias("s0")))
-            .repartition("id")
-            .persist()
-        )
+        dyn = _with_tp(base.select("id", F.lit(0.0).alias("s0"))).repartition("id")
 
     # dynamic-source edges, pre-partitioned AND pre-sorted by src so
-    # the per-iteration sort-merge join reuses the cached layout
-    # (InMemoryTableScan reports the sorted outputOrdering — the big
-    # side is never re-sorted or re-shuffled inside the loop)
+    # the per-iteration sort-merge join reuses the cached layout (the
+    # big side is never re-sorted or re-shuffled inside the loop).
+    # localCheckpoint rather than persist: the loop re-references this
+    # table EVERY superstep, and a persisted table keeps its full
+    # logical plan (e.g. an Arrow-UDF edge derivation) alive — each
+    # superstep then re-analyzes that fat subtree (measured 2s/superstep
+    # of pure driver time on the synth-ingest graph). The checkpoint
+    # pins it to a LogicalRDD (constant tiny plan) and PRESERVES the
+    # physical outputPartitioning/outputOrdering, so the join layout
+    # reuse still holds (asserted in tests/test_plans.py).
     edges_dyn = (
-        edges_src_filtered.repartition("src").sortWithinPartitions("src").persist()
+        edges_src_filtered.repartition("src").sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
     )
     n_dyn_edges = edges_dyn.count()
-    dyn.count()
+    dyn = dyn.localCheckpoint(eager=True)
     edges_pre.unpersist()
     if hot_key_salt == "auto":
         # skew probe: max in-degree vs MEAN OVER ALL NODES (edges/nodes
@@ -342,10 +345,12 @@ def pagerank(
         "personalized": srcs is not None,
         "static_folding": split_static,
     }
+    from linkgraph.checkpoint import release_state
+
     base.unpersist()
     if targets is not None:
         targets.unpersist()
         dyn_base.unpersist()
-    dyn.unpersist()
-    edges_dyn.unpersist()
+    release_state(dyn)
+    release_state(edges_dyn)
     return PageRankResult(scores=scores, iterations=it, converged=converged, delta=delta, stats=stats)

@@ -38,7 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import release_state
+from linkgraph.checkpoint import pin_table, release_state
 
 
 @dataclass
@@ -82,7 +82,8 @@ def sssp(
     """
     spark = edges.sparkSession
     t0 = time.time()
-    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
+    e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
     frontier = dist
@@ -120,7 +121,7 @@ def sssp(
         frontier = new_frontier
         if n_front == 0:
             break
-    e.unpersist()
+    release_state(e)
     return SsspResult(
         distances=dist,
         iterations=it,
@@ -142,7 +143,8 @@ def sssp_delta_stepping(
     graphs with spread-out distances."""
     spark = edges.sparkSession
     t0 = time.time()
-    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
+    e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
     settled_below = 0.0
@@ -196,7 +198,7 @@ def sssp_delta_stepping(
         remaining = dist.filter(F.col("dist") >= settled_below).count()
         if remaining == 0:
             break
-    e.unpersist()
+    release_state(e)
     return SsspResult(
         distances=dist,
         iterations=rounds,
@@ -225,7 +227,8 @@ def shortest_path_pair(
     total_cost) — path empty when target is unreachable.
     """
     spark = edges.sparkSession
-    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
+    e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
     state = spark.createDataFrame(
         [(int(source), 0.0, None)], "id long, dist double, pred long"
@@ -273,7 +276,7 @@ def shortest_path_pair(
     # driver-side path walk: one tiny point-lookup job per hop (path
     # length <= relax rounds) — never a full collect of the distance
     # table, so the walk is scale-independent
-    e.unpersist()
+    release_state(e)
     path = []
     cur = int(target)
     total = None
@@ -310,7 +313,8 @@ def ms_relax_distances(
     Returns (source, id, dist) for reached pairs. With ``max_hops`` the
     result is the <=max_hops-edge shortest distance (oracle contract).
     """
-    e = _prep_edges(edges, weighted, direction).repartition("src").persist()
+    # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
+    e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
     state = sources.select(
         F.col("id").alias("source"), F.col("id").alias("id"), F.lit(0.0).alias("dist")
@@ -350,7 +354,7 @@ def ms_relax_distances(
         frontier = new_frontier
         if n_front == 0:
             break
-    e.unpersist()
+    release_state(e)
     return dist
 
 
@@ -370,7 +374,7 @@ def ms_bfs_distances(
     (source, node), every source advances in the same superstep.
     """
     e = _prep_edges(edges, weighted=False, direction=direction).select("src", "dst")
-    e = e.repartition("src").persist()
+    e = pin_table(e.repartition("src"))
     e.count()
     if sources is None:
         sources = (
@@ -399,7 +403,7 @@ def ms_bfs_distances(
         dist = dist.union(new_frontier).localCheckpoint(eager=True)
         frontier.unpersist()
         frontier = new_frontier
-    e.unpersist()
+    release_state(e)
     return dist
 
 

@@ -23,11 +23,15 @@ PROCEDURES = {
     "sssp_delta_stepping": ("linkgraph.paths.sssp_delta_stepping", "algo.shortestPath.deltaStepping[.stream]", True),
     "all_shortest_paths_stream": ("linkgraph.paths.all_shortest_paths_stream", "algo.allShortestPaths.stream", True),
     "closeness_centrality": ("linkgraph.paths.closeness_centrality", "algo.closeness[.stream]", True),
+    "harmonic_centrality": ("linkgraph.paths.harmonic_centrality", "algo.closeness.harmonic (lineage)", True),
+    "shortest_path_pair": ("linkgraph.paths.shortest_path_pair", "algo.shortestPath (start/end pair)", True),
     "ms_bfs_distances": ("linkgraph.paths.ms_bfs_distances", "MultiSourceBFS (core util)", True),
     "minimum_spanning_forest": ("linkgraph.mst.minimum_spanning_forest", "algo.mst", False),
     "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
     "exact_dedup": ("linkgraph.pipeline.dedup.exact_dedup", "(pipeline extension)", True),
     "jaccard_pairs": ("linkgraph.pipeline.dedup.jaccard_pairs", "(pipeline extension)", True),
+    "jaccard_pairs_df_capped": ("linkgraph.pipeline.dedup.jaccard_pairs_df_capped", "(pipeline extension)", True),
+    "near_dup_clusters": ("linkgraph.pipeline.dedup.near_dup_clusters", "(pipeline extension)", True),
     "minhash_lsh_pairs": ("linkgraph.pipeline.dedup.minhash_lsh_pairs", "(pipeline extension)", True),
     "simhash_pairs": ("linkgraph.pipeline.dedup.simhash_pairs", "(pipeline extension)", True),
     "token_stats": ("linkgraph.pipeline.text.token_stats", "(pipeline extension)", True),
@@ -36,7 +40,9 @@ PROCEDURES = {
     "fingerprints": ("linkgraph.pipeline.text.fingerprints", "(pipeline extension)", True),
     "cosine_topk": ("linkgraph.pipeline.simsearch.cosine_topk", "(pipeline extension)", True),
     "ann_lsh_topk": ("linkgraph.pipeline.simsearch.ann_lsh_topk", "(pipeline extension)", False),
+    "ann_ivf_topk": ("linkgraph.pipeline.simsearch.ann_ivf_topk", "(pipeline extension)", True),
     "near_dup_pairs": ("linkgraph.pipeline.simsearch.near_dup_pairs", "(pipeline extension)", True),
+    "near_dup_pairs_lsh": ("linkgraph.pipeline.simsearch.near_dup_pairs_lsh", "(pipeline extension)", True),
     "asset_features": ("linkgraph.pipeline.multimodal.asset_features", "(pipeline extension)", True),
     "decode_media": ("linkgraph.pipeline.multimodal.decode_media", "(pipeline extension)", False),
 }

@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import release_state
+from linkgraph.checkpoint import pin_table, release_state
 
 
 @dataclass
@@ -144,7 +144,7 @@ def strongly_connected_components(
     """
     spark = edges.sparkSession
     t0 = time.time()
-    e_all = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct().persist()
+    e_all = pin_table(edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct())
     if nodes is not None:
         active = nodes.select("id")
     else:
@@ -258,7 +258,7 @@ def strongly_connected_components(
 
     comps = assigned
     set_count = comps.select("scc").distinct().count()
-    e_all.unpersist()
+    release_state(e_all)
     active.unpersist()
     return SccResult(
         components=comps,

@@ -56,11 +56,17 @@ def _undirected_simple(edges: DataFrame) -> DataFrame:
     )
 
 
-def oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Return (org, deg): degree-ordered oriented edges + true degrees."""
+def oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Return (org, deg, n_oriented): degree-ordered oriented edges
+    (partitioned by lo, PERSISTED AND MATERIALIZED) + true degrees
+    (persisted). Materializing here lets the upstream edge derivation
+    (often an expensive multi-join) run exactly once: deg is computed
+    through the cached undirected set, org through both caches, and
+    the undirected cache is dropped before returning."""
     und = _undirected_simple(edges).persist()
     sym = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id")))
     deg = sym.groupBy("id").agg(F.count("*").alias("deg")).persist()
+    deg.count()  # materializes und's cache as a side effect
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
     org = (
@@ -78,9 +84,12 @@ def oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
                 F.col("b"),
             ).otherwise(F.col("a")).alias("hi"),
         )
+        .repartition("lo")
+        .persist()
     )
+    n_oriented = org.count()
     und.unpersist()
-    return org, deg
+    return org, deg, n_oriented
 
 
 def triangle_count(
@@ -109,16 +118,14 @@ def triangle_count(
     if direction.upper() not in ("BOTH", "OUTGOING", "INCOMING"):
         raise ValueError(f"bad direction {direction}")
     t0 = time.time()
-    org, deg = oriented_edges(edges)
-    org = org.repartition("lo").persist()
-    n_oriented = org.count()
+    org, deg, n_oriented = oriented_edges(edges)
 
     e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
     closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
     if hub_cap is None:
         wedges = e1.join(e2, "v")
-        tri = wedges.join(closing, ["u", "w"], "left_semi").persist()
+        tri = wedges.join(closing, ["u", "w"], "left_semi")
     else:
         hubs = deg.filter(F.col("deg") > hub_cap).select(F.col("id").alias("v"))
         # low-pivot wedges: standard wedge join, fan-out bounded by cap
@@ -134,15 +141,20 @@ def triangle_count(
             .join(e2_hub, ["v", "w"], "left_semi")
             .select("u", "v", "w")
         )
-        tri = tri_low.select("u", "v", "w").union(tri_hub).persist()
-    n_tri = tri.count()
+        tri = tri_low.select("u", "v", "w").union(tri_hub)
 
-    corners = (
-        tri.select(F.col("u").alias("id"))
-        .union(tri.select(F.col("v").alias("id")))
-        .union(tri.select(F.col("w").alias("id")))
+    # the triangle set is NEVER materialized: per-node counts come from
+    # ONE streaming pass over the wedge join (explode to corners,
+    # map-side-combined count), and the global count is sum/3 of the
+    # per-node counts — on a triangle-dense graph (124M triangles at
+    # bench sf0.1) caching the triple table costs more than the join
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+        .persist()
     )
-    per_node = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    n_tri = int((per_node.agg(F.sum("triangles")).first()[0] or 0) // 3)
     universe = nodes.select("id") if nodes is not None else deg.select("id")
     counts = (
         universe.join(deg, "id", "left")
@@ -166,7 +178,10 @@ def triangle_count(
     ).first()
     node_count, avg_c = agg["n"], float(agg["avg_c"] or 0.0)
 
-    # triple stream ordered by node id within each triple (FIXTURES.md §4a)
+    # triple stream ordered by node id within each triple (FIXTURES.md
+    # §4a). LAZY: consuming it re-runs the wedge join off the cached
+    # oriented edges — callers that only need counts never pay for the
+    # triple table, callers that stream it pay exactly one more pass
     arr = F.array_sort(F.array("u", "v", "w"))
     triples = tri.select(
         arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")

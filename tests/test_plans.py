@@ -114,3 +114,53 @@ def test_ms_relax_state_is_single_aggregate_per_round(spark):
     upstream = plan[: plan.index("InMemoryRelation")] if "InMemoryRelation" in plan else plan
     assert upstream.count("Exchange hashpartitioning") <= 2, upstream
     e.unpersist()
+
+
+def test_advance_truncates_plan_every_superstep(spark):
+    """Superstep state must be a LogicalRDD after EVERY advance (not
+    just durable checkpoints): a persisted-but-untruncated chain
+    re-analyzes an O(k)-deep plan at superstep k — the measured
+    250s-for-10-supersteps driver blowup."""
+    from linkgraph.checkpoint import SuperstepLoop
+
+    loop = SuperstepLoop(spark, None, every=100, name="trunc_test")
+    st = loop.advance(0, spark.range(10).select("id", F.lit(0.0).alias("v")),
+                      force_checkpoint=True)
+    for it in range(1, 5):
+        st = loop.advance(it, st.select("id", (F.col("v") + 1).alias("v")))
+        root = st._jdf.queryExecution().analyzed()
+        # the state plan is a constant-size projection over a LogicalRDD
+        kinds = {root.getClass().getSimpleName()}
+        it_node = root
+        while it_node.children().size() > 0:
+            it_node = it_node.children().head()
+            kinds.add(it_node.getClass().getSimpleName())
+        assert "LogicalRDD" in kinds, kinds
+    assert st.agg(F.sum("v")).first()[0] == 40.0
+    loop.close()
+
+
+def test_pin_table_preserves_join_layout(spark):
+    """pin_table (localCheckpoint) must keep the pre-shuffled layout:
+    joining a pinned repartition(src) table on src must not re-exchange
+    the pinned side."""
+    from linkgraph.checkpoint import pin_table, release_state
+
+    e = spark.range(4096).select(
+        (F.col("id") % 97).alias("src"), F.col("id").alias("dst")
+    )
+    pinned = pin_table(e.repartition("src").sortWithinPartitions("src"))
+    state = spark.range(97).select(
+        F.col("id").alias("src"), F.lit(1.0).alias("r")
+    )
+    j = pinned.join(state, "src").groupBy("src").agg(F.sum("r").alias("s"))
+    j.write.format("noop").mode("overwrite").save()
+    plan = _plan(j)
+    # exactly the exchanges that touch the SMALL side / agg output —
+    # the pinned big side must contribute zero Exchange nodes (its
+    # scan appears as "Scan ExistingRDD" already hash-partitioned)
+    scan_rdd = "Scan ExistingRDD" in plan
+    assert scan_rdd, plan[:500]
+    big_side_exchanged = re.search(r"Exchange hashpartitioning\(src#\d+L, \d+\)[^\n]*\n[^\n]*Scan ExistingRDD", plan)
+    assert not big_side_exchanged, plan
+    release_state(pinned)
