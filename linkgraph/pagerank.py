@@ -232,20 +232,17 @@ def pagerank(
     # dynamic-source edges, pre-partitioned AND pre-sorted by src so
     # the per-iteration sort-merge join reuses the cached layout (the
     # big side is never re-sorted or re-shuffled inside the loop).
-    # localCheckpoint rather than persist: the loop re-references this
-    # table EVERY superstep, and a persisted table keeps its full
-    # logical plan (e.g. an Arrow-UDF edge derivation) alive — each
-    # superstep then re-analyzes that fat subtree (measured 2s/superstep
-    # of pure driver time on the synth-ingest graph). The checkpoint
-    # pins it to a LogicalRDD (constant tiny plan) and PRESERVES the
-    # physical outputPartitioning/outputOrdering, so the join layout
-    # reuse still holds (asserted in tests/test_plans.py).
-    edges_dyn = (
+    # pin_table (checkpoint + columnar persist, see checkpoint.py):
+    # truncates the plan so a fat upstream derivation is analyzed once
+    # instead of every superstep, while keeping the per-superstep scan
+    # on the compressed-columnar cache.
+    from linkgraph.checkpoint import pin_table, release_state
+
+    edges_dyn = pin_table(
         edges_src_filtered.repartition("src").sortWithinPartitions("src")
-        .localCheckpoint(eager=True)
     )
     n_dyn_edges = edges_dyn.count()
-    dyn = dyn.localCheckpoint(eager=True)
+    dyn = pin_table(dyn)
     edges_pre.unpersist()
     if hot_key_salt == "auto":
         # skew probe: max in-degree vs MEAN OVER ALL NODES (edges/nodes
@@ -345,8 +342,6 @@ def pagerank(
         "personalized": srcs is not None,
         "static_folding": split_static,
     }
-    from linkgraph.checkpoint import release_state
-
     base.unpersist()
     if targets is not None:
         targets.unpersist()

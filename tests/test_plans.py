@@ -156,11 +156,15 @@ def test_pin_table_preserves_join_layout(spark):
     j = pinned.join(state, "src").groupBy("src").agg(F.sum("r").alias("s"))
     j.write.format("noop").mode("overwrite").save()
     plan = _plan(j)
-    # exactly the exchanges that touch the SMALL side / agg output —
-    # the pinned big side must contribute zero Exchange nodes (its
-    # scan appears as "Scan ExistingRDD" already hash-partitioned)
-    scan_rdd = "Scan ExistingRDD" in plan
-    assert scan_rdd, plan[:500]
-    big_side_exchanged = re.search(r"Exchange hashpartitioning\(src#\d+L, \d+\)[^\n]*\n[^\n]*Scan ExistingRDD", plan)
+    # pinned = localCheckpoint (tiny plan) + persist (columnar): reads
+    # must go through the COLUMNAR cache, and the pinned side must
+    # contribute zero Exchange nodes (its hashpartitioning survives)
+    assert "InMemoryTableScan" in plan, plan[:800]
+    big_side_exchanged = re.search(
+        r"Exchange hashpartitioning\(src#\d+L, \d+\)[^\n]*\n[^\n]*InMemoryTableScan", plan
+    )
     assert not big_side_exchanged, plan
+    # the logical plan under the cache is the checkpoint, not the
+    # original derivation — constant size per superstep
+    assert "Scan ExistingRDD" in plan, plan[:800]
     release_state(pinned)
