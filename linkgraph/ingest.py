@@ -71,13 +71,16 @@ def derive_graph(source: DataFrame):
     file_edges DataFrame(src, dst, weight=1.0) — importing -> imported file
     repo_edges DataFrame(src_repo, dst_repo, weight) — cross-repo only
     """
-    # no persist: both consumers (dense_ids, the resolve join) read a
-    # content-pruned projection of the source scan — a persist here
-    # would be unpersisted before anything materializes (the returned
-    # frames are lazy), so it could never be hit anyway
+    # persist the content-pruned file dimension (repo, path, key,
+    # module — O(n_files) short strings, no content column): THREE
+    # consumers scan it (dense_ids, the resolve join's module side,
+    # and via nodes both edge-resolution joins), and each uncached
+    # scan re-runs the full source read. Left persisted for the life
+    # of the returned (lazy) frames — the caller's results reference
+    # it; it is the graph's dimension table, sized like `nodes`.
     files = source.select(
         "repo", "path", file_key(source).alias("key"), module_of_path().alias("module")
-    )
+    ).persist()
     nodes = dense_ids(files.select("key"), num_buckets=64).persist()
 
     refs = (

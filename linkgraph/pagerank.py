@@ -39,7 +39,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import SuperstepLoop
@@ -141,8 +141,6 @@ def pagerank(
         )
     elif dirn != "OUTGOING":
         raise ValueError(f"bad direction {direction}")
-    base = _node_universe(edges, nodes).persist()
-    n_nodes = base.count()
 
     srcs = None
     if source_nodes is not None:
@@ -165,25 +163,37 @@ def pagerank(
             "tp", F.when(F.col("_s"), F.lit(1.0 - d)).otherwise(F.lit(0.0))
         ).drop("_s")
 
-    if weighted:
-        w = F.coalesce(F.col("weight"), F.lit(1.0))
-        deg = edges.groupBy("src").agg(F.sum(w).alias("outdeg"))
-        e = edges.select("src", "dst", w.alias("w"))
-        edges_pre = e.join(deg, "src").select(
-            "src", "dst", (F.col("w") / F.col("outdeg")).alias("share")
-        )
-    else:
-        deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-        edges_pre = edges.join(deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share")
-        )
+    # share = w / sum_w(src) as ONE window aggregate over partitionBy
+    # (src): a groupBy+self-join computes the same thing but scans the
+    # upstream twice (two join branches over the full lineage) and
+    # shuffles twice — on a derived edge table (Arrow-UDF extraction)
+    # the second upstream scan dominates load. The window shuffles once
+    # on src and leaves the output HASH-PARTITIONED BY src, the exact
+    # layout edges_dyn pins below, so that repartition collapses.
+    w = (
+        F.coalesce(F.col("weight"), F.lit(1.0))
+        if weighted
+        else F.lit(1.0)
+    )
+    win = Window.partitionBy("src")
+    edges_pre = (
+        edges.select("src", "dst", w.alias("w"))
+        .select("src", "dst", (F.col("w") / F.sum("w").over(win)).alias("share"))
+    )
 
     # persist BEFORE counting: the caller's edge table may hide an
     # expensive upstream (Arrow-UDF derivation); the count materializes
-    # it once and every later pass (split decision, edges_dyn layout)
-    # reads the cache instead of recomputing the lineage
+    # it once and every later pass (node universe, split decision,
+    # edges_dyn layout) reads the cache instead of recomputing lineage
     edges_pre = edges_pre.persist()
     n_edges = edges_pre.count()
+
+    # node universe AFTER the edge cache exists: derive it from
+    # edges_pre (same src/dst set) so no second pass over the raw edge
+    # lineage is ever taken; an explicit `nodes` frame is the caller's
+    # (cheap or already-cached) dimension
+    base = _node_universe(edges_pre, nodes).persist()
+    n_nodes = base.count()
 
     # The static-node split costs ~6 extra jobs at load; it pays for
     # itself through smaller per-superstep joins only on large graphs.
