@@ -83,12 +83,6 @@ def connected_components(
     if threshold is not None and "weight" in e.columns:
         e = e.filter(F.coalesce(F.col("weight"), F.lit(1.0)) >= F.lit(threshold))
     e = e.select("src", "dst")
-    if nodes is not None:
-        base = nodes.select("id")
-    else:
-        base = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
-    base = base.persist()
-    n_nodes = base.count()
     # symmetrize; no distinct — MIN is idempotent under duplicates.
     # partition AND sort by src once: the per-iteration sort-merge join
     # reuses the cached layout (no re-shuffle/re-sort of the big side)
@@ -98,6 +92,14 @@ def connected_components(
     # even when the edge table hides a fat derivation (checkpoint.py)
     sym = pin_table(sym.repartition("src").sortWithinPartitions("src"))
     sym.count()
+    if nodes is not None:
+        base = nodes.select("id")
+    else:
+        # universe from the PINNED symmetric table (src alone covers
+        # both endpoints) — never a second pass over the raw lineage
+        base = sym.select(F.col("src").alias("id")).distinct()
+    base = base.persist()
+    n_nodes = base.count()
     t_load = time.time() - t0
 
     loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="components")

@@ -84,9 +84,12 @@ def label_propagation(
     if nodes is not None:
         base = nodes
     else:
+        # universe from the PINNED pairs table — every edge contributes
+        # both endpoints across (node, nbr) in every direction mode, so
+        # this never re-scans the raw edge lineage
         base = (
-            edges.select(F.col("src").alias("id"))
-            .union(edges.select(F.col("dst").alias("id")))
+            pairs.select(F.col("node").alias("id"))
+            .union(pairs.select(F.col("nbr").alias("id")))
             .distinct()
         )
     seed = (
