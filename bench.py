@@ -161,26 +161,36 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     """
     lo = lo or int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi = hi or int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
-    """Run the scaling workload in two fresh JVMs, sequentially."""
+    # best-of-N per level, levels INTERLEAVED (lo,hi,lo,hi,...): this
+    # sandbox host is shared and noisy (the identical sf0.1 bench has
+    # measured 60s-175s across a day); a single run per level folds
+    # that noise straight into the efficiency ratio. The minimum time
+    # per level is the least-interference estimate of the engine's own
+    # cost, and interleaving decorrelates slow host phases from one
+    # parallelism level.
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     import subprocess
 
-    results = {}
-    for n in (lo, hi):
-        env = dict(os.environ)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
-            capture_output=True, text=True, env=env, timeout=1800,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
-        if not line:
-            raise RuntimeError(f"child local[{n}] failed:\n{proc.stdout}\n{proc.stderr[-2000:]}")
-        results[n] = json.loads(line[-1].removeprefix("SCALING_RESULT "))
+    results: dict[int, dict] = {}
+    for _ in range(reps):
+        for n in (lo, hi):
+            env = dict(os.environ)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
+                capture_output=True, text=True, env=env, timeout=1800,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+            if not line:
+                raise RuntimeError(f"child local[{n}] failed:\n{proc.stdout}\n{proc.stderr[-2000:]}")
+            r = json.loads(line[-1].removeprefix("SCALING_RESULT "))
+            if n not in results or r["edges_per_sec"] > results[n]["edges_per_sec"]:
+                results[n] = r
     r_lo, r_hi = results[lo]["edges_per_sec"], results[hi]["edges_per_sec"]
     eff = r_hi / (r_lo * (hi / lo))
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
-        "unit": f"throughput ratio local[{hi}] vs {hi//lo}x local[{lo}]",
+        "unit": f"throughput ratio local[{hi}] vs {hi//lo}x local[{lo}], best of {reps}",
         "lo": results[lo],
         "hi": results[hi],
         "speedup": round(r_hi / r_lo, 2),

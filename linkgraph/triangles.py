@@ -96,7 +96,7 @@ def triangle_count(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     direction: str = "BOTH",
-    hub_cap: int | None = None,
+    hub_cap: int | str | None = None,
 ) -> TriangleResult:
     """Exact triangle counting over an edge table (any orientation).
 
@@ -113,12 +113,22 @@ def triangle_count(
     wedge join — the wedge join's fan-out at a pivot is
     indeg*outdeg, quadratic at a mega-hub, while the reordered plan is
     bounded by m * (hub out-neighbors per closing edge). Exact either
-    way (cross-path equality tested); default off.
+    way (cross-path equality tested); default off. ``"auto"`` probes
+    the cached degree table (one aggregate) and engages the hub path
+    at cap = 4*sqrt(m) only when the max degree exceeds it — the same
+    measured-skew contract as pagerank's ``hot_key_salt="auto"``.
     """
     if direction.upper() not in ("BOTH", "OUTGOING", "INCOMING"):
         raise ValueError(f"bad direction {direction}")
     t0 = time.time()
     org, deg, n_oriented = oriented_edges(edges)
+    if hub_cap == "auto":
+        # skew probe over the PERSISTED degree table: degree-ordering
+        # already bounds the wedge fan-out by O(sqrt(m)) per pivot on
+        # most graphs, so the hub path only pays off past that regime
+        cap = 4 * int(max(1, n_oriented) ** 0.5)
+        mx = deg.agg(F.max("deg").alias("m")).first()["m"] or 0
+        hub_cap = cap if mx > cap else None
 
     e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))

@@ -69,3 +69,20 @@ def test_hub_cap_cross_path_equality(spark):
     ta = {tuple(r) for r in plain.triangles.collect()}
     tb = {tuple(r) for r in capped.triangles.collect()}
     assert ta == tb
+
+
+def test_hub_cap_auto(spark):
+    """auto mode probes max degree: engages the hub path only when the
+    graph actually has a hub past 4*sqrt(m), and stays exact."""
+    rng = np.random.default_rng(13)
+    # hub of degree 40 over ~36 nodes: sqrt(m) ~ 10, cap ~ 40 -> probe
+    # decides; either way the counts must equal the plain path
+    pairs = {("h", f"n{i}") for i in range(40)}
+    pairs |= {(f"n{i}", f"n{j}") for i, j in rng.integers(0, 40, (80, 2)) if i != j}
+    nodes, edges = edges_from_pairs(spark, sorted(pairs))
+    plain = triangle_count(edges, nodes=nodes)
+    auto = triangle_count(edges, nodes=nodes, hub_cap="auto")
+    assert plain.triangle_count == auto.triangle_count
+    a = {(r["id"], r["triangles"]) for r in plain.counts.collect()}
+    b = {(r["id"], r["triangles"]) for r in auto.counts.collect()}
+    assert a == b
