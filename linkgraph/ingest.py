@@ -71,24 +71,30 @@ def derive_graph(source: DataFrame):
     file_edges DataFrame(src, dst, weight=1.0) — importing -> imported file
     repo_edges DataFrame(src_repo, dst_repo, weight) — cross-repo only
     """
-    # persist the content-pruned file dimension (repo, path, key,
-    # module — O(n_files) short strings, no content column): THREE
-    # consumers scan it (dense_ids, the resolve join's module side,
-    # and via nodes both edge-resolution joins), and each uncached
-    # scan re-runs the full source read. Left persisted for the life
-    # of the returned (lazy) frames — the caller's results reference
-    # it; it is the graph's dimension table, sized like `nodes`.
-    files = source.select(
-        "repo", "path", file_key(source).alias("key"), module_of_path().alias("module")
+    # ONE scan of the fat source table: project (repo, path) and run
+    # the Arrow extraction in the same pass, then persist the narrow
+    # result (one row per file, content REPLACED by its import-token
+    # array — O(n_files * avg_imports) short strings). Every downstream
+    # consumer (file dimension, dense ids, the exploded refs, both
+    # edge-resolution joins) reads this cache; at catalog scale the
+    # 100TB content column is read exactly once, where a per-consumer
+    # derivation would re-scan it per branch. Left persisted for the
+    # life of the returned (lazy) frames — it is the graph's dimension
+    # table.
+    extracted = source.select(
+        "repo",
+        "path",
+        extract_imports("content", "lang").alias("imports"),
     ).persist()
+    files = extracted.select(
+        "repo", "path", file_key(extracted).alias("key"), module_of_path().alias("module")
+    )
     nodes = dense_ids(files.select("key"), num_buckets=64).persist()
 
-    refs = (
-        source.select(
-            file_key(source).alias("src_key"),
-            F.col("repo").alias("src_repo"),
-            F.explode(extract_imports("content", "lang")).alias("module"),
-        )
+    refs = extracted.select(
+        file_key(extracted).alias("src_key"),
+        F.col("repo").alias("src_repo"),
+        F.explode("imports").alias("module"),
     )
     resolved = refs.join(
         files.select("module", F.col("key").alias("dst_key"), F.col("repo").alias("dst_repo")),
