@@ -89,7 +89,11 @@ def derive_graph(source: DataFrame):
     files = extracted.select(
         "repo", "path", file_key(extracted).alias("key"), module_of_path().alias("module")
     )
-    nodes = dense_ids(files.select("key"), num_buckets=64).persist()
+    # adaptive bucket count (4x shuffle width): per-bucket rank tasks
+    # stay O(n / cluster-width) at catalog scale; ids change with the
+    # session's shuffle conf but stay a deterministic bijection for a
+    # given config (the only contract downstream consumers rely on)
+    nodes = dense_ids(files.select("key")).persist()
 
     refs = extracted.select(
         file_key(extracted).alias("src_key"),

@@ -75,7 +75,8 @@ def _path_cooccurrence(source: DataFrame) -> tuple[DataFrame, DataFrame]:
         file_key(source).alias("key"),
         F.regexp_replace(F.col("path"), r"/[^/]+$", "").alias("dir"),
     )
-    nodes = dense_ids(files.select("key"), num_buckets=64).persist()
+    # adaptive bucket count — same scale rationale as ingest.derive_graph
+    nodes = dense_ids(files.select("key")).persist()
     keyed = files.join(nodes, "key").select("repo", "dir", "id")
     a = keyed.select("repo", "dir", F.col("id").alias("src"))
     b = keyed.select("repo", "dir", F.col("id").alias("dst"))
