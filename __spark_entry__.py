@@ -426,8 +426,13 @@ def _q_near_dup_lsh(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Multi-probe hyperplane-LSH top-k. n_planes is PINNED (=11, what
+    auto_n_planes gives for the 500-vector sf0.01 corpus) so the
+    bucket assignment is deterministic and the exact output is
+    SQL-oracle-checkable (ann_lsh_topk_sql inlines the same plane
+    literals; the signature expression is engine-exact)."""
     from linkgraph.pipeline import ann_lsh_topk
-    return ann_lsh_topk(_emb(spark, sf_dir), k=5).select(
+    return ann_lsh_topk(_emb(spark, sf_dir), k=5, n_planes=11).select(
         "vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
     )
 
@@ -911,6 +916,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.multimodal import asset_features_sql
     from linkgraph.pipeline.simsearch import (
         ann_ivf_topk_sql,
+        ann_lsh_topk_sql,
         cosine_topk_sql,
         near_dup_pairs_sql,
     )
@@ -948,8 +954,10 @@ def _pipeline_oracles() -> dict[str, str]:
         # banding (r=2, b=32) miss probability at cosine 0.4 is ~8.5e-8
         # per pair, and the in-bucket verify keeps precision exact
         "sim_near_dup_lsh": near_dup_pairs_sql(dim=64, threshold=0.4),
-        # sim_ann_lsh_topk: probabilistic (no oracle — rows-only check;
-        # recall vs the exact top-k is asserted in tests instead)
+        # sim_ann_lsh_topk: approximate in RECALL, deterministic in
+        # OUTPUT at pinned n_planes — exact oracle over the same
+        # inlined plane literals (engine-exact sign bits)
+        "sim_ann_lsh_topk": ann_lsh_topk_sql(dim=64, k=5, n_planes=11),
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
         "multimodal_features": asset_features_sql(n_features=4),

@@ -321,25 +321,40 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
 
 
+def _signature_sql(
+    dim: int, n_planes: int, seed: int, vec: str, extract: str
+) -> str:
+    """Bucket expression: sign bits under the deterministic hyperplane
+    matrix, INLINED as double literals (repr() round-trips IEEE
+    doubles through both SQL parsers). The dot products are the same
+    left-associated explicit sums as the cosine expressions, so Spark
+    and DuckDB compute bit-identical doubles — identical SIGNS — and
+    the bucket assignment is engine-exact, which is what makes
+    ann_lsh_topk SQL-oracle-able."""
+    planes = _planes(dim, n_planes, seed)
+    bits = []
+    for i in range(n_planes):
+        terms = " + ".join(
+            f"CAST({extract}({vec}, {j + 1}) AS DOUBLE) * {planes[j, i]!r}"
+            for j in range(dim)
+        )
+        bits.append(f"CASE WHEN (0.0 + {terms}) > 0 THEN {1 << i} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 def lsh_signatures(
     emb: DataFrame, n_planes: int = 16, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, bucket): sign-bit signature under deterministic random
-    hyperplanes. Vectorized numpy matmul inside mapInPandas."""
+    hyperplanes, evaluated as ONE generated JVM-side expression (no
+    Python in the path; the plane matrix rides inside the plan as
+    literals — dim*n_planes doubles, broadcast-free)."""
     dim = _dim(emb, vec_col)
-    planes = _planes(dim, n_planes, seed)
-
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (M @ planes) > 0
-            bucket = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
-
-    return emb.select(id_col, vec_col).mapInPandas(kernel, schema="vec_id long, bucket long")
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_signature_sql(dim, n_planes, seed, vec_col, "element_at")).alias("bucket"),
+    )
 
 
 def auto_n_planes(n_vectors: int) -> int:
@@ -364,8 +379,11 @@ def ann_lsh_topk(
     corpus size via auto_n_planes so bucket count tracks n.
     multiprobe: also probe the n_planes single-bit-flip neighbor
     buckets of each query (classic multi-probe LSH — recovers most of
-    the recall the hard bucket boundary loses). Probabilistic operator:
-    no SQL oracle; tests measure recall vs cosine_topk.
+    the recall the hard bucket boundary loses). Approximate in RECALL
+    but deterministic in OUTPUT: with a pinned n_planes the exact
+    result is SQL-oracle-checkable (ann_lsh_topk_sql — the signature
+    expression is engine-exact); tests additionally measure recall vs
+    cosine_topk.
     """
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
@@ -403,3 +421,41 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ann_lsh_topk_sql(
+    dim: int, k: int = 5, n_planes: int = 11, seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """Exact DuckDB oracle for ann_lsh_topk(multiprobe=True) at a
+    PINNED n_planes: the engine-exact signature expression
+    (_signature_sql) reproduces the same buckets, the probe set is the
+    same n_planes single-bit flips, and the rerank is the shared
+    cross-engine cosine — so the approximate operator's exact output
+    (not just its recall) is oracle-checkable."""
+    sig_expr = _signature_sql(dim, n_planes, seed, "embedding", "list_extract")
+    cos = cosine_expr_duckdb("a.embedding", "b.embedding", dim)
+    probes = "\n  UNION ALL ".join(
+        ["SELECT vec_id, bucket FROM sig"]
+        + [f"SELECT vec_id, xor(bucket, {1 << i}) FROM sig" for i in range(n_planes)]
+    )
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT vec_id, {sig_expr} AS bucket FROM {table}),
+probes AS (
+  {probes}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS vec_id, d.vec_id AS neighbor_id
+  FROM probes q JOIN sig d ON q.bucket = d.bucket AND q.vec_id != d.vec_id),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id, ROUND({cos}, 6) AS sim
+  FROM cand c
+  JOIN {table} a ON a.vec_id = c.vec_id
+  JOIN {table} b ON b.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
