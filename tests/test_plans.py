@@ -168,3 +168,18 @@ def test_pin_table_preserves_join_layout(spark):
     # original derivation — constant size per superstep
     assert "Scan ExistingRDD" in plan, plan[:800]
     release_state(pinned)
+
+def test_lsh_signature_is_jvm_side_codegen(spark):
+    """lsh_signatures must be one generated JVM expression: no Python
+    eval operators in the plan (the round-1 mapInPandas kernel is
+    gone) and the projection stays inside whole-stage codegen — this
+    is what makes ann_lsh_topk SQL-oracle-able AND keeps the
+    signature pass a pure map over the scan at 100TB."""
+    from linkgraph.pipeline.simsearch import lsh_signatures
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(lsh_signatures(emb, n_planes=11))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.lstrip().startswith("*(")  # whole-stage-codegen Project
+    assert "Exchange" not in plan  # pure map over the scan, no shuffle
