@@ -913,7 +913,7 @@ def _pipeline_oracles() -> dict[str, str]:
         simhash_pairs_sql,
         simhash_table_sql,
     )
-    from linkgraph.pipeline.multimodal import asset_features_sql
+    from linkgraph.pipeline.multimodal import asset_features_sql, video_frames_sql
     from linkgraph.pipeline.simsearch import (
         ann_ivf_topk_sql,
         ann_lsh_topk_sql,
@@ -961,6 +961,8 @@ def _pipeline_oracles() -> dict[str, str]:
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
         "multimodal_features": asset_features_sql(n_features=4),
-        # multimodal_video_frames: mapInPandas UDTF-shaped decode stub —
-        # rows-only check (blob chunk slicing has no clean SQL analog)
+        # video decode stub: the UDTF-shaped mapInPandas chunking is
+        # oracle-exact — byte slicing reproduced in hex-string space
+        # (this DuckDB build lacks blob substring/sha256(BLOB))
+        "multimodal_video_frames": video_frames_sql(frames=4),
     }

@@ -161,6 +161,13 @@ def decode_media(
         schema = "asset_id long, frame_idx long, frame_sig string"
 
         def k_vid(batches):
+            # frame_sig = sha256 of the chunk's lowercase-hex encoding
+            # (not of the raw bytes): hex is injective, so it is an
+            # equally good deterministic fingerprint of the byte
+            # slice, and it is cross-engine verifiable — DuckDB has no
+            # sha256(BLOB)/blob-substring, but char-slicing
+            # lower(hex(payload)) at 2x byte offsets reproduces the
+            # chunking exactly (video_frames_sql).
             for pdf in batches:
                 out_id, out_idx, out_sig = [], [], []
                 for aid, p in zip(pdf["asset_id"], pdf["payload"]):
@@ -170,7 +177,9 @@ def decode_media(
                         chunk = b[fi * step: (fi + 1) * step]
                         out_id.append(aid)
                         out_idx.append(fi)
-                        out_sig.append(hashlib.sha256(chunk).hexdigest()[:16])
+                        out_sig.append(
+                            hashlib.sha256(chunk.hex().encode()).hexdigest()[:16]
+                        )
                 if out_id:
                     yield pd.DataFrame(
                         {"asset_id": out_id, "frame_idx": out_idx, "frame_sig": out_sig}
@@ -179,3 +188,28 @@ def decode_media(
         return sub.mapInPandas(k_vid, schema=schema)
 
     raise ValueError(f"unknown kind {kind!r}")
+
+
+def video_frames_sql(frames: int = 4) -> str:
+    """DuckDB oracle for synth_assets |> decode_media(kind='video'):
+    recomputes the video subset (doc_id % 3 == 2), the byte-boundary
+    chunking (step = max(len//frames, 1)) and the hex-based frame
+    signature over the ``documents`` view. Byte slicing is done in
+    hex-string space (2 chars per byte) because this DuckDB build has
+    no blob substring — identical chunks by construction."""
+    return f"""
+WITH vids AS (
+  SELECT doc_id AS asset_id,
+         lower(hex(encode(text))) AS hexpay,
+         octet_length(encode(text)) AS blen
+  FROM documents WHERE doc_id % 3 = 2),
+s AS (
+  SELECT asset_id, unnest(range({frames})) AS frame_idx,
+         GREATEST(blen // {frames}, 1) AS step, hexpay
+  FROM vids)
+SELECT asset_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       substr(sha256(substr(hexpay, frame_idx * step * 2 + 1, step * 2)), 1, 16)
+         AS frame_sig
+FROM s
+"""
