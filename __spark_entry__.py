@@ -252,6 +252,59 @@ def _q_harmonic_nation(spark, sf_dir):
     )
 
 
+def _nation_sources(edges):
+    """Deterministic sampled source set: every node id % 3 == 0 (the
+    sampled-estimator analog of the personalized query's % 17 rule)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 3 == 0)
+    )
+
+
+def _q_closeness_sampled_nation(spark, sf_dir):
+    """Sampled-source closeness (Eppstein-Wang estimator): BFS only
+    from nodes with id % 3 == 0; farness_hat = (n/|S|) * sum of sampled
+    distances. The oracle restricts the recursive BFS CTE to the same
+    sampled set and applies the same scale."""
+    from linkgraph import closeness_centrality
+    edges = _trade_nation_edges(spark, sf_dir)
+    return closeness_centrality(
+        edges, direction="BOTH", max_hops=8, sources=_nation_sources(edges)
+    ).select(
+        "id", F.round("farness", 6).alias("farness"),
+        F.col("reached").cast("long").alias("reached"),
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
+def _q_harmonic_sampled_nation(spark, sf_dir):
+    """Sampled-source harmonic centrality: h_hat = (n/|S|) * sum of
+    1/dist over sampled sources (v=u term naturally 0 — no exclusion
+    correction needed)."""
+    from linkgraph import harmonic_centrality
+    edges = _trade_nation_edges(spark, sf_dir)
+    return harmonic_centrality(
+        edges, direction="BOTH", max_hops=8, sources=_nation_sources(edges)
+    ).select(
+        "id", F.col("reached").cast("long").alias("reached"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("normalized", 6).alias("normalized"),
+    )
+
+
+def _q_apsp_weighted_sampled_nation(spark, sf_dir):
+    """Weighted shortest-path stream restricted to a sampled source
+    set (the at-scale contract for allShortestPaths: never all-pairs).
+    Oracle: full min-plus doubling matrix filtered to sampled rows."""
+    from linkgraph import all_shortest_paths_stream
+    edges = _trade_nation_edges_w(spark, sf_dir)
+    return all_shortest_paths_stream(
+        edges, sources=_nation_sources(edges), weighted=True, direction="OUTGOING"
+    ).select("source", "target", F.round("distance", 6).alias("distance"))
+
+
 def _returns_digraph(spark, sf_dir):
     """Directed graph with cycles: customer -> supplier for every
     purchase, supplier -> customer for returned items."""
@@ -491,8 +544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
+        "apsp_weighted_sampled_nation": _q_apsp_weighted_sampled_nation,
         "closeness_nation": _q_closeness_nation,
+        "closeness_sampled_nation": _q_closeness_sampled_nation,
         "harmonic_nation": _q_harmonic_nation,
+        "harmonic_sampled_nation": _q_harmonic_sampled_nation,
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "betweenness_nation": _q_betweenness_nation,
@@ -699,16 +755,19 @@ FROM m{rounds} WHERE src = (SELECT MIN(src) FROM e)"""
     return _minplus_doubling(seed, rounds, final)
 
 
-def _apsp_weighted_sql(edge_sql: str, rounds: int = 5) -> str:
+def _apsp_weighted_sql(
+    edge_sql: str, rounds: int = 5, source_pred: str | None = None
+) -> str:
     seed = f"""
 WITH e AS ({edge_sql}),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 m0 AS MATERIALIZED (
   SELECT src, dst, MIN(weight) AS d FROM e GROUP BY 1, 2
   UNION ALL SELECT id, id, CAST(0.0 AS DOUBLE) FROM nodes)"""
+    extra = f" AND {source_pred}" if source_pred else ""
     final = f"""
 SELECT src AS source, dst AS target, ROUND(d, 6) AS distance
-FROM m{rounds} WHERE src != dst"""
+FROM m{rounds} WHERE src != dst{extra}"""
     return _minplus_doubling(seed, rounds, final)
 
 
@@ -869,6 +928,51 @@ FROM nodes nd LEFT JOIN (
   SELECT source AS id, COUNT(*) AS reached, SUM(1.0 / dist) AS harm
   FROM best WHERE dist > 0 GROUP BY source) h ON h.id = nd.id
 """
+    # sampled-source estimators: the SAME recursive BFS restricted to
+    # the sampled source set (id % 3 == 0), scale = n / |S| applied in
+    # the same association order as the engine (scale * sum, then
+    # divides) so doubles stay bit-identical pre-round
+    sampled_bfs_base = f"""
+e AS ({TRADE_NATION_SQL}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+srcs AS (SELECT id FROM nodes WHERE id % 3 = 0),
+bfs(source, id, dist) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT b.source, s.dst, b.dist + 1
+  FROM bfs b JOIN sym s ON s.src = b.id WHERE b.dist < 8
+),
+best AS (SELECT source, id, MIN(dist) AS dist FROM bfs GROUP BY source, id),
+scale AS (SELECT (SELECT COUNT(*) FROM nodes) / (SELECT COUNT(*) FROM srcs) AS sc)
+"""
+    closeness_sampled_sql = f"""
+WITH RECURSIVE {sampled_bfs_base},
+agg AS (
+  SELECT id,
+         (SELECT sc FROM scale) * CAST(SUM(dist) AS DOUBLE) AS farness,
+         COUNT(CASE WHEN dist > 0 THEN 1 END) AS reached
+  FROM best GROUP BY id)
+SELECT n.id AS id,
+       ROUND(COALESCE(a.farness, 0.0), 6) AS farness,
+       CAST(COALESCE(a.reached, 0) AS BIGINT) AS reached,
+       ROUND(CASE WHEN COALESCE(a.farness, 0.0) > 0
+             THEN ((SELECT COUNT(*) FROM nodes) - 1) / a.farness
+             ELSE 0.0 END, 6) AS closeness
+FROM nodes n LEFT JOIN agg a ON a.id = n.id
+"""
+    harmonic_sampled_sql = f"""
+WITH RECURSIVE {sampled_bfs_base},
+agg AS (
+  SELECT id, COUNT(*) AS reached, SUM(1.0 / dist) AS harm
+  FROM best WHERE dist > 0 GROUP BY id)
+SELECT n.id AS id,
+       CAST(COALESCE(a.reached, 0) AS BIGINT) AS reached,
+       ROUND((SELECT sc FROM scale) * COALESCE(a.harm, 0.0), 6) AS harmonic,
+       ROUND(((SELECT sc FROM scale) * COALESCE(a.harm, 0.0))
+             / ((SELECT COUNT(*) FROM nodes) - 1), 6) AS normalized
+FROM nodes n LEFT JOIN agg a ON a.id = n.id
+"""
     scc_sql = f"""
 WITH RECURSIVE
 e AS ({RETURNS_DIGRAPH_SQL}),
@@ -895,8 +999,13 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),
+        "apsp_weighted_sampled_nation": _apsp_weighted_sql(
+            TRADE_NATION_W_SQL, source_pred="src % 3 = 0"
+        ),
         "closeness_nation": closeness_sql,
+        "closeness_sampled_nation": closeness_sampled_sql,
         "harmonic_nation": harmonic_sql,
+        "harmonic_sampled_nation": harmonic_sampled_sql,
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),

@@ -33,12 +33,37 @@ shuffle-volume / rounds tradeoff exactly like the reference's
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import pin_table, release_state
+
+_REVERSE = {"OUTGOING": "INCOMING", "INCOMING": "OUTGOING", "BOTH": "BOTH"}
+
+
+def _warn_all_sources(n_nodes: int, what: str) -> None:
+    """Shared exact-mode gate (same contract as betweenness's
+    exact_warn_nodes): all-sources multi-source state is O(n * reached)
+    rows, which cannot survive a 100x scale-up; the warning points the
+    caller at the sampled estimator."""
+    warnings.warn(
+        f"exact {what} over {n_nodes} nodes makes every node a source "
+        "(O(n*reached) multi-source state); pass sources= for the "
+        "sampled estimator at scale",
+        stacklevel=3,
+    )
+
+
+def _universe(edges: DataFrame) -> DataFrame:
+    e = edges.select("src", "dst")
+    return (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
 
 
 @dataclass
@@ -411,23 +436,67 @@ def closeness_centrality(
     edges: DataFrame,
     direction: str = "BOTH",
     max_hops: int = 64,
+    sources: DataFrame | None = None,
+    exact_warn_nodes: int = 100_000,
 ) -> DataFrame:
     """Closeness = (n - 1) / farness(u), farness = sum of hop distances
     to reachable nodes; 0.0 for isolated/unreachable-everything nodes
     (reference MSClosenessCentrality contract).
 
-    Returns (id, farness, reached, closeness)."""
-    d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
-    nodes = d.select(F.col("source").alias("id")).distinct()
-    n = nodes.count()
-    agg = d.groupBy(F.col("source").alias("id")).agg(
-        F.sum("dist").cast("double").alias("farness"),
-        (F.count("*") - 1).alias("reached"),
+    ``sources=None`` is EXACT mode — every node a BFS source, O(n *
+    reached) multi-source state; above ``exact_warn_nodes`` nodes a
+    warning is emitted (the same gate as betweenness) because exact
+    all-sources mode cannot survive a 100x scale-up.
+
+    ``sources=DataFrame(id)`` is the SAMPLED estimator (Eppstein-Wang):
+    BFS runs only from the sampled set, REVERSED so dist(s_bfs, u) ==
+    dist(u -> s) in the requested direction, and
+
+        farness_hat(u) = (n / |S|) * sum_{s in S} dist(u, s)
+
+    which is unbiased for a uniform sample (the d(u,u)=0 self term
+    contributes 0, so no exclusion correction is needed). closeness is
+    (n-1)/farness_hat as in exact mode; with S = all nodes the
+    estimator reduces to the exact values. ``reached`` in sampled mode
+    is the RAW count of sampled sources at dist > 0 (not scaled).
+
+    Returns (id, farness, reached, closeness) for EVERY node of the
+    graph in both modes."""
+    if sources is None:
+        d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
+        nodes = d.select(F.col("source").alias("id")).distinct()
+        n = nodes.count()
+        if n > exact_warn_nodes:
+            _warn_all_sources(n, "closeness")
+        agg = d.groupBy(F.col("source").alias("id")).agg(
+            F.sum("dist").cast("double").alias("farness"),
+            (F.count("*") - 1).alias("reached"),
+        )
+        return agg.select(
+            "id", "farness", "reached",
+            F.when(F.col("farness") > 0, F.lit(float(n - 1)) / F.col("farness"))
+            .otherwise(F.lit(0.0)).alias("closeness"),
+        )
+    universe = _universe(edges)
+    n = universe.count()
+    n_s = sources.select("id").distinct().count()
+    rev = _REVERSE[direction.upper()]
+    d = ms_bfs_distances(
+        edges, sources=sources.select("id"), direction=rev, max_hops=max_hops
     )
-    return agg.select(
-        "id", "farness", "reached",
-        F.when(F.col("farness") > 0, F.lit(float(n - 1)) / F.col("farness"))
-        .otherwise(F.lit(0.0)).alias("closeness"),
+    scale = float(n) / float(max(n_s, 1))
+    agg = d.groupBy("id").agg(
+        (F.lit(scale) * F.sum("dist").cast("double")).alias("farness"),
+        F.count(F.when(F.col("dist") > 0, 1)).alias("reached"),
+    )
+    return universe.join(agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("farness"), F.lit(0.0)).alias("farness"),
+        F.coalesce(F.col("reached"), F.lit(0)).alias("reached"),
+        F.when(
+            F.coalesce(F.col("farness"), F.lit(0.0)) > 0,
+            F.lit(float(n - 1)) / F.col("farness"),
+        ).otherwise(F.lit(0.0)).alias("closeness"),
     )
 
 
@@ -435,6 +504,8 @@ def harmonic_centrality(
     edges: DataFrame,
     direction: str = "BOTH",
     max_hops: int = 64,
+    sources: DataFrame | None = None,
+    exact_warn_nodes: int = 100_000,
 ) -> DataFrame:
     """Harmonic centrality: h(u) = sum over reachable v != u of
     1 / dist(u, v) — the reference lineage's harmonic variant of
@@ -443,26 +514,57 @@ def harmonic_centrality(
     nodes contribute 0 rather than poisoning the farness sum), which is
     why the lineage added it.
 
+    ``sources=None`` is EXACT mode (every node a source; warned above
+    ``exact_warn_nodes`` — the betweenness gate). ``sources`` switches
+    to the sampled estimator: with g(u,v) = 1/dist(u,v) for reachable
+    v != u else 0, h(u) = sum_v g(u,v) over ALL n nodes (the v = u term
+    is naturally 0), so
+
+        h_hat(u) = (n / |S|) * sum_{s in S} g(u, s)
+
+    is unbiased for a uniform sample with no exclusion correction; BFS
+    runs from the sampled set over the REVERSED direction so distances
+    measure u -> s. ``reached`` in sampled mode is the raw count of
+    sampled sources at dist > 0.
+
     Returns (id, reached, harmonic, normalized) where normalized =
-    harmonic / (n - 1). Shares the batched MS-BFS with closeness —
-    one (source, node)-keyed frontier job per hop level for ALL
-    sources; no per-source driver loop.
+    harmonic / (n - 1), for EVERY node in both modes. Shares the
+    batched MS-BFS with closeness — one (source, node)-keyed frontier
+    job per hop level for ALL sources; no per-source driver loop.
     """
-    d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
-    nodes = d.select(F.col("source").alias("id")).distinct()
-    n = nodes.count()
-    agg = d.filter(F.col("dist") > 0).groupBy(F.col("source").alias("id")).agg(
-        F.count("*").alias("reached"),
-        F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
-    )
+    if sources is None:
+        d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
+        nodes = d.select(F.col("source").alias("id")).distinct()
+        n = nodes.count()
+        if n > exact_warn_nodes:
+            _warn_all_sources(n, "harmonic centrality")
+        agg = d.filter(F.col("dist") > 0).groupBy(F.col("source").alias("id")).agg(
+            F.count("*").alias("reached"),
+            F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+        )
+        nodes_out, scale = nodes, 1.0
+    else:
+        nodes_out = _universe(edges)
+        n = nodes_out.count()
+        n_s = sources.select("id").distinct().count()
+        rev = _REVERSE[direction.upper()]
+        d = ms_bfs_distances(
+            edges, sources=sources.select("id"), direction=rev, max_hops=max_hops
+        )
+        scale = float(n) / float(max(n_s, 1))
+        agg = d.filter(F.col("dist") > 0).groupBy("id").agg(
+            F.count("*").alias("reached"),
+            F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+        )
     return (
-        nodes.join(agg, "id", "left")
+        nodes_out.join(agg, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("reached"), F.lit(0)).alias("reached"),
-            F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+            (F.lit(scale) * F.coalesce(F.col("harmonic"), F.lit(0.0))).alias("harmonic"),
             (
-                F.coalesce(F.col("harmonic"), F.lit(0.0)) / F.lit(float(max(n - 1, 1)))
+                F.lit(scale) * F.coalesce(F.col("harmonic"), F.lit(0.0))
+                / F.lit(float(max(n - 1, 1)))
             ).alias("normalized"),
         )
     )
@@ -474,23 +576,29 @@ def all_shortest_paths_stream(
     weighted: bool = False,
     direction: str = "OUTGOING",
     max_hops: int = 64,
+    exact_warn_nodes: int = 100_000,
 ) -> DataFrame:
     """algo.allShortestPaths.stream analog: (source, target, distance)
     rows. Unweighted uses the MS-BFS batch; weighted uses the batched
     multi-source relax (one Spark job per round for ALL sources — the
     K-source state is (source, id, dist) rows, never a per-source
-    driver loop)."""
+    driver loop).
+
+    ``sources=None`` streams ALL-pairs — O(n * reached) state; above
+    ``exact_warn_nodes`` nodes a warning is emitted (the shared
+    betweenness/closeness gate): at scale pass a sampled ``sources``
+    set and the stream is restricted to those source rows."""
+    if sources is None:
+        sources = _universe(edges)
+        n = sources.count()
+        if n > exact_warn_nodes:
+            _warn_all_sources(
+                n, f"all-pairs shortest paths (weighted={weighted})"
+            )
     if not weighted:
         return ms_bfs_distances(edges, sources, direction, max_hops).select(
             "source", F.col("id").alias("target"), F.col("dist").cast("double").alias("distance")
         ).filter(F.col("source") != F.col("target"))
-    if sources is None:
-        e = edges.select("src", "dst")
-        sources = (
-            e.select(F.col("src").alias("id"))
-            .union(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
     d = ms_relax_distances(
         edges, sources, weighted=True, direction=direction, max_hops=max_hops
     )

@@ -275,3 +275,89 @@ def test_harmonic_centrality_golden(spark):
     assert got["c"] == (2, 1.5, 1.5 / 4)
     assert got["d"] == (1, 1.0, 1.0 / 4)
     assert got["e"] == (1, 1.0, 1.0 / 4)
+
+
+def test_sampled_closeness_full_sources_equals_exact(spark):
+    """Sampled estimator with S = all nodes reduces to exact closeness
+    (scale n/|S| = 1): same farness/reached/closeness per node."""
+    from linkgraph import closeness_centrality
+
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")]
+    )
+    exact = {
+        r["id"]: (r["farness"], r["reached"], round(r["closeness"], 9))
+        for r in closeness_centrality(edges, direction="BOTH").collect()
+    }
+    allsrc = nodes.select("id")
+    sampled = {
+        r["id"]: (r["farness"], r["reached"], round(r["closeness"], 9))
+        for r in closeness_centrality(
+            edges, direction="BOTH", sources=allsrc
+        ).collect()
+    }
+    assert exact == sampled
+
+
+def test_sampled_harmonic_full_sources_equals_exact(spark):
+    from linkgraph import harmonic_centrality
+
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c"), ("d", "e")])
+    exact = {
+        r["id"]: (r["reached"], round(r["harmonic"], 9), round(r["normalized"], 9))
+        for r in harmonic_centrality(edges, direction="BOTH").collect()
+    }
+    sampled = {
+        r["id"]: (r["reached"], round(r["harmonic"], 9), round(r["normalized"], 9))
+        for r in harmonic_centrality(
+            edges, direction="BOTH", sources=nodes.select("id")
+        ).collect()
+    }
+    assert exact == sampled
+
+
+def test_sampled_closeness_scale_factor(spark):
+    """Path a-b-c with S={a}: scale = 3/1; farness_hat(b) = 3 * d(b,a)
+    = 3, closeness(b) = 2/3."""
+    from linkgraph import closeness_centrality
+
+    nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c")])
+    src = nodes.filter(F.col("key") == "a").select("id")
+    got = {
+        r["key"]: (r["farness"], r["reached"], round(r["closeness"], 9))
+        for r in closeness_centrality(edges, direction="BOTH", sources=src)
+        .join(nodes, "id").collect()
+    }
+    assert got["a"] == (0.0, 0, 0.0)  # only own 0-distance sampled
+    assert got["b"] == (3.0, 1, round(2.0 / 3.0, 9))
+    assert got["c"] == (6.0, 1, round(2.0 / 6.0, 9))
+
+
+def test_exact_mode_warns_above_gate(spark):
+    """closeness / harmonic / weighted-APSP share betweenness's
+    exact-mode gate: sources=None over more than exact_warn_nodes
+    nodes emits the O(n^2)-state warning."""
+    import warnings as w
+
+    import pytest
+
+    from linkgraph import (
+        all_shortest_paths_stream,
+        closeness_centrality,
+        harmonic_centrality,
+    )
+
+    _nodes, edges = edges_from_pairs(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    with pytest.warns(UserWarning, match="sources="):
+        closeness_centrality(edges, exact_warn_nodes=2)
+    with pytest.warns(UserWarning, match="sources="):
+        harmonic_centrality(edges, exact_warn_nodes=2)
+    with pytest.warns(UserWarning, match="sources="):
+        all_shortest_paths_stream(edges, weighted=True, exact_warn_nodes=2)
+    # sampled mode must NOT warn
+    with w.catch_warnings():
+        w.simplefilter("error")
+        closeness_centrality(
+            edges, sources=edges.select(F.col("src").alias("id")).distinct(),
+            exact_warn_nodes=2,
+        ).count()
