@@ -235,20 +235,23 @@ def minhash_lsh_pairs(
             for i in range(num_hashes)
         ]
     )
-    # band key: md5 of the concatenated signature slice
-    band_rows = []
+    # band key: md5 of the concatenated signature slice. ALL band keys
+    # come out of ONE pass over the signature aggregate — an explode of
+    # a struct array (the simhash_pairs shape), never a bands-way union
+    # of selects that would re-evaluate the num_hashes-min aggregate
+    # subtree once per band in the candidate join.
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"h{i}").cast("string") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("bkey"),
             )
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.union(br)
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])

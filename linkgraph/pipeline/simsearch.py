@@ -144,7 +144,14 @@ def near_dup_pairs_lsh(
 
     Scale shape (100TB): one shuffle keyed (band, bucket) for candidate
     generation — the O(n^2) pair space is never enumerated; only
-    colliding pairs reach the cosine verification join.
+    colliding pairs reach the cosine verification join. The kernel
+    emits ALL band keys as one array column in a single Arrow pass
+    (posexplode fans it to (vec_id, band, bkey) rows JVM-side), so the
+    corpus is matmul'd exactly once per plan instance — never the
+    bands-way union fan that re-evaluated the kernel per band; the
+    self-join's two sides then share one shuffle via Spark's
+    ReuseExchange (identical exchange subtrees), asserted in
+    tests/test_plans.py.
     """
     n_planes = rows_per_band * bands
     dim = _dim(emb, vec_col)
@@ -156,23 +163,21 @@ def near_dup_pairs_lsh(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (M @ planes) > 0
-            out = {"vec_id": pdf[id_col].to_numpy()}
+            keys = np.empty((len(pdf), bands), dtype=np.int64)
             for b in range(bands):
                 chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
-                out[f"b{b}"] = (
+                keys[:, b] = (
                     chunk.astype(np.int64)
                     << np.arange(rows_per_band, dtype=np.int64)
                 ).sum(axis=1)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "bkeys": list(keys)}
+            )
 
-    schema = "vec_id long, " + ", ".join(f"b{b} long" for b in range(bands))
-    sig = emb.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
-    banded = None
-    for b in range(bands):
-        part = sig.select(
-            "vec_id", F.lit(b).alias("band"), F.col(f"b{b}").alias("bkey")
-        )
-        banded = part if banded is None else banded.union(part)
+    sig = emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id long, bkeys array<long>"
+    )
+    banded = sig.select("vec_id", F.posexplode("bkeys").alias("band", "bkey"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])
