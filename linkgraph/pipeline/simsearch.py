@@ -350,15 +350,43 @@ def _signature_sql(
 def lsh_signatures(
     emb: DataFrame, n_planes: int = 16, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_sql_terms: int = 2048,
 ) -> DataFrame:
     """(vec_id, bucket): sign-bit signature under deterministic random
-    hyperplanes, evaluated as ONE generated JVM-side expression (no
-    Python in the path; the plane matrix rides inside the plan as
-    literals — dim*n_planes doubles, broadcast-free)."""
+    hyperplanes.
+
+    Two physical paths, same buckets:
+
+    * ``dim * n_planes <= max_sql_terms``: ONE generated JVM-side
+      expression (plane matrix inlined as double literals — no Python
+      in the path, whole-stage codegen, SQL-oracle-able).
+    * above the threshold: a vectorized Arrow kernel (mapInPandas
+      numpy matmul) — the generated expression at realistic embedding
+      dims (384-1536 x n_planes) is 10^4-10^5 terms, past Janino's
+      64KB method limit, while the kernel is one BLAS matmul per
+      batch. Signs agree between the paths for any dot product not
+      within ~1e-16*norm of zero (asserted cross-path at dim 256 in
+      tests/test_pipeline.py).
+    """
     dim = _dim(emb, vec_col)
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(_signature_sql(dim, n_planes, seed, vec_col, "element_at")).alias("bucket"),
+    if dim * n_planes <= max_sql_terms:
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(_signature_sql(dim, n_planes, seed, vec_col, "element_at")).alias("bucket"),
+        )
+    planes = _planes(dim, n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bucket = ((M @ planes) > 0).astype(np.int64) @ weights
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id long, bucket long"
     )
 
 
@@ -388,7 +416,10 @@ def ann_lsh_topk(
     but deterministic in OUTPUT: with a pinned n_planes the exact
     result is SQL-oracle-checkable (ann_lsh_topk_sql — the signature
     expression is engine-exact); tests additionally measure recall vs
-    cosine_topk.
+    cosine_topk. The signature auto-routes to the Arrow matmul kernel
+    above lsh_signatures' dim*n_planes threshold, so the operator
+    survives realistic embedding dims (384-1536) where the generated
+    SQL expression would blow past codegen limits.
     """
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())

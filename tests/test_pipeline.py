@@ -298,3 +298,39 @@ def test_jaccard_df_capped_equals_uncapped(spark):
     brute = sorted(map(tuple, jaccard_pairs(docs, n=3, threshold=0.8).collect()))
     capped = sorted(map(tuple, jaccard_pairs_df_capped(docs, n=3, threshold=0.8, df_cap=50).collect()))
     assert brute == capped and len(brute) > 0
+
+
+def test_lsh_signature_paths_agree_at_high_dim(spark):
+    """The generated-SQL signature and the Arrow matmul kernel assign
+    identical buckets at dim 256 (the kernel is the production path
+    above the dim*n_planes codegen threshold; the SQL path remains the
+    oracle-checkable one below it)."""
+    from linkgraph.pipeline.simsearch import lsh_signatures
+
+    rng = np.random.default_rng(7)
+    dim, n = 256, 120
+    rows = [(i, rng.standard_normal(dim).astype("float32").tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sql_path = lsh_signatures(emb, n_planes=12, max_sql_terms=10**9)
+    kernel_path = lsh_signatures(emb, n_planes=12, max_sql_terms=0)
+    a = {r["vec_id"]: r["bucket"] for r in sql_path.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in kernel_path.collect()}
+    assert a == b and len(a) == n
+
+
+def test_lsh_signature_auto_routes_by_dim(spark):
+    """Default threshold keeps sf embeddings (dim 64) on the codegen
+    path and switches a dim-512 corpus to the Arrow kernel."""
+    from linkgraph.pipeline.simsearch import lsh_signatures
+
+    emb64 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan64 = lsh_signatures(emb64, n_planes=11)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan64
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(512).astype("float32").tolist()) for i in range(8)]
+    emb512 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan512 = lsh_signatures(emb512, n_planes=16)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan512
+    # and the kernel path actually produces a row per vector
+    assert lsh_signatures(emb512, n_planes=16).count() == 8
