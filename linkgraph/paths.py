@@ -298,26 +298,86 @@ def shortest_path_pair(
         frontier = merged.filter("improved").select("id", "dist")
         if n_front == 0:
             break
-    # driver-side path walk: one tiny point-lookup job per hop (path
-    # length <= relax rounds) — never a full collect of the distance
-    # table, so the walk is scale-independent
+    # pointer-doubling reconstruction: O(log L) rounds of n-row joins
+    # instead of one full-scan point lookup per path edge (a 1,000-hop
+    # path cost 1,000 jobs in the per-hop walk)
     release_state(e)
-    path = []
-    cur = int(target)
-    total = None
-    while cur is not None:
-        row = dist.filter(F.col("id") == cur).first()
-        if row is None:  # target unreachable
-            release_state(state)
-            return spark.createDataFrame([], "step long, id long, cost double"), None
-        path.append((cur, float(row["dist"])))
-        if total is None:
-            total = float(row["dist"])
-        cur = row["pred"]
+    rows, total, _rounds = _reconstruct_path(dist, target)
     release_state(state)
-    path.reverse()
-    rows = [(i, n, c) for i, (n, c) in enumerate(path)]
+    if rows is None:  # target unreachable
+        return spark.createDataFrame([], "step long, id long, cost double"), None
     return spark.createDataFrame(rows, "step long, id long, cost double"), total
+
+
+def _reconstruct_path(dist: DataFrame, target: int):
+    """Extract the pred-chain target -> ... -> source from a
+    (id, dist, pred) table by POINTER DOUBLING: round k holds a jump
+    table mapping every node to its 2^(k-1)-th predecessor; applying
+    it to the known path-node set doubles the covered suffix each
+    round, so a length-L path needs ceil(log2(L+1)) + 1 rounds (each a
+    bounded number of n-row joins) — never one Spark job per hop. The
+    pred chain is a tree walk, so every covered node's edge-offset
+    from the target (``back``) is unique; the min-aggregate is pure
+    dedup.
+
+    Returns (rows [(step, id, cost)...] ordered source -> target,
+    total_cost, rounds) — (None, None, rounds) when the target has no
+    distance row. The final collect is O(path length) rows only.
+    """
+    spark = dist.sparkSession
+    trow = dist.filter(F.col("id") == target).select("dist").first()
+    if trow is None:
+        return None, None, 0
+    total = float(trow["dist"])
+    links = (
+        dist.select(F.col("id").alias("jid"), F.col("pred").alias("janc"))
+        .filter(F.col("janc").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    jump = links
+    step = 1
+    path_set = spark.createDataFrame(
+        [(int(target), 0)], "id long, back long"
+    ).localCheckpoint(eager=True)
+    n_known = 1
+    rounds = 0
+    while True:
+        rounds += 1
+        ext = path_set.join(jump, path_set["id"] == jump["jid"]).select(
+            F.col("janc").alias("id"), (F.col("back") + F.lit(step)).alias("back")
+        )
+        grown = (
+            path_set.unionByName(ext)
+            .groupBy("id")
+            .agg(F.min("back").alias("back"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = grown.count()
+        release_state(path_set) if rounds > 0 else None
+        path_set = grown
+        if n_new == n_known:
+            break
+        n_known = n_new
+        doubled = (
+            jump.alias("a")
+            .join(jump.alias("b"), F.col("a.janc") == F.col("b.jid"))
+            .select(F.col("a.jid").alias("jid"), F.col("b.janc").alias("janc"))
+            .localCheckpoint(eager=True)
+        )
+        if jump is not links:
+            release_state(jump)
+        jump = doubled
+        step *= 2
+    out = path_set.join(dist.select("id", "dist"), "id").select("id", "back", "dist").collect()
+    if jump is not links:
+        release_state(jump)
+    release_state(links)
+    release_state(path_set)
+    total_steps = max(r["back"] for r in out)
+    rows = sorted(
+        ((int(total_steps - r["back"]), int(r["id"]), float(r["dist"])) for r in out),
+    )
+    return rows, total, rounds
 
 
 # ------------------------------------------- multi-source weighted relax

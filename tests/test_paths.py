@@ -361,3 +361,23 @@ def test_exact_mode_warns_above_gate(spark):
             edges, sources=edges.select(F.col("src").alias("id")).distinct(),
             exact_warn_nodes=2,
         ).count()
+
+
+def test_path_reconstruction_pointer_doubling_rounds(spark):
+    """Reconstruction of a 32-edge pred chain takes O(log L) doubling
+    rounds (7 for L=32), not one round per hop."""
+    import math
+
+    from linkgraph.paths import _reconstruct_path
+
+    rows = [(i, float(i), i - 1 if i > 0 else None) for i in range(33)]
+    dist = spark.createDataFrame(rows, "id long, dist double, pred long")
+    path, total, rounds = _reconstruct_path(dist, 32)
+    assert total == 32.0
+    assert [p[0] for p in path] == list(range(33))  # steps source->target
+    assert [p[1] for p in path] == list(range(33))  # chain ids in order
+    assert rounds <= math.ceil(math.log2(34)) + 1, rounds
+
+    # unreachable target: no distance row
+    none_path, none_total, _ = _reconstruct_path(dist, 999)
+    assert none_path is None and none_total is None
