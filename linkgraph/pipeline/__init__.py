@@ -45,6 +45,10 @@ from linkgraph.pipeline.multimodal import (
     synth_assets,
     asset_features,
     decode_media,
+    decode_png,
+    decode_wav_pcm16,
+    encode_png,
+    encode_wav_pcm16,
 )
 
 __all__ = [
@@ -55,4 +59,5 @@ __all__ = [
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
+    "encode_wav_pcm16", "decode_wav_pcm16", "encode_png", "decode_png",
 ]
