@@ -203,6 +203,7 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -222,10 +223,20 @@ def ann_ivf_topk(
     n_centroids ~ sqrt(n)); assignment is one broadcast join + argmax
     (no shuffle of the vector table beyond the final per-list
     grouping); search touches n_probe/n_centroids of the corpus per
-    query. Recall depends on the centroid quality — rank-stride
-    sampling is the deterministic baseline; a k-means refinement would
-    drop in here without changing the search plan (same
-    assignment/probe contract).
+    query. Vector and centroid NORMS are precomputed once per row
+    (never re-expanded per scored pair — at sqrt(n) centroids the
+    inline expansion costs dim extra multiplies per (vector, centroid)
+    pair); the factored dot/(vnorm*cnorm) is the identical IEEE
+    expression tree, so the SQL oracle is unaffected.
+
+    ``kmeans_iters > 0`` runs that many deterministic Lloyd
+    refinements of the rank-stride seed (assign by argmax round-6
+    cosine with centroid-id tie-break, recompute centroids as
+    element-wise cluster means, empty clusters keep their previous
+    vector) before the search — same seed, same result, no RNG; the
+    search plan (assignment/probe contract) is unchanged. The exact
+    SQL oracle covers kmeans_iters=0; the refined path is
+    recall-tested against the rank-stride baseline in pytest.
 
     Returns (vec_id, neighbor_id, sim, rank).
     """
@@ -249,24 +260,59 @@ def ann_ivf_topk(
         )
     )
 
+    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    norm = lambda c: F.sqrt(F.expr(_dot_sql(c, c, dim, "element_at")))  # noqa: E731
+    vecs = vecs.withColumn("vnorm", norm("v"))
+
+    for _ in range(max(0, kmeans_iters)):
+        cents_n = centroids.withColumn("cnorm", norm("cvec"))
+        scored = vecs.join(F.broadcast(cents_n)).select(
+            "vid", "v", "cent_id",
+            F.round(
+                F.expr(_dot_sql("v", "cvec", dim, "element_at"))
+                / (F.col("vnorm") * F.col("cnorm")), 6,
+            ).alias("csim"),
+        )
+        wa = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+        assigned = scored.withColumn("crank", F.row_number().over(wa)).filter(
+            F.col("crank") == 1
+        )
+        means = assigned.groupBy("cent_id").agg(
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
+            ).alias("mvec")
+        )
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = (
+            centroids.join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce("mvec", "cvec").alias("cvec"))
+        )
+
     # assignment + probes in one broadcast join: rank centroids per
     # vector by (round-6 cosine DESC, cent_id ASC) — rank 1 is the
     # vector's inverted list, ranks 1..n_probe are its query probes
-    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    scored = vecs.join(F.broadcast(centroids)).select(
-        "vid", "v", "cent_id",
-        F.round(cosine_expr_spark("v", "cvec", dim), 6).alias("csim"),
+    cents_n = centroids.withColumn("cnorm", norm("cvec"))
+    scored = vecs.join(F.broadcast(cents_n)).select(
+        "vid", "v", "vnorm", "cent_id",
+        F.round(
+            F.expr(_dot_sql("v", "cvec", dim, "element_at"))
+            / (F.col("vnorm") * F.col("cnorm")), 6,
+        ).alias("csim"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
     ranked_cents = scored.withColumn("crank", F.row_number().over(w))
     assign = ranked_cents.filter(F.col("crank") == 1).select(
-        F.col("vid").alias("neighbor_id"), F.col("v").alias("eb"), "cent_id"
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("eb"),
+        F.col("vnorm").alias("nb"), "cent_id",
     )
     probes = ranked_cents.filter(F.col("crank") <= n_probe).select(
-        F.col("vid").alias("vec_id"), F.col("v").alias("ea"), "cent_id"
+        F.col("vid").alias("vec_id"), F.col("v").alias("ea"),
+        F.col("vnorm").alias("na"), "cent_id",
     )
 
-    sim = F.round(cosine_expr_spark("ea", "eb", dim), 6).alias("sim")
+    sim = F.round(
+        F.expr(_dot_sql("ea", "eb", dim, "element_at")) / (F.col("na") * F.col("nb")), 6
+    ).alias("sim")
     cands = (
         probes.join(assign, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))

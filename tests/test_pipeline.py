@@ -390,6 +390,16 @@ def test_ann_ivf_recall_and_determinism(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
+    # deterministic Lloyd refinement: still bit-stable on rerun, and
+    # recall on the clustered corpus >= the rank-stride seed's
+    k1 = sorted(map(tuple, ann_ivf_topk(
+        emb, k=3, n_centroids=12, n_probe=3, kmeans_iters=2).collect()))
+    k2 = sorted(map(tuple, ann_ivf_topk(
+        emb, k=3, n_centroids=12, n_probe=3, kmeans_iters=2).collect()))
+    assert k1 == k2
+    recall_km = len(exact & {(r[0], r[1]) for r in k1}) / len(exact)
+    assert recall_km >= recall, (recall_km, recall)
+
 
 def test_jaccard_df_capped_equals_uncapped(spark):
     """On the sf docs the df-capped candidate path finds the same
