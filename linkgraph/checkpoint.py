@@ -74,9 +74,19 @@ def release_state(df: DataFrame | None) -> bool:
     return freed
 
 
-def pin_table(df: DataFrame) -> DataFrame:
+def pin_table(df: DataFrame, path: str | None = None) -> DataFrame:
     """Materialize a LOOP-INVARIANT table: truncate its plan AND keep
     columnar scans.
+
+    ``path`` switches to the DURABLE variant: one parquet write +
+    re-read instead of localCheckpoint+persist. Single storage (no
+    second in-memory copy), constant tiny plan (a FileScan), columnar
+    reads via the parquet reader, and — unlike a localCheckpoint,
+    which dies with its executors — the pinned table survives executor
+    loss and even a driver restart (a later session re-reads the same
+    path). This is the right mode on a cluster run that already has a
+    checkpoint_dir; the in-memory mode stays the default for
+    local/iterative work where the extra write would dominate.
 
     For a table an iterative loop re-references every superstep,
     ``persist()`` alone is not enough: the cached data is reused but
@@ -96,9 +106,14 @@ def pin_table(df: DataFrame) -> DataFrame:
     outputOrdering survive both layers, so pre-shuffled pre-sorted
     join layouts still get reused (asserted in tests/test_plans.py).
     Costs one extra materialization pass and a second (columnar) copy
-    of the table; on a durable-checkpoint cluster run, prefer a
-    parquet round-trip for the same effect with single storage. Free
-    with ``release_state`` (it drops BOTH layers)."""
+    of the table. Free with ``release_state`` (it drops BOTH layers;
+    a no-op for the durable variant, whose files persist until the
+    caller removes them). NOTE: a parquet round-trip does NOT preserve
+    physical outputPartitioning/outputOrdering — joins against a
+    durable pin re-shuffle, the normal cluster-run cost."""
+    if path is not None:
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
     pinned = df.localCheckpoint(eager=True).persist()
     pinned.count()
     return pinned
@@ -127,6 +142,27 @@ class TerminationFlag:
 
 
 class SuperstepLoop:
+    """Superstep state manager (see module docstring).
+
+    FAULT-TOLERANCE TRADEOFF: every non-durable superstep truncates
+    lineage with localCheckpoint, whose blocks live only in executor
+    storage — on a real cluster, losing an executor makes that state
+    unrecoverable (a plain persist() could recompute from lineage, but
+    its plan growth is the measured superlinear driver blowup this
+    class exists to prevent). Cluster runs should therefore always set
+    ``checkpoint_dir``: recovery cost is then bounded by ``every``
+    supersteps of replay from the last durable parquet state. ``every``
+    governs ONLY the durable-parquet cadence (manifest/resume
+    granularity); in-memory truncation happens every superstep
+    regardless.
+
+    ``context`` is written into every manifest line — record anything
+    the resumed session must reproduce to join the checkpointed state
+    correctly, e.g. the dense-id ``num_buckets`` of a derived graph
+    (ids change with bucket count: a resume under a different shuffle
+    conf would otherwise silently join mismatched id spaces).
+    """
+
     def __init__(
         self,
         spark,
@@ -134,12 +170,14 @@ class SuperstepLoop:
         every: int = 5,
         name: str = "state",
         termination: TerminationFlag | None = None,
+        context: dict | None = None,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
         self.every = max(1, every)
         self.name = name
         self.termination = termination
+        self.context = context or {}
         self._current: DataFrame | None = None
         self._manifest_path = None
         if self.dir:
@@ -167,6 +205,9 @@ class SuperstepLoop:
                 last = entry
         if last is None:
             return None
+        # surface the recorded context (e.g. dense-id num_buckets) so
+        # the resuming session can validate/reproduce the id space
+        self.last_context = last.get("context", {})
         df = self.spark.read.parquet(last["path"])
         self._current = df.persist()
         return last["iteration"], self._current
@@ -242,6 +283,7 @@ class SuperstepLoop:
             "final": final,
             "partitions": parts,
             "metrics": metrics or {},
+            "context": self.context,
         }
         with open(self._manifest_path, "a") as f:
             f.write(json.dumps(line) + "\n")

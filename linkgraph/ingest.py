@@ -64,12 +64,43 @@ def module_of_path() -> F.Column:
     return F.concat_ws(".", F.col("repo"), F.regexp_replace(stem, "/", "."))
 
 
-def derive_graph(source: DataFrame):
-    """Return (nodes, file_edges, repo_edges) from the source table.
+class DerivedGraph(tuple):
+    """(nodes, file_edges, repo_edges) triple (unpacks like before)
+    with ``release()``: unpersists the cached import-token, node-id
+    and resolution tables the derivation keeps live. After release the
+    returned frames still WORK but recompute from the source table on
+    next use — call it once the derived frames are materialized
+    (written, pinned, or the job is done)."""
+
+    def __new__(cls, nodes, file_edges, repo_edges, caches):
+        obj = super().__new__(cls, (nodes, file_edges, repo_edges))
+        obj._caches = list(caches)
+        return obj
+
+    def release(self) -> None:
+        for c in self._caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+        self._caches = []
+
+
+def derive_graph(source: DataFrame, num_buckets: int | None = None) -> DerivedGraph:
+    """Return DerivedGraph(nodes, file_edges, repo_edges) — a plain
+    3-tuple plus ``release()`` for the internal caches.
 
     nodes      DataFrame(id, key) with key = "repo/path"
     file_edges DataFrame(src, dst, weight=1.0) — importing -> imported file
     repo_edges DataFrame(src_repo, dst_repo, weight) — cross-repo only
+
+    ``num_buckets`` pins the dense-id bucket count. Default (None)
+    adapts to the session's shuffle width — a deterministic bijection
+    per config, but the CONCRETE ids change across differently-sized
+    sessions; any job that durably checkpoints state keyed by these
+    ids (SuperstepLoop + checkpoint_dir) must pass an explicit value
+    and record it in the loop's manifest ``context`` so a resume
+    rebuilds the same id space.
     """
     # ONE scan of the fat source table: project (repo, path) and run
     # the Arrow extraction in the same pass, then persist the narrow
@@ -93,7 +124,7 @@ def derive_graph(source: DataFrame):
     # stay O(n / cluster-width) at catalog scale; ids change with the
     # session's shuffle conf but stay a deterministic bijection for a
     # given config (the only contract downstream consumers rely on)
-    nodes = dense_ids(files.select("key")).persist()
+    nodes = dense_ids(files.select("key"), num_buckets=num_buckets).persist()
 
     refs = extracted.select(
         file_key(extracted).alias("src_key"),
@@ -119,4 +150,4 @@ def derive_graph(source: DataFrame):
         .groupBy(F.col("src_repo"), F.col("dst_repo"))
         .agg(F.count("*").cast("double").alias("weight"))
     )
-    return nodes, file_edges, repo_edges
+    return DerivedGraph(nodes, file_edges, repo_edges, [extracted, nodes, resolved])

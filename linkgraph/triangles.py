@@ -43,6 +43,19 @@ class TriangleResult:
     avg_coefficient: float
     node_count: int
     stats: dict = field(default_factory=dict)
+    _caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the cached oriented-edge / per-node-count tables
+        kept live for the lazy ``triangles`` stream (and the persisted
+        ``counts``). Call when done consuming; afterwards the lazy
+        frames still work but recompute from the source edges."""
+        for c in self._caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+        self._caches = []
 
 
 def _undirected_simple(edges: DataFrame) -> DataFrame:
@@ -211,4 +224,5 @@ def triangle_count(
         avg_coefficient=avg_c,
         node_count=node_count,
         stats=stats,
+        _caches=[org, per_node, counts],
     )

@@ -72,3 +72,52 @@ def test_resume_after_completion_no_duplicates(spark, tmp_path):
     it, df = resumed
     assert it == 3
     assert df.count() == 5  # iteration state, NOT the final union
+
+
+def test_pin_table_durable_parquet(spark, tmp_path):
+    """pin_table(path=...) pins through a parquet round-trip: the
+    pinned plan is a FileScan (constant size, single storage), values
+    are preserved exactly, and a LATER reader session-equivalent
+    (fresh read of the same path) sees identical data — the
+    resumability property localCheckpoint cannot give."""
+    from linkgraph.checkpoint import pin_table, release_state
+
+    src = spark.range(0, 1000).selectExpr(
+        "id AS src", "(id * 7) % 100 AS dst", "CAST(id % 5 AS DOUBLE) AS weight"
+    )
+    path = str(tmp_path / "pinned_edges")
+    pinned = pin_table(src, path=path)
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "Scan ExistingRDD" not in plan
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, src.collect()))
+    # release is a safe no-op; the files survive and re-read identically
+    release_state(pinned)
+    again = spark.read.parquet(path)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_manifest_context_round_trips(spark, tmp_path):
+    """The loop context (e.g. dense-id num_buckets of a derived graph)
+    is written into every manifest line and surfaced on resume — the
+    contract that lets a resumed session rebuild the same id space."""
+    import json
+
+    from linkgraph.checkpoint import SuperstepLoop
+
+    d = str(tmp_path / "ckpt")
+    loop = SuperstepLoop(
+        spark, checkpoint_dir=d, every=1, name="ctx", context={"num_buckets": 64}
+    )
+    st = spark.createDataFrame([(1, 0.5)], "id long, rank double")
+    loop.advance(0, st, metrics={"delta": 1.0})
+    with open(f"{d}/ctx_manifest.jsonl") as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    assert lines[-1]["context"] == {"num_buckets": 64}
+    loop.close()
+
+    loop2 = SuperstepLoop(spark, checkpoint_dir=d, name="ctx")
+    it, state = loop2.resume()
+    assert it == 0 and state.count() == 1
+    assert loop2.last_context == {"num_buckets": 64}
+    loop2.close()

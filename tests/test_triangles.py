@@ -86,3 +86,24 @@ def test_hub_cap_auto(spark):
     a = {(r["id"], r["triangles"]) for r in plain.counts.collect()}
     b = {(r["id"], r["triangles"]) for r in auto.counts.collect()}
     assert a == b
+
+
+def test_triangle_result_release(spark):
+    """TriangleResult.release() frees the oriented-edge/per-node
+    caches kept live for the lazy triple stream; the stream still
+    recomputes after release."""
+    from linkgraph import triangle_count
+    from linkgraph.ids import edges_from_pairs
+
+    spark.catalog.clearCache()
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    _nodes, edges = edges_from_pairs(
+        spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    )
+    res = triangle_count(edges)
+    assert res.triangle_count == 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
+    res.release()
+    # the fixture's own persisted nodes frame may remain; engine caches gone
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before + 1
+    assert res.triangles.count() == 1
