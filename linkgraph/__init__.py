@@ -35,7 +35,7 @@ from linkgraph.paths import (
 from linkgraph.mst import minimum_spanning_forest, minimum_spanning_tree, MstResult
 from linkgraph.betweenness import betweenness_centrality, BetweennessResult
 from linkgraph.registry import algo_list, is_finite, is_infinite
-from linkgraph.io import edges_from_sql, write_results
+from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_results
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
 from linkgraph.graphs import degree_histogram
 from linkgraph.loader import LinkGraph
@@ -62,6 +62,8 @@ __all__ = [
     "sssp_delta_stepping",
     "ms_bfs_distances",
     "edges_from_sql",
+    "iceberg_available",
+    "read_table",
     "degree_histogram",
     "LinkGraph",
     "TerminationFlag",

@@ -22,6 +22,56 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the session classpath
+    (iceberg-spark-runtime jar). This sandbox ships without it, so the
+    probe gates every ``format='iceberg'`` branch behind a clear error
+    instead of an opaque ClassNotFoundException mid-plan."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, source: str, format: str = "auto") -> DataFrame:
+    """Scan entry point for the BASELINE "Iceberg catalog" boundary.
+
+    Accepted forms:
+
+      * ``iceberg:catalog.db.table`` (or ``format='iceberg'``) — an
+        Iceberg CATALOG TABLE read via the DataSource-V2 path
+        (snapshot isolation, partition evolution, hidden-partition
+        pruning all come from the Iceberg runtime). Requires the
+        iceberg-spark-runtime jar + a configured catalog; when absent
+        (this sandbox) raises RuntimeError with the wiring
+        instructions instead of failing mid-plan.
+      * a filesystem path (``format`` auto/parquet) — an
+        Iceberg-LAYOUT parquet directory read through the native
+        parquet source. This is the tested path here: all driver
+        correctness/bench tables are parquet directories, and every
+        engine operator consumes the DataFrame regardless of which
+        scan produced it.
+    """
+    ident = source
+    if format == "auto":
+        format = "iceberg" if source.startswith("iceberg:") else "parquet"
+    if format == "iceberg":
+        ident = source.removeprefix("iceberg:")
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath: add the "
+                "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
+                "config to read Iceberg catalog tables; Iceberg-layout "
+                f"parquet paths read natively (read_table(spark, {ident!r}, "
+                "format='parquet'))"
+            )
+        return spark.read.table(ident)
+    return spark.read.format(format).load(source)
+
+
 def edges_from_sql(
     spark: SparkSession,
     sql: str,
@@ -72,7 +122,17 @@ def write_results(
     the engine analog of the reference's YIELD writeMillis/nodes row.
     Row count comes from the written parquet footers (metadata-only
     second job, no recompute of the result plan).
+
+    ``format='iceberg'`` routes through the DataSource-V2 writer when
+    the Iceberg runtime is present (probed), with a clear error here
+    where it is not — the sink contract mirrors read_table's boundary.
     """
+    if format == "iceberg" and not iceberg_available(df.sparkSession):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; write_results supports "
+            "format='iceberg' only with the iceberg-spark-runtime jar + a "
+            "configured catalog (parquet is the tested sink here)"
+        )
     t0 = time.time()
     writer = df.write.mode(mode).format(format)
     if partition_by:
