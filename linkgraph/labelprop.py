@@ -106,7 +106,10 @@ def label_propagation(
     n_nodes = init.count()
     t_load = time.time() - t0
 
-    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="labelprop")
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="labelprop",
+        max_steps=max_iter,
+    )
     labels = loop.advance(0, init.select("id", "label"), force_checkpoint=bool(checkpoint_dir))
 
     converged = False

@@ -268,7 +268,7 @@ def pagerank(
 
     loop = SuperstepLoop(
         spark, checkpoint_dir, every=checkpoint_every, name="pagerank",
-        termination=termination,
+        termination=termination, max_steps=max_iter,
     )
     start_iter = 0
     ranks = None

@@ -353,7 +353,7 @@ def _reconstruct_path(dist: DataFrame, target: int):
             .localCheckpoint(eager=True)
         )
         n_new = grown.count()
-        release_state(path_set) if rounds > 0 else None
+        release_state(path_set)
         path_set = grown
         if n_new == n_known:
             break

@@ -135,6 +135,7 @@ def triangle_count(
         raise ValueError(f"bad direction {direction}")
     t0 = time.time()
     org, deg, n_oriented = oriented_edges(edges)
+    t_orient = time.time() - t0
     if hub_cap == "auto":
         # skew probe over the PERSISTED degree table: degree-ordering
         # already bounds the wedge fan-out by O(sqrt(m)) per pivot on
@@ -214,6 +215,9 @@ def triangle_count(
         "triangleCount": n_tri,
         "averageClusteringCoefficient": avg_c,
         "orientedEdges": n_oriented,
+        # orient_s = load analog (canonicalize+degree+orient, one-off);
+        # the wedge join + counting phase is compute_s - orient_s
+        "orient_s": round(t_orient, 4),
         "compute_s": round(time.time() - t0, 4),
     }
     deg.unpersist()

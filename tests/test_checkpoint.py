@@ -121,3 +121,28 @@ def test_manifest_context_round_trips(spark, tmp_path):
     assert it == 0 and state.count() == 1
     assert loop2.last_context == {"num_buckets": 64}
     loop2.close()
+
+
+def test_progress_logger_percent_surface(spark, caplog):
+    """ProgressLogger (reference ProgressLogger analog): throttled
+    percent lines through the linkgraph.progress channel + a readable
+    fraction; SuperstepLoop ticks it when max_steps is known."""
+    import logging
+
+    from linkgraph.checkpoint import ProgressLogger, SuperstepLoop
+
+    pl = ProgressLogger(task="unit", step_pct=10.0)
+    with caplog.at_level(logging.INFO, logger="linkgraph.progress"):
+        for i in range(101):
+            pl.log_progress(i, 100)
+    assert pl.fraction == 1.0
+    msgs = [r.getMessage() for r in caplog.records]
+    assert "unit 100%" in msgs
+    assert 5 <= len(msgs) <= 15  # throttled, not 101 lines
+
+    loop = SuperstepLoop(spark, name="pr", max_steps=4)
+    st = spark.createDataFrame([(1, 1.0)], "id long, rank double")
+    for it in range(1, 5):
+        st = loop.advance(it, st)
+    assert loop.progress.fraction == 1.0
+    loop.close()

@@ -69,3 +69,30 @@ def test_star_cc_mega_hub(spark):
     res = connected_components(hub, algorithm="star", max_iter=10)
     assert res.set_count == 1
     assert res.components.filter(F.col("comp") != 0).count() == 0
+
+
+def test_wcc_hub_split_equals_plain(spark):
+    """hub_cap splits hub-src edges onto the broadcast-label path;
+    the label fixpoint is identical to the plain join (MIN is
+    split-invariant). Star fixture forces the hub down the hot path."""
+    from linkgraph import connected_components
+    from linkgraph.ids import edges_from_pairs
+
+    pairs = [("hub", f"n{i}") for i in range(40)] + [("x", "y")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    plain = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges).components.collect()
+    }
+    res = connected_components(edges, hub_cap=4)
+    assert res.stats["hub_split"] == 1  # only the hub exceeds deg 4
+    split = {(r["id"], r["comp"]) for r in res.components.collect()}
+    assert plain == split
+
+    # auto mode: engages on the skewed star, stays off on a uniform ring
+    auto = connected_components(edges, hub_cap="auto")
+    assert {(r["id"], r["comp"]) for r in auto.components.collect()} == plain
+    ring = [(str(i), str((i + 1) % 12)) for i in range(12)]
+    _n2, ring_edges = edges_from_pairs(spark, ring)
+    off = connected_components(ring_edges, hub_cap="auto")
+    assert off.stats["hub_split"] == 0
