@@ -146,7 +146,18 @@ def triangle_count(
 
     e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    # SHUFFLE_HASH for the closing-edge existence check: the probe side
+    # is the WEDGE table (up to sum deg^2/2 rows — orders of magnitude
+    # larger than the m-row edge table), and a sort-merge semi would
+    # sort it; hashing the m-row closing side instead keeps the wedge
+    # stream sort-free, which also removes the lo-vs-hi spill asymmetry
+    # (8 concurrent 1/8-memory sorts spill where 2 half-memory sorts
+    # don't — measured as a scaling-efficiency cliff on the bench's
+    # Pareto graph). The reference's exists(v,w) binary search maps to
+    # exactly this hashed existence probe.
+    closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w")).hint(
+        "shuffle_hash"
+    )
     if hub_cap is None:
         wedges = e1.join(e2, "v")
         tri = wedges.join(closing, ["u", "w"], "left_semi")
