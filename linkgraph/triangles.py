@@ -110,6 +110,8 @@ def triangle_count(
     nodes: DataFrame | None = None,
     direction: str = "BOTH",
     hub_cap: int | str | None = None,
+    closing_strategy: str = "auto",
+    closing_broadcast_max: int = 500_000,
 ) -> TriangleResult:
     """Exact triangle counting over an edge table (any orientation).
 
@@ -130,6 +132,21 @@ def triangle_count(
     the cached degree table (one aggregate) and engages the hub path
     at cap = 4*sqrt(m) only when the max degree exceeds it — the same
     measured-skew contract as pagerank's ``hot_key_salt="auto"``.
+    closing_strategy: how the closing-edge existence check runs.
+    ``"broadcast"`` hashes the m-row closing table once and ships it to
+    every task, so the (up to sum deg^2/2)-row wedge stream is probed
+    IN the wedge-join stage and never shuffled at all.
+    ``"shuffle_hash"`` hash-partitions both sides on (u,w) — the scale
+    default. ``"auto"`` picks broadcast iff the measured oriented-edge
+    count <= closing_broadcast_max, else shuffle_hash. The default cap
+    is ~500k rows (~8MB of long pairs, Spark's own
+    autoBroadcastJoinThreshold philosophy), NOT "whatever fits in
+    memory": the broadcast build is SERIAL (driver collects m rows,
+    builds one hash relation, ships it), a constant cost that Amdahl-
+    caps scaling — measured on the 4.2M-edge scaling graph: broadcast
+    8.3s@2cores/4.5s@8cores (1.85x for 4x cores) vs shuffle_hash
+    10.2s/3.1s (3.28x). Broadcast only pays when the closing table is
+    small enough that its build time is noise.
     """
     if direction.upper() not in ("BOTH", "OUTGOING", "INCOMING"):
         raise ValueError(f"bad direction {direction}")
@@ -146,17 +163,23 @@ def triangle_count(
 
     e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    # SHUFFLE_HASH for the closing-edge existence check: the probe side
-    # is the WEDGE table (up to sum deg^2/2 rows — orders of magnitude
-    # larger than the m-row edge table), and a sort-merge semi would
-    # sort it; hashing the m-row closing side instead keeps the wedge
-    # stream sort-free, which also removes the lo-vs-hi spill asymmetry
-    # (8 concurrent 1/8-memory sorts spill where 2 half-memory sorts
-    # don't — measured as a scaling-efficiency cliff on the bench's
-    # Pareto graph). The reference's exists(v,w) binary search maps to
+    # The closing-edge existence check never sorts the wedge stream
+    # (a sort-merge semi would sort up to sum deg^2/2 rows): hash the
+    # m-row closing side instead — broadcast when m fits (the wedge
+    # stream is then probed inside the wedge-join stage and never
+    # shuffled), shuffle-hash otherwise (the 100TB path; still
+    # sort-free, which also removes the lo-vs-hi spill asymmetry
+    # measured as a scaling-efficiency cliff on the bench's Pareto
+    # graph). The reference's exists(v,w) binary search maps to
     # exactly this hashed existence probe.
+    if closing_strategy not in ("auto", "broadcast", "shuffle_hash"):
+        raise ValueError(f"bad closing_strategy {closing_strategy}")
+    if closing_strategy == "auto":
+        closing_strategy = (
+            "broadcast" if n_oriented <= closing_broadcast_max else "shuffle_hash"
+        )
     closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w")).hint(
-        "shuffle_hash"
+        closing_strategy
     )
     if hub_cap is None:
         wedges = e1.join(e2, "v")

@@ -107,3 +107,27 @@ def test_triangle_result_release(spark):
     # the fixture's own persisted nodes frame may remain; engine caches gone
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before + 1
     assert res.triangles.count() == 1
+
+
+def test_closing_strategy_cross_equality_and_plan(spark):
+    """broadcast and shuffle_hash closing probes return identical
+    triangles; auto picks broadcast under the cap (and the plan shows
+    a BroadcastHashJoin for the closing semi-join) and shuffle_hash
+    above it."""
+    nodes, edges = edges_from_pairs(spark, TRI_K4_TAIL_EDGES)
+    bc = triangle_count(edges, nodes=nodes, closing_strategy="broadcast")
+    sh = triangle_count(edges, nodes=nodes, closing_strategy="shuffle_hash")
+    assert bc.triangle_count == sh.triangle_count
+    assert {tuple(r) for r in bc.triangles.collect()} == {
+        tuple(r) for r in sh.triangles.collect()
+    }
+    # auto == broadcast for a tiny graph (m << 500k cap)
+    auto = triangle_count(edges, nodes=nodes)
+    plan = auto.triangles._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # above the cap auto degrades to shuffle_hash
+    forced = triangle_count(edges, nodes=nodes, closing_broadcast_max=1)
+    plan2 = forced.triangles._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan2
+    for r in (bc, sh, auto, forced):
+        r.release()
