@@ -46,10 +46,10 @@ class TriangleResult:
     _caches: list = field(default_factory=list, repr=False)
 
     def release(self) -> None:
-        """Unpersist the cached oriented-edge / per-node-count tables
-        kept live for the lazy ``triangles`` stream (and the persisted
-        ``counts``). Call when done consuming; afterwards the lazy
-        frames still work but recompute from the source edges."""
+        """Unpersist the cached oriented-edge table kept live for the
+        lazy ``triangles`` stream, and the persisted per-node ``counts``.
+        Call when done consuming; afterwards the lazy frames still work
+        but recompute from the source edges."""
         for c in self._caches:
             try:
                 c.unpersist()
@@ -205,18 +205,21 @@ def triangle_count(
     # ONE streaming pass over the wedge join (explode to corners,
     # map-side-combined count), and the global count is sum/3 of the
     # per-node counts — on a triangle-dense graph (124M triangles at
-    # bench sf0.1) caching the triple table costs more than the join
+    # bench sf0.1) caching the triple table costs more than the join.
+    # The whole counting phase is ONE Spark action (persist + combined
+    # aggregate): per_node is consumed exactly once by counts, and
+    # n_tri/node_count/avg_c all come from the same aggregate — extra
+    # driver round-trips are pure serial (Amdahl) tail that measurably
+    # caps scaling on the N-vs-4N bench (small-data scheduling cost is
+    # identical at both core counts)
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
-        .persist()
     )
-    n_tri = int((per_node.agg(F.sum("triangles")).first()[0] or 0) // 3)
-    universe = nodes.select("id") if nodes is not None else deg.select("id")
+    base = deg if nodes is None else nodes.select("id").join(deg, "id", "left")
     counts = (
-        universe.join(deg, "id", "left")
-        .join(per_node, "id", "left")
+        base.join(per_node, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
@@ -232,9 +235,12 @@ def triangle_count(
         .persist()
     )
     agg = counts.agg(
-        F.count("*").alias("n"), F.avg("coefficient").alias("avg_c")
+        F.count("*").alias("n"),
+        F.avg("coefficient").alias("avg_c"),
+        F.sum("triangles").alias("t3"),
     ).first()
     node_count, avg_c = agg["n"], float(agg["avg_c"] or 0.0)
+    n_tri = int((agg["t3"] or 0) // 3)
 
     # triple stream ordered by node id within each triple (FIXTURES.md
     # §4a). LAZY: consuming it re-runs the wedge join off the cached
@@ -262,5 +268,5 @@ def triangle_count(
         avg_coefficient=avg_c,
         node_count=node_count,
         stats=stats,
-        _caches=[org, per_node, counts],
+        _caches=[org, counts],
     )
