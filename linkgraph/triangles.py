@@ -11,19 +11,37 @@ stream (algo.triangle.stream analog).
 
 The reference's "for u, for v>u in adj(u), for w>v in adj(u): binary
 search exists(v,w)" (sorted AdjacencyMatrix,
-pub:core/.../heavyweight/AdjacencyMatrix.java#binarySearch) becomes the
-canonical two-join plan on DEGREE-ORDERED oriented edges — each
-undirected edge {a,b} oriented a->b iff (deg_a, a) < (deg_b, b), a total
-order, so the oriented graph is a DAG and every triangle appears as
-exactly one wedge u->v, v->w closed by u->w:
+pub:core/.../heavyweight/AdjacencyMatrix.java#binarySearch) maps to two
+exact plans on DEGREE-ORDERED oriented edges — each undirected edge
+{a,b} oriented a->b iff (deg_a, a) < (deg_b, b), a total order, so the
+oriented graph is a DAG and every triangle has exactly one source
+corner a with a->b, a->w, b->w:
 
-  wedges   = org e1 JOIN org e2 ON e1.dst = e2.src
-  triangles= wedges LEFT SEMI JOIN org e3 ON (u = e3.src AND w = e3.dst)
+* ``kernel="wedge"`` (default) — the classic MapReduce two-join plan,
+  and the measured-fastest path on both sparse and dense graphs:
 
-Degree ordering bounds wedge fan-out on power-law graphs (every wedge
-is charged to its lowest-degree corner) — the standard MapReduce
-triangle-count trick; the exists() binary search maps to Spark's
-sort-merge semi-join.
+    wedges   = org e1 JOIN org e2 ON e1.dst = e2.src
+    triangles= wedges LEFT SEMI JOIN org e3 ON (u=e3.src AND w=e3.dst)
+
+  The closing check is a hashed existence probe (broadcast or
+  shuffle-hash, never a sort of the wedge stream); hub_cap reorders
+  mega-hub pivots through an edge-iterator plan.
+
+* ``kernel="intersect"`` — the direct analog of the reference's
+  sorted-adjacency intersection: out-adjacency arrays N+(x) grouped by
+  the oriented source (no shuffle: the oriented cache is already
+  partitioned by it), then per edge (a,b) count |N+(a) ∩ N+(b)| via a
+  JVM-side array_intersect. ONE algorithmic shuffle, ~40% fewer bytes
+  than the wedge stream (166 vs 273 MB on the 4.2M-edge scaling
+  graph), and the orientation theorem bounds every array at sqrt(2m)
+  elements (outdeg k implies k out-neighbors of degree >= k, so
+  2m >= k^2) — no hub path needed. MEASURED SLOWER anyway: equal CPU
+  on the sparse scaling graph and 1.6x slower on the dense sf0.1
+  co-supplier graph (33.5s vs 53.3s, 124M triangles, same session) —
+  Catalyst's array_intersect rebuilds a boxed hash set per row, which
+  loses to the codegen'd semi-join probe even though it moves fewer
+  bytes. Retained as a cross-checked second execution path (the
+  tests assert exact equality of counts, coefficients and triples).
 """
 
 from __future__ import annotations
@@ -112,6 +130,7 @@ def triangle_count(
     hub_cap: int | str | None = None,
     closing_strategy: str = "auto",
     closing_broadcast_max: int = 500_000,
+    kernel: str = "auto",
 ) -> TriangleResult:
     """Exact triangle counting over an edge table (any orientation).
 
@@ -132,7 +151,14 @@ def triangle_count(
     the cached degree table (one aggregate) and engages the hub path
     at cap = 4*sqrt(m) only when the max degree exceeds it — the same
     measured-skew contract as pagerank's ``hot_key_salt="auto"``.
-    closing_strategy: how the closing-edge existence check runs.
+    kernel: ``"wedge"`` (the two-join wedge plan — the default:
+    measured fastest on sparse AND dense graphs), ``"intersect"``
+    (adjacency-array intersection — one shuffle, fewer bytes, but
+    per-row array_intersect hash-set builds measured 1.6x slower on
+    dense graphs; see module docstring), or ``"auto"`` = wedge. Both
+    kernels are exact and cross-checked equal in tests.
+    closing_strategy: WEDGE KERNEL ONLY — how the closing-edge
+    existence check runs.
     ``"broadcast"`` hashes the m-row closing table once and ships it to
     every task, so the (up to sum deg^2/2)-row wedge stream is probed
     IN the wedge-join stage and never shuffled at all.
@@ -150,10 +176,17 @@ def triangle_count(
     """
     if direction.upper() not in ("BOTH", "OUTGOING", "INCOMING"):
         raise ValueError(f"bad direction {direction}")
+    if kernel not in ("auto", "intersect", "wedge"):
+        raise ValueError(f"bad kernel {kernel}")
     t0 = time.time()
     org, deg, n_oriented = oriented_edges(edges)
     t_orient = time.time() - t0
-    if hub_cap == "auto":
+    if kernel == "auto":
+        kernel = "wedge"
+    if kernel == "intersect":
+        # the sqrt(2m) array bound makes a hub path unnecessary here
+        hub_cap = None
+    elif hub_cap == "auto":
         # skew probe over the PERSISTED degree table: degree-ordering
         # already bounds the wedge fan-out by O(sqrt(m)) per pivot on
         # most graphs, so the hub path only pays off past that regime
@@ -161,62 +194,108 @@ def triangle_count(
         mx = deg.agg(F.max("deg").alias("m")).first()["m"] or 0
         hub_cap = cap if mx > cap else None
 
-    e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-    e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    # The closing-edge existence check never sorts the wedge stream
-    # (a sort-merge semi would sort up to sum deg^2/2 rows): hash the
-    # m-row closing side instead — broadcast when m fits (the wedge
-    # stream is then probed inside the wedge-join stage and never
-    # shuffled), shuffle-hash otherwise (the 100TB path; still
-    # sort-free, which also removes the lo-vs-hi spill asymmetry
-    # measured as a scaling-efficiency cliff on the bench's Pareto
-    # graph). The reference's exists(v,w) binary search maps to
-    # exactly this hashed existence probe.
-    if closing_strategy not in ("auto", "broadcast", "shuffle_hash"):
-        raise ValueError(f"bad closing_strategy {closing_strategy}")
-    if closing_strategy == "auto":
-        closing_strategy = (
-            "broadcast" if n_oriented <= closing_broadcast_max else "shuffle_hash"
+    if kernel == "intersect":
+        # Out-adjacency arrays grouped by the oriented SOURCE: org is
+        # cached partitioned by lo, so the aggregate needs no exchange.
+        # lhs re-expands the arrays to one row per edge (a, b, N+(a))
+        # in the same stage; the single algorithmic shuffle re-keys
+        # those rows on b, where the build side (b -> N+(b)) reuses the
+        # cache partitioning (shuffle_hash: never sort the edge
+        # stream). The closing check is the in-task array intersection
+        # — the reference's adjacency binary search, vectorized.
+        adj = org.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+        lhs = adj.select(
+            F.col("lo").alias("a"),
+            F.explode("nbrs").alias("b"),
+            F.col("nbrs").alias("nbrs_a"),
         )
-    closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w")).hint(
-        closing_strategy
-    )
-    if hub_cap is None:
-        wedges = e1.join(e2, "v")
-        tri = wedges.join(closing, ["u", "w"], "left_semi")
+        rhs = adj.select(F.col("lo").alias("b"), F.col("nbrs").alias("nbrs_b"))
+        closed = (
+            lhs.join(rhs.hint("shuffle_hash"), "b")
+            .select("a", "b", F.array_intersect("nbrs_a", "nbrs_b").alias("inter"))
+            .filter(F.size("inter") > 0)
+        )
+        # one streaming pass emits every corner contribution of every
+        # edge row — a and b each close size(inter) triangles, each
+        # w in the intersection closes one — into a map-side-combined
+        # per-node sum. The triple set itself is never materialized.
+        cnt = F.size("inter")
+        contrib = closed.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("a").alias("id"), cnt.alias("c")),
+                        F.struct(F.col("b").alias("id"), cnt.alias("c")),
+                    ),
+                    F.transform(
+                        "inter",
+                        lambda w: F.struct(w.alias("id"), F.lit(1).alias("c")),
+                    ),
+                )
+            ).alias("x")
+        ).select("x.id", "x.c")
+        per_node = contrib.groupBy("id").agg(
+            F.sum("c").cast("long").alias("triangles")
+        )
+        tri = closed.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), F.explode("inter").alias("w")
+        )
     else:
-        hubs = deg.filter(F.col("deg") > hub_cap).select(F.col("id").alias("v"))
-        # low-pivot wedges: standard wedge join, fan-out bounded by cap
-        e1_low = e1.join(hubs, "v", "left_anti")
-        tri_low = e1_low.join(e2, "v").join(closing, ["u", "w"], "left_semi")
-        # hub-pivot triangles: iterate CLOSING edges (u,w) and find hub
-        # pivots adjacent to both — never materializes the hub's
-        # quadratic wedge fan-out
-        e1_hub = e1.join(hubs, "v", "left_semi")
-        e2_hub = e2.join(hubs, "v", "left_semi")
-        tri_hub = (
-            closing.join(e1_hub, "u")
-            .join(e2_hub, ["v", "w"], "left_semi")
-            .select("u", "v", "w")
+        e1 = org.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        e2 = org.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+        # The closing-edge existence check never sorts the wedge stream
+        # (a sort-merge semi would sort up to sum deg^2/2 rows): hash
+        # the m-row closing side instead — broadcast when m fits (the
+        # wedge stream is then probed inside the wedge-join stage and
+        # never shuffled), shuffle-hash otherwise (still sort-free,
+        # which also removes the lo-vs-hi spill asymmetry measured as
+        # a scaling-efficiency cliff on the bench's Pareto graph). The
+        # reference's exists(v,w) binary search maps to exactly this
+        # hashed existence probe.
+        if closing_strategy not in ("auto", "broadcast", "shuffle_hash"):
+            raise ValueError(f"bad closing_strategy {closing_strategy}")
+        if closing_strategy == "auto":
+            closing_strategy = (
+                "broadcast" if n_oriented <= closing_broadcast_max else "shuffle_hash"
+            )
+        closing = org.select(F.col("lo").alias("u"), F.col("hi").alias("w")).hint(
+            closing_strategy
         )
-        tri = tri_low.select("u", "v", "w").union(tri_hub)
+        if hub_cap is None:
+            wedges = e1.join(e2, "v")
+            tri = wedges.join(closing, ["u", "w"], "left_semi")
+        else:
+            hubs = deg.filter(F.col("deg") > hub_cap).select(F.col("id").alias("v"))
+            # low-pivot wedges: standard wedge join, fan-out bounded by cap
+            e1_low = e1.join(hubs, "v", "left_anti")
+            tri_low = e1_low.join(e2, "v").join(closing, ["u", "w"], "left_semi")
+            # hub-pivot triangles: iterate CLOSING edges (u,w) and find
+            # hub pivots adjacent to both — never materializes the
+            # hub's quadratic wedge fan-out
+            e1_hub = e1.join(hubs, "v", "left_semi")
+            e2_hub = e2.join(hubs, "v", "left_semi")
+            tri_hub = (
+                closing.join(e1_hub, "u")
+                .join(e2_hub, ["v", "w"], "left_semi")
+                .select("u", "v", "w")
+            )
+            tri = tri_low.select("u", "v", "w").union(tri_hub)
+        # per-node counts from ONE streaming pass over the wedge join
+        # (explode to corners, map-side-combined count) — the triple
+        # table is never cached (124M triangles at bench sf0.1 cost
+        # more to cache than to recompute)
+        per_node = (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("triangles"))
+        )
 
-    # the triangle set is NEVER materialized: per-node counts come from
-    # ONE streaming pass over the wedge join (explode to corners,
-    # map-side-combined count), and the global count is sum/3 of the
-    # per-node counts — on a triangle-dense graph (124M triangles at
-    # bench sf0.1) caching the triple table costs more than the join.
     # The whole counting phase is ONE Spark action (persist + combined
     # aggregate): per_node is consumed exactly once by counts, and
     # n_tri/node_count/avg_c all come from the same aggregate — extra
     # driver round-trips are pure serial (Amdahl) tail that measurably
     # caps scaling on the N-vs-4N bench (small-data scheduling cost is
     # identical at both core counts)
-    per_node = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("triangles"))
-    )
     base = deg if nodes is None else nodes.select("id").join(deg, "id", "left")
     counts = (
         base.join(per_node, "id", "left")
@@ -255,6 +334,7 @@ def triangle_count(
         "triangleCount": n_tri,
         "averageClusteringCoefficient": avg_c,
         "orientedEdges": n_oriented,
+        "kernel": kernel,
         # orient_s = load analog (canonicalize+degree+orient, one-off);
         # the wedge join + counting phase is compute_s - orient_s
         "orient_s": round(t_orient, 4),

@@ -121,13 +121,83 @@ def test_closing_strategy_cross_equality_and_plan(spark):
     assert {tuple(r) for r in bc.triangles.collect()} == {
         tuple(r) for r in sh.triangles.collect()
     }
-    # auto == broadcast for a tiny graph (m << 500k cap)
-    auto = triangle_count(edges, nodes=nodes)
+    # wedge kernel + auto == broadcast for a tiny graph (m << 500k cap)
+    auto = triangle_count(edges, nodes=nodes, kernel="wedge")
     plan = auto.triangles._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     # above the cap auto degrades to shuffle_hash
-    forced = triangle_count(edges, nodes=nodes, closing_broadcast_max=1)
+    forced = triangle_count(
+        edges, nodes=nodes, kernel="wedge", closing_broadcast_max=1
+    )
     plan2 = forced.triangles._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan2
     for r in (bc, sh, auto, forced):
         r.release()
+
+
+def test_intersect_wedge_cross_path_equality(spark):
+    """The default adjacency-intersection kernel and the wedge-join
+    kernel are the same exact algorithm on two physical plans — counts,
+    coefficients, and the triple stream must agree on a random graph
+    with hubs, duplicates and mixed orientation."""
+    rng = np.random.default_rng(29)
+    pairs = {("hub", f"n{i}") for i in range(30)}
+    pairs |= {(f"n{i}", f"n{j}") for i, j in rng.integers(0, 30, (120, 2)) if i != j}
+    nodes, edges = edges_from_pairs(spark, sorted(pairs))
+    inter = triangle_count(edges, nodes=nodes, kernel="intersect")
+    wedge = triangle_count(edges, nodes=nodes)  # auto -> wedge
+    assert inter.stats["kernel"] == "intersect"
+    assert wedge.stats["kernel"] == "wedge"
+    assert inter.triangle_count == wedge.triangle_count > 0
+    assert np.isclose(inter.avg_coefficient, wedge.avg_coefficient)
+    a = {(r["id"], r["triangles"], r["coefficient"]) for r in inter.counts.collect()}
+    b = {(r["id"], r["triangles"], r["coefficient"]) for r in wedge.counts.collect()}
+    assert a == b
+    ta = {tuple(r) for r in inter.triangles.collect()}
+    tb = {tuple(r) for r in wedge.triangles.collect()}
+    assert ta == tb
+    inter.release()
+    wedge.release()
+
+
+def test_intersect_kernel_single_shuffle_plan(spark):
+    """The intersect kernel's triangle stream moves data AT MOST once:
+    one Exchange (the edge+array rows re-keyed on b) — the adjacency
+    build side reuses the oriented cache's lo-partitioning, and there
+    is no sort anywhere (shuffle-hash probe, not sort-merge). At
+    fixture scale AQE may collapse the cache to a single partition, in
+    which case even the one exchange is elided — both are the intended
+    shape; >1 exchange (a re-shuffled build side) is the regression."""
+    nodes, edges = edges_from_pairs(spark, TRI_K4_TAIL_EDGES)
+    res = triangle_count(edges, nodes=nodes, kernel="intersect")
+    ops = _live_ops(res.triangles)
+    assert "ShuffledHashJoinExec" in ops
+    assert ops.count("ShuffleExchangeExec") <= 1, ops
+    assert "SortExec" not in ops, ops
+    res.release()
+
+
+def _live_ops(df) -> list:
+    """Physical-operator class names for the work this query actually
+    runs: walks the executed plan but stops at cache boundaries
+    (InMemoryTableScan / TableCacheQueryStage), so the cached subtree's
+    own lineage doesn't pollute shuffle/sort assertions."""
+    ops: list = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        ops.append(cls)
+        if cls in ("InMemoryTableScanExec", "TableCacheQueryStageExec"):
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.inputPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return ops
