@@ -119,7 +119,11 @@ def scaling_workload(spark, sf_dir: str) -> dict:
     from linkgraph.synth import synth_edge_table
 
     n_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(1 << 25)))
-    n_edges_tri = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES_TRI", str(1 << 22)))
+    # 8.4M edges for the triangle leg (2x the round-3 original): at
+    # 4.2M the local[2] wedge phase still fits the shared LLC and the
+    # ratio mostly measures the host's memory-bandwidth ceiling (see
+    # tools/membw_probe.py + BENCH/BASELINE.md), not the engine
+    n_edges_tri = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES_TRI", str(1 << 23)))
     iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3"))
     wcc_iters = int(os.environ.get("SPARK_GRAFT_SCALE_WCC_ITERS", "5"))
     algos = os.environ.get("SPARK_GRAFT_SCALE_ALGOS", "pagerank,wcc,triangles").split(",")
