@@ -118,6 +118,20 @@ def _q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triangles.select("node_a", "node_b", "node_c")
 
 
+def _q_triangles_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second execution path: the adjacency-intersection kernel
+    (linkgraph/triangles.py kernel="intersect") against the same
+    DuckDB oracle as the per-node wedge-kernel query — cross-path
+    exactness checked by the driver, not just by pytest."""
+    res = triangle_count(cosupplier_edges(spark, sf_dir), kernel="intersect")
+    return res.counts.select(
+        "id",
+        F.col("triangles").cast("long").alias("triangles"),
+        F.col("degree").cast("long").alias("degree"),
+        F.round("coefficient", 6).alias("coefficient"),
+    )
+
+
 def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         purchase_edges(spark, sf_dir)
@@ -536,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_cosupplier": _q_triangle_count,
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
+        "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
         "degree_histogram_purchase": _q_degree_histogram,
         # paths / scc / mst (SURVEY.md §2.2)
@@ -707,6 +722,22 @@ SELECT d.id,
 FROM deg d LEFT JOIN cnt c ON c.id = d.id
 """,
         "triangle_stream_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT x AS node_a, y AS node_b, z AS node_c FROM tri",
+        # same oracle as the wedge-kernel per-node query: the two
+        # kernels are one exact algorithm on two physical plans
+        "triangles_intersect_cosupplier": f"""
+WITH {TRI_SQL_BASE},
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+deg AS (SELECT id, COUNT(*) AS degree
+        FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id),
+cnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id)
+SELECT d.id,
+       CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+       CAST(d.degree AS BIGINT) AS degree,
+       ROUND(CAST(CASE WHEN d.degree >= 2
+             THEN 2.0 * COALESCE(c.triangles, 0) / (d.degree * (d.degree - 1))
+             ELSE 0.0 END AS DOUBLE), 6) AS coefficient
+FROM deg d LEFT JOIN cnt c ON c.id = d.id
+""",
         "degrees_purchase": f"""
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
