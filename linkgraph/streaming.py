@@ -12,6 +12,11 @@ continuous edge/event ingestion feeding the batch graph procedures.
   * sessionize — custom stateful operator via applyInPandasWithState
     (session windows with gap timeout), the pattern to extend for
     streaming graph-delta compaction.
+  * stream_source_edges — the streaming half of the north-star ingest:
+    watch an Iceberg-layout parquet directory of source files, run the
+    SAME Arrow import-extraction kernel as the batch derive_graph
+    incrementally on each new file batch, and resolve to edge events
+    via a stream-static join against the file dimension.
 
 All run with availableNow triggers in tests (deterministic over a
 static directory), and identically against live sources in production.
@@ -114,6 +119,54 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def stream_source_edges(
+    spark,
+    source_path: str,
+    files_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental edge derivation over a growing source-file directory.
+
+    The batch LOAD (linkgraph.ingest.derive_graph) scans the whole
+    catalog; this is its streaming counterpart for continuous
+    ingestion: `readStream` tails the Iceberg-layout parquet path, the
+    SAME vectorized Arrow kernel (`extract_imports`) pulls import
+    tokens out of each newly arrived file batch, and a STREAM-STATIC
+    inner join against the file dimension (module -> file key) turns
+    them into edge events `(src_key, dst_key, ts)` — append-mode, no
+    state, so it scales to any arrival rate. Feed the output to
+    `streaming_degree_counts` for live degrees, or sink it to the edge
+    table the batch supersteps snapshot from.
+
+    files_dim: optional static dimension DataFrame(key, module). By
+    default it is built from a batch read of the same path at stream
+    START — files arriving later still resolve their imports against
+    this dimension (Spark re-reads the static side per micro-batch
+    only if the plan requires it; a production pipeline would refresh
+    the dimension on a cadence or use another stream for it).
+    """
+    from linkgraph.ingest import extract_imports, file_key, module_of_path
+
+    if files_dim is None:
+        static = spark.read.schema(SOURCE_SCHEMA).parquet(source_path)
+        files_dim = static.select(
+            file_key(static).alias("key"), module_of_path().alias("module")
+        )
+    src = spark.readStream.schema(SOURCE_SCHEMA).parquet(source_path)
+    extracted = src.select(
+        "repo", "path", extract_imports("content", "lang").alias("imports")
+    )
+    refs = extracted.select(
+        file_key(extracted).alias("src_key"),
+        F.explode("imports").alias("module"),
+        F.current_timestamp().alias("ts"),
+    )
+    dim = files_dim.select("module", F.col("key").alias("dst_key"))
+    return refs.join(dim, "module").select("src_key", "dst_key", "ts")
 
 
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str):

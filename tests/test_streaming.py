@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from linkgraph.streaming import (
     run_available_now,
     sessionize,
+    stream_source_edges,
     streaming_degree_counts,
     windowed_event_counts,
 )
@@ -69,6 +70,46 @@ def test_streaming_degrees(spark, events_stream_dir, tmp_path):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_source_edges_matches_batch_derivation(spark, tmp_path):
+    """Streaming edge derivation == batch derivation on the same files:
+    stage a synthetic source table as two parquet chunks (two arrival
+    batches), drain with availableNow, and compare the resolved edge
+    events against the batch extract+resolve over the identical data.
+    The extraction kernel is the SAME Arrow UDF both ways."""
+    from linkgraph.ingest import extract_imports, file_key, module_of_path
+    from linkgraph.synth import generate_source_table
+
+    src_dir = str(tmp_path / "src_in")
+    source = generate_source_table(spark, repos=10, files_per_repo=20, seed=7)
+    # two chunks = two distinct files in the directory (the stream
+    # treats each parquet file as an independently arriving batch)
+    source.filter(F.col("repo") < "r0005").write.parquet(src_dir)
+    source.filter(F.col("repo") >= "r0005").write.mode("append").parquet(src_dir)
+
+    stream = stream_source_edges(spark, src_dir)
+    run_available_now(stream, "edge_events", str(tmp_path / "ckpt4"))
+    got = spark.sql(
+        "SELECT src_key, dst_key, COUNT(*) AS n FROM edge_events GROUP BY 1, 2"
+    ).collect()
+
+    static = spark.read.parquet(src_dir)
+    files = static.select(
+        file_key(static).alias("key"), module_of_path().alias("module")
+    )
+    refs = static.select(
+        file_key(static).alias("src_key"),
+        F.explode(extract_imports("content", "lang")).alias("module"),
+    )
+    want = {
+        (r["src_key"], r["dst_key"]): r["n"]
+        for r in refs.join(files.select("module", F.col("key").alias("dst_key")), "module")
+        .groupBy("src_key", "dst_key").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(want) > 0
+    assert {(r["src_key"], r["dst_key"]): r["n"] for r in got} == want
 
 
 def test_sessionize_emits_closed_sessions(spark, events_stream_dir, tmp_path):
