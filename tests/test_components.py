@@ -96,3 +96,24 @@ def test_wcc_hub_split_equals_plain(spark):
     _n2, ring_edges = edges_from_pairs(spark, ring)
     off = connected_components(ring_edges, hub_cap="auto")
     assert off.stats["hub_split"] == 0
+
+
+def test_frontier_delta_iteration_equals_full(spark):
+    """Delta iteration (frontier=True, the default) and full
+    propagation return identical components in the same number of
+    rounds — the frontier only skips provably no-op join probes.
+    Long-chain fixture: the frontier stays interesting for many
+    rounds; star fixture: it collapses after round 1."""
+    from linkgraph import connected_components
+    from linkgraph.ids import edges_from_pairs
+
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]
+    star = [("hub", f"s{i}") for i in range(8)]
+    _nodes, edges = edges_from_pairs(spark, chain + star + [("q1", "q2")])
+    delta = connected_components(edges)
+    full = connected_components(edges, frontier=False)
+    a = {(r["id"], r["comp"]) for r in delta.components.collect()}
+    b = {(r["id"], r["comp"]) for r in full.components.collect()}
+    assert a == b
+    assert delta.set_count == full.set_count == 3
+    assert delta.iterations == full.iterations
