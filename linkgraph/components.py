@@ -62,6 +62,7 @@ def connected_components(
     algorithm: str = "minlabel",
     hub_cap: int | str | None = None,
     frontier: bool = True,
+    resume: bool = False,
 ) -> ComponentsResult:
     """Undirected connected components over an edge table.
 
@@ -99,6 +100,12 @@ def connected_components(
       scaling bench measures (a shrinking frontier makes tail rounds
       scheduling-bound at ANY parallelism, so ratio comparisons need
       the fixed-work mode; results are identical either way).
+    resume: with a ``checkpoint_dir``, continue from the last durable
+      superstep in the manifest instead of restarting (same contract
+      as ``pagerank(resume=True)``). The (id, comp, changed) state
+      round-trips through parquet, so the frontier resumes exactly;
+      a pre-frontier 2-column checkpoint resumes with changed=True
+      everywhere (safe over-propagation, one extra full round).
     """
     if algorithm == "star":
         return _connected_components_star(
@@ -179,12 +186,26 @@ def connected_components(
     # the changed flag is computed IN the superstep plan so frontier
     # extraction and the convergence probe are cheap scans of the
     # truncated state, not recomputations of the join.
-    labels = base.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
-    labels = loop.advance(0, labels, force_checkpoint=bool(checkpoint_dir))
+    start_iter = 0
+    labels = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_iter, labels = resumed
+            if "changed" not in labels.columns:
+                # pre-frontier checkpoint: over-propagate one round
+                labels = labels.select(
+                    "id", "comp", F.lit(True).alias("changed")
+                )
+    if labels is None:
+        labels = base.select(
+            "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+        )
+        labels = loop.advance(0, labels, force_checkpoint=bool(checkpoint_dir))
 
     t1 = time.time()
-    it = 0
-    for it in range(1, max_iter + 1):
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
         if frontier:
             front = labels.filter("changed").select("id", "comp")
         else:

@@ -65,12 +65,16 @@ def label_propagation(
     node_weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> LabelPropagationResult:
     """Synchronous LPA over an edge table.
 
     nodes: optional DataFrame(id[, <seed_col>][, <node_weight_col>]).
       Seed labels come from ``seed_col`` when present (null = unseeded
       -> own id), matching the reference's partitionProperty default.
+    resume: with a ``checkpoint_dir``, continue from the last durable
+      superstep in the manifest instead of restarting (same contract
+      as ``pagerank(resume=True)``).
     """
     spark = edges.sparkSession
     t0 = time.time()
@@ -110,12 +114,23 @@ def label_propagation(
         spark, checkpoint_dir, every=checkpoint_every, name="labelprop",
         max_steps=max_iter,
     )
-    labels = loop.advance(0, init.select("id", "label"), force_checkpoint=bool(checkpoint_dir))
+    start_iter = 0
+    labels = None
+    if resume:
+        # continue from the last durable superstep in the manifest —
+        # same contract as pagerank(resume=True)
+        resumed = loop.resume()
+        if resumed is not None:
+            start_iter, labels = resumed
+    if labels is None:
+        labels = loop.advance(
+            0, init.select("id", "label"), force_checkpoint=bool(checkpoint_dir)
+        )
 
     converged = False
-    it = 0
+    it = start_iter
     t1 = time.time()
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         nbr_state = labels.join(init.select("id", "nw"), "id").select(
             F.col("id").alias("nbr"), F.col("label").alias("nbr_label"), "nw"
         )

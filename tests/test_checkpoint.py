@@ -146,3 +146,57 @@ def test_progress_logger_percent_surface(spark, caplog):
         st = loop.advance(it, st)
     assert loop.progress.fraction == 1.0
     loop.close()
+
+
+def test_wcc_resume_identical(spark, tmp_path):
+    """Killed-at-k WCC resumed from the manifest equals the
+    uninterrupted run exactly — the (id, comp, changed) frontier
+    state round-trips through the durable parquet checkpoint."""
+    from linkgraph import connected_components
+
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(14)]
+    _nodes, edges = edges_from_pairs(spark, chain + [("a", "b")])
+    want = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges).components.collect()
+    }
+    ckpt = str(tmp_path / "wcc_ckpt")
+    # "killed" run: 4 of the ~14 rounds a 15-chain needs, durable every 2
+    part = connected_components(
+        edges, max_iter=4, checkpoint_dir=ckpt, checkpoint_every=2
+    )
+    assert part.iterations == 4
+    res = connected_components(
+        edges, max_iter=50, checkpoint_dir=ckpt, checkpoint_every=2, resume=True
+    )
+    got = {(r["id"], r["comp"]) for r in res.components.collect()}
+    assert got == want
+    # resumed run did NOT restart: it continued past superstep 4
+    manifest = os.path.join(ckpt, "components_manifest.jsonl")
+    lines = [json.loads(l) for l in open(manifest) if l.strip()]
+    assert max(l["iteration"] for l in lines) > 4
+
+
+def test_lpa_resume_identical(spark, tmp_path):
+    """Killed-at-k LPA resumed from the manifest equals the
+    uninterrupted fixed-iteration run exactly (deterministic
+    min-label tie-break)."""
+    from linkgraph import label_propagation
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "f")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    want = {
+        (r["id"], r["label"])
+        for r in label_propagation(edges, direction="BOTH", max_iter=4).labels.collect()
+    }
+    ckpt = str(tmp_path / "lpa_ckpt")
+    label_propagation(
+        edges, direction="BOTH", max_iter=2,
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    res = label_propagation(
+        edges, direction="BOTH", max_iter=4,
+        checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
+    )
+    got = {(r["id"], r["label"]) for r in res.labels.collect()}
+    assert got == want
