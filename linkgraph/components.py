@@ -109,7 +109,8 @@ def connected_components(
     """
     if algorithm == "star":
         return _connected_components_star(
-            edges, nodes, threshold, max_iter, checkpoint_dir, checkpoint_every
+            edges, nodes, threshold, max_iter, checkpoint_dir,
+            checkpoint_every, resume,
         )
     assert algorithm == "minlabel", algorithm
     spark = edges.sparkSession
@@ -286,6 +287,7 @@ def _connected_components_star(
     max_iter: int,
     checkpoint_dir: str | None,
     checkpoint_every: int,
+    resume: bool = False,
 ) -> ComponentsResult:
     """Alternating large-star / small-star CC (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014).
@@ -359,12 +361,19 @@ def _connected_components_star(
     # explodes; rounds are O(log n) few, so truncating per round is
     # cheap and keeps the plan constant-size
     loop = SuperstepLoop(spark, checkpoint_dir, every=1, name="components_star")
-    cur = e.distinct()
-    cur = loop.advance(0, cur, force_checkpoint=bool(checkpoint_dir))
-    it = 0
+    start_iter = 0
+    cur = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_iter, cur = resumed
+    if cur is None:
+        cur = e.distinct()
+        cur = loop.advance(0, cur, force_checkpoint=bool(checkpoint_dir))
+    it = start_iter
     prev_sig = None
     t1 = time.time()
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         mid = _large_star(cur).localCheckpoint(eager=True)
         nxt = loop.advance(it, _small_star(mid), metrics={"round": it})
         release_state(mid)

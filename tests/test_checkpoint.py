@@ -200,3 +200,25 @@ def test_lpa_resume_identical(spark, tmp_path):
     )
     got = {(r["id"], r["label"]) for r in res.labels.collect()}
     assert got == want
+
+
+def test_wcc_star_resume_identical(spark, tmp_path):
+    """Star-CC (edge-set superstep state) resumes from its manifest
+    and converges to the same components as an uninterrupted run."""
+    from linkgraph import connected_components
+
+    chain = [(f"s{i:02d}", f"s{i + 1:02d}") for i in range(20)]
+    _nodes, edges = edges_from_pairs(spark, chain + [("p", "q")])
+    want = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, algorithm="star").components.collect()
+    }
+    ckpt = str(tmp_path / "star_ckpt")
+    connected_components(
+        edges, algorithm="star", max_iter=2, checkpoint_dir=ckpt
+    )
+    res = connected_components(
+        edges, algorithm="star", max_iter=50, checkpoint_dir=ckpt, resume=True
+    )
+    got = {(r["id"], r["comp"]) for r in res.components.collect()}
+    assert got == want
