@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import pin_table, release_state
+from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
 
 _REVERSE = {"OUTGOING": "INCOMING", "INCOMING": "OUTGOING", "BOTH": "BOTH"}
 
@@ -98,24 +98,46 @@ def sssp(
     weighted: bool = True,
     direction: str = "OUTGOING",
     max_hops: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> SsspResult:
     """Single-source shortest distances (Bellman-Ford relax loop).
 
     Returns (id, dist) for REACHED nodes only. Non-negative weights
     assumed (same contract as the reference Dijkstra). With
     ``max_hops`` the result is the <=max_hops-edge shortest distance.
+    The relaxation state (id, dist, improved) lives in a SuperstepLoop
+    — the frontier is the improved rows, same shape as WCC's delta
+    iteration — so with a ``checkpoint_dir`` the run writes durable
+    manifests and ``resume=True`` continues from the last one (same
+    contract as ``pagerank(resume=True)``).
     """
     spark = edges.sparkSession
     t0 = time.time()
     # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
     e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
-    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
-    frontier = dist
     limit = max_hops if max_hops is not None else 1 << 30
-    it = 0
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="sssp",
+        max_steps=max_hops,
+    )
+    start_iter = 0
+    state = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_iter, state = resumed
+    if state is None:
+        state = spark.createDataFrame(
+            [(int(source), 0.0, True)], "id long, dist double, improved boolean"
+        )
+        state = loop.advance(0, state, force_checkpoint=bool(checkpoint_dir))
+    it = start_iter
     while it < limit:
         it += 1
+        frontier = state.filter("improved").select("id", "dist")
         relaxed = (
             e.join(frontier, e.src == frontier.id)
             .select(e.dst.alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
@@ -123,7 +145,7 @@ def sssp(
             .agg(F.min("nd").alias("nd"))
         )
         merged = (
-            dist.join(relaxed, "id", "full")
+            state.select("id", "dist").join(relaxed, "id", "full")
             .select(
                 "id",
                 F.least(
@@ -135,20 +157,14 @@ def sssp(
                     | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
                 ).alias("improved"),
             )
-            .persist()
         )
-        new_frontier = merged.filter("improved").select("id", "dist").persist()
-        n_front = new_frontier.count()
-        old_dist, dist = dist, merged.select("id", "dist").localCheckpoint(eager=True)
-        merged.unpersist()
-        release_state(old_dist)
-        frontier.unpersist() if frontier is not None else None
-        frontier = new_frontier
+        state = loop.advance(it, merged, metrics={"hop": it})
+        n_front = state.filter("improved").count()
         if n_front == 0:
             break
     release_state(e)
     return SsspResult(
-        distances=dist,
+        distances=state.select("id", "dist"),
         iterations=it,
         stats={"iterations": it, "elapsed_s": round(time.time() - t0, 4)},
     )

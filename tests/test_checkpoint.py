@@ -222,3 +222,23 @@ def test_wcc_star_resume_identical(spark, tmp_path):
     )
     got = {(r["id"], r["comp"]) for r in res.components.collect()}
     assert got == want
+
+
+def test_sssp_resume_identical(spark, tmp_path):
+    """Killed-at-hop-k SSSP resumed from the manifest equals the
+    uninterrupted run exactly — the (id, dist, improved) relaxation
+    state round-trips through the durable parquet checkpoint."""
+    from linkgraph import sssp
+
+    chain = [(f"w{i:02d}", f"w{i + 1:02d}") for i in range(10)]
+    _nodes, edges = edges_from_pairs(spark, chain)
+    src = _nodes.filter("key = 'w00'").first()["id"]
+    want = {
+        (r["id"], r["dist"]) for r in sssp(edges, src).distances.collect()
+    }
+    ckpt = str(tmp_path / "sssp_ckpt")
+    part = sssp(edges, src, max_hops=3, checkpoint_dir=ckpt, checkpoint_every=1)
+    assert part.iterations == 3
+    res = sssp(edges, src, checkpoint_dir=ckpt, checkpoint_every=1, resume=True)
+    got = {(r["id"], r["dist"]) for r in res.distances.collect()}
+    assert got == want
