@@ -241,9 +241,12 @@ class SuperstepLoop:
                 last = entry
         if last is None:
             return None
-        # surface the recorded context (e.g. dense-id num_buckets) so
-        # the resuming session can validate/reproduce the id space
+        # surface the recorded context (e.g. dense-id num_buckets) and
+        # the checkpoint's metrics (e.g. delta-stepping's settled
+        # bucket bound) so the resuming session can validate/reproduce
+        # the id space and re-enter mid-algorithm control state
         self.last_context = last.get("context", {})
+        self.last_metrics = last.get("metrics", {})
         df = self.spark.read.parquet(last["path"])
         self._current = df.persist()
         return last["iteration"], self._current

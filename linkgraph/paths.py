@@ -177,20 +177,46 @@ def sssp_delta_stepping(
     weighted: bool = True,
     direction: str = "OUTGOING",
     max_buckets: int = 10_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> SsspResult:
     """Delta-stepping SSSP: settle nodes bucket by bucket
     ([k*delta, (k+1)*delta)), relaxing only from the current bucket.
     Same fixpoint as sssp(); fewer total relaxations on weighted
-    graphs with spread-out distances."""
+    graphs with spread-out distances.
+
+    Checkpoints at BUCKET boundaries (the natural durable granularity
+    — the inner fixpoint loop is transient): with a ``checkpoint_dir``
+    each settled bucket writes a manifest entry whose metrics carry
+    the settled bound, and ``resume=True`` re-enters at the first
+    unsettled bucket (the superstep df state is the distance table;
+    the scalar control state rides in the manifest metrics).
+    """
     spark = edges.sparkSession
     t0 = time.time()
     # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
     e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
-    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double").persist()
-    settled_below = 0.0
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="sssp_delta"
+    )
+    start_k = 0
+    dist = None
     rounds = 0
-    for _k in range(max_buckets):
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_k, dist = resumed
+            rounds = int(loop.last_metrics.get("rounds", 0))
+    if dist is None:
+        dist = spark.createDataFrame(
+            [(int(source), 0.0)], "id long, dist double"
+        ).persist()
+        if checkpoint_dir:
+            dist = loop.advance(0, dist, force_checkpoint=True)
+    settled_below = start_k * delta
+    for _k in range(start_k, max_buckets):
         bucket = dist.filter(
             (F.col("dist") >= settled_below) & (F.col("dist") < settled_below + delta)
         ).persist()
@@ -236,6 +262,14 @@ def sssp_delta_stepping(
             frontier.unpersist()
         bucket.unpersist()
         settled_below += delta
+        if checkpoint_dir:
+            # durable bucket boundary: df state = distances, scalar
+            # control state (settled bound, relax-round count) in the
+            # manifest metrics for resume
+            dist = loop.advance(
+                _k + 1, dist,
+                metrics={"settled_below": settled_below, "rounds": rounds},
+            )
         remaining = dist.filter(F.col("dist") >= settled_below).count()
         if remaining == 0:
             break

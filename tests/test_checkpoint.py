@@ -242,3 +242,29 @@ def test_sssp_resume_identical(spark, tmp_path):
     res = sssp(edges, src, checkpoint_dir=ckpt, checkpoint_every=1, resume=True)
     got = {(r["id"], r["dist"]) for r in res.distances.collect()}
     assert got == want
+
+
+def test_delta_stepping_resume_identical(spark, tmp_path):
+    """Delta-stepping killed after 2 settled buckets resumes at bucket
+    2 (scalar control state from the manifest metrics) and matches the
+    uninterrupted run exactly."""
+    from linkgraph import sssp_delta_stepping
+
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)]
+    _nodes, edges = edges_from_pairs(spark, chain)
+    src = _nodes.filter("key = 'd00'").first()["id"]
+    want = {
+        (r["id"], r["dist"])
+        for r in sssp_delta_stepping(edges, src, delta=1.5).distances.collect()
+    }
+    ckpt = str(tmp_path / "delta_ckpt")
+    sssp_delta_stepping(
+        edges, src, delta=1.5, max_buckets=2,
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    res = sssp_delta_stepping(
+        edges, src, delta=1.5, checkpoint_dir=ckpt, checkpoint_every=1,
+        resume=True,
+    )
+    got = {(r["id"], r["dist"]) for r in res.distances.collect()}
+    assert got == want
