@@ -60,7 +60,25 @@ def betweenness_centrality(
     max_depth: int = 64,
     rescale: bool = True,
     exact_warn_nodes: int = 100_000,
+    batch_size: int | None = None,
+    max_batches: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> BetweennessResult:
+    """Exact / sampled Brandes betweenness (see module docstring).
+
+    batch_size: process sources in deterministic hash batches of about
+      this many, accumulating partial dependency sums between batches.
+      Peak (source, node) state drops from O(|S| * reached) to
+      O(batch * reached) — the constructive answer to exact mode's
+      scale cliff — and with a ``checkpoint_dir`` every completed
+      batch writes a durable manifest entry: ``resume=True`` re-enters
+      at the first unfinished batch. ``max_batches`` stops early after
+      that many batches this invocation (incremental operation: do a
+      few batches now, resume later); the returned scores are then the
+      partial accumulation (rescale still applies to the FULL source
+      count, so partial results are comparable in expectation).
+    """
     t0 = time.time()
     d = direction.upper()
     e = edges.select("src", "dst")
@@ -91,6 +109,79 @@ def betweenness_centrality(
             stacklevel=2,
         )
 
+    spark = edges.sparkSession
+    if batch_size is not None and batch_size > 0:
+        from linkgraph.checkpoint import SuperstepLoop
+        import math
+
+        n_batches = max(1, math.ceil(n_sources / batch_size))
+        loop = SuperstepLoop(spark, checkpoint_dir, every=1, name="betweenness")
+        start_b = 0
+        total = None
+        depth = 0
+        if resume:
+            resumed = loop.resume()
+            if resumed is not None:
+                start_b, total = resumed
+                depth = int(loop.last_metrics.get("max_depth", 0))
+        end_b = n_batches if max_batches is None else min(
+            n_batches, start_b + max_batches
+        )
+        for b in range(start_b, end_b):
+            batch = srcs.filter(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n_batches)) == F.lit(b)
+            )
+            part, bdepth = _brandes_partial(spark, e, batch, max_depth)
+            depth = max(depth, bdepth)
+            nxt = (
+                part
+                if total is None
+                else total.union(part).groupBy("id").agg(
+                    F.sum("centrality").alias("centrality")
+                )
+            )
+            total = loop.advance(
+                b + 1, nxt,
+                metrics={"batches_done": b + 1, "n_batches": n_batches,
+                         "max_depth": depth},
+            )
+        bc = total if total is not None else spark.createDataFrame(
+            [], "id long, centrality double"
+        )
+    else:
+        bc, depth = _brandes_partial(spark, e, srcs, max_depth)
+
+    scale = 0.5 if d == "BOTH" else 1.0
+    if rescale and sources is not None and n_sources > 0:
+        # RA-Brandes estimator: partial dependency sums over a sampled
+        # source set scale by n/|sources| for an unbiased estimate
+        scale *= float(n_universe) / float(n_sources)
+    scores = (
+        universe.join(bc, "id", "left")
+        .select(
+            "id",
+            (F.lit(scale) * F.coalesce(F.col("centrality"), F.lit(0.0))).alias("centrality"),
+        )
+    )
+    release_state(e)
+    return BetweennessResult(
+        scores=scores,
+        max_depth=depth,
+        stats={
+            "sources": n_sources,
+            "max_depth": depth,
+            "direction": d,
+            "elapsed_s": round(time.time() - t0, 4),
+        },
+    )
+
+
+def _brandes_partial(
+    spark, e: DataFrame, srcs: DataFrame, max_depth: int
+) -> tuple[DataFrame, int]:
+    """One data-parallel Brandes pass over a source set: forward BFS
+    levels with path counts, backward dependency accumulation. Returns
+    (partial bc sums DataFrame(id, centrality), max depth reached)."""
     # ---- forward: BFS levels with path counts
     lvl = srcs.select(
         F.col("id").alias("source"), F.col("id").alias("id"), F.lit(1.0).alias("sigma")
@@ -123,7 +214,6 @@ def betweenness_centrality(
     release_state(seen)
 
     # ---- backward: dependency accumulation, deepest level first
-    spark = edges.sparkSession
     acc = None  # per-(source, v) dependencies across all levels
     deltas = levels[-1].select("source", "id", "sigma", F.lit(0.0).alias("delta"))
     for li in range(len(levels) - 2, -1, -1):
@@ -168,26 +258,4 @@ def betweenness_centrality(
     if acc is None:
         acc = spark.createDataFrame([], "source long, id long, delta double")
     bc = acc.groupBy("id").agg(F.sum("delta").alias("centrality"))
-    scale = 0.5 if d == "BOTH" else 1.0
-    if rescale and sources is not None and n_sources > 0:
-        # RA-Brandes estimator: partial dependency sums over a sampled
-        # source set scale by n/|sources| for an unbiased estimate
-        scale *= float(n_universe) / float(n_sources)
-    scores = (
-        universe.join(bc, "id", "left")
-        .select(
-            "id",
-            (F.lit(scale) * F.coalesce(F.col("centrality"), F.lit(0.0))).alias("centrality"),
-        )
-    )
-    release_state(e)
-    return BetweennessResult(
-        scores=scores,
-        max_depth=depth,
-        stats={
-            "sources": n_sources,
-            "max_depth": depth,
-            "direction": d,
-            "elapsed_s": round(time.time() - t0, 4),
-        },
-    )
+    return bc, depth

@@ -268,3 +268,42 @@ def test_delta_stepping_resume_identical(spark, tmp_path):
     )
     got = {(r["id"], r["dist"]) for r in res.distances.collect()}
     assert got == want
+
+
+def test_betweenness_batched_equals_unbatched_and_resumes(spark, tmp_path):
+    """Source-batched Brandes (hash batches, durable per-batch
+    accumulation) equals the single-pass computation, and a run
+    stopped after max_batches=1 resumes to the identical result."""
+    from linkgraph.betweenness import betweenness_centrality
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"),
+             ("e", "f"), ("c", "f"), ("g", "a")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    want = {
+        r["id"]: r["centrality"]
+        for r in betweenness_centrality(edges, direction="BOTH").scores.collect()
+    }
+    batched = {
+        r["id"]: r["centrality"]
+        for r in betweenness_centrality(
+            edges, direction="BOTH", batch_size=3
+        ).scores.collect()
+    }
+    assert batched.keys() == want.keys()
+    for k in want:
+        assert np.isclose(batched[k], want[k], atol=1e-9), (k, batched[k], want[k])
+
+    ckpt = str(tmp_path / "bc_ckpt")
+    # incremental run: one batch now ...
+    betweenness_centrality(
+        edges, direction="BOTH", batch_size=3, max_batches=1,
+        checkpoint_dir=ckpt,
+    )
+    # ... rest on resume
+    res = betweenness_centrality(
+        edges, direction="BOTH", batch_size=3, checkpoint_dir=ckpt, resume=True,
+    )
+    got = {r["id"]: r["centrality"] for r in res.scores.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert np.isclose(got[k], want[k], atol=1e-9), (k, got[k], want[k])
