@@ -75,9 +75,17 @@ def betweenness_centrality(
       batch writes a durable manifest entry: ``resume=True`` re-enters
       at the first unfinished batch. ``max_batches`` stops early after
       that many batches this invocation (incremental operation: do a
-      few batches now, resume later); the returned scores are then the
-      partial accumulation (rescale still applies to the FULL source
-      count, so partial results are comparable in expectation).
+      few batches now, resume later); the returned scores are then a
+      RAW PARTIAL accumulation — with ``batches_done`` of ``n_batches``
+      batches done their expectation is (batches_done/n_batches) x the
+      full-source value (rescale applies to the full source count), so
+      treat them as incomplete until every batch has run.
+
+    Resuming validates the manifest against the current call: the
+    recorded n_batches and a sources fingerprint (bit_xor of xxhash64
+    ids) must match, because batches are defined by hashing sources
+    modulo n_batches — a different batch_size or source set would remap
+    sources across batches and silently double-count or skip them.
     """
     t0 = time.time()
     d = direction.upper()
@@ -115,7 +123,17 @@ def betweenness_centrality(
         import math
 
         n_batches = max(1, math.ceil(n_sources / batch_size))
-        loop = SuperstepLoop(spark, checkpoint_dir, every=1, name="betweenness")
+        # order-independent fingerprint of the source set: batches are
+        # srcs hashed mod n_batches, so accumulated per-batch sums are
+        # only valid for THIS (sources, n_batches) pair
+        src_fp = int(
+            srcs.agg(F.expr("bit_xor(xxhash64(id))").alias("fp")).first()["fp"] or 0
+        )
+        loop = SuperstepLoop(
+            spark, checkpoint_dir, every=1, name="betweenness",
+            context={"n_batches": n_batches, "sources_fp": src_fp,
+                     "n_sources": n_sources},
+        )
         start_b = 0
         total = None
         depth = 0
@@ -124,6 +142,24 @@ def betweenness_centrality(
             if resumed is not None:
                 start_b, total = resumed
                 depth = int(loop.last_metrics.get("max_depth", 0))
+                rec = loop.last_context
+                rec_nb = rec.get("n_batches", loop.last_metrics.get("n_batches"))
+                if rec_nb is not None and int(rec_nb) != n_batches:
+                    raise ValueError(
+                        f"betweenness resume mismatch: checkpoint was written "
+                        f"with n_batches={rec_nb} but batch_size={batch_size} "
+                        f"over {n_sources} sources gives n_batches={n_batches}; "
+                        "resuming would re-hash sources into different batches "
+                        "(double-count/skip). Rerun with the original batch_size."
+                    )
+                rec_fp = rec.get("sources_fp")
+                if rec_fp is not None and int(rec_fp) != src_fp:
+                    raise ValueError(
+                        "betweenness resume mismatch: the sources set differs "
+                        f"from the checkpointed run (fingerprint {rec_fp} != "
+                        f"{src_fp}); accumulated per-batch sums would mix "
+                        "source sets. Rerun with the original sources."
+                    )
         end_b = n_batches if max_batches is None else min(
             n_batches, start_b + max_batches
         )

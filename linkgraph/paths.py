@@ -178,7 +178,7 @@ def sssp_delta_stepping(
     direction: str = "OUTGOING",
     max_buckets: int = 10_000,
     checkpoint_dir: str | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     resume: bool = False,
 ) -> SsspResult:
     """Delta-stepping SSSP: settle nodes bucket by bucket
@@ -189,9 +189,14 @@ def sssp_delta_stepping(
     Checkpoints at BUCKET boundaries (the natural durable granularity
     — the inner fixpoint loop is transient): with a ``checkpoint_dir``
     each settled bucket writes a manifest entry whose metrics carry
-    the settled bound, and ``resume=True`` re-enters at the first
-    unsettled bucket (the superstep df state is the distance table;
-    the scalar control state rides in the manifest metrics).
+    the settled bound (``checkpoint_every`` default 1 = every bucket;
+    raise it to trade resume granularity for fewer parquet writes),
+    and ``resume=True`` re-enters at the first unsettled bucket (the
+    superstep df state is the distance table; the scalar control state
+    rides in the manifest metrics). Resume validates the recorded
+    ``settled_below`` against ``start_k * delta`` recomputed from the
+    caller's ``delta`` — resuming with a different delta would misplace
+    the settled bound and yield wrong distances, so it raises instead.
     """
     spark = edges.sparkSession
     t0 = time.time()
@@ -199,7 +204,8 @@ def sssp_delta_stepping(
     e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
     loop = SuperstepLoop(
-        spark, checkpoint_dir, every=checkpoint_every, name="sssp_delta"
+        spark, checkpoint_dir, every=checkpoint_every, name="sssp_delta",
+        context={"delta": delta},
     )
     start_k = 0
     dist = None
@@ -209,6 +215,18 @@ def sssp_delta_stepping(
         if resumed is not None:
             start_k, dist = resumed
             rounds = int(loop.last_metrics.get("rounds", 0))
+            rec_sb = loop.last_metrics.get("settled_below")
+            if rec_sb is not None and abs(float(rec_sb) - start_k * delta) > 1e-9 * max(
+                1.0, abs(float(rec_sb))
+            ):
+                raise ValueError(
+                    f"sssp_delta_stepping resume mismatch: checkpoint bucket "
+                    f"{start_k} was settled below {rec_sb} but the current "
+                    f"delta={delta} puts bucket {start_k} at "
+                    f"{start_k * delta}; resuming with a different delta "
+                    "misplaces the settled bound. Rerun with the original "
+                    f"delta={loop.last_context.get('delta', float(rec_sb) / start_k)}."
+                )
     if dist is None:
         dist = spark.createDataFrame(
             [(int(source), 0.0)], "id long, dist double"

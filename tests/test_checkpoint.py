@@ -307,3 +307,52 @@ def test_betweenness_batched_equals_unbatched_and_resumes(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         assert np.isclose(got[k], want[k], atol=1e-9), (k, got[k], want[k])
+
+
+def test_betweenness_resume_rejects_changed_batching(spark, tmp_path):
+    """Resuming batched Brandes with a different batch_size (different
+    n_batches) or a different sources set must raise — batches are
+    sources hashed mod n_batches, so the accumulated per-batch sums
+    would silently double-count or skip sources otherwise."""
+    import pytest
+    from pyspark.sql import functions as F
+    from linkgraph.betweenness import betweenness_centrality
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    nodes, edges = edges_from_pairs(spark, pairs)
+    ckpt = str(tmp_path / "bc_guard_ckpt")
+    betweenness_centrality(
+        edges, direction="BOTH", batch_size=2, max_batches=1,
+        checkpoint_dir=ckpt,
+    )
+    with pytest.raises(ValueError, match="n_batches"):
+        betweenness_centrality(
+            edges, direction="BOTH", batch_size=6, checkpoint_dir=ckpt,
+            resume=True,
+        )
+    with pytest.raises(ValueError, match="sources"):
+        betweenness_centrality(
+            edges, direction="BOTH", batch_size=2,
+            sources=nodes.filter(F.col("key") < "d").select("id"),
+            checkpoint_dir=ckpt, resume=True,
+        )
+
+
+def test_delta_stepping_resume_rejects_changed_delta(spark, tmp_path):
+    """Resuming delta-stepping with a different delta must raise — the
+    settled bound start_k*delta would no longer match the checkpointed
+    settled_below and distances would come out wrong."""
+    import pytest
+    from linkgraph import sssp_delta_stepping
+
+    chain = [(f"g{i:02d}", f"g{i + 1:02d}") for i in range(8)]
+    _nodes, edges = edges_from_pairs(spark, chain)
+    src = _nodes.filter("key = 'g00'").first()["id"]
+    ckpt = str(tmp_path / "delta_guard_ckpt")
+    sssp_delta_stepping(
+        edges, src, delta=1.5, max_buckets=2, checkpoint_dir=ckpt,
+    )
+    with pytest.raises(ValueError, match="delta"):
+        sssp_delta_stepping(
+            edges, src, delta=2.5, checkpoint_dir=ckpt, resume=True,
+        )

@@ -73,3 +73,32 @@ def test_labelprop_cliques_matches_pandas_oracle(spark):
     # communities separate the two cliques
     assert len({got[k] for k in ["p0", "p1", "p2"]}) == 1
     assert len({got[k] for k in ["q0", "q1", "q2"]}) == 1
+
+
+def test_labelprop_hub_split_equals_plain(spark):
+    """hub_cap routes hub-nbr vote rows onto the broadcast-label path;
+    the vote sums (and therefore the argmax labels) are identical to
+    the plain join — SUM is split-invariant. Star fixture forces the
+    hub down the hot path; multi-iteration so split state feeds the
+    next round's probe too."""
+    pairs = [("hub", f"n{i}") for i in range(40)] + [
+        (f"n{i}", f"n{(i + 1) % 40}") for i in range(40)
+    ] + [("x", "y")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    plain = {
+        (r["id"], r["label"])
+        for r in label_propagation(
+            edges, direction="BOTH", max_iter=3
+        ).labels.collect()
+    }
+    res = label_propagation(edges, direction="BOTH", max_iter=3, hub_cap=20)
+    assert res.stats["hub_split"] == 1  # only the hub exceeds nbr-degree 20
+    assert {(r["id"], r["label"]) for r in res.labels.collect()} == plain
+
+    # auto mode: engages on the skewed star, stays exact; off on a ring
+    auto = label_propagation(edges, direction="BOTH", max_iter=3, hub_cap="auto")
+    assert {(r["id"], r["label"]) for r in auto.labels.collect()} == plain
+    ring = [(str(i), str((i + 1) % 12)) for i in range(12)]
+    _n2, ring_edges = edges_from_pairs(spark, ring)
+    off = label_propagation(ring_edges, direction="BOTH", max_iter=2, hub_cap="auto")
+    assert off.stats["hub_split"] == 0
