@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import release_state
+from linkgraph.checkpoint import SuperstepLoop, release_state
 from linkgraph.components import connected_components
 
 
@@ -37,8 +37,23 @@ class MstResult:
     stats: dict = field(default_factory=dict)
 
 
-def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult:
-    """Borůvka MST/MSF over an undirected weighted edge table."""
+def minimum_spanning_forest(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> MstResult:
+    """Borůvka MST/MSF over an undirected weighted edge table.
+
+    Checkpoints at BORŮVKA-ROUND boundaries: the durable state is one
+    frame holding both the chosen tree edges (kind 'e': x=a, y=b, w)
+    and the component assignment (kind 'c': x=id, y=comp); with a
+    ``checkpoint_dir`` each completed round writes a manifest entry and
+    ``resume=True`` re-enters at the first unfinished round (same
+    contract as the other procedures — a killed-then-resumed run equals
+    an uninterrupted one exactly, since round picks are deterministic).
+    """
     spark = edges.sparkSession
     t0 = time.time()
     w = F.coalesce(F.col("weight"), F.lit(1.0))
@@ -55,11 +70,27 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
     )
     und.count()
 
-    nodes = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct()
-    comp = nodes.select("id", F.col("id").alias("comp")).persist()
+    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="mst")
+    start_round = 0
+    comp = None
     chosen = None
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_round, state = resumed
+            chosen = state.filter(F.col("kind") == "e").select(
+                F.col("x").alias("a"), F.col("y").alias("b"), "w"
+            ).localCheckpoint(eager=True)
+            comp = state.filter(F.col("kind") == "c").select(
+                F.col("x").alias("id"), F.col("y").alias("comp")
+            ).localCheckpoint(eager=True)
+    if comp is None:
+        nodes = und.select(F.col("a").alias("id")).union(
+            und.select(F.col("b").alias("id"))
+        ).distinct()
+        comp = nodes.select("id", F.col("id").alias("comp")).persist()
+    rounds = start_round
+    for rounds in range(start_round + 1, max_rounds + 1):
         ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("comp_a"))
         cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("comp_b"))
         labeled = (
@@ -127,6 +158,17 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 64) -> MstResult
         release_state(comp)
         comp = comp2
         best.unpersist()
+        if checkpoint_dir:
+            # durable round boundary: chosen edges + comp assignment in
+            # one frame (see docstring encoding)
+            state = chosen.select(
+                F.lit("e").alias("kind"), F.col("a").alias("x"),
+                F.col("b").alias("y"), "w",
+            ).union(comp.select(
+                F.lit("c").alias("kind"), F.col("id").alias("x"),
+                F.col("comp").alias("y"), F.lit(None).cast("double").alias("w"),
+            ))
+            loop.advance(rounds, state, metrics={"rounds": rounds})
 
     if chosen is None:
         chosen = spark.createDataFrame([], "a long, b long, w double")

@@ -249,9 +249,16 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws(",", *cols)).alias("bkey"),
             )
         )
+    # persist BEFORE the self-join: without it the two sides only share
+    # the num_hashes-min aggregate via ReuseExchange, which AQE breaks
+    # when it broadcasts the build side; the cache makes the signature
+    # aggregation run exactly once under ANY join strategy. Tiny table:
+    # (doc_id, band, bkey) x bands rows per doc.
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    ).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])

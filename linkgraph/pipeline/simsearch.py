@@ -177,7 +177,16 @@ def near_dup_pairs_lsh(
     sig = emb.select(id_col, vec_col).mapInPandas(
         kernel, schema="vec_id long, bkeys array<long>"
     )
-    banded = sig.select("vec_id", F.posexplode("bkeys").alias("band", "bkey"))
+    # persist the banded keys BEFORE the self-join: without it the two
+    # join sides only share the kernel via ReuseExchange, which AQE
+    # breaks when it broadcasts the build side (the corpus scan +
+    # matmul then runs once per side — measured in the round-3 plan);
+    # the cache makes the Arrow kernel run exactly once under ANY join
+    # strategy. Tiny table: (vec_id, band, bkey) x bands rows per
+    # vector, no embedding column.
+    banded = sig.select(
+        "vec_id", F.posexplode("bkeys").alias("band", "bkey")
+    ).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])

@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import pin_table, release_state
+from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
 
 
 @dataclass
@@ -131,6 +131,9 @@ def strongly_connected_components(
     nodes: DataFrame | None = None,
     max_rounds: int = 100,
     local_threshold: int = 500_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> SccResult:
     """SCC over a DIRECTED edge table (src, dst). Returns (id, scc).
 
@@ -141,21 +144,40 @@ def strongly_connected_components(
     O(residual DAG depth) Spark jobs; deep tails are exactly the
     regime where a sub-broadcast-size residual should not pay per-layer
     job latency. Set 0 to force the fully distributed path (tests do).
+
+    Checkpoints at OUTER-ROUND boundaries (trim/color/sweep inner loops
+    are transient): the durable state is one frame of (id, scc) where
+    scc NULL marks a still-active node; ``resume=True`` re-enters at
+    the first unfinished round with the accumulated assignments and
+    the shrunken active set (same contract as the other procedures).
     """
     spark = edges.sparkSession
     t0 = time.time()
     e_all = pin_table(edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct())
-    if nodes is not None:
-        active = nodes.select("id")
-    else:
-        active = e_all.select(F.col("src").alias("id")).union(
-            e_all.select(F.col("dst").alias("id"))
-        ).distinct()
-    active = active.persist()
+    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="scc")
+    start_round = 0
+    active = None
     assigned = spark.createDataFrame([], "id long, scc long")
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_round, state = resumed
+            assigned = state.filter(F.col("scc").isNotNull()).select(
+                "id", "scc"
+            ).localCheckpoint(eager=True)
+            active = state.filter(F.col("scc").isNull()).select("id").persist()
+            active.count()
+    if active is None:
+        if nodes is not None:
+            active = nodes.select("id")
+        else:
+            active = e_all.select(F.col("src").alias("id")).union(
+                e_all.select(F.col("dst").alias("id"))
+            ).distinct()
+        active = active.persist()
 
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    rounds = start_round
+    for rounds in range(start_round + 1, max_rounds + 1):
         # restrict edges to active nodes
         e = (
             e_all.join(active.select(F.col("id").alias("src")), "src", "left_semi")
@@ -253,6 +275,13 @@ def strongly_connected_components(
         ec.unpersist()
         release_state(member)
         release_state(colors)
+        if checkpoint_dir:
+            # durable round boundary: assigned UNION active-as-null in
+            # one frame (scc NULL = still active next round)
+            state = assigned.union(
+                active.select("id", F.lit(None).cast("long").alias("scc"))
+            )
+            loop.advance(rounds, state, metrics={"rounds": rounds})
         if active.isEmpty():
             break
 

@@ -356,3 +356,60 @@ def test_delta_stepping_resume_rejects_changed_delta(spark, tmp_path):
         sssp_delta_stepping(
             edges, src, delta=2.5, checkpoint_dir=ckpt, resume=True,
         )
+
+
+def test_scc_resume_identical(spark, tmp_path):
+    """SCC killed after 1 outer round (first pivot class assigned, the
+    second cycle still active) resumes from the round-boundary manifest
+    and matches the uninterrupted run exactly. local_threshold=0 forces
+    the distributed rounds the checkpoint protects."""
+    from linkgraph import strongly_connected_components
+
+    # cycle A (small ids) -> bridge -> cycle B: round 1 colors all from
+    # A's min id but only A's members reach it backward, so B needs a
+    # second outer round
+    pairs = [("a0", "a1"), ("a1", "a2"), ("a2", "a0"), ("a0", "b0"),
+             ("b0", "b1"), ("b1", "b2"), ("b2", "b0")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    want = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(
+            edges, local_threshold=0
+        ).components.collect()
+    }
+    ckpt = str(tmp_path / "scc_ckpt")
+    part = strongly_connected_components(
+        edges, local_threshold=0, max_rounds=1, checkpoint_dir=ckpt,
+    )
+    assert part.rounds == 1  # stopped with cycle B still active
+    res = strongly_connected_components(
+        edges, local_threshold=0, checkpoint_dir=ckpt, resume=True,
+    )
+    got = {(r["id"], r["scc"]) for r in res.components.collect()}
+    assert got == want
+
+
+def test_mst_resume_identical(spark, tmp_path):
+    """Borůvka MSF killed after 1 round resumes from the manifest
+    (chosen edges + comp assignment round-trip through one durable
+    frame) and matches the uninterrupted forest exactly."""
+    from linkgraph import minimum_spanning_forest
+
+    # 8-node chain with increasing weights + a separate 2-node piece:
+    # Borůvka needs >= 2 rounds to connect the chain
+    pairs = [(f"m{i}", f"m{i + 1}", 1.0 + i) for i in range(8)] + [
+        ("p", "q", 0.5)
+    ]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    full = minimum_spanning_forest(edges)
+    want = {
+        (r["src"], r["dst"], r["weight"]) for r in full.tree_edges.collect()
+    }
+    assert full.rounds > 1
+    ckpt = str(tmp_path / "mst_ckpt")
+    minimum_spanning_forest(edges, max_rounds=1, checkpoint_dir=ckpt)
+    res = minimum_spanning_forest(edges, checkpoint_dir=ckpt, resume=True)
+    got = {(r["src"], r["dst"], r["weight"]) for r in res.tree_edges.collect()}
+    assert got == want
+    assert res.total_weight == full.total_weight
+    assert res.edge_count == full.edge_count
