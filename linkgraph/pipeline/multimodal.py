@@ -12,12 +12,16 @@ Decode status per kind at ``real=True``:
   * image — REAL pure-numpy+zlib decoder: PNG (8-bit, non-interlaced,
     gray/RGB/(+alpha)) — IHDR/IDAT chunk parse, zlib inflate, full
     scanline unfiltering (None/Sub/Up/Average/Paeth).
-  * video — still stubbed (compressed codecs genuinely need
-    PIL/av-class libraries absent from this environment); the
-    deterministic fake path remains oracle-checked.
+  * video — REAL pure-numpy decoder for UNCOMPRESSED payloads:
+    YUV4MPEG2 (Y4M) stream parse, per-frame planar reads (C444/Cmono
+    native, C420 family via nearest chroma upsample). Compressed
+    codecs (h264 etc.) still raise NotImplementedError — they
+    genuinely need PIL/av-class libraries absent from this
+    environment; the deterministic fake path remains oracle-checked.
 
-``encode_wav_pcm16`` / ``encode_png`` are the matching pure-numpy
-encoders used to synthesize valid payloads for round-trip tests.
+``encode_wav_pcm16`` / ``encode_png`` / ``encode_y4m`` are the
+matching pure-numpy encoders used to synthesize valid payloads for
+round-trip tests.
 
 Asset table schema:
   asset_id long, kind string (image|audio|video), payload binary,
@@ -232,6 +236,104 @@ def decode_png(b: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), colorspace: str = "C444"
+) -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) writer — the uncompressed video format
+    (public spec: mjpegtools yuv4mpeg(5)). ``frames``: (n, h, w, 3)
+    uint8 planar-encodable YUV for C444, or (n, h, w) for Cmono."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if colorspace == "Cmono":
+        if a.ndim != 3:
+            raise ValueError("Cmono frames must be (n, h, w)")
+        n, h, w = a.shape
+    elif colorspace == "C444":
+        if a.ndim != 4 or a.shape[3] != 3:
+            raise ValueError("C444 frames must be (n, h, w, 3)")
+        n, h, w, _ = a.shape
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode()
+    parts = [head]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        if colorspace == "Cmono":
+            parts.append(a[i].tobytes())
+        else:
+            # planar: full Y plane, then U, then V
+            parts.append(a[i, :, :, 0].tobytes())
+            parts.append(a[i, :, :, 1].tobytes())
+            parts.append(a[i, :, :, 2].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(b: bytes) -> tuple[np.ndarray, int, tuple[int, int]]:
+    """Pure-numpy YUV4MPEG2 decoder: stream header parse (W/H/F/C
+    tags), per-frame FRAME markers (parameters after the marker are
+    skipped per spec), planar plane reads. Supports C444 and Cmono
+    natively and the C420 family (C420, C420jpeg, C420mpeg2,
+    C420paldv) via nearest-neighbor chroma upsampling.
+
+    Returns (frames, n_frames, (w, h)) with frames shaped
+    (n, h, w, 3) for color or (n, h, w) for Cmono."""
+    if not b.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = b.index(b"\n")
+    w = h = None
+    cspace = "C420jpeg"  # spec default when the C tag is absent
+    for tok in b[len(_Y4M_MAGIC):nl].split(b" "):
+        tok = tok.decode("ascii", "replace")
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            cspace = tok
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    mono = cspace == "Cmono"
+    if cspace == "C444":
+        fsize, c_sub = 3 * w * h, 1
+    elif mono:
+        fsize, c_sub = w * h, 0
+    elif cspace.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        fsize, c_sub = w * h + 2 * (w // 2) * (h // 2), 2
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cspace}")
+    off = nl + 1
+    frames = []
+    while off < len(b):
+        if b[off : off + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {off}")
+        off = b.index(b"\n", off) + 1  # frame parameters are skippable
+        raw = np.frombuffer(b, dtype=np.uint8, count=fsize, offset=off)
+        if raw.size != fsize:
+            raise ValueError("truncated Y4M frame")
+        off += fsize
+        if mono:
+            frames.append(raw.reshape(h, w))
+            continue
+        y = raw[: w * h].reshape(h, w)
+        if c_sub == 1:
+            u = raw[w * h : 2 * w * h].reshape(h, w)
+            v = raw[2 * w * h :].reshape(h, w)
+        else:
+            cw, chh = w // 2, h // 2
+            u = raw[w * h : w * h + cw * chh].reshape(chh, cw)
+            v = raw[w * h + cw * chh :].reshape(chh, cw)
+            u = u.repeat(2, axis=0).repeat(2, axis=1)
+            v = v.repeat(2, axis=0).repeat(2, axis=1)
+        frames.append(np.stack([y, u, v], axis=-1))
+    return np.stack(frames) if frames else np.zeros(
+        (0, h, w) if mono else (0, h, w, 3), dtype=np.uint8
+    ), len(frames), (w, h)
+
+
 def _luma(px: np.ndarray) -> float:
     """Mean luma of decoded pixels: Rec.601 for color, raw for gray
     (alpha ignored)."""
@@ -253,10 +355,12 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract a media kind via mapInPandas.
 
-    real=True decodes the actual payload bytes: WAV/PCM16 for audio
-    and PNG for image run on the pure-numpy decoders above (no
-    external library); video still raises NotImplementedError
-    (compressed codecs need libraries absent from this environment).
+    real=True decodes the actual payload bytes on the pure-numpy
+    decoders above (no external library): WAV/PCM16 for audio, PNG for
+    image, YUV4MPEG2 (Y4M) for video — ``frames`` evenly-spaced frames
+    are sampled from the decoded stream and fingerprinted. Compressed
+    video codecs raise NotImplementedError (they need libraries absent
+    from this environment).
     real=False runs the deterministic fake decoder through the SAME
     Spark plumbing (schema, Arrow batch shape, partitioning) — the
     oracle-checkable path. Output schemas are identical either way:
@@ -269,13 +373,6 @@ def decode_media(
       video -> (asset_id, frame_idx long, frame_sig string), one row
                per sampled frame (UDTF-shaped: 1 row in, k rows out)
     """
-    if real and kind == "video":
-        raise NotImplementedError(
-            "real video decoding needs an av-class library, not available "
-            "in this environment; audio (WAV/PCM16) and image (PNG) decode "
-            "for real via the pure-numpy codecs in this module"
-        )
-
     sub = assets.filter(F.col("kind") == kind).select("asset_id", "payload", "meta")
 
     if kind == "image":
@@ -339,6 +436,29 @@ def decode_media(
                 out_id, out_idx, out_sig = [], [], []
                 for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                     b = bytes(p)
+                    if real:
+                        # uncompressed Y4M decodes pure-numpy like
+                        # WAV/PNG; compressed codecs genuinely need an
+                        # av-class library absent from this environment
+                        if not b.startswith(_Y4M_MAGIC):
+                            raise NotImplementedError(
+                                "real video decoding supports uncompressed "
+                                "YUV4MPEG2 (Y4M) payloads only; compressed "
+                                "codecs need an av-class library not "
+                                "available in this environment"
+                            )
+                        fr, n, _wh = decode_y4m(b)
+                        step = max(1, n // frames)
+                        for fi in range(min(frames, n)):
+                            frame = fr[min(fi * step, n - 1)]
+                            out_id.append(aid)
+                            out_idx.append(fi)
+                            out_sig.append(
+                                hashlib.sha256(
+                                    frame.tobytes().hex().encode()
+                                ).hexdigest()[:16]
+                            )
+                        continue
                     step = max(1, len(b) // frames)
                     for fi in range(frames):
                         chunk = b[fi * step: (fi + 1) * step]

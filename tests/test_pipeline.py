@@ -196,13 +196,15 @@ def test_decode_media_fake_paths(spark):
     assets.unpersist()
 
 
-def test_decode_media_real_video_still_stubbed(spark):
-    """Only VIDEO remains stubbed at real=True (compressed codecs need
-    libraries absent here); audio/image decode for real — see the
-    round-trip tests below."""
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    with pytest.raises(NotImplementedError):
-        decode_media(synth_assets(docs), "video", real=True)
+def test_decode_media_real_video_compressed_still_stubbed(spark):
+    """Only COMPRESSED video remains stubbed at real=True (h264-class
+    codecs need libraries absent here); uncompressed Y4M decodes for
+    real — see the round-trip test below. Non-Y4M payloads raise
+    NotImplementedError inside the kernel at execution time."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(9)
+    df = decode_media(synth_assets(docs), "video", real=True)
+    with pytest.raises(Exception, match="YUV4MPEG2|NotImplementedError"):
+        df.collect()
 
 
 def _asset_rows(spark, rows):
@@ -447,3 +449,59 @@ def test_lsh_signature_auto_routes_by_dim(spark):
     assert "MapInPandas" in plan512
     # and the kernel path actually produces a row per vector
     assert lsh_signatures(emb512, n_planes=16).count() == 8
+
+
+def test_y4m_codec_round_trip():
+    """encode_y4m -> decode_y4m reconstructs frames exactly for C444
+    and Cmono; the C420 family decodes with nearest chroma upsample."""
+    from linkgraph.pipeline.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(7)
+    color = rng.integers(0, 256, size=(5, 6, 8, 3), dtype=np.uint8)
+    fr, n, wh = decode_y4m(encode_y4m(color, colorspace="C444"))
+    assert n == 5 and wh == (8, 6)
+    assert np.array_equal(fr, color)
+
+    mono = rng.integers(0, 256, size=(3, 4, 10), dtype=np.uint8)
+    fr2, n2, wh2 = decode_y4m(encode_y4m(mono, colorspace="Cmono"))
+    assert n2 == 3 and wh2 == (10, 4)
+    assert np.array_equal(fr2, mono)
+
+    # hand-built C420jpeg stream: Y full-res, U/V quarter-res constants
+    w, h = 4, 2
+    y = np.arange(w * h, dtype=np.uint8)
+    u = np.full((h // 2) * (w // 2), 100, dtype=np.uint8)
+    v = np.full((h // 2) * (w // 2), 200, dtype=np.uint8)
+    raw = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    )
+    fr3, n3, wh3 = decode_y4m(raw)
+    assert n3 == 1 and wh3 == (w, h)
+    assert np.array_equal(fr3[0, :, :, 0], y.reshape(h, w))
+    assert (fr3[0, :, :, 1] == 100).all() and (fr3[0, :, :, 2] == 200).all()
+
+
+def test_y4m_real_decode_through_spark(spark):
+    """Synthesized Y4M payloads decode for real through the Spark
+    mapInPandas path: frame sampling (step = n // frames) and the
+    hex-space sha256 fingerprint match a local recomputation."""
+    import hashlib
+    from linkgraph.pipeline.multimodal import encode_y4m
+
+    rng = np.random.default_rng(11)
+    rows, expect = [], set()
+    for aid, n_frames in [(0, 8), (1, 3), (2, 5)]:
+        vid = rng.integers(0, 256, size=(n_frames, 4, 6, 3), dtype=np.uint8)
+        rows.append((aid, "video", bytearray(encode_y4m(vid)), None))
+        k = 4  # decode_media default frames=4
+        step = max(1, n_frames // k)
+        for fi in range(min(k, n_frames)):
+            frame = vid[min(fi * step, n_frames - 1)]
+            sig = hashlib.sha256(frame.tobytes().hex().encode()).hexdigest()[:16]
+            expect.add((aid, fi, sig))
+    got = {
+        (r["asset_id"], r["frame_idx"], r["frame_sig"])
+        for r in decode_media(_asset_rows(spark, rows), "video", real=True).collect()
+    }
+    assert got == expect
