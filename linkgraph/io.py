@@ -134,13 +134,23 @@ def write_results(
             "configured catalog (parquet is the tested sink here)"
         )
     t0 = time.time()
+    spark = df.sparkSession
     writer = df.write.mode(mode).format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if format == "iceberg":
+        # path is a CATALOG TABLE identifier for Iceberg — the DSv2
+        # writer goes through the table API, not a filesystem save
+        writer.saveAsTable(path)
+        write_millis = int((time.time() - t0) * 1000)
+        rows = spark.read.table(path).count()
+        return {
+            "path": path, "format": format, "mode": mode, "rows": rows,
+            "files": None, "bytes": None, "write_millis": write_millis,
+        }
     writer.save(path)
     write_millis = int((time.time() - t0) * 1000)
 
-    spark = df.sparkSession
     rows = spark.read.format(format).load(path).count()
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001

@@ -300,6 +300,42 @@ def sssp_delta_stepping(
     )
 
 
+def _relax_round(e: DataFrame, state: DataFrame) -> DataFrame:
+    """One Bellman-Ford relax round with predecessor tracking over a
+    (id, dist, pred, improved) state: the improved set is the frontier;
+    pred chosen by min (dist, pred) — deterministic among equal-cost
+    paths. Returns the new eagerly-checkpointed state."""
+    dist = state.select("id", "dist", "pred")
+    frontier = state.filter("improved").select("id", "dist")
+    relaxed = (
+        e.join(frontier, e.src == frontier.id)
+        .select(
+            e.dst.alias("id"),
+            (F.col("dist") + F.col("w")).alias("nd"),
+            frontier.id.alias("npred"),
+        )
+        .groupBy("id")
+        .agg(F.min(F.struct(F.col("nd"), F.col("npred"))).alias("m"))
+        .select("id", F.col("m.nd").alias("nd"), F.col("m.npred").alias("npred"))
+    )
+    return (
+        dist.join(relaxed, "id", "full")
+        .select(
+            "id",
+            F.when(
+                F.col("dist").isNull()
+                | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist")),
+                F.struct(F.col("nd").alias("dist"), F.col("npred").alias("pred"),
+                         F.lit(True).alias("improved")),
+            ).otherwise(
+                F.struct(F.col("dist"), F.col("pred"), F.lit(False).alias("improved"))
+            ).alias("s"),
+        )
+        .select("id", "s.dist", "s.pred", "s.improved")
+        .localCheckpoint(eager=True)
+    )
+
+
 def shortest_path_pair(
     edges: DataFrame,
     source: int,
@@ -307,74 +343,161 @@ def shortest_path_pair(
     weighted: bool = True,
     direction: str = "OUTGOING",
     max_hops: int | None = None,
+    bidirectional: bool = True,
 ):
     """Single-PAIR shortest path — the reference algo.shortestPath
     contract (pub:algo/.../impl/ShortestPathDijkstra.java takes a start
     AND an end node and streams the path's (nodeId, cost) rows).
 
-    Runs the SSSP relax loop with predecessor tracking (pred chosen by
-    min (dist, pred) — deterministic among equal-cost paths), then
-    reconstructs the path by walking predecessors driver-side (path
-    length <= relax rounds, so the walk is a bounded small loop, not a
-    data-scale collect). Returns (path DataFrame(step, id, cost),
+    Default is BIDIRECTIONAL search: relax rounds alternate from the
+    source (forward, along ``direction``) and the target (backward,
+    along reversed edges), maintaining the best meeting value
+    mu = min over v of df(v) + db(v). Termination: stop when
+    mu <= minf + minb, where minf/minb are the minimum distances on the
+    current forward/backward frontiers — every FUTURE forward
+    assignment costs >= minf (nonneg weights: new dist = frontier dist
+    + w), so any undiscovered s->t path costs >= minf + minb >= mu and
+    mu is exact (the node-meet form suffices because every improved
+    node relaxes its out-edges the following round, so for the
+    boundary edge (u, w) of a hypothetically-cheaper path, u's final
+    relaxation has already bounded df(w); classic bidirectional
+    Dijkstra bound adapted to level-synchronous relaxation). On a
+    length-L path each side explores radius ~L/2: ~L/2 + 1 rounds of
+    Spark jobs instead of L (verified by the round-count test).
+    Requires nonnegative weights (as does Dijkstra, the reference
+    algorithm).
+
+    ``bidirectional=False`` or ``max_hops`` runs the plain forward SSSP
+    relax loop (max_hops is an exact <=k-edge bound on the forward
+    metric, which the bidirectional split does not preserve).
+
+    Path reconstruction is pointer-doubling on the predecessor chains
+    (O(log L) rounds of n-row joins — a 1,000-hop path cost 1,000 jobs
+    in the per-hop walk). Returns (path DataFrame(step, id, cost),
     total_cost) — path empty when target is unreachable.
     """
     spark = edges.sparkSession
+    if int(source) == int(target):
+        return (
+            spark.createDataFrame([(0, int(source), 0.0)], "step long, id long, cost double"),
+            0.0,
+        )
+    if bidirectional and max_hops is None:
+        return _pair_bidirectional(edges, source, target, weighted, direction)
     # pin_table: constant per-superstep plan (linkgraph/checkpoint.py)
     e = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
     e.count()
     state = spark.createDataFrame(
-        [(int(source), 0.0, None)], "id long, dist double, pred long"
+        [(int(source), 0.0, None, True)],
+        "id long, dist double, pred long, improved boolean",
     ).localCheckpoint(eager=True)
-    dist = state
-    frontier = dist.select("id", "dist")
     limit = max_hops if max_hops is not None else 1 << 30
     it = 0
     while it < limit:
         it += 1
-        relaxed = (
-            e.join(frontier, e.src == frontier.id)
-            .select(
-                e.dst.alias("id"),
-                (F.col("dist") + F.col("w")).alias("nd"),
-                frontier.id.alias("npred"),
-            )
-            .groupBy("id")
-            .agg(F.min(F.struct(F.col("nd"), F.col("npred"))).alias("m"))
-            .select("id", F.col("m.nd").alias("nd"), F.col("m.npred").alias("npred"))
-        )
-        merged = (
-            dist.join(relaxed, "id", "full")
-            .select(
-                "id",
-                F.when(
-                    F.col("dist").isNull()
-                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist")),
-                    F.struct(F.col("nd").alias("dist"), F.col("npred").alias("pred"),
-                             F.lit(True).alias("improved")),
-                ).otherwise(
-                    F.struct(F.col("dist"), F.col("pred"), F.lit(False).alias("improved"))
-                ).alias("s"),
-            )
-            .select("id", "s.dist", "s.pred", "s.improved")
-            .localCheckpoint(eager=True)
-        )
+        merged = _relax_round(e, state)
         n_front = merged.filter("improved").count()
         release_state(state)
         state = merged
-        dist = merged.select("id", "dist", "pred")
-        frontier = merged.filter("improved").select("id", "dist")
         if n_front == 0:
             break
-    # pointer-doubling reconstruction: O(log L) rounds of n-row joins
-    # instead of one full-scan point lookup per path edge (a 1,000-hop
-    # path cost 1,000 jobs in the per-hop walk)
     release_state(e)
+    dist = state.select("id", "dist", "pred")
     rows, total, _rounds = _reconstruct_path(dist, target)
     release_state(state)
     if rows is None:  # target unreachable
         return spark.createDataFrame([], "step long, id long, cost double"), None
     return spark.createDataFrame(rows, "step long, id long, cost double"), total
+
+
+def _pair_bidirectional(
+    edges: DataFrame, source: int, target: int, weighted: bool, direction: str
+):
+    """Bidirectional relax search (see shortest_path_pair docstring).
+    Exposes round counts in the function attribute ``last_stats`` for
+    the round-count test."""
+    spark = edges.sparkSession
+    ef = pin_table(_prep_edges(edges, weighted, direction).repartition("src"))
+    ef.count()
+    # backward edges: reverse of the DIRECTED relax table (for BOTH the
+    # symmetrized table is its own reverse, but swapping is still
+    # correct and keeps one code path)
+    eb = pin_table(
+        ef.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        .repartition("src")
+    )
+    eb.count()
+    sf = spark.createDataFrame(
+        [(int(source), 0.0, None, True)],
+        "id long, dist double, pred long, improved boolean",
+    ).localCheckpoint(eager=True)
+    sb = spark.createDataFrame(
+        [(int(target), 0.0, None, True)],
+        "id long, dist double, pred long, improved boolean",
+    ).localCheckpoint(eager=True)
+    inf = float("inf")
+    minf = minb = 0.0
+    rounds_f = rounds_b = 0
+    mu, meet = inf, None
+    while True:
+        progressed = False
+        if minf <= minb and minf < inf:
+            nxt = _relax_round(ef, sf)
+            rounds_f += 1
+            release_state(sf)
+            sf, progressed = nxt, True
+            agg = sf.filter("improved").agg(
+                F.count("*").alias("n"), F.min("dist").alias("m")
+            ).first()
+            minf = float(agg["m"]) if agg["n"] else inf
+        elif minb < inf:
+            nxt = _relax_round(eb, sb)
+            rounds_b += 1
+            release_state(sb)
+            sb, progressed = nxt, True
+            agg = sb.filter("improved").agg(
+                F.count("*").alias("n"), F.min("dist").alias("m")
+            ).first()
+            minb = float(agg["m"]) if agg["n"] else inf
+        if not progressed:  # both sides converged
+            break
+        m = (
+            sf.select("id", F.col("dist").alias("df"))
+            .join(sb.select("id", F.col("dist").alias("db")), "id")
+            .select(F.struct((F.col("df") + F.col("db")).alias("s"), "id").alias("m"))
+            .agg(F.min("m").alias("m"))
+            .first()["m"]
+        )
+        if m is not None and float(m["s"]) < mu:
+            mu, meet = float(m["s"]), int(m["id"])
+        if mu <= minf + minb:
+            break
+    _pair_bidirectional.last_stats = {
+        "rounds_forward": rounds_f, "rounds_backward": rounds_b,
+        "rounds_total": rounds_f + rounds_b,
+    }
+    release_state(ef)
+    release_state(eb)
+    if meet is None:
+        release_state(sf)
+        release_state(sb)
+        return spark.createDataFrame([], "step long, id long, cost double"), None
+    rows_f, _tf, _ = _reconstruct_path(sf.select("id", "dist", "pred"), meet)
+    rows_b, _tb, _ = _reconstruct_path(sb.select("id", "dist", "pred"), meet)
+    release_state(sf)
+    release_state(sb)
+    # rows_f: source -> meet with cost = df; rows_b: target -> meet in
+    # the backward orientation with cost = db — stitch meet..target by
+    # reversing rows_b and re-basing its costs at mu - db(v)
+    k = rows_f[-1][0]
+    out = list(rows_f)
+    jb = rows_b[-1][0]
+    for step_b, vid, db in rows_b:
+        if vid == meet:
+            continue
+        out.append((k + (jb - step_b), vid, round(mu - db, 12)))
+    out.sort()
+    return spark.createDataFrame(out, "step long, id long, cost double"), mu
 
 
 def _reconstruct_path(dist: DataFrame, target: int):

@@ -381,3 +381,48 @@ def test_path_reconstruction_pointer_doubling_rounds(spark):
     # unreachable target: no distance row
     none_path, none_total, _ = _reconstruct_path(dist, 999)
     assert none_path is None and none_total is None
+
+
+def test_pair_bidirectional_fewer_rounds_on_chain(spark):
+    """Bidirectional search stops at the meet instead of relaxing to
+    global convergence: on a 24-edge chain with the target mid-chain
+    (d(s,t) = 12 edges) the unidirectional path runs 24(+1) rounds
+    (source eccentricity), the bidirectional one ~12-14 total. The
+    path and cost are identical (unique-path fixture)."""
+    from linkgraph import shortest_path_pair
+    from linkgraph.paths import _pair_bidirectional
+
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}", float(1 + (i % 3))) for i in range(24)]
+    nodes, edges = edges_from_pairs(spark, chain)
+    ids = {r["key"]: r["id"] for r in nodes.collect()}
+    s, t = ids["c00"], ids["c12"]
+
+    uni_path, uni_cost = shortest_path_pair(
+        edges, s, t, weighted=True, direction="OUTGOING", bidirectional=False
+    )
+    bi_path, bi_cost = shortest_path_pair(
+        edges, s, t, weighted=True, direction="OUTGOING"
+    )
+    assert bi_cost == uni_cost
+    assert [tuple(r) for r in bi_path.collect()] == [tuple(r) for r in uni_path.collect()]
+    stats = _pair_bidirectional.last_stats
+    # d(s,t) = 12 edges: the meet needs F+B >= 12; termination follows
+    # within a couple of rounds — far under the 24(+1) rounds the
+    # unidirectional relax pays to drain the frontier past the target
+    assert stats["rounds_total"] <= 16, stats
+    assert stats["rounds_forward"] >= 2 and stats["rounds_backward"] >= 2, stats
+
+
+def test_pair_bidirectional_unreachable_and_trivial(spark):
+    """Disconnected pair returns (empty path, None); source == target
+    returns the single-row zero-cost path."""
+    from linkgraph import shortest_path_pair
+
+    pairs = [("a", "b"), ("x", "y")]
+    nodes, edges = edges_from_pairs(spark, pairs)
+    ids = {r["key"]: r["id"] for r in nodes.collect()}
+    path, cost = shortest_path_pair(edges, ids["a"], ids["x"])
+    assert cost is None and path.count() == 0
+    path2, cost2 = shortest_path_pair(edges, ids["a"], ids["a"])
+    assert cost2 == 0.0
+    assert [tuple(r) for r in path2.collect()] == [(0, ids["a"], 0.0)]
