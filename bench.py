@@ -222,8 +222,19 @@ def scaling_workload(spark, sf_dir: str) -> dict:
 
     if "lpa" in algos:
         # weighted argmax propagation — the 4th core procedure's
-        # shuffle shape (join labels + single max_by aggregate/round)
-        lp = label_propagation(edges, direction="OUTGOING", max_iter=3)
+        # shuffle shape (join labels + single max_by aggregate/round).
+        # hub_cap="auto": the measured-skew broadcast-hub split (same
+        # mechanism as the WCC leg) — a Pareto hub otherwise
+        # concentrates its whole vote neighborhood in one task of the
+        # per-round pairs.join(nbr_state) probe.
+        # SPARK_GRAFT_SCALE_LPA_HUB=0 disables it (A/B measurements).
+        lpa_hub = (
+            None if os.environ.get("SPARK_GRAFT_SCALE_LPA_HUB", "1") == "0"
+            else "auto"
+        )
+        lp = label_propagation(
+            edges, direction="OUTGOING", max_iter=3, hub_cap=lpa_hub
+        )
         _run(lp.labels)
         out["algos"]["lpa"] = {
             "edges": n_edges, "rounds": 3,
