@@ -98,6 +98,39 @@ def _q_labelprop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.labels.select("id", "label")
 
 
+def _q_labelprop_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 2-iteration LPA through the broadcast-hub split (hub_cap=8
+    forces every nbr key of this dense graph hot): vote sums are
+    split-invariant, so the values must equal the plain path's — the
+    driver-level proof of the skew mechanism (linkgraph/labelprop.py)."""
+    res = label_propagation(
+        cosupplier_edges(spark, sf_dir), direction="BOTH", max_iter=2, hub_cap=8
+    )
+    return res.labels.select("id", "label")
+
+
+_LPA2_SQL_TEMPLATE = """
+WITH e AS ({edges}),
+sym AS (SELECT src AS node, dst AS nbr, weight FROM e
+        UNION ALL SELECT dst, src, weight FROM e),
+l0 AS (SELECT DISTINCT node AS id, node AS label FROM sym),
+v1 AS (SELECT s.node, l.label, SUM(s.weight) AS v
+       FROM sym s JOIN l0 l ON l.id = s.nbr GROUP BY 1, 2),
+b1 AS (SELECT node AS id, label,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
+       FROM v1),
+l1 AS (SELECT id, label FROM b1 WHERE rk = 1),
+v2 AS (SELECT s.node, l.label, SUM(s.weight) AS v
+       FROM sym s JOIN l1 l ON l.id = s.nbr GROUP BY 1, 2),
+b2 AS (SELECT node AS id, label,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
+       FROM v2)
+SELECT id, label FROM b2 WHERE rk = 1
+"""
+
+_LPA2_SQL = _LPA2_SQL_TEMPLATE.format(edges=COSUPPLIER_EDGES_SQL)
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = triangle_count(cosupplier_edges(spark, sf_dir))
     return res.triangles.agg(F.count("*").alias("triangle_count"))
@@ -547,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_threshold_cosupplier": _q_wcc_threshold,
         "labelprop_cosupplier_1iter": _q_labelprop,
         "labelprop_cosupplier_2iter": _q_labelprop2,
+        "labelprop_hub_cosupplier_2iter": _q_labelprop_hub,
         "triangle_count_cosupplier": _q_triangle_count,
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
@@ -688,24 +722,12 @@ best AS (SELECT node AS id, label,
          FROM votes)
 SELECT id, label FROM best WHERE rk = 1
 """,
-        "labelprop_cosupplier_2iter": f"""
-WITH e AS ({COSUPPLIER_EDGES_SQL}),
-sym AS (SELECT src AS node, dst AS nbr, weight FROM e
-        UNION ALL SELECT dst, src, weight FROM e),
-l0 AS (SELECT DISTINCT node AS id, node AS label FROM sym),
-v1 AS (SELECT s.node, l.label, SUM(s.weight) AS v
-       FROM sym s JOIN l0 l ON l.id = s.nbr GROUP BY 1, 2),
-b1 AS (SELECT node AS id, label,
-              ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
-       FROM v1),
-l1 AS (SELECT id, label FROM b1 WHERE rk = 1),
-v2 AS (SELECT s.node, l.label, SUM(s.weight) AS v
-       FROM sym s JOIN l1 l ON l.id = s.nbr GROUP BY 1, 2),
-b2 AS (SELECT node AS id, label,
-              ROW_NUMBER() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rk
-       FROM v2)
-SELECT id, label FROM b2 WHERE rk = 1
-""",
+        "labelprop_cosupplier_2iter": _LPA2_SQL,
+        # identical SEMANTICS through the broadcast-hub split path
+        # (hub_cap forces every nbr key hot on this dense graph): the
+        # split must be invisible in the values, so the oracle is the
+        # same 2-iteration SQL
+        "labelprop_hub_cosupplier_2iter": _LPA2_SQL,
         "triangle_count_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT COUNT(*) AS triangle_count FROM tri",
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},
