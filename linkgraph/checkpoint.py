@@ -74,6 +74,35 @@ def release_state(df: DataFrame | None) -> bool:
     return freed
 
 
+def attach_caches(df: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Record the persisted intermediates a returned (lazy) DataFrame
+    still depends on, so the caller can free them with
+    ``release_caches(df)`` once the result is consumed. The pattern for
+    functions whose return type is a plain DataFrame (a dataclass
+    result carries an explicit ``release()`` instead — TriangleResult,
+    DerivedGraph). Cached blocks are LRU-evictable either way, so an
+    unreleased cache degrades to recompute under pressure rather than
+    failing — release is hygiene for loop callers."""
+    df._linkgraph_caches = list(caches)  # noqa: SLF001
+    return df
+
+
+def release_caches(df: DataFrame) -> int:
+    """Unpersist the intermediates recorded by ``attach_caches``;
+    returns how many were freed. After release the DataFrame still
+    WORKS but recomputes those subtrees on next use."""
+    caches = getattr(df, "_linkgraph_caches", [])
+    n = 0
+    for c in caches:
+        try:
+            c.unpersist()
+            n += 1
+        except Exception:
+            pass
+    df._linkgraph_caches = []  # noqa: SLF001
+    return n
+
+
 def pin_table(df: DataFrame, path: str | None = None) -> DataFrame:
     """Materialize a LOOP-INVARIANT table: truncate its plan AND keep
     columnar scans.

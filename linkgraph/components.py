@@ -125,7 +125,12 @@ def connected_components(
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
     hub_ids: list[int] | None = None
+    sym_cached = None
     if hub_cap is not None:
+        # one scan of the symmetrized table for the degree probe AND
+        # the filtered pins below (otherwise the lineage re-derives 3x)
+        sym_cached = sym.persist()
+        sym = sym_cached
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         deg = sym.groupBy("src").agg(F.count("*").alias("c")).persist()
         if hub_cap == "auto":
@@ -159,6 +164,8 @@ def connected_components(
         sym_hot = None
         sym = pin_table(sym.repartition("src").sortWithinPartitions("src"))
     sym.count()
+    if sym_cached is not None:
+        sym_cached.unpersist()
     if nodes is not None:
         base = nodes.select("id")
     else:

@@ -143,7 +143,17 @@ def write_results(
         # writer goes through the table API, not a filesystem save
         writer.saveAsTable(path)
         write_millis = int((time.time() - t0) * 1000)
-        rows = spark.read.table(path).count()
+        try:
+            # rows WRITTEN (not total table rows — they differ under
+            # mode='append'): the committed snapshot's summary carries
+            # added-records; metadata-only, no table scan
+            snap = spark.sql(
+                f"SELECT summary FROM {path}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            rows = int(snap["summary"]["added-records"])
+        except Exception:
+            rows = spark.read.table(path).count()
         return {
             "path": path, "format": format, "mode": mode, "rows": rows,
             "files": None, "bytes": None, "write_millis": write_millis,

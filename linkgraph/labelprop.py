@@ -96,7 +96,13 @@ def label_propagation(
     raw_pairs = _neighbor_pairs(edges, direction)
 
     hub_ids: list[int] | None = None
+    raw_cached = None
     if hub_cap is not None:
+        # one scan of the pair derivation for the degree probe AND the
+        # two filtered pins below (otherwise the lineage re-derives
+        # 3x: deg agg + hot pin + cold pin)
+        raw_cached = raw_pairs.persist()
+        raw_pairs = raw_cached
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         deg = raw_pairs.groupBy("nbr").agg(F.count("*").alias("c")).persist()
         if hub_cap == "auto":
@@ -131,6 +137,8 @@ def label_propagation(
         pairs_hot = None
         pairs = pin_table(raw_pairs.repartition("nbr").sortWithinPartitions("nbr"))
     pairs.count()
+    if raw_cached is not None:
+        raw_cached.unpersist()
     if nodes is not None:
         base = nodes
     else:

@@ -70,13 +70,34 @@ def minimum_spanning_forest(
     )
     und.count()
 
-    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="mst")
+    graph_fp = None
+    if checkpoint_dir:
+        # order-independent fingerprint of the (deduped) weighted edge
+        # set: round state is only valid against THIS graph — same
+        # guard as betweenness/scc
+        graph_fp = int(
+            und.agg(
+                F.expr("bit_xor(xxhash64(a, b, w))").alias("fp")
+            ).first()["fp"] or 0
+        )
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="mst",
+        context={"graph_fp": graph_fp},
+    )
     start_round = 0
     comp = None
     chosen = None
     if resume:
         resumed = loop.resume()
         if resumed is not None:
+            rec_fp = loop.last_context.get("graph_fp")
+            if rec_fp is not None and graph_fp is not None and int(rec_fp) != graph_fp:
+                raise ValueError(
+                    "mst resume mismatch: the edge table differs from the "
+                    f"checkpointed run (fingerprint {rec_fp} != {graph_fp}); "
+                    "chosen edges and component state would mix graphs. "
+                    "Rerun without resume or with the original edges."
+                )
             start_round, state = resumed
             chosen = state.filter(F.col("kind") == "e").select(
                 F.col("x").alias("a"), F.col("y").alias("b"), "w"
@@ -158,9 +179,11 @@ def minimum_spanning_forest(
         release_state(comp)
         comp = comp2
         best.unpersist()
-        if checkpoint_dir:
+        if checkpoint_dir and rounds % checkpoint_every == 0:
             # durable round boundary: chosen edges + comp assignment in
-            # one frame (see docstring encoding)
+            # one frame (see docstring encoding). Only durable rounds —
+            # chosen/comp are managed checkpoints already, so a
+            # non-durable advance would materialize a throwaway copy.
             state = chosen.select(
                 F.lit("e").alias("kind"), F.col("a").alias("x"),
                 F.col("b").alias("y"), "w",
@@ -168,7 +191,9 @@ def minimum_spanning_forest(
                 F.lit("c").alias("kind"), F.col("id").alias("x"),
                 F.col("comp").alias("y"), F.lit(None).cast("double").alias("w"),
             ))
-            loop.advance(rounds, state, metrics={"rounds": rounds})
+            loop.advance(
+                rounds, state, metrics={"rounds": rounds}, force_checkpoint=True
+            )
 
     if chosen is None:
         chosen = spark.createDataFrame([], "a long, b long, w double")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import attach_caches
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 
 
@@ -275,7 +276,7 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("i"))
     )
     card = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    return (
+    out = (
         inter.join(card.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1")
         .join(card.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
         .select(
@@ -284,6 +285,9 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # shingle + banded caches stay live for the returned lazy plan
+    # (LRU-evictable); loop callers free them with release_caches(out)
+    return attach_caches(out, [sh, banded])
 
 
 # -------------------------------------------------- near-dup clustering

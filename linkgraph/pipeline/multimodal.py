@@ -448,9 +448,13 @@ def decode_media(
                                 "available in this environment"
                             )
                         fr, n, _wh = decode_y4m(b)
-                        step = max(1, n // frames)
-                        for fi in range(min(frames, n)):
-                            frame = fr[min(fi * step, n - 1)]
+                        # evenly spaced over the FULL stream incl. the
+                        # last frame (n//frames stepping clusters at
+                        # the head and never samples the tail)
+                        k = min(frames, n)
+                        for fi in range(k):
+                            idx = round(fi * (n - 1) / (k - 1)) if k > 1 else 0
+                            frame = fr[idx]
                             out_id.append(aid)
                             out_idx.append(fi)
                             out_sig.append(

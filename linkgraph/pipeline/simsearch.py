@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import attach_caches as _attach_caches
+
 
 def _dot_sql(a: str, b: str, dim: int, extract: str) -> str:
     terms = " + ".join(
@@ -197,12 +199,16 @@ def near_dup_pairs_lsh(
     a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("ea"))
     bb = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("eb"))
     sim = F.round(cosine_expr_spark("ea", "eb", dim), 6).alias("sim")
-    return (
+    out = (
         cand.join(a, "id1")
         .join(bb, "id2")
         .select("id1", "id2", sim)
         .filter(F.col("sim") >= threshold)
     )
+    # the banded cache stays live for the returned (lazy) plan; cached
+    # blocks are LRU-evictable (recomputable), so pressure self-heals,
+    # but loop callers should release explicitly once consumed
+    return _attach_caches(out, [banded])
 
 
 # ----------------------------------------------------------- ANN (IVF)

@@ -154,13 +154,34 @@ def strongly_connected_components(
     spark = edges.sparkSession
     t0 = time.time()
     e_all = pin_table(edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct())
-    loop = SuperstepLoop(spark, checkpoint_dir, every=checkpoint_every, name="scc")
+    graph_fp = None
+    if checkpoint_dir:
+        # order-independent edge-set fingerprint: per-round state is
+        # only valid against THIS graph (resuming over different edges
+        # would silently mix assignments — same guard as betweenness)
+        graph_fp = int(
+            e_all.agg(
+                F.expr("bit_xor(xxhash64(src, dst))").alias("fp")
+            ).first()["fp"] or 0
+        )
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="scc",
+        context={"graph_fp": graph_fp},
+    )
     start_round = 0
     active = None
     assigned = spark.createDataFrame([], "id long, scc long")
     if resume:
         resumed = loop.resume()
         if resumed is not None:
+            rec_fp = loop.last_context.get("graph_fp")
+            if rec_fp is not None and graph_fp is not None and int(rec_fp) != graph_fp:
+                raise ValueError(
+                    "scc resume mismatch: the edge table differs from the "
+                    f"checkpointed run (fingerprint {rec_fp} != {graph_fp}); "
+                    "per-round assignments would mix graphs. Rerun without "
+                    "resume or with the original edges."
+                )
             start_round, state = resumed
             assigned = state.filter(F.col("scc").isNotNull()).select(
                 "id", "scc"
@@ -275,13 +296,18 @@ def strongly_connected_components(
         ec.unpersist()
         release_state(member)
         release_state(colors)
-        if checkpoint_dir:
+        if checkpoint_dir and rounds % checkpoint_every == 0:
             # durable round boundary: assigned UNION active-as-null in
-            # one frame (scc NULL = still active next round)
+            # one frame (scc NULL = still active next round). Only
+            # called on durable rounds — assigned/active are managed
+            # checkpoints already, so a non-durable advance would just
+            # materialize a throwaway copy of the state.
             state = assigned.union(
                 active.select("id", F.lit(None).cast("long").alias("scc"))
             )
-            loop.advance(rounds, state, metrics={"rounds": rounds})
+            loop.advance(
+                rounds, state, metrics={"rounds": rounds}, force_checkpoint=True
+            )
         if active.isEmpty():
             break
 

@@ -321,19 +321,22 @@ def test_betweenness_resume_rejects_changed_batching(spark, tmp_path):
     pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
     nodes, edges = edges_from_pairs(spark, pairs)
     ckpt = str(tmp_path / "bc_guard_ckpt")
+    src_abc = nodes.filter(F.col("key") < "d").select("id")  # a, b, c
+    src_def = nodes.filter(F.col("key") >= "d").select("id")  # d, e, f
     betweenness_centrality(
-        edges, direction="BOTH", batch_size=2, max_batches=1,
-        checkpoint_dir=ckpt,
+        edges, direction="BOTH", sources=src_abc, batch_size=2,
+        max_batches=1, checkpoint_dir=ckpt,
     )
     with pytest.raises(ValueError, match="n_batches"):
         betweenness_centrality(
-            edges, direction="BOTH", batch_size=6, checkpoint_dir=ckpt,
-            resume=True,
+            edges, direction="BOTH", sources=src_abc, batch_size=3,
+            checkpoint_dir=ckpt, resume=True,
         )
-    with pytest.raises(ValueError, match="sources"):
+    # SAME n_batches (3 sources, batch_size=2 -> 2 batches) but a
+    # DIFFERENT source set: only the fingerprint check can catch this
+    with pytest.raises(ValueError, match="fingerprint"):
         betweenness_centrality(
-            edges, direction="BOTH", batch_size=2,
-            sources=nodes.filter(F.col("key") < "d").select("id"),
+            edges, direction="BOTH", sources=src_def, batch_size=2,
             checkpoint_dir=ckpt, resume=True,
         )
 

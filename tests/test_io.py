@@ -88,12 +88,15 @@ def test_iceberg_catalog_end_to_end(spark, tmp_path):
     got = read_table(spark, "iceberg:lg_test.db.edges")
     assert got.count() == 3
     assert {c for c in got.columns} == {"src", "dst", "weight"}
-    # sink contract: write-back through the DSv2 writer
+    # sink contract: write-back through the DSv2 writer. The table is
+    # pre-seeded so the stats must report rows WRITTEN (snapshot
+    # added-records), not the post-write table total.
     spark.sql(
         "CREATE TABLE lg_test.db.scores (id BIGINT, score DOUBLE) USING iceberg"
     )
+    spark.sql("INSERT INTO lg_test.db.scores VALUES (99, 0.0)")
     res = got.selectExpr("src AS id", "weight AS score")
     stats = write_results(res, "lg_test.db.scores", format="iceberg", mode="append")
     assert stats["rows"] == 3
     back = read_table(spark, "iceberg:lg_test.db.scores")
-    assert back.count() == 3
+    assert back.count() == 4

@@ -484,24 +484,51 @@ def test_y4m_codec_round_trip():
 
 def test_y4m_real_decode_through_spark(spark):
     """Synthesized Y4M payloads decode for real through the Spark
-    mapInPandas path: frame sampling (step = n // frames) and the
-    hex-space sha256 fingerprint match a local recomputation."""
+    mapInPandas path: evenly-spaced frame sampling (first AND last
+    frame always included for k > 1) and the hex-space sha256
+    fingerprint match a local recomputation."""
     import hashlib
     from linkgraph.pipeline.multimodal import encode_y4m
 
     rng = np.random.default_rng(11)
     rows, expect = [], set()
-    for aid, n_frames in [(0, 8), (1, 3), (2, 5)]:
+    for aid, n_frames in [(0, 8), (1, 3), (2, 5), (3, 1)]:
         vid = rng.integers(0, 256, size=(n_frames, 4, 6, 3), dtype=np.uint8)
         rows.append((aid, "video", bytearray(encode_y4m(vid)), None))
-        k = 4  # decode_media default frames=4
-        step = max(1, n_frames // k)
-        for fi in range(min(k, n_frames)):
-            frame = vid[min(fi * step, n_frames - 1)]
+        k = min(4, n_frames)  # decode_media default frames=4
+        for fi in range(k):
+            idx = round(fi * (n_frames - 1) / (k - 1)) if k > 1 else 0
+            frame = vid[idx]
             sig = hashlib.sha256(frame.tobytes().hex().encode()).hexdigest()[:16]
             expect.add((aid, fi, sig))
+        if k > 1:  # the tail frame is always fingerprinted
+            last = hashlib.sha256(
+                vid[n_frames - 1].tobytes().hex().encode()
+            ).hexdigest()[:16]
+            assert (aid, k - 1, last) in expect
     got = {
         (r["asset_id"], r["frame_idx"], r["frame_sig"])
         for r in decode_media(_asset_rows(spark, rows), "video", real=True).collect()
     }
     assert got == expect
+
+
+def test_lsh_release_caches(spark):
+    """near_dup_pairs_lsh / minhash_lsh_pairs attach their persisted
+    intermediates to the returned frame; release_caches frees them and
+    the result still recomputes correctly afterwards."""
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.pipeline import near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = near_dup_pairs_lsh(emb, threshold=0.4)
+    before = out.count()
+    assert release_caches(out) >= 1
+    assert out.count() == before  # recomputes from lineage post-release
+    assert release_caches(out) == 0  # idempotent
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    n = pairs.count()
+    assert release_caches(pairs) >= 2  # shingles + banded keys
+    assert pairs.count() == n
