@@ -440,31 +440,38 @@ def _pair_bidirectional(
     rounds_f = rounds_b = 0
     mu, meet = inf, None
     while True:
-        progressed = False
+        probe = other = None
         if minf <= minb and minf < inf:
             nxt = _relax_round(ef, sf)
             rounds_f += 1
             release_state(sf)
-            sf, progressed = nxt, True
+            sf = nxt
             agg = sf.filter("improved").agg(
                 F.count("*").alias("n"), F.min("dist").alias("m")
             ).first()
             minf = float(agg["m"]) if agg["n"] else inf
+            probe, other = sf, sb
         elif minb < inf:
             nxt = _relax_round(eb, sb)
             rounds_b += 1
             release_state(sb)
-            sb, progressed = nxt, True
+            sb = nxt
             agg = sb.filter("improved").agg(
                 F.count("*").alias("n"), F.min("dist").alias("m")
             ).first()
             minb = float(agg["m"]) if agg["n"] else inf
-        if not progressed:  # both sides converged
+            probe, other = sb, sf
+        if probe is None:  # both sides converged
             break
+        # incremental meet check: mu = min over v of df(v) + db(v) can
+        # only improve through a node whose df or db JUST changed, so
+        # probing the (small) improved frontier of the side that just
+        # relaxed against the other side's dist maintains mu exactly —
+        # never a full dist_f x dist_b join per round
         m = (
-            sf.select("id", F.col("dist").alias("df"))
-            .join(sb.select("id", F.col("dist").alias("db")), "id")
-            .select(F.struct((F.col("df") + F.col("db")).alias("s"), "id").alias("m"))
+            probe.filter("improved").select("id", F.col("dist").alias("da"))
+            .join(other.select("id", F.col("dist").alias("db")), "id")
+            .select(F.struct((F.col("da") + F.col("db")).alias("s"), "id").alias("m"))
             .agg(F.min("m").alias("m"))
             .first()["m"]
         )
