@@ -253,3 +253,132 @@ def test_pair_bidirectional_random_equals_unidirectional(spark, seed):
             assert c_bi is not None and np.isclose(c_bi, c_uni, atol=1e-9), (
                 s, t, c_uni, c_bi,
             )
+
+
+# ------------------------------------------------------ betweenness
+
+def _py_brandes(rows, directed_both=True):
+    """Textbook Brandes (unweighted BFS) with BOTH-direction halving —
+    independent of the engine's level-synchronous formulation."""
+    from collections import deque
+
+    nodes = sorted({x for r in rows for x in r[:2]})
+    adj = {v: set() for v in nodes}
+    for s, d, _ in rows:
+        adj[s].add(d)
+        adj[d].add(s)
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        sigma = {v: 0.0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        preds = {v: [] for v in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        order, q = [], deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(adj[v]):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: bc[v] / 2.0 for v in nodes}  # BOTH counts each pair twice
+
+
+@pytest.mark.parametrize("seed", [14, 15])
+def test_betweenness_random_vs_python_brandes(spark, seed):
+    rows, edges = _random_edges(spark, seed, n_nodes=14, n_edges=30)
+    from linkgraph.betweenness import betweenness_centrality
+
+    want = _py_brandes(rows)
+    got = {
+        r["id"]: r["centrality"]
+        for r in betweenness_centrality(edges, direction="BOTH").scores.collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert np.isclose(got[k], want[k], atol=1e-9), (k, got[k], want[k])
+
+
+# ----------------------------------------------- closeness/harmonic
+
+def _py_bfs_dists(rows, s):
+    from collections import deque
+
+    adj = {}
+    for a, b, _ in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist, q = {s: 0}, deque([s])
+    while q:
+        v = q.popleft()
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+@pytest.mark.parametrize("seed", [16])
+def test_closeness_harmonic_random_vs_python_bfs(spark, seed):
+    rows, edges = _random_edges(spark, seed, n_nodes=16, n_edges=34)
+    from linkgraph.paths import closeness_centrality, harmonic_centrality
+
+    nodes = sorted({x for r in rows for x in r[:2]})
+    n = len(nodes)
+    want = {}
+    for v in nodes:
+        dist = _py_bfs_dists(rows, v)
+        far = float(sum(dist.values()))
+        reach = len(dist) - 1
+        harm = sum(1.0 / d for d in dist.values() if d > 0)
+        # engine contracts: closeness = (n-1)/farness (0 if farness 0);
+        # harmonic raw sum + normalized = harmonic/(n-1)
+        want[v] = (
+            far, reach, ((n - 1) / far) if far > 0 else 0.0, harm, harm / (n - 1)
+        )
+    got_c = {
+        r["id"]: (r["farness"], r["reached"], r["closeness"])
+        for r in closeness_centrality(edges, direction="BOTH").collect()
+    }
+    got_h = {
+        r["id"]: (r["reached"], r["harmonic"], r["normalized"])
+        for r in harmonic_centrality(edges, direction="BOTH").collect()
+    }
+    for v in nodes:
+        far, reach, clo, harm, norm = want[v]
+        assert got_c[v][1] == reach, (v, got_c[v], reach)
+        assert np.isclose(got_c[v][0], far, atol=1e-9), (v, got_c[v], far)
+        assert np.isclose(got_c[v][2], clo, atol=1e-9), (v, got_c[v], clo)
+        assert got_h[v][0] == reach
+        assert np.isclose(got_h[v][1], harm, atol=1e-9), (v, got_h[v], harm)
+        assert np.isclose(got_h[v][2], norm, atol=1e-9), (v, got_h[v], norm)
+
+
+# ------------------------------------------------ delta vs BF SSSP
+
+@pytest.mark.parametrize("seed", [17, 18])
+def test_delta_stepping_random_equals_sssp(spark, seed):
+    """Two independent engine paths (bucketed delta-stepping vs plain
+    Bellman-Ford relax) must agree exactly on random weighted graphs."""
+    from linkgraph import sssp, sssp_delta_stepping
+
+    rows, edges = _random_edges(spark, seed, n_nodes=16, n_edges=40, weighted=True)
+    src = min(x for r in rows for x in r[:2])
+    a = {
+        (r["id"], round(r["dist"], 9))
+        for r in sssp(edges, src, weighted=True).distances.collect()
+    }
+    b = {
+        (r["id"], round(r["dist"], 9))
+        for r in sssp_delta_stepping(edges, src, delta=1.0).distances.collect()
+    }
+    assert a == b
