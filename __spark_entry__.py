@@ -432,6 +432,41 @@ def _q_mst_cosupplier(spark, sf_dir):
     )
 
 
+def _q_numeric_guards_orders(spark, sf_dir):
+    """algo.isFinite / algo.isInfinite analogs (linkgraph/registry.py)
+    over a column seeded with +-Infinity / NaN / NULL lanes — a genuine
+    cross-engine check of the IEEE special-value semantics the guards
+    encode (Spark's NaN handling differs from DuckDB's in enough places
+    that this is not a tautology)."""
+    from linkgraph import is_finite, is_infinite
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lane = F.col("o_orderkey") % 5
+    v = (
+        F.when(lane == 0, F.lit(float("inf")))
+        .when(lane == 1, F.lit(float("-inf")))
+        .when(lane == 2, F.lit(float("nan")))
+        .when(lane == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    d = o.select(F.col("o_orderkey").alias("id"), v.alias("v"))
+    return d.select(
+        "id",
+        is_finite(F.col("v")).alias("finite"),
+        is_infinite(F.col("v")).alias("infinite"),
+    )
+
+
+def _q_kspanning_cosupplier(spark, sf_dir):
+    """algo.spanningTree.kmin analog: canonical-Kruskal MST (unique
+    under the strict (weight,src,dst) total order the engine's Borůvka
+    uses), cut the 3 lexicographically-largest tree edges -> 4(+)
+    clusters. Value-exact: tree, cut and min-id cluster labels are all
+    deterministic, so the oracle reproduces the assignment row-for-row."""
+    from linkgraph import k_spanning_tree
+    res = k_spanning_tree(cosupplier_edges(spark, sf_dir), k=4, mode="kmin")
+    return res.assignment.select("id", "cluster")
+
+
 # --------------------------------------------- training-data pipeline
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled_nation": _q_harmonic_sampled_nation,
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
+        "kspanning_cosupplier": _q_kspanning_cosupplier,
+        "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -861,6 +898,67 @@ FROM ek JOIN b{rounds} m ON m.src = ek.src AND m.dst = ek.dst AND m.k = ek.ok"""
     return "".join(parts)
 
 
+def _kspanning_sql(edge_sql: str, k: int, rounds: int = 7) -> str:
+    """k-spanning-tree clusters, fully in SQL:
+
+      1. canonical-Kruskal MSF membership exactly as _mst_minimax_sql
+         (edge in tree iff its (weight,src,dst) order equals the
+         minimax order over all endpoint paths) — under a strict total
+         order the MSF is unique, so this is edge-for-edge the
+         engine's Borůvka output, ties included;
+      2. cut the k-1 tree edges lexicographically largest in
+         (weight, src, dst) — the engine's kmin cut order;
+      3. min-id cluster labels via reachability doubling over the kept
+         tree edges (2^rounds-step closure; exhaustive for tree paths
+         up to 2^rounds edges — fine for sf0.01's ~100-node graphs).
+    """
+    parts = [
+        f"""
+WITH e AS ({edge_sql}),
+ek AS (SELECT src, dst, weight,
+              ROW_NUMBER() OVER (ORDER BY weight, src, dst) AS ok FROM e),
+sym AS (SELECT src, dst, ok FROM ek UNION ALL SELECT dst, src, ok FROM ek),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+b0 AS MATERIALIZED (
+  SELECT src, dst, MIN(ok) AS k FROM sym GROUP BY 1, 2
+  UNION ALL SELECT id, id, CAST(0 AS BIGINT) FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+b{i} AS MATERIALIZED (
+  SELECT a.src AS src, b.dst AS dst, MIN(GREATEST(a.k, b.k)) AS k
+  FROM b{i-1} a JOIN b{i-1} b ON a.dst = b.src
+  GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f""",
+tree AS MATERIALIZED (
+  SELECT ek.src, ek.dst, ek.weight
+  FROM ek JOIN b{rounds} m ON m.src = ek.src AND m.dst = ek.dst AND m.k = ek.ok),
+cut AS (SELECT src, dst FROM tree ORDER BY weight DESC, src DESC, dst DESC LIMIT {k - 1}),
+kept AS (
+  SELECT t.src, t.dst FROM tree t
+  WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.src = t.src AND c.dst = t.dst)),
+r0 AS MATERIALIZED (
+  SELECT src, dst FROM kept
+  UNION ALL SELECT dst, src FROM kept
+  UNION ALL SELECT id, id FROM nodes)"""
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT a.src AS src, b.dst AS dst
+  FROM r{i-1} a JOIN r{i-1} b ON a.dst = b.src)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS id, MIN(dst) AS cluster FROM r{rounds} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
 def _brandes_sql(edge_sql: str, max_level: int = 8) -> str:
     """Unrolled two-pass Brandes on the undirected graph: recursive BFS
     for levels, per-level sigma CTEs forward, per-level delta CTEs
@@ -1061,6 +1159,20 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "harmonic_sampled_nation": harmonic_sampled_sql,
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
+        "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
+        "numeric_guards_orders": """
+WITH v AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 5 = 0 THEN CAST('Infinity' AS DOUBLE)
+              WHEN o_orderkey % 5 = 1 THEN CAST('-Infinity' AS DOUBLE)
+              WHEN o_orderkey % 5 = 2 THEN CAST('NaN' AS DOUBLE)
+              WHEN o_orderkey % 5 = 3 THEN NULL
+              ELSE o_totalprice END AS x
+  FROM orders)
+SELECT id,
+       (x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x)) AS finite,
+       (x IS NOT NULL AND isinf(x)) AS infinite
+FROM v""",
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
         "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),
     }

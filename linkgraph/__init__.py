@@ -32,7 +32,13 @@ from linkgraph.paths import (
     all_shortest_paths_stream,
     SsspResult,
 )
-from linkgraph.mst import minimum_spanning_forest, minimum_spanning_tree, MstResult
+from linkgraph.mst import (
+    minimum_spanning_forest,
+    minimum_spanning_tree,
+    k_spanning_tree,
+    MstResult,
+    KSpanningResult,
+)
 from linkgraph.betweenness import betweenness_centrality, BetweennessResult
 from linkgraph.registry import algo_list, is_finite, is_infinite
 from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_results
@@ -76,7 +82,9 @@ __all__ = [
     "SsspResult",
     "minimum_spanning_forest",
     "minimum_spanning_tree",
+    "k_spanning_tree",
     "MstResult",
+    "KSpanningResult",
     "betweenness_centrality",
     "BetweennessResult",
     "algo_list",

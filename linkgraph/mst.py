@@ -210,6 +210,98 @@ def minimum_spanning_forest(
     )
 
 
+@dataclass
+class KSpanningResult:
+    assignment: DataFrame  # (id: long, cluster: long) — cluster = min id in cluster
+    tree_edges: DataFrame  # the spanning tree/forest BEFORE the cut
+    removed_edges: DataFrame  # the k-1 cut edges
+    k: int
+    mode: str
+    stats: dict = field(default_factory=dict)
+
+
+def k_spanning_tree(
+    edges: DataFrame,
+    k: int,
+    mode: str = "kmin",
+    start_node: int | None = None,
+    max_rounds: int = 64,
+) -> KSpanningResult:
+    """algo.spanningTree.kmin / .kmax analog (pub:algo/.../impl/
+    KSpanningTree.java, proc pub:algo/.../KSpanningTreeProc.java,
+    SURVEY.md §2.2): build the minimum (kmin) / maximum (kmax)
+    spanning tree, then CUT its k-1 costliest (kmin) / cheapest (kmax)
+    edges, partitioning the nodes into k clusters (single-linkage
+    k-clustering). Returns one cluster id per node (cluster = min
+    member id, the engine's canonical component labeling).
+
+    Determinism contract (what makes this exactly oracle-checkable):
+    the forest builder compares edges by the STRICT TOTAL ORDER
+    (weight, src, dst) — under a total order the minimum spanning
+    forest is unique, so Borůvka here returns exactly the
+    canonical-Kruskal forest, ties included. The cut removes the k-1
+    tree edges that are lexicographically LARGEST (kmin) / smallest
+    (kmax) in the same order. Both choices are deterministic, so the
+    cluster assignment is value-exact against an independent SQL
+    oracle (see __spark_entry__.oracle_sql 'kspanning_cosupplier').
+
+    start_node: reference contract — restrict to the start node's
+    component before cutting. None (engine extension) cuts the whole
+    forest: the k-1 removals are global, yielding
+    (#forest components) + k - 1 clusters.
+
+    Scale notes: the cut is a TakeOrdered of k-1 rows (no global sort
+    materialization, no single-task window) + a broadcast anti-join;
+    everything else reuses the Borůvka forest and the delta-iteration
+    connected-components paths.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if mode not in ("kmin", "kmax"):
+        raise ValueError(f"mode must be 'kmin' or 'kmax', got {mode!r}")
+    t0 = time.time()
+    base = edges
+    if mode == "kmax":
+        w = F.coalesce(F.col("weight"), F.lit(1.0))
+        base = edges.select("src", "dst", (-w).alias("weight"))
+    if start_node is not None:
+        res = minimum_spanning_tree(base, start_node, max_rounds=max_rounds)
+    else:
+        res = minimum_spanning_forest(base, max_rounds=max_rounds)
+    tree = res.tree_edges
+    if mode == "kmax":
+        tree = tree.select("src", "dst", (-F.col("weight")).alias("weight"))
+    tree = tree.persist()
+    if mode == "kmin":
+        order = [F.col("weight").desc(), F.col("src").desc(), F.col("dst").desc()]
+    else:
+        order = [F.col("weight").asc(), F.col("src").asc(), F.col("dst").asc()]
+    removed = tree.orderBy(*order).limit(k - 1).persist()
+    kept = tree.join(
+        F.broadcast(removed.select("src", "dst")), ["src", "dst"], "left_anti"
+    )
+    nodes = (
+        tree.select(F.col("src").alias("id"))
+        .union(tree.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(kept.select("src", "dst"), nodes=nodes)
+    assignment = cc.components.select("id", F.col("comp").alias("cluster"))
+    return KSpanningResult(
+        assignment=assignment,
+        tree_edges=tree,
+        removed_edges=removed,
+        k=k,
+        mode=mode,
+        stats={
+            "boruvka_rounds": res.rounds,
+            "cc_iterations": cc.iterations,
+            "clusters": cc.set_count,
+            "elapsed_s": round(time.time() - t0, 4),
+        },
+    )
+
+
 def minimum_spanning_tree(
     edges: DataFrame, start_node: int, max_rounds: int = 64
 ) -> MstResult:

@@ -27,6 +27,7 @@ PROCEDURES = {
     "shortest_path_pair": ("linkgraph.paths.shortest_path_pair", "algo.shortestPath (start/end pair)", True),
     "ms_bfs_distances": ("linkgraph.paths.ms_bfs_distances", "MultiSourceBFS (core util)", True),
     "minimum_spanning_forest": ("linkgraph.mst.minimum_spanning_forest", "algo.mst", False),
+    "k_spanning_tree": ("linkgraph.mst.k_spanning_tree", "algo.spanningTree.kmin/.kmax", True),
     "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
     "exact_dedup": ("linkgraph.pipeline.dedup.exact_dedup", "(pipeline extension)", True),
     "jaccard_pairs": ("linkgraph.pipeline.dedup.jaccard_pairs", "(pipeline extension)", True),

@@ -121,6 +121,37 @@ def sessionize(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming half of
+    linkgraph.pipeline.dedup.exact_dedup: keep the first-arriving copy
+    of each byte-identical text, drop later copies arriving within the
+    state-retention window.
+
+    State is one 16-byte md5 digest per distinct document (the same
+    never-shuffle-raw-text contract as the batch operator), evicted
+    once the watermark passes the keeper's event time — bounded state
+    at any corpus arrival rate. Built on dropDuplicatesWithinWatermark
+    so Spark owns the dedup state store (RocksDB-backed on a real
+    cluster; exactly-once across micro-batch replays).
+
+    Contract difference vs batch: the batch operator labels duplicates
+    with a canonical id; a stream cannot retroactively relabel, so the
+    streaming contract is keep-first/drop-rest — equivalent corpus
+    content whenever duplicates arrive within one watermark window.
+    """
+    keyed = docs.withColumn("_d", F.md5(F.col(text_col)))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_d"])
+        .drop("_d")
+    )
+
+
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 

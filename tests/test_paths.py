@@ -102,6 +102,61 @@ def test_mst_forest_disconnected(spark):
     assert np.isclose(res.total_weight, 3.0)
 
 
+def test_k_spanning_tree_golden(spark):
+    """algo.spanningTree.kmin/.kmax contract on the MST golden fixture.
+
+    MST = {ab(1), bc(2), ad(3)}; kmin k=2 cuts ad(3) -> {a,b,c} | {d};
+    kmin k=3 also cuts bc(2) -> {a,b} | {c} | {d}. Maximum spanning
+    tree = {ac(5), cd(4), bc(2)}; kmax k=2 cuts bc(2) -> {a,c,d} | {b}.
+    """
+    from linkgraph import k_spanning_tree
+
+    nodes, edges = edges_from_pairs(
+        spark,
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 4.0), ("a", "d", 3.0), ("a", "c", 5.0)],
+    )
+    key = {r["key"]: r["id"] for r in nodes.collect()}
+
+    def clusters(res):
+        byc = {}
+        for r in res.assignment.collect():
+            byc.setdefault(r["cluster"], set()).add(r["id"])
+        return {frozenset(v) for v in byc.values()}
+
+    def s(*keys):
+        return frozenset(key[k] for k in keys)
+
+    r2 = k_spanning_tree(edges, k=2, mode="kmin")
+    assert clusters(r2) == {s("a", "b", "c"), s("d")}
+    assert r2.removed_edges.count() == 1
+    r3 = k_spanning_tree(edges, k=3, mode="kmin")
+    assert clusters(r3) == {s("a", "b"), s("c"), s("d")}
+    rx = k_spanning_tree(edges, k=2, mode="kmax")
+    assert clusters(rx) == {s("a", "c", "d"), s("b")}
+    # k=1 is the identity cut: one cluster per forest component
+    r1 = k_spanning_tree(edges, k=1, mode="kmin")
+    assert clusters(r1) == {s("a", "b", "c", "d")}
+    with pytest.raises(ValueError):
+        k_spanning_tree(edges, k=0)
+    with pytest.raises(ValueError):
+        k_spanning_tree(edges, k=2, mode="bogus")
+
+
+def test_k_spanning_tree_start_node(spark):
+    """Reference contract: start_node restricts to its component, so a
+    second component's nodes don't appear and the cut stays local."""
+    from linkgraph import k_spanning_tree
+
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b", 1.0), ("b", "c", 5.0), ("x", "y", 2.0)]
+    )
+    key = {r["key"]: r["id"] for r in nodes.collect()}
+    res = k_spanning_tree(edges, k=2, mode="kmin", start_node=key["a"])
+    got = {r["id"]: r["cluster"] for r in res.assignment.collect()}
+    assert set(got) == {key["a"], key["b"], key["c"]}
+    assert got[key["a"]] == got[key["b"]] != got[key["c"]]
+
+
 import pytest
 
 

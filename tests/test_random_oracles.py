@@ -189,6 +189,62 @@ def test_mst_random_vs_kruskal(spark, seed):
     assert round(res.total_weight, 6) == want_total
 
 
+def _py_kspan_clusters(rows, k, mode="kmin"):
+    """Canonical-Kruskal forest under the strict (weight, src, dst)
+    total order (kmax: (-weight, src, dst)), cut the k-1 edges largest
+    (kmin) / smallest (kmax) in that order, return the cluster sets —
+    the same determinism contract linkgraph.mst.k_spanning_tree states."""
+    best = {}
+    for s, d, w in rows:
+        a, b = min(s, d), max(s, d)
+        if (a, b) not in best or w < best[(a, b)]:
+            best[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    sign = 1 if mode == "kmin" else -1
+    tree = []
+    for (a, b), w in sorted(best.items(), key=lambda kv: (sign * kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            tree.append((w, a, b))
+    # engine cut order: kmin removes the lexicographically largest
+    # (w, src, dst) tuples, kmax the smallest
+    ordered = sorted(tree, key=lambda t: (t[0], t[1], t[2]), reverse=(mode == "kmin"))
+    cut = {(a, b) for w, a, b in ordered[: k - 1]}
+    parent.clear()
+    nodes = {x for a, b in best for x in (a, b)}
+    for w, a, b in tree:
+        if (a, b) not in cut:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    byroot = {}
+    for v in nodes:
+        byroot.setdefault(find(v), set()).add(v)
+    return {frozenset(s) for s in byroot.values()}
+
+
+@pytest.mark.parametrize("seed,k,mode", [(21, 3, "kmin"), (22, 5, "kmin"), (23, 3, "kmax")])
+def test_k_spanning_random_vs_python(spark, seed, k, mode):
+    from linkgraph import k_spanning_tree
+
+    rows, edges = _random_edges(spark, seed, n_nodes=20, n_edges=45, weighted=True)
+    want = _py_kspan_clusters(rows, k, mode)
+    res = k_spanning_tree(edges, k=k, mode=mode)
+    byc = {}
+    for r in res.assignment.collect():
+        byc.setdefault(r["cluster"], set()).add(r["id"])
+    assert {frozenset(s) for s in byc.values()} == want
+
+
 # --------------------------------------------------------- pagerank
 
 @pytest.mark.parametrize("seed", [10])

@@ -133,3 +133,31 @@ def test_sessionize_emits_closed_sessions(spark, events_stream_dir, tmp_path):
         emitted[r["user_id"]] += r["n_events"]
     for uid, n in emitted.items():
         assert n <= batch_counts[uid]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate texts arriving later in the stream are dropped; one
+    copy of every distinct text survives (batch-equivalent corpus)."""
+    from linkgraph.streaming import streaming_exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.select(
+        "doc_id", "text", F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts")
+    )
+    dups = (
+        docs.orderBy("doc_id").limit(50)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            F.timestamp_seconds(F.lit(1_700_000_300)).alias("ts"),
+        )
+    )
+    src = str(tmp_path / "docs_in")
+    base.unionByName(dups).write.parquet(src)
+
+    stream = streaming_exact_dedup(_read_stream(spark, src), watermark="1 hour")
+    run_available_now(stream, "dedup_docs", str(tmp_path / "ckpt4"))
+    got = spark.sql("SELECT * FROM dedup_docs").collect()
+    n_distinct = docs.select("text").distinct().count()
+    assert len(got) == n_distinct
+    assert {r["text"] for r in got} == {r["text"] for r in docs.collect()}
