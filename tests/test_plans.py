@@ -218,3 +218,18 @@ def test_minhash_lsh_single_scan_banding(spark):
     plan = _plan(minhash_lsh_pairs(docs, n=3, threshold=0.8))
     assert plan.count("InMemoryTableScan") >= 2, plan.count("InMemoryTableScan")
     assert "Union" not in plan
+
+
+def test_kspanning_cut_is_take_ordered(spark):
+    """The k-1 cut must be a TakeOrderedAndProject (top-k over the
+    tree, no global Sort materialization — the 100TB-safe shape)."""
+    from linkgraph import k_spanning_tree
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0), (3, 4, 4.0), (0, 4, 5.0)],
+        "src long, dst long, weight double",
+    )
+    res = k_spanning_tree(edges, k=3, mode="kmin")
+    plan = _plan(res.removed_edges)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")

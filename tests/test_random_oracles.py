@@ -438,3 +438,55 @@ def test_delta_stepping_random_equals_sssp(spark, seed):
         for r in sssp_delta_stepping(edges, src, delta=1.0).distances.collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------------------ LPA
+
+def _py_lpa(rows, iters, direction="BOTH"):
+    """Synchronous LPA replica: votes[label(nbr)] += w, argmax with
+    (vote desc, label asc) tie-break, simultaneous update — the
+    engine's documented contract (linkgraph/labelprop.py)."""
+    pairs = []
+    for s, d, w in rows:
+        if direction in ("OUTGOING", "BOTH"):
+            pairs.append((s, d, w))
+        if direction in ("INCOMING", "BOTH"):
+            pairs.append((d, s, w))
+    nodes = sorted({x for r in rows for x in r[:2]})
+    label = {v: v for v in nodes}
+    for _ in range(iters):
+        votes = {}
+        for n, nb, w in pairs:
+            votes.setdefault(n, {})
+            lab = label[nb]
+            votes[n][lab] = votes[n].get(lab, 0.0) + w
+        label = {
+            v: (max(votes[v].items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                if v in votes else label[v])
+            for v in nodes
+        }
+    return label
+
+
+@pytest.mark.parametrize("seed,direction", [(24, "BOTH"), (25, "OUTGOING")])
+def test_lpa_random_vs_python(spark, seed, direction):
+    """Integer-valued weights keep every vote sum IEEE-exact (sum order
+    can't flip an argmax), so engine and replica match label-for-label
+    — including tie groups, which the hand fixtures avoid."""
+    from linkgraph import label_propagation
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges = 18, 45
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    w = rng.integers(1, 5, n_edges).astype(float)
+    rows = [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w) if s != d]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    for iters in (1, 3):
+        want = _py_lpa(rows, iters, direction)
+        for kwargs in ({}, {"hub_cap": 3}):
+            res = label_propagation(
+                edges, direction=direction, max_iter=iters, **kwargs
+            )
+            got = {r["id"]: r["label"] for r in res.labels.collect()}
+            assert got == want, (iters, direction, kwargs)
