@@ -16,6 +16,7 @@ The N-vs-4N scaling-efficiency evidence lives in tools/scaling_bench.py
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -43,15 +44,33 @@ def _run(df):
 def _q1_pagerank(spark, sf_dir: str, scale: float) -> dict:
     # PageRank, 20 fixed iterations (reference default) on the
     # customer->supplier purchase graph. Headline metric source.
+    # report_delta: one extra UNTIMED superstep measures the L1/L-inf
+    # distance between the final two iterates; the L1 delta contracts
+    # by <= damping per superstep (and L-inf <= L1), so the
+    # BASELINE.json iterations-to-convergence component is the bound
+    #   21 + ceil(log(tol / l1_delta_21) / log(0.85))
+    # measured on THIS graph without polluting the throughput loop
+    # with per-superstep convergence probes.
     edges = purchase_edges(spark, sf_dir)
-    res = pagerank(edges, damping=0.85, max_iter=PR_ITERS)
+    res = pagerank(edges, damping=0.85, max_iter=PR_ITERS, report_delta=True)
     _run(res.scores)
+    tol = 1e-6
+    l1, linf = res.stats["l1_delta"], res.stats["linf_delta"]
+    if linf is not None and linf < tol:
+        iters_to_tol = PR_ITERS + 1
+    elif l1:
+        iters_to_tol = PR_ITERS + 1 + math.ceil(math.log(tol / l1) / math.log(0.85))
+    else:
+        iters_to_tol = None
     return {
         "pr_edges": res.stats["edges"],
         "pr_compute_s": res.stats["compute_s"],
         "pagerank_edges_per_sec": round(
             res.stats["edges"] * PR_ITERS / max(res.stats["compute_s"], 1e-9), 1
         ),
+        "pr_l1_delta_at_21": l1,
+        "pr_linf_delta_at_21": linf,
+        "pr_iters_to_linf_1e-6_bound": iters_to_tol,
     }
 
 

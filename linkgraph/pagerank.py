@@ -79,6 +79,7 @@ def pagerank(
     source_nodes: DataFrame | list | None = None,
     static_folding: bool | None = None,
     termination=None,
+    report_delta: bool = False,
 ) -> PageRankResult:
     """Compute PageRank over an edge table.
 
@@ -114,6 +115,17 @@ def pagerank(
       (False); None (default) auto-enables at >= 2M edges. The split
       is a pure optimization — results are identical either way
       (cross-checked in tests/test_pagerank.py).
+    report_delta: fixed-iteration mode only (tol=None). After the
+      timed loop, run ONE extra untimed superstep and report the
+      distance between the final two iterates in stats as
+      `linf_delta` (max |Δrank|) and `l1_delta` (sum |Δrank|). The
+      L1 delta contracts by EXACTLY ≤ damping per superstep (each
+      node's |Δ| fans out through shares summing to 1, scaled by d),
+      and L∞ ≤ L1, so iterations-to-tol is bounded by
+      it + 1 + ceil(log(tol / l1_delta) / log(damping)) — the
+      BASELINE.json "iterations-to-convergence" component, reported
+      by bench.py without paying a per-superstep convergence probe
+      inside the timed throughput loop.
 
     Static-node optimization (scale): nodes with in-degree 0 hold rank
     (1-d) at EVERY iteration (nothing flows into them), so their
@@ -283,9 +295,9 @@ def pagerank(
     converged = False
     delta = None
     it = start_iter
-    t1 = time.time()
-    for it in range(start_iter + 1, max_iter + 1):
-        contribs = edges_dyn.join(ranks, edges_dyn.src == ranks.id).select(
+
+    def _superstep(cur: DataFrame) -> DataFrame:
+        contribs = edges_dyn.join(cur, edges_dyn.src == cur.id).select(
             edges_dyn.dst.alias("dst"), (F.col("rank") * F.col("share")).alias("c")
         )
         if hot_key_salt > 0:
@@ -295,7 +307,7 @@ def pagerank(
             sums = partial.groupBy("dst").agg(F.sum("c").alias("s"))
         else:
             sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
-        new_ranks = (
+        return (
             dyn.join(sums, dyn.id == sums.dst, "left")
             .select(
                 dyn.id.alias("id"),
@@ -305,6 +317,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+
+    t1 = time.time()
+    for it in range(start_iter + 1, max_iter + 1):
+        new_ranks = _superstep(ranks)
         if tol is not None:
             pre = new_ranks.persist()
             delta = (
@@ -338,6 +354,23 @@ def pagerank(
         # (distinct path: scores derive from the live iteration state)
         scores = loop.advance(it, scores, metrics={"final": True, "linf_delta": delta},
                               force_checkpoint=True, suffix="_final")
+    t_compute = time.time() - t1
+    l1_delta = None
+    if report_delta and tol is None and it >= 1:
+        # one extra UNTIMED superstep (outside compute_s): distance
+        # between the final two iterates, for the bench convergence
+        # extrapolation (see the report_delta docstring)
+        row = (
+            _superstep(ranks).alias("n")
+            .join(ranks.alias("o"), "id")
+            .agg(
+                F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("mx"),
+                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("s1"),
+            )
+            .first()
+        )
+        delta = float(row["mx"] or 0.0)
+        l1_delta = float(row["s1"] or 0.0)
     stats = {
         "nodes": n_nodes,
         "edges": n_edges,
@@ -345,9 +378,10 @@ def pagerank(
         "iterations": it,
         "damping": d,
         "load_s": round(t_load, 4),
-        "compute_s": round(time.time() - t1, 4),
+        "compute_s": round(t_compute, 4),
         "converged": converged,
         "linf_delta": delta,
+        "l1_delta": l1_delta,
         "hot_key_salt": hot_key_salt,
         "personalized": srcs is not None,
         "static_folding": split_static,

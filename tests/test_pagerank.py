@@ -184,3 +184,25 @@ def test_pagerank_static_folding_paths_equal(spark):
         assert j.count() == n
         mx = j.agg(F.max(F.abs(F.col("r1") - F.col("r2")))).first()[0]
         assert mx < 1e-12, mx
+
+
+def test_pagerank_report_delta_matches_two_runs(spark):
+    """report_delta's untimed probe must equal the L1/L-inf distance
+    between an N-iteration and an (N+1)-iteration run, and the
+    contraction bound it feeds must hold on the wiki fixture: the
+    measured per-step ratio l1_{t+1}/l1_t never exceeds damping."""
+    nodes, edges = edges_from_pairs(
+        spark, PAGERANK_WIKI_EDGES, extra_keys=PAGERANK_WIKI_ISOLATED
+    )
+    res5 = pagerank(edges, nodes=nodes, max_iter=5, report_delta=True)
+    res6 = pagerank(edges, nodes=nodes, max_iter=6)
+    s5 = {r["id"]: r["rank"] for r in res5.scores.collect()}
+    s6 = {r["id"]: r["rank"] for r in res6.scores.collect()}
+    diffs = [abs(s6[i] - s5[i]) for i in s5]
+    assert np.isclose(res5.stats["linf_delta"], max(diffs), atol=1e-12)
+    assert np.isclose(res5.stats["l1_delta"], sum(diffs), atol=1e-12)
+    # contraction: one more step shrinks the L1 delta by <= damping
+    res7 = pagerank(edges, nodes=nodes, max_iter=6, report_delta=True)
+    assert res7.stats["l1_delta"] <= 0.85 * res5.stats["l1_delta"] + 1e-12
+    # fixed-iteration default leaves the fields None
+    assert pagerank(edges, nodes=nodes, max_iter=2).stats["l1_delta"] is None
