@@ -501,6 +501,28 @@ def _q_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs, docs)
 
 
+def _q_canonical_pick(spark, sf_dir):
+    """Dedup decision step: clusters -> keep ONE representative per
+    cluster (longest doc, tie lowest id)."""
+    from linkgraph.pipeline import minhash_lsh_pairs, near_dup_clusters, pick_canonical
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    return pick_canonical(near_dup_clusters(pairs, docs), docs)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: cluster-bounded embedding near-dup pairs."""
+    from linkgraph.pipeline import semantic_dedup_pairs
+    return semantic_dedup_pairs(_emb(spark, sf_dir), n_clusters=16, threshold=0.4)
+
+
+def _q_corpus_prep(spark, sf_dir):
+    """Composed end-to-end pipeline: near-dup pick + quality gate +
+    token accounting in one lazy plan."""
+    from linkgraph.pipeline import corpus_prep
+    return corpus_prep(_docs(spark, sf_dir), n=3, threshold=0.8, min_quality=0.5)
+
+
 def _q_simhash(spark, sf_dir):
     from linkgraph.pipeline import simhash_table
     return simhash_table(_docs(spark, sf_dir), bits=32)
@@ -645,6 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_df_capped": _q_jaccard_df_capped,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_near_dup_clusters": _q_near_dup_clusters,
+        "dedup_canonical_pick": _q_canonical_pick,
+        "sim_semantic_dedup": _q_semantic_dedup,
+        "pipeline_corpus_prep": _q_corpus_prep,
         "simhash_table": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "text_token_stats": _q_token_stats,
@@ -1184,15 +1209,18 @@ def _pipeline_oracles() -> dict[str, str]:
         jaccard_pairs_df_capped_sql,
         jaccard_pairs_sql,
         near_dup_clusters_sql,
+        pick_canonical_sql,
         simhash_pairs_sql,
         simhash_table_sql,
     )
     from linkgraph.pipeline.multimodal import asset_features_sql, video_frames_sql
+    from linkgraph.pipeline.prep import corpus_prep_sql
     from linkgraph.pipeline.simsearch import (
         ann_ivf_topk_sql,
         ann_lsh_topk_sql,
         cosine_topk_sql,
         near_dup_pairs_sql,
+        semantic_dedup_pairs_sql,
     )
     from linkgraph.pipeline.text import (
         LANGUAGE_ID_SQL,
@@ -1215,6 +1243,19 @@ def _pipeline_oracles() -> dict[str, str]:
         # clusters over the same (LSH == brute-force here) pair set
         "dedup_near_dup_clusters": near_dup_clusters_sql(
             jaccard_pairs_sql(n=3, threshold=0.8)
+        ),
+        # representative pick over the same cluster oracle
+        "dedup_canonical_pick": pick_canonical_sql(
+            jaccard_pairs_sql(n=3, threshold=0.8)
+        ),
+        # SemDeDup is deterministic (stride centroids, argmax round-6
+        # assignment) => exact cluster-bounded oracle
+        "sim_semantic_dedup": semantic_dedup_pairs_sql(
+            dim=64, n_clusters=16, threshold=0.4
+        ),
+        # composed pipeline: same stage SQL, same joins
+        "pipeline_corpus_prep": corpus_prep_sql(
+            jaccard_pairs_sql(n=3, threshold=0.8), min_quality=0.5
         ),
         "simhash_table": simhash_table_sql(bits=32),
         "simhash_pairs": simhash_pairs_sql(bits=32, max_hamming=3),

@@ -24,9 +24,11 @@ from linkgraph.pipeline.dedup import (
     jaccard_pairs,
     jaccard_pairs_df_capped,
     minhash_lsh_pairs,
+    pick_canonical,
     simhash_table,
     simhash_pairs,
 )
+from linkgraph.pipeline.prep import corpus_prep
 from linkgraph.pipeline.text import (
     token_stats,
     quality_scores,
@@ -40,6 +42,7 @@ from linkgraph.pipeline.simsearch import (
     cosine_topk,
     near_dup_pairs,
     near_dup_pairs_lsh,
+    semantic_dedup_pairs,
 )
 from linkgraph.pipeline.multimodal import (
     synth_assets,
@@ -54,7 +57,8 @@ from linkgraph.pipeline.multimodal import (
 __all__ = [
     "stable_hash64", "stable_hash64_sql",
     "exact_dedup", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
-    "simhash_table", "simhash_pairs", "near_dup_clusters",
+    "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
+    "semantic_dedup_pairs", "corpus_prep",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",

@@ -467,3 +467,53 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# -------------------------------------------- canonical representative
+
+def pick_canonical(
+    clusters: DataFrame,
+    docs: DataFrame,
+    prefer: str = "n_chars",
+) -> DataFrame:
+    """Representative selection — the decision step every dedup
+    pipeline needs after clustering: per near-dup cluster KEEP exactly
+    one document (the one that maximizes ``prefer``, default the
+    longest by ``n_chars`` — the common keep-the-longest heuristic;
+    ties break to the lowest doc_id) and mark the rest for drop.
+
+    Input ``clusters`` is the (doc_id, canonical_id, ...) table from
+    near_dup_clusters; output is (doc_id, canonical_id, keep) for
+    EVERY input document — singletons keep themselves.
+
+    Scale shape (100TB): one shuffle keyed by canonical_id (the window
+    partition). Near-dup clusters are small (bounded by the pair
+    graph's components), so no skew path is needed; a pathological
+    giant cluster would indicate upstream threshold misconfiguration,
+    not a partitioning problem.
+    """
+    joined = clusters.select("doc_id", "canonical_id").join(
+        docs.select("doc_id", prefer), "doc_id"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc(prefer), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "canonical_id", (F.col("rn") == 1).alias("keep"))
+    )
+
+
+def pick_canonical_sql(pairs_sql: str, prefer: str = "n_chars") -> str:
+    """Oracle: the recursive-reach cluster oracle + the same
+    (prefer DESC, doc_id ASC) row_number pick."""
+    return f"""
+WITH clusters AS ({near_dup_clusters_sql(pairs_sql)}),
+j AS (
+  SELECT c.doc_id, c.canonical_id, d.{prefer} AS prefer_v
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT doc_id, canonical_id,
+       (ROW_NUMBER() OVER (PARTITION BY canonical_id
+                           ORDER BY prefer_v DESC, doc_id ASC)) = 1 AS keep
+FROM j
+"""

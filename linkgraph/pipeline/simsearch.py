@@ -556,3 +556,154 @@ ranked AS (
 SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------ semantic dedup (SemDeDup)
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): cluster the embedding space, then emit
+    near-duplicate pairs ONLY within each cluster — the defining
+    SemDeDup trade: the O(n^2) global pair space shrinks to
+    O(sum |cluster_i|^2) and cross-cluster pairs are by-construction
+    out of contract (not a recall bug; the oracle checks the same
+    cluster-bounded semantics).
+
+    Deterministic contract (shared with ann_ivf_topk): centroids are
+    rank-stride sampled in vec_id order (no RNG), assignment is argmax
+    round-6 cosine with centroid-id tie-break, in-cluster similarity is
+    the exact shared-IEEE cosine rounded to 6 decimals. kmeans_iters=0
+    (the SQL-oracle'd default) uses the raw stride seed; > 0 runs
+    deterministic Lloyd refinements (recall-tested in pytest, not
+    SQL-expressible).
+
+    Scale shape (100TB): centroids are a broadcast-sized table (choose
+    n_clusters ~ n / target cluster occupancy); assignment is one
+    broadcast join + argmax, and the corpus shuffles ONCE keyed by
+    cluster id for the self-join. The assigned (id, vec, norm, cluster)
+    table is persisted before the self-join so the assignment subtree
+    evaluates exactly once under any join strategy (the round-3 LSH
+    lesson — AQE broadcasting one side otherwise re-runs it per side).
+
+    Returns (id1, id2, cluster, sim) with id1 < id2 and
+    round(sim, 6) >= threshold.
+    """
+    dim = _dim(emb, vec_col)
+    n = emb.count()
+    stride = max(1, -(-n // n_clusters))  # ceil(n / n_clusters)
+
+    # rank-stride centroid sample — ids-only global sort, vectors
+    # fetched by equi-join (same shape as ann_ivf_topk)
+    ranked_ids = emb.select(F.col(id_col).alias("cent_id")).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cent_id")))
+    )
+    centroids = (
+        ranked_ids.filter((F.col("rn") - 1) % stride == 0)
+        .drop("rn")
+        .join(
+            emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")),
+            "cent_id",
+        )
+    )
+
+    norm = lambda c: F.sqrt(F.expr(_dot_sql(c, c, dim, "element_at")))  # noqa: E731
+    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    vecs = vecs.withColumn("vnorm", norm("v"))
+
+    for _ in range(max(0, kmeans_iters)):
+        cents_n = centroids.withColumn("cnorm", norm("cvec"))
+        scored = vecs.join(F.broadcast(cents_n)).select(
+            "vid", "v", "cent_id",
+            F.round(
+                F.expr(_dot_sql("v", "cvec", dim, "element_at"))
+                / (F.col("vnorm") * F.col("cnorm")), 6,
+            ).alias("csim"),
+        )
+        wa = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+        assigned = scored.withColumn("crank", F.row_number().over(wa)).filter(
+            F.col("crank") == 1
+        )
+        means = assigned.groupBy("cent_id").agg(
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
+            ).alias("mvec")
+        )
+        centroids = (
+            centroids.join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce("mvec", "cvec").alias("cvec"))
+        )
+
+    cents_n = centroids.withColumn("cnorm", norm("cvec"))
+    scored = vecs.join(F.broadcast(cents_n)).select(
+        "vid", "v", "vnorm", "cent_id",
+        F.round(
+            F.expr(_dot_sql("v", "cvec", dim, "element_at"))
+            / (F.col("vnorm") * F.col("cnorm")), 6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+    members = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vid", "v", "vnorm", "cent_id")
+        .persist()
+    )
+
+    a = members.select(
+        F.col("vid").alias("id1"), F.col("v").alias("ea"),
+        F.col("vnorm").alias("na"), "cent_id",
+    )
+    b = members.select(
+        F.col("vid").alias("id2"), F.col("v").alias("eb"),
+        F.col("vnorm").alias("nb"), "cent_id",
+    )
+    sim = F.round(
+        F.expr(_dot_sql("ea", "eb", dim, "element_at")) / (F.col("na") * F.col("nb")), 6
+    ).alias("sim")
+    out = (
+        a.join(b, "cent_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.col("cent_id").alias("cluster"), sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    return _attach_caches(out, [members])
+
+
+def semantic_dedup_pairs_sql(
+    dim: int, n_clusters: int = 16, threshold: float = 0.4,
+    table: str = "embeddings",
+) -> str:
+    """Exact DuckDB oracle for semantic_dedup_pairs(kmeans_iters=0) —
+    same stride centroids, same argmax assignment, same in-cluster
+    rounded cosine (the factored dot/(norm*norm) is the identical IEEE
+    expression tree as sqrt-in-place, per the ann_ivf_topk parity
+    argument)."""
+    cos_assign = cosine_expr_duckdb("v.embedding", "c.embedding", dim)
+    cos_pair = cosine_expr_duckdb("a.vv", "b.vv", dim)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n FROM {table}),
+ranked AS (
+  SELECT vec_id AS cent_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+  FROM {table}),
+centroids AS (
+  SELECT cent_id, embedding FROM ranked
+  WHERE (rn - 1) % (SELECT CAST(CEIL(n / {n_clusters}.0) AS BIGINT) FROM n) = 0),
+scored AS (
+  SELECT v.vec_id AS vid, v.embedding AS vv, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY ROUND({cos_assign}, 6) DESC, c.cent_id ASC) AS crank
+  FROM {table} v CROSS JOIN centroids c),
+members AS (SELECT vid, vv, cent_id FROM scored WHERE crank = 1)
+SELECT a.vid AS id1, b.vid AS id2, a.cent_id AS cluster,
+       ROUND({cos_pair}, 6) AS sim
+FROM members a JOIN members b ON a.cent_id = b.cent_id AND a.vid < b.vid
+WHERE ROUND({cos_pair}, 6) >= {threshold}
+"""

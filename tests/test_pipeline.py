@@ -532,3 +532,84 @@ def test_lsh_release_caches(spark):
     n = pairs.count()
     assert release_caches(pairs) >= 2  # shingles + banded keys
     assert pairs.count() == n
+
+
+# ------------------------------------------ SemDeDup + canonical pick
+
+def test_semantic_dedup_is_cluster_bounded_bruteforce(spark):
+    """SemDeDup pairs == brute-force near-dup pairs restricted to
+    same-cluster (the operator's exact contract), and non-empty at the
+    driver threshold."""
+    from linkgraph.pipeline import near_dup_pairs, semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {(r["id1"], r["id2"], r["sim"]): r["cluster"]
+           for r in semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4).collect()}
+    # rebuild the cluster assignment independently: pairs whose two ids
+    # share a cluster in the operator output must be exactly the brute
+    # pairs restricted to that assignment
+    brute = {(r["id1"], r["id2"], r["sim"])
+             for r in near_dup_pairs(emb, threshold=0.4).collect()}
+    assert set(got) <= brute
+    # every emitted pair is intra-cluster by construction; check the
+    # complement: any brute pair NOT emitted must be cross-cluster
+    from linkgraph.pipeline.simsearch import semantic_dedup_pairs as sdp
+    allpairs = sdp(emb, n_clusters=1, threshold=0.4)  # one cluster = global
+    assert {(r["id1"], r["id2"], r["sim"]) for r in allpairs.collect()} == brute
+    assert len(got) > 0
+
+
+def test_semantic_dedup_kmeans_refinement_deterministic(spark):
+    """kmeans_iters > 0 is deterministic and keeps the pair contract
+    (subset of brute pairs)."""
+    from linkgraph.pipeline import near_dup_pairs, semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(map(tuple, semantic_dedup_pairs(
+        emb, n_clusters=8, threshold=0.4, kmeans_iters=2).collect()))
+    b = sorted(map(tuple, semantic_dedup_pairs(
+        emb, n_clusters=8, threshold=0.4, kmeans_iters=2).collect()))
+    assert a == b
+    brute = {(r["id1"], r["id2"], r["sim"])
+             for r in near_dup_pairs(emb, threshold=0.4).collect()}
+    assert {(i, j, s) for (i, j, _c, s) in a} <= brute
+
+
+def test_pick_canonical_longest_wins(spark):
+    from linkgraph.pipeline import pick_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, canonical_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 3), (5, 2), (6, 2)],
+        "doc_id long, n_chars long",
+    )
+    got = {r["doc_id"]: r["keep"]
+           for r in pick_canonical(clusters, docs).collect()}
+    # cluster 1: docs 2,3 tie at 9 chars -> lowest id (2) kept
+    # cluster 4: singleton keeps itself
+    # cluster 5: docs 5,6 tie at 2 chars -> lowest id (5) kept
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
+
+
+def test_corpus_prep_equals_composed_stages(spark):
+    """corpus_prep == its stages composed independently: kept ids are
+    exactly {canonical picks} ∩ {quality >= gate}, with one row each."""
+    from linkgraph.pipeline import (
+        corpus_prep, minhash_lsh_pairs, near_dup_clusters,
+        pick_canonical, quality_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = corpus_prep(docs, n=3, threshold=0.8, min_quality=0.5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) > 0
+
+    keep = pick_canonical(
+        near_dup_clusters(minhash_lsh_pairs(docs, n=3, threshold=0.8), docs), docs
+    )
+    kept = {r["doc_id"] for r in keep.filter("keep").collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_scores(docs).collect()}
+    assert set(ids) == {d for d in kept if q[d] >= 0.5}

@@ -233,3 +233,18 @@ def test_kspanning_cut_is_take_ordered(spark):
     plan = _plan(res.removed_edges)
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """SemDeDup: the centroid side of the assignment join is
+    BROADCAST (never shuffles the corpus against k rows), and the
+    assigned member table is persisted so the assignment subtree
+    (window argmax over the broadcast join) evaluates exactly once
+    under any self-join strategy — both pair sides read the cache."""
+    from linkgraph.pipeline import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4))
+    assert plan.count("InMemoryTableScan") >= 2, plan.count("InMemoryTableScan")
+    assert "BroadcastExchange" in plan
+    assert "Union" not in plan

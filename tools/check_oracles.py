@@ -17,6 +17,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
+from linkgraph.checkpoint import release_caches
 from linkgraph.session import get_spark
 
 TABLES = [
@@ -36,6 +37,9 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", shuffle_partitions=16)
     con = duckdb.connect()
+    # bound DuckDB so one oracle can't take the host down while the
+    # Spark JVM + tmpfs shuffle dirs are holding their share of RAM
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -44,8 +48,18 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        got = fn(spark, sf_dir).toPandas()
+        df = fn(spark, sf_dir)
+        got = df.toPandas()
         t_spark = time.time() - t0
+        # hygiene between queries: spark.local.dir sits on RAM-backed
+        # tmpfs (/dev/shm), and shuffle files are only deleted when the
+        # driver GC's the shuffle objects — over a 52-query drive the
+        # accumulation squeezed host RAM until DuckDB failed a 16KB
+        # allocation. Release attached caches, drop the cache registry,
+        # and force a driver GC so ContextCleaner reclaims tmpfs.
+        release_caches(df)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         if name not in oracles:
             print(f"{name}: rows-only check, {len(got)} rows, {t_spark:.1f}s")
             continue
