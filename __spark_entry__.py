@@ -561,6 +561,12 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir), k=16)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals."""
+    from linkgraph.pipeline import repetition_scores
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def _q_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline import cosine_topk
     return cosine_topk(_emb(spark, sf_dir), k=5).select(
@@ -676,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": _q_quality,
         "text_language_id": _q_langid,
         "text_fingerprints": _q_fingerprints,
+        "text_repetition": _q_repetition,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
@@ -1225,6 +1232,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.text import (
         LANGUAGE_ID_SQL,
         QUALITY_SCORES_SQL,
+        REPETITION_SCORES_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
     )
@@ -1263,6 +1271,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_quality_scores": QUALITY_SCORES_SQL,
         "text_language_id": LANGUAGE_ID_SQL,
         "text_fingerprints": fingerprints_sql(k=16),
+        "text_repetition": REPETITION_SCORES_SQL,
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
         # LSH path verified against the SAME brute-force oracle: the

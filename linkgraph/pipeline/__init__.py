@@ -34,6 +34,7 @@ from linkgraph.pipeline.text import (
     quality_scores,
     language_id,
     fingerprints,
+    repetition_scores,
 )
 from linkgraph.pipeline.simsearch import (
     ann_ivf_topk,
@@ -60,6 +61,7 @@ __all__ = [
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "corpus_prep",
     "token_stats", "quality_scores", "language_id", "fingerprints",
+    "repetition_scores",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",

@@ -177,3 +177,90 @@ SELECT doc_id,
                  for i in range(1, greatest(len(text) - {k - 1}, 1) + 1)]) AS fingerprint
 FROM documents
 """
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_token_frac, top_bigram_frac, top_trigram_frac,
+    repetitive) — repetition-based quality signals in the style of the
+    Gopher data-preparation rules (Rae et al. 2021, arXiv:2112.11446,
+    public): the fraction of the document covered by its single most
+    frequent token / 2-gram / 3-gram. A document dominated by one
+    repeated n-gram is boilerplate or spam; `repetitive` applies the
+    published-style gates (top 2-gram > 0.18 or top 3-gram > 0.16 or
+    top token > 0.30).
+
+    Pure per-row JVM map (no shuffle, no UDF): the n-gram tables are
+    built with sequence/transform and the mode count via a
+    distinct×occurrence scan — O(len²) in the document's token count,
+    bounded by per-document length, embarrassingly parallel at 100TB.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    def mode_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        )
+
+    def grams(k: int):
+        idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+
+    top1 = mode_count(toks) / n
+    top2 = F.when(
+        F.size(toks) >= 2, F.lit(2.0) * mode_count(grams(2)) / n
+    ).otherwise(F.lit(0.0))
+    top3 = F.when(
+        F.size(toks) >= 3, F.lit(3.0) * mode_count(grams(3)) / n
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.round(top1, 6).alias("top_token_frac"),
+        F.round(top2, 6).alias("top_bigram_frac"),
+        F.round(top3, 6).alias("top_trigram_frac"),
+        (
+            (F.round(top2, 6) > 0.18)
+            | (F.round(top3, 6) > 0.16)
+            | (F.round(top1, 6) > 0.30)
+        ).alias("repetitive"),
+    )
+
+
+def _mode_sql(arr: str) -> str:
+    return (
+        f"list_max([len(list_filter({arr}, y -> y = t)) "
+        f"for t in list_distinct({arr})])"
+    )
+
+
+def _grams_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"[{parts} for i in range(1, len(toks) - {k - 1} + 1)]"
+
+
+REPETITION_SCORES_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         ROUND(CAST({_mode_sql('toks')} AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS top_token_frac,
+         ROUND(CASE WHEN len(toks) >= 2
+               THEN 2.0 * {_mode_sql(_grams_sql(2))} / greatest(len(toks), 1)
+               ELSE 0.0 END, 6) AS top_bigram_frac,
+         ROUND(CASE WHEN len(toks) >= 3
+               THEN 3.0 * {_mode_sql(_grams_sql(3))} / greatest(len(toks), 1)
+               ELSE 0.0 END, 6) AS top_trigram_frac
+  FROM t)
+SELECT doc_id, top_token_frac, top_bigram_frac, top_trigram_frac,
+       (top_bigram_frac > 0.18 OR top_trigram_frac > 0.16
+        OR top_token_frac > 0.30) AS repetitive
+FROM s
+"""

@@ -613,3 +613,21 @@ def test_corpus_prep_equals_composed_stages(spark):
     kept = {r["doc_id"] for r in keep.filter("keep").collect()}
     q = {r["doc_id"]: r["quality"] for r in quality_scores(docs).collect()}
     assert set(ids) == {d for d in kept if q[d] >= 0.5}
+
+
+def test_repetition_scores_golden(spark):
+    """Hand-derived n-gram mode fractions + the 1-token edge case
+    (the bigram/trigram branches must not evaluate sequence(1, 0))."""
+    from linkgraph.pipeline import repetition_scores
+
+    d = _docs(spark, [
+        (1, "a a a b"),   # top1 3/4; bigrams [a a, a a, a b] -> 2*2/4; tri -> 3*1/4
+        (2, "x"),         # single token: top1 1.0, others defined 0
+        (3, "a b"),       # top1 1/2, top2 2*1/2, no trigram
+    ])
+    got = {r["doc_id"]: (r["top_token_frac"], r["top_bigram_frac"],
+                         r["top_trigram_frac"], r["repetitive"])
+           for r in repetition_scores(d).collect()}
+    assert got[1] == (0.75, 1.0, 0.75, True)
+    assert got[2] == (1.0, 0.0, 0.0, True)
+    assert got[3] == (0.5, 1.0, 0.0, True)
