@@ -39,6 +39,7 @@ from linkgraph.pipeline.text import (
 from linkgraph.pipeline.simsearch import (
     ann_ivf_topk,
     ann_lsh_topk,
+    auto_n_clusters,
     auto_n_planes,
     cosine_topk,
     near_dup_pairs,
@@ -63,7 +64,8 @@ __all__ = [
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "repetition_scores",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
-    "ann_ivf_topk", "ann_lsh_topk", "auto_n_planes", "auto_simhash_params",
+    "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",
+    "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
     "encode_wav_pcm16", "decode_wav_pcm16", "encode_png", "decode_png",
 ]

@@ -560,9 +560,18 @@ FROM ranked WHERE rank <= {k}
 
 # ------------------------------------------------ semantic dedup (SemDeDup)
 
+def auto_n_clusters(n_vectors: int, target_occupancy: int = 256) -> int:
+    """Cluster count scaling with corpus size: n / target_occupancy
+    keeps the expected in-cluster pair work (occupancy² per cluster)
+    CONSTANT per vector as n grows — a fixed n_clusters stops scaling
+    the moment clusters outgrow memory (same defect class as the
+    round-1 fixed LSH plane count)."""
+    return max(1, -(-n_vectors // target_occupancy))
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     threshold: float = 0.4,
     kmeans_iters: int = 0,
     id_col: str = "vec_id",
@@ -593,10 +602,14 @@ def semantic_dedup_pairs(
     lesson — AQE broadcasting one side otherwise re-runs it per side).
 
     Returns (id1, id2, cluster, sim) with id1 < id2 and
-    round(sim, 6) >= threshold.
+    round(sim, 6) >= threshold. ``n_clusters="auto"`` derives the
+    cluster count from the corpus size via auto_n_clusters (pin an
+    explicit value when the SQL oracle must reproduce the run).
     """
     dim = _dim(emb, vec_col)
     n = emb.count()
+    if n_clusters == "auto":
+        n_clusters = auto_n_clusters(n)
     stride = max(1, -(-n // n_clusters))  # ceil(n / n_clusters)
 
     # rank-stride centroid sample — ids-only global sort, vectors

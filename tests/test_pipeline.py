@@ -631,3 +631,17 @@ def test_repetition_scores_golden(spark):
     assert got[1] == (0.75, 1.0, 0.75, True)
     assert got[2] == (1.0, 0.0, 0.0, True)
     assert got[3] == (0.5, 1.0, 0.0, True)
+
+
+def test_semantic_dedup_auto_n_clusters(spark):
+    from linkgraph.pipeline.simsearch import auto_n_clusters, semantic_dedup_pairs
+
+    # occupancy stays ~constant as n grows
+    assert auto_n_clusters(256) == 1
+    assert auto_n_clusters(10_000) == 40
+    assert auto_n_clusters(1_000_000) == 3907
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    got = semantic_dedup_pairs(emb, n_clusters="auto", threshold=0.4)
+    pinned = semantic_dedup_pairs(emb, n_clusters=auto_n_clusters(n), threshold=0.4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, pinned.collect()))
