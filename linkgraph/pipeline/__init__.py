@@ -44,6 +44,7 @@ from linkgraph.pipeline.simsearch import (
     cosine_topk,
     near_dup_pairs,
     near_dup_pairs_lsh,
+    semantic_cluster_assign,
     semantic_dedup_pairs,
 )
 from linkgraph.pipeline.multimodal import (
@@ -60,7 +61,7 @@ __all__ = [
     "stable_hash64", "stable_hash64_sql",
     "exact_dedup", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
-    "semantic_dedup_pairs", "corpus_prep",
+    "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "repetition_scores",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",

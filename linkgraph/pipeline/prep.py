@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.checkpoint import attach_caches
 from linkgraph.pipeline.dedup import (
     minhash_lsh_pairs,
     near_dup_clusters,
@@ -57,7 +58,7 @@ def corpus_prep(
     t = token_stats(docs).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
-    return (
+    out = (
         keep.filter("keep")
         .select("doc_id")
         .join(q, "doc_id")
@@ -66,6 +67,10 @@ def corpus_prep(
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "n_tokens", "quality")
     )
+    # propagate the LSH stage's persisted intermediates (shingle +
+    # banded-key caches) so release_caches(result) frees them — they
+    # would otherwise leak one pair of cached tables per call
+    return attach_caches(out, getattr(pairs, "_linkgraph_caches", []))
 
 
 def corpus_prep_sql(

@@ -212,6 +212,85 @@ def near_dup_pairs_lsh(
 
 
 # ----------------------------------------------------------- ANN (IVF)
+#
+# Shared deterministic centroid-assignment contract (used by both
+# ann_ivf_topk and semantic_dedup_pairs — ONE implementation so the
+# two operators and their SQL oracles cannot silently diverge):
+# rank-stride centroid sampling in id order (no RNG), assignment by
+# argmax round-6 cosine with centroid-id tie-break, optional
+# deterministic Lloyd refinement.
+
+def _vec_norm(col: str, dim: int):
+    return F.sqrt(F.expr(_dot_sql(col, col, dim, "element_at")))
+
+
+def _stride_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str,
+    n: int | None = None,
+) -> DataFrame:
+    """Every ceil(n/n_centroids)-th vector in id order as (cent_id,
+    cvec). The global row_number runs over the ID COLUMN ONLY (8
+    bytes/row through the single sort task, a one-off); the wide
+    embedding column never enters the global sort — the n_centroids
+    vectors are fetched by an equi-join."""
+    if n is None:
+        n = emb.count()
+    stride = max(1, -(-n // n_centroids))  # ceil(n / n_centroids)
+    ranked_ids = emb.select(F.col(id_col).alias("cent_id")).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cent_id")))
+    )
+    return (
+        ranked_ids.filter((F.col("rn") - 1) % stride == 0)
+        .drop("rn")
+        .join(
+            emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")),
+            "cent_id",
+        )
+    )
+
+
+def _ranked_centroid_scores(
+    vecs: DataFrame, centroids: DataFrame, dim: int
+) -> DataFrame:
+    """(vid, v, vnorm) x broadcast centroids -> + (cent_id, csim,
+    crank): round-6 cosine per (vector, centroid), ranked per vector
+    by (csim DESC, cent_id ASC). crank=1 is the assignment. Norms are
+    precomputed per row; the factored dot/(vnorm*cnorm) is the
+    identical IEEE expression tree as sqrt-in-place, so the SQL
+    oracles are unaffected."""
+    cents_n = centroids.withColumn("cnorm", _vec_norm("cvec", dim))
+    scored = vecs.join(F.broadcast(cents_n)).select(
+        "vid", "v", "vnorm", "cent_id",
+        F.round(
+            F.expr(_dot_sql("v", "cvec", dim, "element_at"))
+            / (F.col("vnorm") * F.col("cnorm")), 6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return scored.withColumn("crank", F.row_number().over(w))
+
+
+def _lloyd_refine(
+    vecs: DataFrame, centroids: DataFrame, dim: int, iters: int
+) -> DataFrame:
+    """Deterministic Lloyd refinement: assign by the shared argmax
+    contract, recompute centroids as element-wise cluster means; empty
+    clusters keep their previous vector. No RNG anywhere."""
+    for _ in range(max(0, iters)):
+        assigned = _ranked_centroid_scores(vecs, centroids, dim).filter(
+            F.col("crank") == 1
+        )
+        means = assigned.groupBy("cent_id").agg(
+            F.array(
+                *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
+            ).alias("mvec")
+        )
+        centroids = (
+            centroids.join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce("mvec", "cvec").alias("cvec"))
+        )
+    return centroids
+
 
 def ann_ivf_topk(
     emb: DataFrame,
@@ -256,66 +335,16 @@ def ann_ivf_topk(
     Returns (vec_id, neighbor_id, sim, rank).
     """
     dim = _dim(emb, vec_col)
-    n = emb.count()
-    stride = max(1, -(-n // n_centroids))  # ceil(n / n_centroids)
-
-    # rank-stride sample: the global row_number runs over the ID COLUMN
-    # ONLY (8 bytes/row through the single sort task, a one-off), then
-    # the n_centroids vectors are fetched by an equi-join — the wide
-    # embedding column never enters the global sort
-    ranked_ids = emb.select(F.col(id_col).alias("cent_id")).withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col("cent_id")))
-    )
-    centroids = (
-        ranked_ids.filter((F.col("rn") - 1) % stride == 0)
-        .drop("rn")
-        .join(
-            emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")),
-            "cent_id",
-        )
-    )
-
-    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    norm = lambda c: F.sqrt(F.expr(_dot_sql(c, c, dim, "element_at")))  # noqa: E731
-    vecs = vecs.withColumn("vnorm", norm("v"))
-
-    for _ in range(max(0, kmeans_iters)):
-        cents_n = centroids.withColumn("cnorm", norm("cvec"))
-        scored = vecs.join(F.broadcast(cents_n)).select(
-            "vid", "v", "cent_id",
-            F.round(
-                F.expr(_dot_sql("v", "cvec", dim, "element_at"))
-                / (F.col("vnorm") * F.col("cnorm")), 6,
-            ).alias("csim"),
-        )
-        wa = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
-        assigned = scored.withColumn("crank", F.row_number().over(wa)).filter(
-            F.col("crank") == 1
-        )
-        means = assigned.groupBy("cent_id").agg(
-            F.array(
-                *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
-            ).alias("mvec")
-        )
-        # empty clusters keep their previous centroid (deterministic)
-        centroids = (
-            centroids.join(means, "cent_id", "left")
-            .select("cent_id", F.coalesce("mvec", "cvec").alias("cvec"))
-        )
+    centroids = _stride_centroids(emb, n_centroids, id_col, vec_col)
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("vnorm", _vec_norm("v", dim))
+    centroids = _lloyd_refine(vecs, centroids, dim, kmeans_iters)
 
     # assignment + probes in one broadcast join: rank centroids per
     # vector by (round-6 cosine DESC, cent_id ASC) — rank 1 is the
     # vector's inverted list, ranks 1..n_probe are its query probes
-    cents_n = centroids.withColumn("cnorm", norm("cvec"))
-    scored = vecs.join(F.broadcast(cents_n)).select(
-        "vid", "v", "vnorm", "cent_id",
-        F.round(
-            F.expr(_dot_sql("v", "cvec", dim, "element_at"))
-            / (F.col("vnorm") * F.col("cnorm")), 6,
-        ).alias("csim"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
-    ranked_cents = scored.withColumn("crank", F.row_number().over(w))
+    ranked_cents = _ranked_centroid_scores(vecs, centroids, dim)
     assign = ranked_cents.filter(F.col("crank") == 1).select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("eb"),
         F.col("vnorm").alias("nb"), "cent_id",
@@ -569,6 +598,47 @@ def auto_n_clusters(n_vectors: int, target_occupancy: int = 256) -> int:
     return max(1, -(-n_vectors // target_occupancy))
 
 
+def _assigned_members(
+    emb: DataFrame,
+    n_clusters: int | str,
+    kmeans_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, v, vnorm, cent_id): every vector with its assigned
+    cluster under the shared deterministic contract (the helpers above
+    — same code path ann_ivf_topk uses)."""
+    dim = _dim(emb, vec_col)
+    n = emb.count()
+    if n_clusters == "auto":
+        n_clusters = auto_n_clusters(n)
+    centroids = _stride_centroids(emb, n_clusters, id_col, vec_col, n=n)
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("vnorm", _vec_norm("v", dim))
+    centroids = _lloyd_refine(vecs, centroids, dim, kmeans_iters)
+    return (
+        _ranked_centroid_scores(vecs, centroids, dim)
+        .filter(F.col("crank") == 1)
+        .select("vid", "v", "vnorm", "cent_id")
+    )
+
+
+def semantic_cluster_assign(
+    emb: DataFrame,
+    n_clusters: int | str = 16,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster): the cluster assignment semantic_dedup_pairs
+    dedups within — exposed so callers (and tests) can reconstruct the
+    cluster-bounded contract independently of the pair join."""
+    return _assigned_members(emb, n_clusters, kmeans_iters, id_col, vec_col).select(
+        F.col("vid").alias("vec_id"), F.col("cent_id").alias("cluster")
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     n_clusters: int | str = 16,
@@ -607,67 +677,7 @@ def semantic_dedup_pairs(
     explicit value when the SQL oracle must reproduce the run).
     """
     dim = _dim(emb, vec_col)
-    n = emb.count()
-    if n_clusters == "auto":
-        n_clusters = auto_n_clusters(n)
-    stride = max(1, -(-n // n_clusters))  # ceil(n / n_clusters)
-
-    # rank-stride centroid sample — ids-only global sort, vectors
-    # fetched by equi-join (same shape as ann_ivf_topk)
-    ranked_ids = emb.select(F.col(id_col).alias("cent_id")).withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col("cent_id")))
-    )
-    centroids = (
-        ranked_ids.filter((F.col("rn") - 1) % stride == 0)
-        .drop("rn")
-        .join(
-            emb.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")),
-            "cent_id",
-        )
-    )
-
-    norm = lambda c: F.sqrt(F.expr(_dot_sql(c, c, dim, "element_at")))  # noqa: E731
-    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    vecs = vecs.withColumn("vnorm", norm("v"))
-
-    for _ in range(max(0, kmeans_iters)):
-        cents_n = centroids.withColumn("cnorm", norm("cvec"))
-        scored = vecs.join(F.broadcast(cents_n)).select(
-            "vid", "v", "cent_id",
-            F.round(
-                F.expr(_dot_sql("v", "cvec", dim, "element_at"))
-                / (F.col("vnorm") * F.col("cnorm")), 6,
-            ).alias("csim"),
-        )
-        wa = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
-        assigned = scored.withColumn("crank", F.row_number().over(wa)).filter(
-            F.col("crank") == 1
-        )
-        means = assigned.groupBy("cent_id").agg(
-            F.array(
-                *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
-            ).alias("mvec")
-        )
-        centroids = (
-            centroids.join(means, "cent_id", "left")
-            .select("cent_id", F.coalesce("mvec", "cvec").alias("cvec"))
-        )
-
-    cents_n = centroids.withColumn("cnorm", norm("cvec"))
-    scored = vecs.join(F.broadcast(cents_n)).select(
-        "vid", "v", "vnorm", "cent_id",
-        F.round(
-            F.expr(_dot_sql("v", "cvec", dim, "element_at"))
-            / (F.col("vnorm") * F.col("cnorm")), 6,
-        ).alias("csim"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
-    members = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vid", "v", "vnorm", "cent_id")
-        .persist()
-    )
+    members = _assigned_members(emb, n_clusters, kmeans_iters, id_col, vec_col).persist()
 
     a = members.select(
         F.col("vid").alias("id1"), F.col("v").alias("ea"),

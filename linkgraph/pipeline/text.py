@@ -179,15 +179,21 @@ FROM documents
 """
 
 
-def repetition_scores(docs: DataFrame) -> DataFrame:
+def repetition_scores(docs: DataFrame, min_tokens: int = 20) -> DataFrame:
     """(doc_id, top_token_frac, top_bigram_frac, top_trigram_frac,
     repetitive) — repetition-based quality signals in the style of the
     Gopher data-preparation rules (Rae et al. 2021, arXiv:2112.11446,
     public): the fraction of the document covered by its single most
-    frequent token / 2-gram / 3-gram. A document dominated by one
-    repeated n-gram is boilerplate or spam; `repetitive` applies the
-    published-style gates (top 2-gram > 0.18 or top 3-gram > 0.16 or
-    top token > 0.30).
+    frequent OVERLAPPING occurrence count of a token / 2-gram / 3-gram
+    (the n-gram fractions can exceed 1.0 for degenerate repeats, e.g.
+    "a a a a" -> bigram frac 1.5 — a deliberate repetition amplifier,
+    not a coverage ratio). A document dominated by one repeated n-gram
+    is boilerplate or spam; `repetitive` applies the published-style
+    gates (top 2-gram > 0.18 or top 3-gram > 0.16 or top token > 0.30)
+    ONLY at or above ``min_tokens`` whitespace tokens — below it the
+    2/n floor alone exceeds the gate for every short document (any
+    unique-bigram doc with <= 11 tokens has top_bigram_frac >= 0.18),
+    matching Gopher's minimum-word-count precondition.
 
     Pure per-row JVM map (no shuffle, no UDF): the n-gram tables are
     built with sequence/transform and the mode count via a
@@ -227,9 +233,12 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         F.round(top2, 6).alias("top_bigram_frac"),
         F.round(top3, 6).alias("top_trigram_frac"),
         (
-            (F.round(top2, 6) > 0.18)
-            | (F.round(top3, 6) > 0.16)
-            | (F.round(top1, 6) > 0.30)
+            (F.size(toks) >= min_tokens)
+            & (
+                (F.round(top2, 6) > 0.18)
+                | (F.round(top3, 6) > 0.16)
+                | (F.round(top1, 6) > 0.30)
+            )
         ).alias("repetitive"),
     )
 
@@ -249,7 +258,7 @@ def _grams_sql(k: int) -> str:
 REPETITION_SCORES_SQL = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (
-  SELECT doc_id,
+  SELECT doc_id, len(toks) AS n_toks,
          ROUND(CAST({_mode_sql('toks')} AS DOUBLE)
                / greatest(len(toks), 1), 6) AS top_token_frac,
          ROUND(CASE WHEN len(toks) >= 2
@@ -260,7 +269,7 @@ s AS (
                ELSE 0.0 END, 6) AS top_trigram_frac
   FROM t)
 SELECT doc_id, top_token_frac, top_bigram_frac, top_trigram_frac,
-       (top_bigram_frac > 0.18 OR top_trigram_frac > 0.16
-        OR top_token_frac > 0.30) AS repetitive
+       (n_toks >= 20 AND (top_bigram_frac > 0.18 OR top_trigram_frac > 0.16
+        OR top_token_frac > 0.30)) AS repetitive
 FROM s
 """

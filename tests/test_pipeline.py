@@ -545,16 +545,20 @@ def test_semantic_dedup_is_cluster_bounded_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     got = {(r["id1"], r["id2"], r["sim"]): r["cluster"]
            for r in semantic_dedup_pairs(emb, n_clusters=8, threshold=0.4).collect()}
-    # rebuild the cluster assignment independently: pairs whose two ids
-    # share a cluster in the operator output must be exactly the brute
-    # pairs restricted to that assignment
+    # rebuild the cluster assignment independently and check EQUALITY:
+    # emitted pairs == brute pairs restricted to same-cluster (both
+    # directions — no spurious pairs, no intra-cluster pair dropped)
+    from linkgraph.pipeline.simsearch import semantic_cluster_assign
+    cl = {r["vec_id"]: r["cluster"]
+          for r in semantic_cluster_assign(emb, n_clusters=8).collect()}
     brute = {(r["id1"], r["id2"], r["sim"])
              for r in near_dup_pairs(emb, threshold=0.4).collect()}
-    assert set(got) <= brute
-    # every emitted pair is intra-cluster by construction; check the
-    # complement: any brute pair NOT emitted must be cross-cluster
+    expected = {(i, j, s) for (i, j, s) in brute if cl[i] == cl[j]}
+    assert set(got) == expected
+    assert all(got[(i, j, s)] == cl[i] for (i, j, s) in got)
+    # one cluster = the global brute path
     from linkgraph.pipeline.simsearch import semantic_dedup_pairs as sdp
-    allpairs = sdp(emb, n_clusters=1, threshold=0.4)  # one cluster = global
+    allpairs = sdp(emb, n_clusters=1, threshold=0.4)
     assert {(r["id1"], r["id2"], r["sim"]) for r in allpairs.collect()} == brute
     assert len(got) > 0
 
@@ -615,22 +619,43 @@ def test_corpus_prep_equals_composed_stages(spark):
     assert set(ids) == {d for d in kept if q[d] >= 0.5}
 
 
+def test_corpus_prep_releases_lsh_caches(spark):
+    """The composed pipeline must propagate the LSH stage's persisted
+    intermediates so loop callers can free them."""
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.pipeline import corpus_prep
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = corpus_prep(docs, n=3, threshold=0.8, min_quality=0.5)
+    n = out.count()
+    assert release_caches(out) >= 2  # shingles + banded keys
+    assert out.count() == n
+
+
 def test_repetition_scores_golden(spark):
-    """Hand-derived n-gram mode fractions + the 1-token edge case
-    (the bigram/trigram branches must not evaluate sequence(1, 0))."""
+    """Hand-derived n-gram mode fractions, the 1-token edge case (the
+    bigram/trigram branches must not evaluate sequence(1, 0)), and the
+    min_tokens gate precondition: below it the 2/n floor alone exceeds
+    the bigram gate, so short docs must NEVER be flagged."""
     from linkgraph.pipeline import repetition_scores
 
     d = _docs(spark, [
         (1, "a a a b"),   # top1 3/4; bigrams [a a, a a, a b] -> 2*2/4; tri -> 3*1/4
         (2, "x"),         # single token: top1 1.0, others defined 0
         (3, "a b"),       # top1 1/2, top2 2*1/2, no trigram
+        (4, " ".join(f"t{i}" for i in range(20))),  # 20 distinct tokens
+        (5, " ".join(["a"] * 20)),                  # 20x one token
     ])
     got = {r["doc_id"]: (r["top_token_frac"], r["top_bigram_frac"],
                          r["top_trigram_frac"], r["repetitive"])
            for r in repetition_scores(d).collect()}
-    assert got[1] == (0.75, 1.0, 0.75, True)
-    assert got[2] == (1.0, 0.0, 0.0, True)
-    assert got[3] == (0.5, 1.0, 0.0, True)
+    # short docs: fractions computed, gate suppressed by min_tokens
+    assert got[1] == (0.75, 1.0, 0.75, False)
+    assert got[2] == (1.0, 0.0, 0.0, False)
+    assert got[3] == (0.5, 1.0, 0.0, False)
+    # at min_tokens: unique content passes, degenerate repeat is flagged
+    assert got[4] == (0.05, 0.1, 0.15, False)
+    assert got[5] == (1.0, 1.9, 2.7, True)
 
 
 def test_semantic_dedup_auto_n_clusters(spark):
