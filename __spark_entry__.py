@@ -567,6 +567,18 @@ def _q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def _q_vocab(spark, sf_dir):
+    """Corpus-level top-k token vocabulary profile."""
+    from linkgraph.pipeline import vocab_stats
+    return vocab_stats(_docs(spark, sf_dir), k=20)
+
+
+def _q_containment(spark, sf_dir):
+    """Asymmetric shingle-containment pairs (subset duplicates)."""
+    from linkgraph.pipeline import containment_pairs
+    return containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline import cosine_topk
     return cosine_topk(_emb(spark, sf_dir), k=5).select(
@@ -683,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_langid,
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
+        "text_vocab_topk": _q_vocab,
+        "dedup_containment_pairs": _q_containment,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
@@ -1213,6 +1227,7 @@ FROM v""",
 def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.dedup import (
         EXACT_DEDUP_SQL,
+        containment_pairs_sql,
         jaccard_pairs_df_capped_sql,
         jaccard_pairs_sql,
         near_dup_clusters_sql,
@@ -1235,6 +1250,7 @@ def _pipeline_oracles() -> dict[str, str]:
         REPETITION_SCORES_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
+        vocab_stats_sql,
     )
 
     return {
@@ -1272,6 +1288,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_language_id": LANGUAGE_ID_SQL,
         "text_fingerprints": fingerprints_sql(k=16),
         "text_repetition": REPETITION_SCORES_SQL,
+        "text_vocab_topk": vocab_stats_sql(k=20),
+        "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
         # LSH path verified against the SAME brute-force oracle: the

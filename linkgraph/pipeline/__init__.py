@@ -19,6 +19,7 @@ Design rules (same as the graph engine):
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 from linkgraph.pipeline.dedup import (
     auto_simhash_params,
+    containment_pairs,
     exact_dedup,
     near_dup_clusters,
     jaccard_pairs,
@@ -35,6 +36,7 @@ from linkgraph.pipeline.text import (
     language_id,
     fingerprints,
     repetition_scores,
+    vocab_stats,
 )
 from linkgraph.pipeline.simsearch import (
     ann_ivf_topk,
@@ -63,7 +65,7 @@ __all__ = [
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
     "token_stats", "quality_scores", "language_id", "fingerprints",
-    "repetition_scores",
+    "repetition_scores", "vocab_stats", "containment_pairs",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",
     "auto_simhash_params",

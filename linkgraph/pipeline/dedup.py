@@ -517,3 +517,61 @@ SELECT doc_id, canonical_id,
                            ORDER BY prefer_v DESC, doc_id ASC)) = 1 AS keep
 FROM j
 """
+
+
+# -------------------------------------------------- containment dedup
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric shingle containment C(d1 ⊆ d2) = |S(d1) ∩ S(d2)| /
+    |S(d1)| over word n-gram shingle sets — the subset-duplicate
+    detector symmetric Jaccard misses: a short document quoted whole
+    inside a long one has low Jaccard (union is large) but containment
+    ~1.0. The standard complement to Jaccard in dedup pipelines
+    (Broder's containment, from the original shingling paper).
+
+    Brute shingle equi-join baseline (same candidate shape as
+    jaccard_pairs; the DF-capped candidate generation composes
+    identically for the production path). Returns (d1, d2,
+    containment) for ORDERED pairs d1 != d2 with round(C, 6) >=
+    threshold — asymmetric, so both directions can appear.
+
+    Scale shape (100TB): one shuffle keyed by shingle for candidates
+    (bounded by document-frequency capping upstream), one keyed by
+    (d1, d2) for the intersection count; cardinalities broadcast-join
+    back. Shingle text never leaves the candidate join.
+    """
+    sh = _word_shingles(docs, n).persist()
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(card.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1")
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / F.col("c1"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return attach_caches(out, [sh])
+
+
+def containment_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(n)}),
+card AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / c.c, 6) AS containment
+FROM inter JOIN card c ON c.doc_id = d1
+WHERE ROUND(CAST(i AS DOUBLE) / c.c, 6) >= {threshold}
+"""

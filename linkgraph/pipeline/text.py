@@ -8,7 +8,7 @@ subset of Java regex and RE2 so both engines agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
@@ -272,4 +272,54 @@ SELECT doc_id, top_token_frac, top_bigram_frac, top_trigram_frac,
        (n_toks >= 20 AND (top_bigram_frac > 0.18 OR top_trigram_frac > 0.16
         OR top_token_frac > 0.30)) AS repetitive
 FROM s
+"""
+
+
+def vocab_stats(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-level vocabulary profile: the k most frequent whitespace
+    tokens with count and corpus frequency — the first thing a
+    tokenizer-budget or stopword audit looks at. Returns (token, cnt,
+    frac, rank), rank by (cnt DESC, token ASC) — deterministic.
+
+    Scale shape (100TB): ONE shuffle (token groupBy with map-side
+    partial aggregation — the distinct token table, not the corpus,
+    crosses the wire), then a TakeOrdered top-k; the total-token count
+    rides as a second aggregate of the same grouped table, never a
+    second corpus scan.
+    """
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = tok.agg(F.sum("cnt").alias("t"))
+    # top-k via orderBy().limit() -> TakeOrderedAndProject (no global
+    # sort materialization); the rank window then runs over <= k rows
+    top = tok.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(total)
+        .select(
+            "token", "cnt",
+            F.round(F.col("cnt") / F.col("t"), 6).alias("frac"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def vocab_stats_sql(k: int = 20) -> str:
+    return f"""
+WITH tok AS (
+  SELECT t AS token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE len(t) > 0 GROUP BY t),
+total AS (SELECT SUM(cnt) AS t FROM tok),
+ranked AS (
+  SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM tok)
+SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / (SELECT t FROM total), 6) AS frac,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
 """

@@ -670,3 +670,36 @@ def test_semantic_dedup_auto_n_clusters(spark):
     got = semantic_dedup_pairs(emb, n_clusters="auto", threshold=0.4)
     pinned = semantic_dedup_pairs(emb, n_clusters=auto_n_clusters(n), threshold=0.4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, pinned.collect()))
+
+
+def test_containment_pairs_golden(spark):
+    """Subset duplicate: doc 2's shingles are a strict subset of doc
+    1's, so containment(2 in 1) = 1.0 while containment(1 in 2) < 1
+    and Jaccard stays below a dedup threshold."""
+    from linkgraph.pipeline import containment_pairs, jaccard_pairs
+
+    d = _docs(spark, [
+        (1, "a b c d e f g h"),  # shingles abc..fgh (6)
+        (2, "a b c d e"),        # shingles abc bcd cde (3) — all in doc1
+        (3, "x y z w"),
+    ])
+    got = {(r["d1"], r["d2"]): r["containment"]
+           for r in containment_pairs(d, n=3, threshold=0.5).collect()}
+    assert got[(2, 1)] == 1.0
+    assert got[(1, 2)] == 0.5  # 3 shared / 6
+    assert (3, 1) not in got and (1, 3) not in got
+    # symmetric Jaccard misses the subset pair at the same threshold
+    jac = {(r["d1"], r["d2"]) for r in jaccard_pairs(d, n=3, threshold=0.8).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_vocab_stats_golden(spark):
+    from linkgraph.pipeline import vocab_stats
+
+    d = _docs(spark, [(1, "a b a"), (2, "a c  b")])  # double space -> empty token dropped
+    rows = vocab_stats(d, k=2).collect()
+    got = {r["rank"]: (r["token"], r["cnt"], r["frac"]) for r in rows}
+    # counts: a=3, b=2, c=1 over 6 non-empty tokens
+    assert got[1] == ("a", 3, 0.5)
+    assert got[2] == ("b", 2, round(2 / 6, 6))
+    assert len(rows) == 2
