@@ -579,6 +579,45 @@ def _q_containment(spark, sf_dir):
     return containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+# shared knobs for the curation queries — the oracle SQL builders take
+# the SAME literals so both engines compute identical thresholds
+_STRAT_RATES = {"en": 0.5, "zh": 0.25, "de": 0.25}
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: the 'benchmark' is the
+    deterministic doc_id % 29 slice of the corpus (a leaked test set)."""
+    from linkgraph.pipeline import decontaminate
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, docs.filter("doc_id % 29 = 0"), n=8)
+
+
+def _q_stratified(spark, sf_dir):
+    """Deterministic hash-threshold per-language sampling."""
+    from linkgraph.pipeline import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), _STRAT_RATES, default_rate=0.1, seed=7
+    )
+
+
+def _q_quota(spark, sf_dir):
+    """Per-language quota cap (deterministic reservoir)."""
+    from linkgraph.pipeline import quota_sample
+    return quota_sample(_docs(spark, sf_dir), quota=25, by="lang", seed=7)
+
+
+def _q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle into shards."""
+    from linkgraph.pipeline import corpus_shuffle
+    return corpus_shuffle(_docs(spark, sf_dir), n_shards=8, seed=7)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing placement map."""
+    from linkgraph.pipeline import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128, n_shards=8, seed=7)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline import cosine_topk
     return cosine_topk(_emb(spark, sf_dir), k=5).select(
@@ -697,6 +736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_vocab_topk": _q_vocab,
         "dedup_containment_pairs": _q_containment,
+        "curate_decontaminate": _q_decontaminate,
+        "curate_stratified_sample": _q_stratified,
+        "curate_quota_sample": _q_quota,
+        "curate_corpus_shuffle": _q_corpus_shuffle,
+        "curate_pack_sequences": _q_pack_sequences,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
@@ -1252,6 +1296,13 @@ def _pipeline_oracles() -> dict[str, str]:
         fingerprints_sql,
         vocab_stats_sql,
     )
+    from linkgraph.pipeline.curate import (
+        corpus_shuffle_sql,
+        decontaminate_sql,
+        pack_sequences_sql,
+        quota_sample_sql,
+        stratified_sample_sql,
+    )
 
     return {
         "dedup_exact": EXACT_DEDUP_SQL,
@@ -1290,6 +1341,13 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_repetition": REPETITION_SCORES_SQL,
         "text_vocab_topk": vocab_stats_sql(k=20),
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),
+        "curate_decontaminate": decontaminate_sql("doc_id % 29 = 0", n=8),
+        "curate_stratified_sample": stratified_sample_sql(
+            _STRAT_RATES, default_rate=0.1, seed=7
+        ),
+        "curate_quota_sample": quota_sample_sql(quota=25, by="lang", seed=7),
+        "curate_corpus_shuffle": corpus_shuffle_sql(n_shards=8, seed=7),
+        "curate_pack_sequences": pack_sequences_sql(seq_len=128, n_shards=8, seed=7),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
         # LSH path verified against the SAME brute-force oracle: the

@@ -1,0 +1,199 @@
+"""k-core decomposition — iterative peeling and h-index coreness.
+
+An engine extension beyond the reference procedure list (SURVEY.md §2
+is 100% covered elsewhere): k-core is the standard link-graph pruning
+/ spam-detection primitive a web-scale PageRank deployment runs next,
+and it reuses this engine's superstep discipline.
+
+Two operators over an undirected simple view of the edge table
+(symmetrized, self-loops dropped, duplicates collapsed):
+
+* ``k_core(edges, k)`` — the maximal subgraph where every node has
+  degree >= k, by iterative peeling: drop nodes with degree < k,
+  recompute degrees, repeat to fixpoint. Returns members with their
+  in-core degree.
+* ``core_numbers(edges)`` — EVERY node's coreness via distributed
+  h-index iteration (Lü, Zhou, Zhang, Stanley, "The H-index of a
+  network node and its relation to degree and coreness", Nature
+  Communications 7:10168, 2016 — public result): start from degree,
+  repeatedly replace each node's value with the h-index of its
+  neighbors' values; the fixpoint is exactly the core number.
+
+Scale notes (100TB): each peel / h-index round is ONE shuffle (the
+per-node neighbor aggregation); the symmetrized table is pinned once
+and reused every round. Values are monotonically non-increasing, so
+convergence is metered with a cheap SUM aggregate (strictly decreasing
+until the fixpoint) instead of a changed-rows join — the same metering
+as connected components. The h-index round aggregates a sorted
+neighbor-value array per node; at power-law hubs that array is the
+hub's degree, so for 100TB graphs pair it with the degree-histogram
+skew probe and cap rounds (coreness of a hub converges from above —
+early rounds already upper-bound it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import pin_table, release_state
+
+
+@dataclass
+class KCoreResult:
+    members: DataFrame  # (id: long, degree: long) — degree within the core
+    rounds: int
+    stats: dict = field(default_factory=dict)
+
+
+@dataclass
+class CorenessResult:
+    coreness: DataFrame  # (id: long, coreness: long)
+    rounds: int
+    stats: dict = field(default_factory=dict)
+
+
+def _sym_simple(edges: DataFrame) -> DataFrame:
+    """Undirected simple view: symmetrize, drop self-loops, dedupe."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> KCoreResult:
+    """Peel to the k-core; returns (id, degree) for surviving nodes.
+
+    Each round: count surviving-neighbor degrees (one shuffle), keep
+    nodes with degree >= k, semi-join the edge set down. The surviving
+    node set only shrinks, so the per-round cost decreases; rounds =
+    peeling depth (2-3 on co-occurrence graphs, O(n) only on
+    adversarial chains — bounded by max_iter).
+    """
+    sym = pin_table(_sym_simple(edges))
+    # survivors as a node column; None sentinel = "all nodes" round 0
+    alive: DataFrame | None = None
+    prev_n = -1
+    rounds = 0
+    cur = sym
+    while rounds < max_iter:
+        deg = cur.groupBy("a").agg(F.count("*").alias("degree"))
+        nxt = pin_table(deg.filter(F.col("degree") >= k).select("a", "degree"))
+        n = nxt.count()
+        rounds += 1
+        if n == prev_n:
+            release_state(alive)
+            alive = nxt
+            break
+        release_state(alive)
+        alive, prev_n = nxt, n
+        keep = nxt.select("a")
+        cur = (
+            sym.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+        )
+    members = alive.select(
+        F.col("a").alias("id"), F.col("degree").cast("long").alias("degree")
+    )
+    release_state(sym)
+    return KCoreResult(members=members, rounds=rounds, stats={"k": k})
+
+
+def k_core_sql(edges_sql: str, k: int, n_rounds: int = 6) -> str:
+    """Oracle: the peel unrolled ``n_rounds`` times (idempotent past
+    the fixpoint — extra rounds re-select the same set)."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """sym AS (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        f"""n1 AS (SELECT a AS id, COUNT(*) AS degree FROM sym
+  GROUP BY a HAVING COUNT(*) >= {k})""",
+    ]
+    for t in range(2, n_rounds + 1):
+        parts.append(
+            f"""n{t} AS (SELECT s.a AS id, COUNT(*) AS degree FROM sym s
+  JOIN n{t - 1} p ON p.id = s.a JOIN n{t - 1} q ON q.id = s.b
+  GROUP BY s.a HAVING COUNT(*) >= {k})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, CAST(degree AS BIGINT) AS degree FROM n{n_rounds}"
+    )
+
+
+def _h_index(vals_desc):
+    """h-index of a DESC-sorted value array, as a Catalyst expression:
+    h = max_i min(v_i, i) (the classic sorted-vector identity)."""
+    idx = F.sequence(F.lit(1), F.size(vals_desc))
+    return F.array_max(
+        F.zip_with(vals_desc, idx, lambda v, i: F.least(v, i.cast("long")))
+    )
+
+
+def core_numbers(edges: DataFrame, max_iter: int = 100) -> CorenessResult:
+    """Coreness of every node by h-index iteration from degrees.
+
+    Per round: join neighbor values, per-node DESC-sorted value array,
+    h-index as a JVM-side zip_with/array_max expression (no UDF).
+    Convergence metered by SUM(c) — monotone non-increasing, strictly
+    decreasing until the fixpoint.
+    """
+    sym = pin_table(_sym_simple(edges))
+    c = pin_table(
+        sym.groupBy("a").agg(F.count("*").cast("long").alias("c"))
+        .select(F.col("a").alias("id"), "c")
+    )
+    prev_sum = c.agg(F.sum("c")).collect()[0][0]
+    rounds = 0
+    while rounds < max_iter:
+        nbr_vals = (
+            sym.join(c.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
+        )
+        nxt = pin_table(
+            nbr_vals.select(F.col("a").alias("id"), _h_index(F.col("vals")).alias("c"))
+        )
+        s = nxt.agg(F.sum("c")).collect()[0][0]
+        rounds += 1
+        release_state(c)
+        c = nxt
+        if s == prev_sum:
+            break
+        prev_sum = s
+    coreness = c.select("id", F.col("c").cast("long").alias("coreness"))
+    release_state(sym)
+    return CorenessResult(coreness=coreness, rounds=rounds)
+
+
+def core_numbers_sql(edges_sql: str, n_rounds: int = 8) -> str:
+    """Oracle: the h-index recurrence unrolled ``n_rounds`` times
+    (h-index of an already-converged assignment is itself)."""
+    hidx = (
+        "list_max([least(v[i], CAST(i AS BIGINT)) "
+        "for i in range(1, len(v) + 1)])"
+    )
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """sym AS (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        "c0 AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY a)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT a AS id, {hidx} AS c FROM (
+    SELECT s.a, list_sort(list(p.c), 'DESC') AS v
+    FROM sym s JOIN c{t - 1} p ON p.id = s.b GROUP BY s.a))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, CAST(c AS BIGINT) AS coreness FROM c{n_rounds}"
+    )

@@ -30,6 +30,13 @@ from linkgraph.pipeline.dedup import (
     simhash_pairs,
 )
 from linkgraph.pipeline.prep import corpus_prep
+from linkgraph.pipeline.curate import (
+    corpus_shuffle,
+    decontaminate,
+    pack_sequences,
+    quota_sample,
+    stratified_sample,
+)
 from linkgraph.pipeline.text import (
     token_stats,
     quality_scores,
@@ -64,6 +71,8 @@ __all__ = [
     "exact_dedup", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
+    "decontaminate", "stratified_sample", "quota_sample",
+    "corpus_shuffle", "pack_sequences",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "repetition_scores", "vocab_stats", "containment_pairs",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",

@@ -1,0 +1,264 @@
+"""Corpus-curation operators a training-data run needs AFTER dedup:
+benchmark decontamination, stratified / quota sampling, deterministic
+corpus shuffling, and concat-then-chunk sequence packing.
+
+All five are pure DataFrame compositions (zero UDFs) with exact DuckDB
+SQL oracles. Determinism everywhere comes from the cross-engine
+md5-prefix hash (linkgraph.pipeline.hashing) — never from Spark's
+partition-order-dependent rand()/monotonically_increasing_id().
+
+Scale shapes (100TB):
+  * decontaminate — benchmark n-gram table is tiny (a test set, not a
+    corpus) -> distinct once, broadcast; the corpus side explodes
+    n-gram hashes map-side, probes the broadcast, and aggregates per
+    doc. ONE shuffle (the per-doc groupBy), no corpus self-join.
+  * stratified_sample — shuffle-free map+filter (hash threshold).
+  * quota_sample / corpus_shuffle / pack_sequences — one shuffle each
+    (window partitioned by the group / shard key). Shard count is the
+    knob: pick n_shards so a shard's rows fit one task's sort buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+
+_M = 1_000_000  # hash-bucket resolution for rate thresholds
+
+
+def _token_ngrams(toks: Column, k: int) -> Column:
+    """Array of space-joined token k-grams (empty when < k tokens)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _token_ngrams_sql(k: int) -> str:
+    """The same k-gram list over a `toks` column, DuckDB list syntax."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"[{parts} for i in range(1, greatest(len(toks) - {k - 1}, 0) + 1)]"
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
+    """Flag corpus documents sharing any token ``n``-gram with a
+    benchmark/test set — the standard pre-training decontamination
+    pass (n-gram overlap against eval sets).
+
+    Returns one row per corpus document:
+    (doc_id, n_hits, contaminated) where n_hits counts DISTINCT
+    benchmark n-grams present in the document.
+
+    Both sides reduce n-grams to the 60-bit cross-engine hash before
+    the join, so only 8-byte keys (never gram text) cross the wire;
+    the benchmark side is distinct-ed and broadcast.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        return df.select(
+            "doc_id", F.explode(_token_ngrams(toks, n)).alias("gram")
+        ).select("doc_id", stable_hash64("gram").alias("gh"))
+
+    bench = F.broadcast(grams(benchmark).select("gh").distinct())
+    hits = (
+        grams(docs)
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(benchmark_where: str, n: int = 8) -> str:
+    """Oracle: same n-gram hash overlap with the benchmark defined as
+    ``SELECT ... FROM documents WHERE {benchmark_where}``."""
+    g = _token_ngrams_sql(n)
+    h = stable_hash64_sql("g")
+    return f"""
+WITH bt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE {benchmark_where}),
+bg AS (SELECT DISTINCT {h} AS gh FROM (SELECT unnest({g}) AS g FROM bt)),
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dg AS (SELECT doc_id, {h} AS gh FROM (SELECT doc_id, unnest({g}) AS g FROM dt)),
+hits AS (SELECT doc_id, COUNT(DISTINCT dg.gh) AS n_hits
+         FROM dg JOIN bg ON bg.gh = dg.gh GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+"""
+
+
+def _doc_hash(seed: int) -> Column:
+    return stable_hash64(F.col("doc_id").cast("string"), salt=seed)
+
+
+def _doc_hash_sql(seed: int) -> str:
+    return stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt=seed)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-language sampling: keep a document iff its
+    seeded hash bucket (0..1e6) falls below lang's rate threshold.
+
+    The per-group mixing-weights primitive (sample 50% of en, 25% of
+    zh, ...). Hash-threshold sampling is reproducible across runs,
+    engines, and cluster sizes — unlike df.sample(), whose output
+    depends on partitioning. Shuffle-free: pure map + filter, so at
+    100TB it rides the scan. Returns (doc_id, lang, bucket).
+    """
+    bucket = F.pmod(_doc_hash(seed), F.lit(_M))
+    thresh = F.lit(int(default_rate * _M))
+    for lang, r in sorted(rates.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(int(r * _M))).otherwise(thresh)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < thresh)
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, float], default_rate: float = 0.0, seed: int = 0
+) -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(r * _M)}" for lang, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang, {_doc_hash_sql(seed)} % {_M} AS bucket
+FROM documents
+WHERE {_doc_hash_sql(seed)} % {_M} < (CASE {whens} ELSE {int(default_rate * _M)} END)
+"""
+
+
+def quota_sample(docs: DataFrame, quota: int, by: str = "lang", seed: int = 0) -> DataFrame:
+    """Keep at most ``quota`` documents per group, picked by seeded
+    hash order — a deterministic per-group reservoir (cap any one
+    domain/language's contribution to the mix).
+
+    One shuffle: a window partitioned by the group key; rank order is
+    the total order (hash, doc_id), so ties are impossible and the
+    result is engine-independent. Returns (doc_id, group, rk).
+    """
+    h = _doc_hash(seed)
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", F.col(by).alias("grp"), h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "grp", "rk")
+    )
+
+
+def quota_sample_sql(quota: int, by: str = "lang", seed: int = 0) -> str:
+    h = _doc_hash_sql(seed)
+    return f"""
+SELECT doc_id, grp, rk FROM (
+  SELECT doc_id, {by} AS grp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY {by} ORDER BY {h} ASC, doc_id ASC) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= {quota}
+"""
+
+
+def corpus_shuffle(docs: DataFrame, n_shards: int = 8, seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle for training order: shard by
+    seeded hash, position within shard by (hash, doc_id).
+
+    The writer's `repartition(n).sortWithinPartitions(...)` shape with
+    a reproducible order — rerunning on different cluster sizes yields
+    byte-identical shard files. Returns (doc_id, shard, pos).
+    """
+    h = _doc_hash(seed)
+    shard = F.pmod(h, F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", F.col("shard").cast("long").alias("shard"), "pos")
+    )
+
+
+def corpus_shuffle_sql(n_shards: int = 8, seed: int = 0) -> str:
+    h = _doc_hash_sql(seed)
+    return f"""
+SELECT doc_id, CAST({h} % {n_shards} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {h} % {n_shards}
+            ORDER BY {h} ASC, doc_id ASC) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 128, n_shards: int = 8, seed: int = 0
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    deterministic shuffle order per shard, token counts accumulate,
+    and every ``seq_len`` tokens starts a new training sequence.
+
+    Returns (doc_id, shard, seq_id, offset, n_tokens): the document's
+    shard, the sequence its FIRST token lands in, the offset within
+    that sequence, and its whitespace token count — exactly the
+    placement map a packed-example writer needs (a document may span
+    sequences; the map is by construction gap-free within a shard).
+
+    One shuffle (window per shard); the running sum is a streaming
+    window frame (ROWS UNBOUNDED PRECEDING), not a re-scan.
+    """
+    h = _doc_hash(seed)
+    shard = F.pmod(h, F.lit(n_shards))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    return (
+        docs.select(
+            "doc_id", h.alias("h"), shard.alias("shard"),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .withColumn("start", start)
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            F.floor(F.col("start") / seq_len).cast("long").alias("seq_id"),
+            F.pmod(F.col("start"), F.lit(seq_len)).cast("long").alias("offset"),
+            "n_tokens",
+        )
+    )
+
+
+def pack_sequences_sql(seq_len: int = 128, n_shards: int = 8, seed: int = 0) -> str:
+    h = _doc_hash_sql(seed)
+    return f"""
+WITH laid AS (
+  SELECT doc_id, {h} % {n_shards} AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY {h} % {n_shards}
+           ORDER BY {h} ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) - len(string_split(text, ' ')) AS start
+  FROM documents)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(CAST(start AS DOUBLE) / {seq_len}) AS BIGINT) AS seq_id,
+       CAST(start % {seq_len} AS BIGINT) AS offset,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM laid
+"""

@@ -1,0 +1,116 @@
+"""Corpus-curation operator tests (decontaminate / stratified / quota /
+shuffle / packing): hand-derivable goldens plus the determinism
+invariants the operators exist for (partition- and run-independence)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline import (
+    corpus_shuffle,
+    decontaminate,
+    pack_sequences,
+    quota_sample,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sf_docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_decontaminate_golden(spark):
+    bench_text = "t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 8-grams: t1..t8, t2..t9
+    corpus = _docs(spark, [
+        (1, bench_text),                          # the leaked doc itself: 2 hits
+        (2, "x " + "t1 t2 t3 t4 t5 t6 t7 t8"),    # copies ONE benchmark 8-gram
+        (3, "a b c d e f g h i j"),               # clean
+        (4, "t1 t2 t3"),                          # < n tokens: no grams at all
+    ])
+    bench = _docs(spark, [(100, bench_text)])
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=8).collect()}
+    assert got == {1: (2, True), 2: (1, True), 3: (0, False), 4: (0, False)}
+
+
+def test_stratified_sample_threshold_and_rates(spark):
+    docs = _sf_docs(spark)
+    rates = {"en": 0.5, "zh": 0.25}
+    out = stratified_sample(docs, rates, default_rate=0.1, seed=7)
+    rows = out.collect()
+    # every surviving row respects ITS language's threshold
+    for r in rows:
+        thr = int(rates.get(r["lang"], 0.1) * 1_000_000)
+        assert 0 <= r["bucket"] < thr
+    # kept fraction tracks the configured rate (hash uniformity; the
+    # corpus has ~200 en docs so +-0.15 absolute is a safe band)
+    n_en = docs.filter("lang = 'en'").count()
+    k_en = sum(1 for r in rows if r["lang"] == "en")
+    assert abs(k_en / n_en - 0.5) < 0.15
+    # deterministic: a second run is identical
+    again = stratified_sample(docs, rates, default_rate=0.1, seed=7).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed samples a different subset
+    other = stratified_sample(docs, rates, default_rate=0.1, seed=8)
+    assert sorted(r["doc_id"] for r in other.collect()) != sorted(
+        r["doc_id"] for r in rows)
+
+
+def test_quota_sample_caps_every_group(spark):
+    out = quota_sample(_sf_docs(spark), quota=5, by="lang", seed=7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["grp"], []).append(r["rk"])
+    assert per  # non-empty
+    for grp, rks in per.items():
+        assert len(rks) <= 5
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_corpus_shuffle_partition_invariant(spark):
+    """The whole point of hash-order shuffling: the layout must not
+    depend on the input's physical partitioning (unlike rand())."""
+    docs = _sf_docs(spark)
+    a = sorted(map(tuple, corpus_shuffle(docs.repartition(7), n_shards=4, seed=7)
+                   .collect()))
+    b = sorted(map(tuple, corpus_shuffle(docs.coalesce(1), n_shards=4, seed=7)
+                   .collect()))
+    assert a == b
+    # positions are 1..count(shard), gap-free
+    per = {}
+    for doc_id, shard, pos in a:
+        per.setdefault(shard, []).append(pos)
+    assert set(per) == set(range(4))
+    for shard, poss in per.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_pack_sequences_gap_free_layout(spark):
+    seq_len, n_shards, seed = 64, 4, 7
+    docs = _sf_docs(spark)
+    placed = pack_sequences(docs, seq_len=seq_len, n_shards=n_shards, seed=seed)
+    order = corpus_shuffle(docs, n_shards=n_shards, seed=seed)
+    got = {r["doc_id"]: r for r in placed.collect()}
+    layout = sorted(
+        ((r["shard"], r["pos"], r["doc_id"]) for r in order.collect()))
+    # replay the concat-then-chunk layout per shard and check every
+    # placement column against the independent corpus_shuffle order
+    cursor = {}
+    for shard, _pos, doc_id in layout:
+        start = cursor.get(shard, 0)
+        r = got[doc_id]
+        assert r["shard"] == shard
+        assert r["seq_id"] == start // seq_len
+        assert r["offset"] == start % seq_len
+        cursor[shard] = start + r["n_tokens"]
+    # token conservation: the cursor equals the shard's token total
+    totals = {
+        r["shard"]: r["t"]
+        for r in placed.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert cursor == totals
