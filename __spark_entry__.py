@@ -165,6 +165,20 @@ def _q_triangles_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kcore_purchase(spark, sf_dir):
+    """25-core of the purchase graph (iterative peel; engine
+    extension — see linkgraph/kcore.py)."""
+    from linkgraph.kcore import k_core
+    return k_core(purchase_edges(spark, sf_dir), k=25).members
+
+
+def _q_coreness_purchase(spark, sf_dir):
+    """Core number of every purchase-graph node via h-index
+    iteration (Lü et al. 2016)."""
+    from linkgraph.kcore import core_numbers
+    return core_numbers(purchase_edges(spark, sf_dir)).coreness
+
+
 def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         purchase_edges(spark, sf_dir)
@@ -700,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stream_cosupplier": _q_triangle_stream,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
+        "kcore_purchase": _q_kcore_purchase,
+        "coreness_purchase": _q_coreness_purchase,
         "degree_histogram_purchase": _q_degree_histogram,
         # paths / scc / mst (SURVEY.md §2.2)
         "sssp_hops2_cosupplier": _q_sssp_cosupplier,
@@ -823,6 +839,8 @@ tri AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from linkgraph.kcore import core_numbers_sql, k_core_sql
+
     return {
         "pagerank_purchase_5iter": _pagerank_sql(),
         "pagerank_weighted_cosupplier": _pagerank_sql(
@@ -887,6 +905,12 @@ SELECT d.id,
              ELSE 0.0 END AS DOUBLE), 6) AS coefficient
 FROM deg d LEFT JOIN cnt c ON c.id = d.id
 """,
+        # k-core: Spark peels to fixpoint; the oracle unrolls 5 peel
+        # rounds (idempotent past the fixpoint — measured depth is 2).
+        # Coreness: h-index recurrence unrolled 7 rounds (converges
+        # in 4; the recurrence is a no-op at the fixpoint).
+        "kcore_purchase": k_core_sql(PURCHASE_EDGES_SQL, k=25, n_rounds=5),
+        "coreness_purchase": core_numbers_sql(PURCHASE_EDGES_SQL, n_rounds=7),
         "degrees_purchase": f"""
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src

@@ -40,6 +40,7 @@ from linkgraph.mst import (
     KSpanningResult,
 )
 from linkgraph.betweenness import betweenness_centrality, BetweennessResult
+from linkgraph.kcore import k_core, core_numbers, KCoreResult, CorenessResult
 from linkgraph.registry import algo_list, is_finite, is_infinite
 from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_results
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
@@ -86,6 +87,8 @@ __all__ = [
     "MstResult",
     "KSpanningResult",
     "betweenness_centrality",
+    "k_core",
+    "core_numbers",
     "BetweennessResult",
     "algo_list",
     "is_finite",

@@ -29,6 +29,8 @@ PROCEDURES = {
     "minimum_spanning_forest": ("linkgraph.mst.minimum_spanning_forest", "algo.mst", False),
     "k_spanning_tree": ("linkgraph.mst.k_spanning_tree", "algo.spanningTree.kmin/.kmax", True),
     "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
+    "k_core": ("linkgraph.kcore.k_core", "(engine extension: iterative peeling)", True),
+    "core_numbers": ("linkgraph.kcore.core_numbers", "(engine extension: h-index coreness)", True),
     "exact_dedup": ("linkgraph.pipeline.dedup.exact_dedup", "(pipeline extension)", True),
     "jaccard_pairs": ("linkgraph.pipeline.dedup.jaccard_pairs", "(pipeline extension)", True),
     "jaccard_pairs_df_capped": ("linkgraph.pipeline.dedup.jaccard_pairs_df_capped", "(pipeline extension)", True),
