@@ -587,6 +587,19 @@ def _q_vocab(spark, sf_dir):
     return vocab_stats(_docs(spark, sf_dir), k=20)
 
 
+def _q_normalize(spark, sf_dir):
+    """Pre-dedup text canonicalization (lowercase, control strip,
+    whitespace collapse)."""
+    from linkgraph.pipeline import normalize_text
+    return normalize_text(_docs(spark, sf_dir))
+
+
+def _q_source_mix(spark, sf_dir):
+    """Per-source training-mix report (token share + avg quality)."""
+    from linkgraph.pipeline import source_mix
+    return source_mix(_docs(spark, sf_dir))
+
+
 def _q_containment(spark, sf_dir):
     """Asymmetric shingle-containment pairs (subset duplicates)."""
     from linkgraph.pipeline import containment_pairs
@@ -751,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
         "text_vocab_topk": _q_vocab,
+        "text_normalize": _q_normalize,
+        "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
         "curate_decontaminate": _q_decontaminate,
         "curate_stratified_sample": _q_stratified,
@@ -1314,8 +1329,10 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     from linkgraph.pipeline.text import (
         LANGUAGE_ID_SQL,
+        NORMALIZE_TEXT_SQL,
         QUALITY_SCORES_SQL,
         REPETITION_SCORES_SQL,
+        SOURCE_MIX_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
         vocab_stats_sql,
@@ -1364,6 +1381,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_fingerprints": fingerprints_sql(k=16),
         "text_repetition": REPETITION_SCORES_SQL,
         "text_vocab_topk": vocab_stats_sql(k=20),
+        "text_normalize": NORMALIZE_TEXT_SQL,
+        "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),
         "curate_decontaminate": decontaminate_sql("doc_id % 29 = 0", n=8),
         "curate_stratified_sample": stratified_sample_sql(

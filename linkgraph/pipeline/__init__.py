@@ -42,7 +42,9 @@ from linkgraph.pipeline.text import (
     quality_scores,
     language_id,
     fingerprints,
+    normalize_text,
     repetition_scores,
+    source_mix,
     vocab_stats,
 )
 from linkgraph.pipeline.simsearch import (
@@ -75,6 +77,7 @@ __all__ = [
     "corpus_shuffle", "pack_sequences",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "repetition_scores", "vocab_stats", "containment_pairs",
+    "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",
     "auto_simhash_params",

@@ -275,6 +275,90 @@ FROM s
 """
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, n_chars_norm): the canonicalization pass
+    that runs BEFORE hashing/dedup so cosmetic variants collide —
+    lowercase, control characters stripped, whitespace runs collapsed
+    to single spaces, ends trimmed.
+
+    Pure per-row JVM map (three regexp_replace + lower), shuffle-free;
+    patterns are kept in the common Java-regex/RE2 subset so the
+    DuckDB oracle is exact. Unicode NFC is intentionally out of scope
+    (no JVM-side builtin; a Pandas-UDF variant would be the hook)."""
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ ]+", " ")
+    t = F.trim(t)
+    return docs.select(
+        "doc_id",
+        t.alias("norm_text"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', '', 'g'),
+                           '[ ]+', ' ', 'g')) AS norm_text,
+       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', '', 'g'),
+                                    '[ ]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Per-source training-mix report: (source, n_docs, n_tokens,
+    token_share, avg_quality) — what a mixture-weight planner reads
+    to set per-domain sampling rates.
+
+    Scale shape: quality/token scoring are shuffle-free maps; then ONE
+    groupBy(source) with map-side partial aggregation; the corpus
+    total rides the grouped table (no second scan)."""
+    q = quality_scores(docs).select("doc_id", "quality")
+    t = token_stats(docs).select("doc_id", F.col("n_tokens").cast("long").alias("nt"))
+    # quality is already rounded to 6 decimals -> scale to integer
+    # micro-units so the per-source SUM is exact integer arithmetic
+    # (order-free in BOTH engines; a float AVG would accumulate in
+    # engine-specific order and can flip the 6th decimal)
+    per = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(t, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).alias("q_sum"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(total).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+        F.round(F.col("q_sum") / (F.col("n_docs") * 1_000_000.0), 6).alias("avg_quality"),
+    )
+
+
+SOURCE_MIX_SQL = f"""
+WITH q AS ({QUALITY_SCORES_SQL}),
+t AS ({TOKEN_STATS_SQL}),
+per AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS q_sum
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN t ON t.doc_id = d.doc_id
+  GROUP BY d.source)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6) AS token_share,
+       ROUND(q_sum / (n_docs * 1000000.0), 6) AS avg_quality
+FROM per
+"""
+
+
 def vocab_stats(docs: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-level vocabulary profile: the k most frequent whitespace
     tokens with count and corpus frequency — the first thing a

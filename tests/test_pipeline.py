@@ -703,3 +703,37 @@ def test_vocab_stats_golden(spark):
     assert got[1] == ("a", 3, 0.5)
     assert got[2] == ("b", 2, round(2 / 6, 6))
     assert len(rows) == 2
+
+
+def test_normalize_text_golden(spark):
+    from linkgraph.pipeline import normalize_text
+
+    d = _docs(spark, [
+        (1, "  Hello\x01  WORLD \t"),
+        (2, "already clean"),
+    ])
+    got = {r["doc_id"]: (r["norm_text"], r["n_chars_norm"])
+           for r in normalize_text(d).collect()}
+    # \x01 and \t stripped (both in [\x00-\x1f]), case folded, space
+    # runs collapsed, ends trimmed
+    assert got[1] == ("hello world", 11)
+    assert got[2] == ("already clean", 13)
+
+
+def test_source_mix_golden(spark):
+    from linkgraph.pipeline import source_mix
+
+    d = spark.createDataFrame(
+        [(1, "aa bb", "web"), (2, "cc dd ee", "web"), (3, "x", "book")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_mix(d).collect()}
+    assert got["web"]["n_docs"] == 2
+    assert got["web"]["n_tokens"] == 5
+    assert got["book"]["n_tokens"] == 1
+    assert got["web"]["token_share"] == round(5 / 6, 6)
+    # avg_quality is the exact scaled-integer mean of the per-doc
+    # rounded quality scores
+    from linkgraph.pipeline import quality_scores
+    q = {r["doc_id"]: r["quality"] for r in quality_scores(d).collect()}
+    want = round((round(q[1] * 1e6) + round(q[2] * 1e6)) / 2e6, 6)
+    assert got["web"]["avg_quality"] == want
