@@ -248,3 +248,58 @@ def test_semantic_dedup_plan_shape(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan.count("InMemoryTableScan")
     assert "BroadcastExchange" in plan
     assert "Union" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The docstring claims 'rides the scan': the hash-threshold
+    filter must compile to a pure map pipeline — no Exchange."""
+    from linkgraph.pipeline import stratified_sample
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(stratified_sample(docs, {"en": 0.5}, default_rate=0.1, seed=7))
+    assert "Exchange" not in plan
+    # and the wide text column is pruned from the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark gram table must be broadcast (it is a test set,
+    not a corpus); the corpus side must not be broadcast."""
+    from linkgraph.pipeline import decontaminate
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(decontaminate(docs, docs.filter("doc_id % 29 = 0"), n=8))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """One shuffle total: the per-shard window. The running sum must
+    be a window over the same partitioning, not a second exchange."""
+    from linkgraph.pipeline import pack_sequences
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(pack_sequences(docs, seq_len=64, n_shards=4, seed=7))
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_coreness_round_is_single_shuffle_over_pinned_sym(spark):
+    """Each h-index round: one hash exchange for the neighbor-value
+    aggregation; the symmetrized edge table is pinned (InMemory scan),
+    never re-derived."""
+    from linkgraph.checkpoint import pin_table
+    from linkgraph.kcore import _h_index, _sym_simple
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)],
+        "src long, dst long, weight double")
+    sym = pin_table(_sym_simple(e))
+    c = pin_table(sym.groupBy("a").agg(F.count("*").cast("long").alias("c"))
+                  .select(F.col("a").alias("id"), "c"))
+    nbr = (sym.join(c.withColumnRenamed("id", "b"), "b")
+           .groupBy("a")
+           .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
+           .select(F.col("a").alias("id"), _h_index(F.col("vals")).alias("c")))
+    plan = _plan(nbr)
+    assert "InMemoryTableScan" in plan          # pinned inputs reused
+    assert "FileScan" not in plan               # never re-derived
+    # no Python evaluation anywhere in the round (h-index is Catalyst)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
