@@ -89,6 +89,8 @@ __all__ = [
     "betweenness_centrality",
     "k_core",
     "core_numbers",
+    "KCoreResult",
+    "CorenessResult",
     "BetweennessResult",
     "algo_list",
     "is_finite",

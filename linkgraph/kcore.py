@@ -19,9 +19,12 @@ Two operators over an undirected simple view of the edge table
   repeatedly replace each node's value with the h-index of its
   neighbors' values; the fixpoint is exactly the core number.
 
-Scale notes (100TB): each peel / h-index round is ONE shuffle (the
-per-node neighbor aggregation); the symmetrized table is pinned once
-and reused every round. Values are monotonically non-increasing, so
+Scale notes (100TB): per round the h-index iteration costs TWO hash
+exchanges (the state join onto the edge table + the per-node neighbor
+aggregation) and a peel round THREE (two survivor semi-joins + the
+degree aggregation); the symmetrized table is pinned once and reused
+every round, so only the (small) state table and aggregation outputs
+move after round 1. Values are monotonically non-increasing, so
 convergence is metered with a cheap SUM aggregate (strictly decreasing
 until the fixpoint) instead of a changed-rows join — the same metering
 as connected components. The h-index round aggregates a sorted
@@ -68,8 +71,8 @@ def _sym_simple(edges: DataFrame) -> DataFrame:
 def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> KCoreResult:
     """Peel to the k-core; returns (id, degree) for surviving nodes.
 
-    Each round: count surviving-neighbor degrees (one shuffle), keep
-    nodes with degree >= k, semi-join the edge set down. The surviving
+    Each round: count surviving-neighbor degrees, keep nodes with
+    degree >= k, semi-join the edge set down. The surviving
     node set only shrinks, so the per-round cost decreases; rounds =
     peeling depth (2-3 on co-occurrence graphs, O(n) only on
     adversarial chains — bounded by max_iter).
@@ -139,8 +142,9 @@ def _h_index(vals_desc):
 def core_numbers(edges: DataFrame, max_iter: int = 100) -> CorenessResult:
     """Coreness of every node by h-index iteration from degrees.
 
-    Per round: join neighbor values, per-node DESC-sorted value array,
-    h-index as a JVM-side zip_with/array_max expression (no UDF).
+    Per round: join neighbor values (exchange 1), per-node DESC-sorted
+    value array (exchange 2), h-index as a JVM-side zip_with/array_max
+    expression (no UDF).
     Convergence metered by SUM(c) — monotone non-increasing, strictly
     decreasing until the fixpoint.
     """

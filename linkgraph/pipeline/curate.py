@@ -124,9 +124,11 @@ def stratified_sample(
     100TB it rides the scan. Returns (doc_id, lang, bucket).
     """
     bucket = F.pmod(_doc_hash(seed), F.lit(_M))
-    thresh = F.lit(int(default_rate * _M))
+    # round, don't truncate: int(0.000498 * 1e6) == 497 under binary
+    # floating point — the effective rate would be off by one bucket
+    thresh = F.lit(int(round(default_rate * _M)))
     for lang, r in sorted(rates.items()):
-        thresh = F.when(F.col("lang") == lang, F.lit(int(r * _M))).otherwise(thresh)
+        thresh = F.when(F.col("lang") == lang, F.lit(int(round(r * _M)))).otherwise(thresh)
     return (
         docs.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < thresh)
@@ -137,12 +139,13 @@ def stratified_sample_sql(
     rates: dict[str, float], default_rate: float = 0.0, seed: int = 0
 ) -> str:
     whens = " ".join(
-        f"WHEN lang = '{lang}' THEN {int(r * _M)}" for lang, r in sorted(rates.items())
+        f"WHEN lang = '{lang}' THEN {int(round(r * _M))}"
+        for lang, r in sorted(rates.items())
     )
     return f"""
 SELECT doc_id, lang, {_doc_hash_sql(seed)} % {_M} AS bucket
 FROM documents
-WHERE {_doc_hash_sql(seed)} % {_M} < (CASE {whens} ELSE {int(default_rate * _M)} END)
+WHERE {_doc_hash_sql(seed)} % {_M} < (CASE {whens} ELSE {int(round(default_rate * _M))} END)
 """
 
 

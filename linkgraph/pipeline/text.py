@@ -68,15 +68,9 @@ def _stopword_hits(lang: str):
     return F.size(F.array_intersect(F.array_distinct(toks), arr))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, len_score, stop_ratio, uniq_ratio, quality).
-
-    quality = 0.4*len_score + 0.3*min(1, 10*stop_ratio) + 0.3*uniq_ratio
-    where len_score = min(1, n_chars/400); stop_ratio = distinct
-    English stopwords present / whitespace token count. Deterministic,
-    order-free — a representative heuristic quality gate for corpus
-    filtering at scale (pure map, no shuffle).
-    """
+def _quality_exprs():
+    """The quality-score component expressions (per-row, over `text`),
+    shared by quality_scores and source_mix."""
     toks = F.split(F.col("text"), " ")
     n = F.greatest(F.size(toks), F.lit(1))
     len_score = F.least(F.lit(1.0), F.length("text") / F.lit(400.0))
@@ -87,6 +81,19 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * F.least(F.lit(1.0), F.lit(10.0) * stop_ratio)
         + F.lit(0.3) * uniq
     )
+    return len_score, stop_ratio, uniq, quality
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, len_score, stop_ratio, uniq_ratio, quality).
+
+    quality = 0.4*len_score + 0.3*min(1, 10*stop_ratio) + 0.3*uniq_ratio
+    where len_score = min(1, n_chars/400); stop_ratio = distinct
+    English stopwords present / whitespace token count. Deterministic,
+    order-free — a representative heuristic quality gate for corpus
+    filtering at scale (pure map, no shuffle).
+    """
+    len_score, stop_ratio, uniq, quality = _quality_exprs()
     return docs.select(
         "doc_id",
         F.round(len_score, 6).alias("len_score"),
@@ -278,16 +285,18 @@ FROM s
 def normalize_text(docs: DataFrame) -> DataFrame:
     """(doc_id, norm_text, n_chars_norm): the canonicalization pass
     that runs BEFORE hashing/dedup so cosmetic variants collide —
-    lowercase, control characters stripped, whitespace runs collapsed
-    to single spaces, ends trimmed.
+    lowercase, control characters (tabs/newlines included) mapped to
+    spaces, whitespace runs collapsed to single spaces, ends trimmed.
+    Mapping controls to spaces (not deleting them) keeps "foo\\nbar"
+    == "foo bar" — the most common cosmetic variant — while never
+    merging adjacent words.
 
-    Pure per-row JVM map (three regexp_replace + lower), shuffle-free;
+    Pure per-row JVM map (two regexp_replace + lower), shuffle-free;
     patterns are kept in the common Java-regex/RE2 subset so the
     DuckDB oracle is exact. Unicode NFC is intentionally out of scope
     (no JVM-side builtin; a Pandas-UDF variant would be the hook)."""
     t = F.lower(F.col("text"))
-    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", "")
-    t = F.regexp_replace(t, "[ ]+", " ")
+    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f ]+", " ")
     t = F.trim(t)
     return docs.select(
         "doc_id",
@@ -298,10 +307,8 @@ def normalize_text(docs: DataFrame) -> DataFrame:
 
 NORMALIZE_TEXT_SQL = r"""
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', '', 'g'),
-                           '[ ]+', ' ', 'g')) AS norm_text,
-       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', '', 'g'),
-                                    '[ ]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+       trim(regexp_replace(lower(text), '[\x00-\x1f\x7f ]+', ' ', 'g')) AS norm_text,
+       CAST(len(trim(regexp_replace(lower(text), '[\x00-\x1f\x7f ]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
 FROM documents
 """
 
@@ -314,44 +321,48 @@ def source_mix(docs: DataFrame) -> DataFrame:
     Scale shape: quality/token scoring are shuffle-free maps; then ONE
     groupBy(source) with map-side partial aggregation; the corpus
     total rides the grouped table (no second scan)."""
-    q = quality_scores(docs).select("doc_id", "quality")
-    t = token_stats(docs).select("doc_id", F.col("n_tokens").cast("long").alias("nt"))
-    # quality is already rounded to 6 decimals -> scale to integer
-    # micro-units so the per-source SUM is exact integer arithmetic
-    # (order-free in BOTH engines; a float AVG would accumulate in
-    # engine-specific order and can flip the 6th decimal)
-    per = (
-        docs.select("doc_id", "source")
-        .join(q, "doc_id")
-        .join(t, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("nt").alias("n_tokens"),
-            F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).alias("q_sum"),
-        )
+    # quality and token count are per-row functions of `text`, so they
+    # are computed INLINE in one projection — no doc_id re-joins. The
+    # rounded quality is scaled to integer micro-units so the
+    # per-source SUM is exact integer arithmetic (order-free in BOTH
+    # engines; a float AVG would accumulate in engine-specific order
+    # and can flip the 6th decimal).
+    _, _, _, quality = _quality_exprs()
+    per_row = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+        F.round(F.round(quality, 6) * 1_000_000).cast("long").alias("q_micro"),
     )
-    total = per.agg(F.sum("n_tokens").alias("tot"))
-    return per.crossJoin(total).select(
+    per = per_row.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("q_micro").alias("q_sum"),
+    )
+    # corpus total as a whole-table window over the GROUPED table
+    # (#sources rows -> one SinglePartition exchange), not a self-agg
+    # crossJoin, which would re-run the corpus scan + groupBy
+    tot = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+        F.round(F.col("n_tokens") / tot, 6).alias("token_share"),
         F.round(F.col("q_sum") / (F.col("n_docs") * 1_000_000.0), 6).alias("avg_quality"),
     )
 
 
+_QUALITY_EXPR_SQL = f"""ROUND(0.4 * least(1.0, len(text) / 400.0)
+           + 0.3 * least(1.0, 10.0 * {_sw_sql('en')} / greatest(len(string_split(text, ' ')), 1))
+           + 0.3 * CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1), 6)"""
+
 SOURCE_MIX_SQL = f"""
-WITH q AS ({QUALITY_SCORES_SQL}),
-t AS ({TOKEN_STATS_SQL}),
-per AS (
-  SELECT d.source, COUNT(*) AS n_docs,
-         CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
-         CAST(SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS q_sum
-  FROM documents d
-  JOIN q ON q.doc_id = d.doc_id
-  JOIN t ON t.doc_id = d.doc_id
-  GROUP BY d.source)
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ROUND({_QUALITY_EXPR_SQL} * 1000000) AS BIGINT)) AS BIGINT) AS q_sum
+  FROM documents
+  GROUP BY source)
 SELECT source, n_docs, n_tokens,
        ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6) AS token_share,
        ROUND(q_sum / (n_docs * 1000000.0), 6) AS avg_quality

@@ -711,13 +711,16 @@ def test_normalize_text_golden(spark):
     d = _docs(spark, [
         (1, "  Hello\x01  WORLD \t"),
         (2, "already clean"),
+        (3, "foo\nbar\tbaz"),
     ])
     got = {r["doc_id"]: (r["norm_text"], r["n_chars_norm"])
            for r in normalize_text(d).collect()}
-    # \x01 and \t stripped (both in [\x00-\x1f]), case folded, space
-    # runs collapsed, ends trimmed
+    # controls (\x01 \t \n) map to spaces — never deleted, so line
+    # breaks collide with spaces without merging adjacent words —
+    # then case folds, whitespace runs collapse, ends trim
     assert got[1] == ("hello world", 11)
     assert got[2] == ("already clean", 13)
+    assert got[3] == ("foo bar baz", 11)
 
 
 def test_source_mix_golden(spark):

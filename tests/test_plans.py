@@ -282,10 +282,11 @@ def test_pack_sequences_single_exchange(spark):
     assert n_exchanges == 1, plan[:2000]
 
 
-def test_coreness_round_is_single_shuffle_over_pinned_sym(spark):
-    """Each h-index round: one hash exchange for the neighbor-value
-    aggregation; the symmetrized edge table is pinned (InMemory scan),
-    never re-derived."""
+def test_coreness_round_cost_over_pinned_sym(spark):
+    """Each h-index round: exactly TWO hash exchanges (state join +
+    neighbor-value aggregation — the documented per-round cost); the
+    symmetrized edge table is pinned (InMemory scan), never
+    re-derived."""
     from linkgraph.checkpoint import pin_table
     from linkgraph.kcore import _h_index, _sym_simple
     e = spark.createDataFrame(
@@ -303,3 +304,19 @@ def test_coreness_round_is_single_shuffle_over_pinned_sym(spark):
     assert "FileScan" not in plan               # never re-derived
     # no Python evaluation anywhere in the round (h-index is Catalyst)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # documented per-round cost: 2 hash exchanges, no more (AQE may
+    # plan the tiny state side as a broadcast — count only hash ones)
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 2
+
+
+def test_source_mix_single_groupby_no_joins(spark):
+    """quality + token count are inline per-row expressions; the only
+    hash exchange is groupBy(source) — no doc_id re-joins."""
+    from linkgraph.pipeline import source_mix
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(source_mix(docs))
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    # one corpus scan feeds the aggregation (the broadcast total is a
+    # scalar over the grouped table, not a second corpus read)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
