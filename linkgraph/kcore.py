@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import pin_table, release_state
+from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
 
 
 @dataclass
@@ -68,7 +68,32 @@ def _sym_simple(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> KCoreResult:
+def _graph_fp(sym: DataFrame) -> int:
+    """Order-independent fingerprint of the symmetrized edge set —
+    resume guard (same contract as scc/mst/betweenness)."""
+    return int(
+        sym.agg(F.expr("bit_xor(xxhash64(a, b))").alias("fp")).first()["fp"] or 0
+    )
+
+
+def _check_resume_fp(name: str, recorded, current: int) -> None:
+    if recorded is not None and int(recorded) != current:
+        raise ValueError(
+            f"{name} resume mismatch: the edge table differs from the "
+            f"checkpointed run (fingerprint {recorded} != {current}); "
+            "per-round state would mix graphs. Rerun without resume or "
+            "with the original edges."
+        )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> KCoreResult:
     """Peel to the k-core; returns (id, degree) for surviving nodes.
 
     Each round: count surviving-neighbor degrees, keep nodes with
@@ -76,30 +101,59 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> KCoreResult:
     node set only shrinks, so the per-round cost decreases; rounds =
     peeling depth (2-3 on co-occurrence graphs, O(n) only on
     adversarial chains — bounded by max_iter).
+
+    resume: with a ``checkpoint_dir``, continue from the last durable
+    survivor frame, validated against the graph fingerprint AND the
+    recorded k (resuming a k=25 peel with a different k would silently
+    reuse a k-specific survivor set).
     """
     sym = pin_table(_sym_simple(edges))
+    graph_fp = _graph_fp(sym) if checkpoint_dir else None
+    loop = SuperstepLoop(
+        edges.sparkSession, checkpoint_dir, every=checkpoint_every,
+        name="kcore", context={"graph_fp": graph_fp, "k": k},
+    )
     # survivors as a node column; None sentinel = "all nodes" round 0
     alive: DataFrame | None = None
     prev_n = -1
-    rounds = 0
-    cur = sym
+    start_round = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp("k_core", loop.last_context.get("graph_fp"), graph_fp)
+            rec_k = loop.last_context.get("k")
+            if rec_k is not None and int(rec_k) != k:
+                raise ValueError(
+                    f"k_core resume mismatch: checkpointed k={rec_k}, "
+                    f"requested k={k}; the survivor set is k-specific."
+                )
+            start_round, state = resumed
+            alive = pin_table(state.select("a", "degree"))
+            prev_n = int(loop.last_metrics.get("n_alive", alive.count()))
+    rounds = start_round
     while rounds < max_iter:
+        if alive is None:
+            cur = sym
+        else:
+            keep = alive.select("a")
+            cur = (
+                sym.join(keep, "a")
+                .join(keep.select(F.col("a").alias("b")), "b")
+                .select("a", "b")
+            )
         deg = cur.groupBy("a").agg(F.count("*").alias("degree"))
         nxt = pin_table(deg.filter(F.col("degree") >= k).select("a", "degree"))
         n = nxt.count()
         rounds += 1
-        if n == prev_n:
-            release_state(alive)
-            alive = nxt
-            break
         release_state(alive)
-        alive, prev_n = nxt, n
-        keep = nxt.select("a")
-        cur = (
-            sym.join(keep, "a")
-            .join(keep.select(F.col("a").alias("b")), "b")
-            .select("a", "b")
-        )
+        alive = nxt
+        if checkpoint_dir and rounds % checkpoint_every == 0:
+            loop.advance(
+                rounds, alive, metrics={"n_alive": n}, force_checkpoint=True
+            )
+        if n == prev_n:
+            break
+        prev_n = n
     members = alive.select(
         F.col("a").alias("id"), F.col("degree").cast("long").alias("degree")
     )
@@ -139,7 +193,13 @@ def _h_index(vals_desc):
     )
 
 
-def core_numbers(edges: DataFrame, max_iter: int = 100) -> CorenessResult:
+def core_numbers(
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> CorenessResult:
     """Coreness of every node by h-index iteration from degrees.
 
     Per round: join neighbor values (exchange 1), per-node DESC-sorted
@@ -147,14 +207,38 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> CorenessResult:
     expression (no UDF).
     Convergence metered by SUM(c) — monotone non-increasing, strictly
     decreasing until the fixpoint.
+
+    resume: with a ``checkpoint_dir``, continue from the last durable
+    (id, c) frame (graph-fingerprint validated); the recorded sum_c
+    re-enters the convergence meter so a resumed-at-fixpoint run stops
+    after one confirming round, exactly like the uninterrupted run.
     """
     sym = pin_table(_sym_simple(edges))
-    c = pin_table(
-        sym.groupBy("a").agg(F.count("*").cast("long").alias("c"))
-        .select(F.col("a").alias("id"), "c")
+    graph_fp = _graph_fp(sym) if checkpoint_dir else None
+    loop = SuperstepLoop(
+        edges.sparkSession, checkpoint_dir, every=checkpoint_every,
+        name="coreness", context={"graph_fp": graph_fp},
     )
-    prev_sum = c.agg(F.sum("c")).collect()[0][0]
-    rounds = 0
+    c = None
+    prev_sum = None
+    start_round = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "core_numbers", loop.last_context.get("graph_fp"), graph_fp
+            )
+            start_round, state = resumed
+            c = pin_table(state.select("id", "c"))
+            rec = loop.last_metrics.get("sum_c")
+            prev_sum = int(rec) if rec is not None else c.agg(F.sum("c")).collect()[0][0]
+    if c is None:
+        c = pin_table(
+            sym.groupBy("a").agg(F.count("*").cast("long").alias("c"))
+            .select(F.col("a").alias("id"), "c")
+        )
+        prev_sum = c.agg(F.sum("c")).collect()[0][0]
+    rounds = start_round
     while rounds < max_iter:
         nbr_vals = (
             sym.join(c.withColumnRenamed("id", "b"), "b")
@@ -168,6 +252,8 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> CorenessResult:
         rounds += 1
         release_state(c)
         c = nxt
+        if checkpoint_dir and rounds % checkpoint_every == 0:
+            loop.advance(rounds, c, metrics={"sum_c": int(s)}, force_checkpoint=True)
         if s == prev_sum:
             break
         prev_sum = s

@@ -416,3 +416,45 @@ def test_mst_resume_identical(spark, tmp_path):
     assert got == want
     assert res.total_weight == full.total_weight
     assert res.edge_count == full.edge_count
+
+
+def test_kcore_resume_identical(spark, tmp_path):
+    """k-core peel killed after 1 round resumes from the durable
+    survivor frame and matches the uninterrupted core; resuming with a
+    different k or graph raises."""
+    import pytest as _pytest
+    from linkgraph import k_core
+
+    # triangle + pendant chain: k=2 peels the chain over 2 rounds
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    full = k_core(edges, k=2)
+    want = {(r["id"], r["degree"]) for r in full.members.collect()}
+    assert full.rounds == 3
+    ckpt = str(tmp_path / "kcore_ckpt")
+    k_core(edges, k=2, max_iter=1, checkpoint_dir=ckpt)
+    res = k_core(edges, k=2, checkpoint_dir=ckpt, resume=True)
+    got = {(r["id"], r["degree"]) for r in res.members.collect()}
+    assert got == want
+    with _pytest.raises(ValueError, match="k-specific"):
+        k_core(edges, k=3, checkpoint_dir=ckpt, resume=True)
+    _n2, other = edges_from_pairs(spark, [("x", "y"), ("y", "z"), ("x", "z")])
+    with _pytest.raises(ValueError, match="fingerprint"):
+        k_core(other, k=2, checkpoint_dir=ckpt, resume=True)
+
+
+def test_coreness_resume_identical(spark, tmp_path):
+    """h-index coreness killed after 1 round resumes from the durable
+    (id, c) frame + recorded sum meter and matches uninterrupted."""
+    from linkgraph import core_numbers
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    _nodes, edges = edges_from_pairs(spark, pairs)
+    full = core_numbers(edges)
+    want = {(r["id"], r["coreness"]) for r in full.coreness.collect()}
+    assert full.rounds > 1
+    ckpt = str(tmp_path / "coreness_ckpt")
+    core_numbers(edges, max_iter=1, checkpoint_dir=ckpt)
+    res = core_numbers(edges, checkpoint_dir=ckpt, resume=True)
+    got = {(r["id"], r["coreness"]) for r in res.coreness.collect()}
+    assert got == want
