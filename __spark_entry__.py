@@ -179,6 +179,14 @@ def _q_coreness_purchase(spark, sf_dir):
     return core_numbers(purchase_edges(spark, sf_dir)).coreness
 
 
+def _q_anf_purchase(spark, sf_dir):
+    """HyperBall per-node ball-size estimates for t <= 3 (engine
+    extension — linkgraph/anf.py; deterministic registers make the
+    oracle value-exact, not a tolerance band)."""
+    from linkgraph.anf import anf
+    return anf(purchase_edges(spark, sf_dir), max_t=3, m=16, seed=0).balls
+
+
 def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         purchase_edges(spark, sf_dir)
@@ -729,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_purchase": _q_degrees,
         "kcore_purchase": _q_kcore_purchase,
         "coreness_purchase": _q_coreness_purchase,
+        "anf_purchase": _q_anf_purchase,
         "degree_histogram_purchase": _q_degree_histogram,
         # paths / scc / mst (SURVEY.md §2.2)
         "sssp_hops2_cosupplier": _q_sssp_cosupplier,
@@ -854,6 +863,7 @@ tri AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from linkgraph.anf import anf_sql
     from linkgraph.kcore import core_numbers_sql, k_core_sql
 
     return {
@@ -926,6 +936,11 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
         # in 4; the recurrence is a no-op at the fixpoint).
         "kcore_purchase": k_core_sql(PURCHASE_EDGES_SQL, k=25, n_rounds=5),
         "coreness_purchase": core_numbers_sql(PURCHASE_EDGES_SQL, n_rounds=7),
+        # HyperBall registers are deterministic integers from the
+        # cross-engine hash, so the oracle replays the exact recurrence
+        # and estimator (unrolled; max-merge is idempotent past
+        # saturation, and the engine fills post-saturation snapshots)
+        "anf_purchase": anf_sql(PURCHASE_EDGES_SQL, max_t=3, m=16, seed=0),
         "degrees_purchase": f"""
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src

@@ -41,6 +41,12 @@ from linkgraph.mst import (
 )
 from linkgraph.betweenness import betweenness_centrality, BetweennessResult
 from linkgraph.kcore import k_core, core_numbers, KCoreResult, CorenessResult
+from linkgraph.anf import (
+    anf,
+    AnfResult,
+    effective_diameter,
+    neighborhood_function,
+)
 from linkgraph.registry import algo_list, is_finite, is_infinite
 from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_results
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
@@ -91,6 +97,10 @@ __all__ = [
     "core_numbers",
     "KCoreResult",
     "CorenessResult",
+    "anf",
+    "AnfResult",
+    "neighborhood_function",
+    "effective_diameter",
     "BetweennessResult",
     "algo_list",
     "is_finite",

@@ -31,6 +31,7 @@ PROCEDURES = {
     "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
     "k_core": ("linkgraph.kcore.k_core", "(engine extension: iterative peeling)", True),
     "core_numbers": ("linkgraph.kcore.core_numbers", "(engine extension: h-index coreness)", True),
+    "anf": ("linkgraph.anf.anf", "(engine extension: HyperBall neighborhood function)", True),
     "exact_dedup": ("linkgraph.pipeline.dedup.exact_dedup", "(pipeline extension)", True),
     "jaccard_pairs": ("linkgraph.pipeline.dedup.jaccard_pairs", "(pipeline extension)", True),
     "jaccard_pairs_df_capped": ("linkgraph.pipeline.dedup.jaccard_pairs_df_capped", "(pipeline extension)", True),
