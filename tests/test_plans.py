@@ -320,3 +320,27 @@ def test_source_mix_single_groupby_no_joins(spark):
     # one corpus scan feeds the aggregation (the broadcast total is a
     # scalar over the grouped table, not a second corpus read)
     assert len(re.findall(r"FileScan parquet", plan)) == 1
+
+
+def test_anf_round_is_maxagg_not_collect_list(spark):
+    """HyperBall's scale property: the register merge must compile to
+    m plain MAX aggregates (map-side combinable HashAggregate), never
+    a collect_list of neighbor sketches (ObjectHashAggregate) — a hub
+    then ships m longs, not its neighborhood."""
+    from linkgraph.checkpoint import pin_table, release_state
+    from linkgraph.anf import _init_sketch, _sym_self
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double")
+    m = 16
+    sym = pin_table(_sym_self(e))
+    sk = pin_table(sym.select("a").distinct().select(F.col("a").alias("id"))
+                   .select("id", _init_sketch(m, 4, 56, 0).alias("sk")))
+    g = (sym.join(sk.withColumnRenamed("id", "b"), "b")
+         .groupBy("a")
+         .agg(*[F.max(F.element_at("sk", j + 1)).alias(f"r{j}") for j in range(m)]))
+    plan = _plan(g)
+    assert "ObjectHashAggregate" not in plan and "collect_list" not in plan
+    assert "HashAggregate" in plan               # partial-agg map side
+    assert "InMemoryTableScan" in plan           # pinned inputs reused
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    release_state(sym); release_state(sk)
