@@ -179,6 +179,13 @@ def _q_coreness_purchase(spark, sf_dir):
     return core_numbers(purchase_edges(spark, sf_dir)).coreness
 
 
+def _q_hyperball_harmonic_purchase(spark, sf_dir):
+    """Sketch-path harmonic centrality (Boldi-Vigna HyperBall) — the
+    third harmonic path next to the exact and sampled estimators."""
+    from linkgraph.anf import hyperball_harmonic
+    return hyperball_harmonic(purchase_edges(spark, sf_dir), max_t=3, m=16, seed=0)
+
+
 def _q_anf_purchase(spark, sf_dir):
     """HyperBall per-node ball-size estimates for t <= 3 (engine
     extension — linkgraph/anf.py; deterministic registers make the
@@ -738,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_purchase": _q_kcore_purchase,
         "coreness_purchase": _q_coreness_purchase,
         "anf_purchase": _q_anf_purchase,
+        "hyperball_harmonic_purchase": _q_hyperball_harmonic_purchase,
         "degree_histogram_purchase": _q_degree_histogram,
         # paths / scc / mst (SURVEY.md §2.2)
         "sssp_hops2_cosupplier": _q_sssp_cosupplier,
@@ -863,7 +871,7 @@ tri AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    from linkgraph.anf import anf_sql
+    from linkgraph.anf import anf_sql, hyperball_harmonic_sql
     from linkgraph.kcore import core_numbers_sql, k_core_sql
 
     return {
@@ -941,6 +949,11 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
         # and estimator (unrolled; max-merge is idempotent past
         # saturation, and the engine fills post-saturation snapshots)
         "anf_purchase": anf_sql(PURCHASE_EDGES_SQL, max_t=3, m=16, seed=0),
+        # same registers, then the growth-ring fold in t order on both
+        # engines (left-assoc float sum — order-identical)
+        "hyperball_harmonic_purchase": hyperball_harmonic_sql(
+            PURCHASE_EDGES_SQL, max_t=3, m=16, seed=0
+        ),
         "degrees_purchase": f"""
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src

@@ -45,6 +45,7 @@ from linkgraph.anf import (
     anf,
     AnfResult,
     effective_diameter,
+    hyperball_harmonic,
     neighborhood_function,
 )
 from linkgraph.registry import algo_list, is_finite, is_infinite
@@ -101,6 +102,7 @@ __all__ = [
     "AnfResult",
     "neighborhood_function",
     "effective_diameter",
+    "hyperball_harmonic",
     "BetweennessResult",
     "algo_list",
     "is_finite",

@@ -269,3 +269,59 @@ def anf_sql(edges_sql: str, max_t: int = 4, m: int = 16, seed: int = 0) -> str:
         for t in range(0, max_t + 1)
     ]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    max_t: int = 4,
+    m: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Harmonic centrality from HyperBall sketches — the paper's
+    headline application (Boldi & Vigna ICDM'13): H(u) =
+    sum_{t>=1} (|B(u,t)| - |B(u,t-1)|) / t, i.e. each ball GROWTH ring
+    weighted by 1/distance, with ball sizes the HLL estimates.
+
+    Truncated at ``max_t`` (radii beyond it contribute 0; run with
+    max_t >= the effective diameter for the full value). Returns
+    (id, harmonic) rounded to 6 decimals. The per-id sum folds a
+    t-sorted array left-to-right, so both engines accumulate the
+    floating-point terms in the SAME order — value-exact against the
+    SQL oracle, cross-validatable against the exact MS-BFS harmonic.
+
+    Scale: one extra shuffle over the (t, id, est) snapshot table
+    (n * (max_t+1) rows) on top of the anf() rounds.
+    """
+    res = anf(edges, max_t=max_t, m=m, seed=seed)
+    rings = (
+        res.balls.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "est"))).alias("series"))
+    )
+    # left fold over the t-ordered series: sum (est_t - est_{t-1})/t
+    harm = F.aggregate(
+        F.sequence(F.lit(1), F.size("series") - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at("series", i + 1)["est"] - F.element_at("series", i)["est"]
+        )
+        / F.element_at("series", i + 1)["t"].cast("double"),
+    )
+    out = rings.select("id", F.round(harm, 6).alias("harmonic"))
+    return attach_caches(out, getattr(res.balls, "_linkgraph_caches", []))
+
+
+def hyperball_harmonic_sql(
+    edges_sql: str, max_t: int = 4, m: int = 16, seed: int = 0
+) -> str:
+    """Oracle: the same left fold over the t-ordered estimate series
+    from the anf oracle."""
+    inner = anf_sql(edges_sql, max_t=max_t, m=m, seed=seed)
+    terms = " + ".join(
+        f"(series[{t + 1}] - series[{t}]) / {float(t)}" for t in range(1, max_t + 1)
+    )
+    return f"""
+WITH balls AS ({inner}),
+g AS (SELECT id, list(est ORDER BY t ASC) AS series FROM balls GROUP BY id)
+SELECT id, ROUND({terms}, 6) AS harmonic FROM g
+"""

@@ -32,6 +32,7 @@ PROCEDURES = {
     "k_core": ("linkgraph.kcore.k_core", "(engine extension: iterative peeling)", True),
     "core_numbers": ("linkgraph.kcore.core_numbers", "(engine extension: h-index coreness)", True),
     "anf": ("linkgraph.anf.anf", "(engine extension: HyperBall neighborhood function)", True),
+    "hyperball_harmonic": ("linkgraph.anf.hyperball_harmonic", "algo.closeness.harmonic (HyperBall sketch path)", True),
     "exact_dedup": ("linkgraph.pipeline.dedup.exact_dedup", "(pipeline extension)", True),
     "jaccard_pairs": ("linkgraph.pipeline.dedup.jaccard_pairs", "(pipeline extension)", True),
     "jaccard_pairs_df_capped": ("linkgraph.pipeline.dedup.jaccard_pairs_df_capped", "(pipeline extension)", True),

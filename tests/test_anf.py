@@ -118,3 +118,26 @@ def test_anf_rejects_bad_m(spark):
         anf(_edges(spark, [(1, 2)]), m=24)
     with pytest.raises(ValueError, match="power of two"):
         anf(_edges(spark, [(1, 2)]), m=8)
+
+
+def test_hyperball_harmonic_matches_ring_fold(spark):
+    """The sketch harmonic equals the growth-ring fold over the anf
+    estimates, and on a star graph it tracks the exact harmonic
+    (center: n-1 at distance 1) within HLL error at m=64."""
+    from linkgraph.anf import hyperball_harmonic
+
+    pairs = [(0, i) for i in range(1, 13)]  # star, center 0
+    res = anf(_edges(spark, pairs), max_t=2, m=64, seed=0)
+    balls = {(r["t"], r["id"]): r["est"] for r in res.balls.collect()}
+    release_caches(res.balls)
+    out = hyperball_harmonic(_edges(spark, pairs), max_t=2, m=64, seed=0)
+    got = {r["id"]: r["harmonic"] for r in out.collect()}
+    release_caches(out)
+    for u in got:
+        want = sum(
+            (balls[(t, u)] - balls[(t - 1, u)]) / t for t in range(1, 3)
+        )
+        assert abs(got[u] - round(want, 6)) < 2e-6
+    # exact harmonic of the center is 12; leaves: 1 + 11/2 = 6.5
+    assert abs(got[0] - 12) / 12 < 0.5
+    assert abs(got[1] - 6.5) / 6.5 < 0.5
