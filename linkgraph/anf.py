@@ -56,6 +56,12 @@ class AnfResult:
     m: int
     stats: dict = field(default_factory=dict)
 
+    def release(self) -> None:
+        """Unpersist the pinned per-radius snapshots backing ``balls``
+        (house release contract; equivalently release_caches(balls))."""
+        from linkgraph.checkpoint import release_caches
+        release_caches(self.balls)
+
 
 def _sym_self(edges: DataFrame) -> DataFrame:
     """Undirected propagation pairs INCLUDING (id, id) self-pairs, so

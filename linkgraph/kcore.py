@@ -41,7 +41,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
+from linkgraph.checkpoint import (
+    SuperstepLoop,
+    attach_caches,
+    pin_table,
+    release_state,
+)
 
 
 @dataclass
@@ -49,6 +54,14 @@ class KCoreResult:
     members: DataFrame  # (id: long, degree: long) — degree within the core
     rounds: int
     stats: dict = field(default_factory=dict)
+    _caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the pinned survivor frame backing ``members``
+        (house release contract — same as TriangleResult.release)."""
+        for c in self._caches:
+            release_state(c)
+        self._caches = []
 
 
 @dataclass
@@ -56,6 +69,12 @@ class CorenessResult:
     coreness: DataFrame  # (id: long, coreness: long)
     rounds: int
     stats: dict = field(default_factory=dict)
+    _caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        for c in self._caches:
+            release_state(c)
+        self._caches = []
 
 
 def _sym_simple(edges: DataFrame) -> DataFrame:
@@ -154,11 +173,16 @@ def k_core(
         if n == prev_n:
             break
         prev_n = n
-    members = alive.select(
-        F.col("a").alias("id"), F.col("degree").cast("long").alias("degree")
+    members = attach_caches(
+        alive.select(
+            F.col("a").alias("id"), F.col("degree").cast("long").alias("degree")
+        ),
+        [alive],
     )
     release_state(sym)
-    return KCoreResult(members=members, rounds=rounds, stats={"k": k})
+    return KCoreResult(
+        members=members, rounds=rounds, stats={"k": k}, _caches=[alive]
+    )
 
 
 def k_core_sql(edges_sql: str, k: int, n_rounds: int = 6) -> str:
@@ -257,9 +281,11 @@ def core_numbers(
         if s == prev_sum:
             break
         prev_sum = s
-    coreness = c.select("id", F.col("c").cast("long").alias("coreness"))
+    coreness = attach_caches(
+        c.select("id", F.col("c").cast("long").alias("coreness")), [c]
+    )
     release_state(sym)
-    return CorenessResult(coreness=coreness, rounds=rounds)
+    return CorenessResult(coreness=coreness, rounds=rounds, _caches=[c])
 
 
 def core_numbers_sql(edges_sql: str, n_rounds: int = 8) -> str:

@@ -430,11 +430,13 @@ def test_kcore_resume_identical(spark, tmp_path):
     _nodes, edges = edges_from_pairs(spark, pairs)
     full = k_core(edges, k=2)
     want = {(r["id"], r["degree"]) for r in full.members.collect()}
+    full.release()
     assert full.rounds == 3
     ckpt = str(tmp_path / "kcore_ckpt")
-    k_core(edges, k=2, max_iter=1, checkpoint_dir=ckpt)
+    k_core(edges, k=2, max_iter=1, checkpoint_dir=ckpt).release()
     res = k_core(edges, k=2, checkpoint_dir=ckpt, resume=True)
     got = {(r["id"], r["degree"]) for r in res.members.collect()}
+    res.release()
     assert got == want
     with _pytest.raises(ValueError, match="k-specific"):
         k_core(edges, k=3, checkpoint_dir=ckpt, resume=True)
@@ -452,9 +454,11 @@ def test_coreness_resume_identical(spark, tmp_path):
     _nodes, edges = edges_from_pairs(spark, pairs)
     full = core_numbers(edges)
     want = {(r["id"], r["coreness"]) for r in full.coreness.collect()}
+    full.release()
     assert full.rounds > 1
     ckpt = str(tmp_path / "coreness_ckpt")
-    core_numbers(edges, max_iter=1, checkpoint_dir=ckpt)
+    core_numbers(edges, max_iter=1, checkpoint_dir=ckpt).release()
     res = core_numbers(edges, checkpoint_dir=ckpt, resume=True)
     got = {(r["id"], r["coreness"]) for r in res.coreness.collect()}
+    res.release()
     assert got == want

@@ -25,25 +25,31 @@ def test_k_core_golden_multi_round_peel(spark):
     # round 3 confirms the triangle is stable -> 3 rounds total
     res = k_core(_edges(spark, CHAIN), k=2)
     got = {r["id"]: r["degree"] for r in res.members.collect()}
+    res.release()
     assert got == {1: 2, 2: 2, 3: 2}
     assert res.rounds == 3
 
 
 def test_k_core_empty_when_k_exceeds_graph(spark):
     res = k_core(_edges(spark, CHAIN), k=3)
-    assert res.members.count() == 0
+    n = res.members.count()
+    res.release()
+    assert n == 0
 
 
 def test_core_numbers_golden(spark):
     res = core_numbers(_edges(spark, CHAIN))
     got = {r["id"]: r["coreness"] for r in res.coreness.collect()}
+    res.release()
     assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
 
 
 def test_kcore_ignores_self_loops_and_duplicate_directions(spark):
     noisy = CHAIN + [(2, 1), (3, 3), (1, 2), (5, 4)]
-    clean = core_numbers(_edges(spark, CHAIN)).coreness.collect()
-    dirty = core_numbers(_edges(spark, noisy)).coreness.collect()
+    r1, r2 = core_numbers(_edges(spark, CHAIN)), core_numbers(_edges(spark, noisy))
+    clean = r1.coreness.collect()
+    dirty = r2.coreness.collect()
+    r1.release(); r2.release()
     assert sorted(map(tuple, clean)) == sorted(map(tuple, dirty))
 
 
@@ -111,14 +117,15 @@ def test_core_numbers_random_graph_oracle(spark):
         if a != b
     })
     want = _true_coreness(pairs)
-    got = {
-        r["id"]: r["coreness"]
-        for r in core_numbers(_edges(spark, pairs)).coreness.collect()
-    }
+    cres = core_numbers(_edges(spark, pairs))
+    got = {r["id"]: r["coreness"] for r in cres.coreness.collect()}
+    cres.release()
     assert got == want
     # and k_core membership agrees with the coreness threshold for a
     # mid-range k
     kmax = max(want.values())
     k = max(2, kmax - 1)
-    members = {r["id"] for r in k_core(_edges(spark, pairs), k=k).members.collect()}
+    kres = k_core(_edges(spark, pairs), k=k)
+    members = {r["id"] for r in kres.members.collect()}
+    kres.release()
     assert members == {n for n, c in want.items() if c >= k}
