@@ -724,6 +724,45 @@ def _q_video_frames(spark, sf_dir):
     return decode_media(synth_assets(_docs(spark, sf_dir)), kind="video")
 
 
+# --- event analytics (batch twins of linkgraph.streaming; events table) ---
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-timeout sessionization (30 min) — per-event session index."""
+    from linkgraph.pipeline.events import sessionize
+    return sessionize(_events(spark, sf_dir), gap_minutes=30).select(
+        "event_id", "user_id", "session_idx"
+    )
+
+
+def _q_events_session_stats(spark, sf_dir):
+    from linkgraph.pipeline.events import session_stats
+    return session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+def _q_events_windowed_counts(spark, sf_dir):
+    from linkgraph.pipeline.events import windowed_counts
+    return windowed_counts(_events(spark, sf_dir), bucket="hour")
+
+
+def _q_events_funnel(spark, sf_dir):
+    from linkgraph.pipeline.events import funnel
+    return funnel(_events(spark, sf_dir), steps=["view", "click", "purchase"])
+
+
+def _q_events_retention(spark, sf_dir):
+    from linkgraph.pipeline.events import retention_cohorts
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+def _q_events_props_stats(spark, sf_dir):
+    from linkgraph.pipeline.events import props_stats
+    return props_stats(_events(spark, sf_dir), field="k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph procedures (SURVEY.md §2.1)
@@ -796,6 +835,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal_features,
         "multimodal_video_frames": _q_video_frames,
+        # event analytics (events table; batch twins of linkgraph.streaming)
+        "events_sessionize": _q_events_sessionize,
+        "events_session_stats": _q_events_session_stats,
+        "events_windowed_counts": _q_events_windowed_counts,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_props_stats": _q_events_props_stats,
     }
 
 
@@ -868,6 +914,42 @@ tri AS (
   JOIN und e2 ON e2.a = e1.b
   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 )"""
+
+
+# Shared sessionization core: lag -> gap flag -> running sum, ties on
+# (ts, event_id) exactly as linkgraph.pipeline.events.sessionize.
+_EVENTS_SESS_CORE = """
+lagd AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+labeled AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CAST(SUM(CASE WHEN prev IS NULL
+                        OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM lagd
+)
+"""
+
+_EVENTS_SESSIONIZE_SQL = f"""
+WITH {_EVENTS_SESS_CORE}
+SELECT event_id, user_id, session_idx FROM labeled
+"""
+
+_EVENTS_SESSION_STATS_SQL = f"""
+WITH {_EVENTS_SESS_CORE}
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+       ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS duration_sec,
+       ROUND(SUM(value), 6) AS total_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM labeled GROUP BY user_id, session_idx
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1436,4 +1518,51 @@ def _pipeline_oracles() -> dict[str, str]:
         # oracle-exact — byte slicing reproduced in hex-string space
         # (this DuckDB build lacks blob substring/sha256(BLOB))
         "multimodal_video_frames": video_frames_sql(frames=4),
+        # event analytics — window/agg SQL mirrors. Epochs use
+        # floor() (DuckDB CAST(double AS BIGINT) ROUNDS; Spark
+        # unix_timestamp floors); window-SUM session indexes CAST back
+        # to BIGINT (DuckDB SUM(int) -> HUGEINT -> float64 in pandas).
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_session_stats": _EVENTS_SESSION_STATS_SQL,
+        "events_windowed_counts": """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, MIN(epoch(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, s1.t1, MIN(epoch(e.ts)) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND epoch(e.ts) > s1.t1
+       GROUP BY e.user_id, s1.t1),
+s3 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND epoch(e.ts) > s2.t2
+       GROUP BY e.user_id)
+SELECT 1 AS step_index, 'view' AS step, COUNT(*) AS users FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+""",
+        "events_retention": """
+WITH cohort AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+                FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+           FROM events)
+SELECT CAST(floor(epoch(c.cohort_day)) AS BIGINT) AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS users
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+""",
+        "events_props_stats": """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS n_with_field,
+       ROUND(SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS sum_field,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_field
+FROM events GROUP BY event_type
+""",
     }

@@ -67,6 +67,14 @@ from linkgraph.pipeline.multimodal import (
     encode_png,
     encode_wav_pcm16,
 )
+from linkgraph.pipeline.events import (
+    funnel,
+    props_stats,
+    retention_cohorts,
+    session_stats,
+    sessionize,
+    windowed_counts,
+)
 
 __all__ = [
     "stable_hash64", "stable_hash64_sql",
@@ -83,4 +91,6 @@ __all__ = [
     "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
     "encode_wav_pcm16", "decode_wav_pcm16", "encode_png", "decode_png",
+    "sessionize", "session_stats", "windowed_counts",
+    "funnel", "retention_cohorts", "props_stats",
 ]

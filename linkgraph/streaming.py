@@ -72,38 +72,71 @@ def sessionize(
     """Session windows with a gap timeout via applyInPandasWithState.
 
     Emits one row per CLOSED session: (user_id, session_start,
-    session_end, n_events). A session closes when the watermark passes
-    its last event + gap.
+    session_end, n_events). Sessions split on every gap > the timeout,
+    INCLUDING gaps between events that arrive inside one micro-batch
+    (a replayed history arriving as a single batch still yields the
+    same sessions as `linkgraph.pipeline.events.sessionize` run in
+    batch). Within a batch the user's events are sorted and interval-
+    merged with the open-session state; every run except the latest is
+    emitted closed immediately, the latest stays in state and closes
+    when the watermark passes its last event + gap. Immediate closure
+    of earlier runs assumes stragglers never arrive more than the
+    watermark delay (= gap) late — the same guarantee the watermark
+    already enforces for the stateful path.
     """
+    import numpy as np
     import pandas as pd
 
     gap_ms = gap_minutes * 60 * 1000
 
+    def _closed(key, runs):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(runs),
+                "session_start": [pd.Timestamp(lo, unit="ms") for lo, _, _ in runs],
+                "session_end": [pd.Timestamp(hi, unit="ms") for _, hi, _ in runs],
+                "n_events": [n for _, _, n in runs],
+            }
+        )
+
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            (start_ms, end_ms, n) = state.get
+            run = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
-                    "n_events": [n],
-                }
-            )
+            yield _closed(key, [run])
             return
-        lo, hi, cnt = None, None, 0
-        for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-            lo = int(ts.min()) if lo is None else min(lo, int(ts.min()))
-            hi = int(ts.max()) if hi is None else max(hi, int(ts.max()))
-            cnt += len(pdf)
+        chunks = [
+            pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy() // 1_000_000
+            for pdf in pdfs
+        ]
+        times = np.sort(np.concatenate(chunks)) if chunks else np.array([], "int64")
+        # gap-split the sorted batch into dense runs (lo, hi, n)
+        runs: list[tuple[int, int, int]] = []
+        if len(times):
+            breaks = np.nonzero(np.diff(times) > gap_ms)[0]
+            starts = np.concatenate(([0], breaks + 1))
+            ends = np.concatenate((breaks, [len(times) - 1]))
+            runs = [
+                (int(times[s]), int(times[e]), int(e - s + 1))
+                for s, e in zip(starts, ends)
+            ]
         if state.exists:
-            (s, e, n) = state.get
-            lo, hi, cnt = min(lo, s), max(hi, e), cnt + n
-        state.update((lo, hi, cnt))
-        state.setTimeoutTimestamp(hi + gap_ms)
-        return iter(())
+            runs.append(tuple(state.get))
+        # interval-merge (runs are each gap-dense; merging two runs
+        # whose gap is <= the timeout preserves density)
+        merged: list[tuple[int, int, int]] = []
+        for lo, hi, n in sorted(runs):
+            if merged and lo <= merged[-1][1] + gap_ms:
+                plo, phi, pn = merged.pop()
+                merged.append((plo, max(phi, hi), pn + n))
+            else:
+                merged.append((lo, hi, n))
+        if not merged:
+            return
+        state.update(merged[-1])
+        state.setTimeoutTimestamp(merged[-1][1] + gap_ms)
+        if len(merged) > 1:
+            yield _closed(key, merged[:-1])
 
     return (
         events.withWatermark(ts_col, f"{gap_minutes} minutes")
