@@ -496,6 +496,31 @@ def _q_kspanning_cosupplier(spark, sf_dir):
     return res.assignment.select("id", "cluster")
 
 
+def _q_nodesim_suppliers(spark, sf_dir):
+    """Node similarity (neo4j algo.similarity.jaccard lineage,
+    SURVEY.md §2.2): suppliers scored by shared customer base —
+    Jaccard over INCOMING neighbor sets of the purchase graph. One
+    co-neighbor shuffle, no crossJoin (linkgraph/similarity.py)."""
+    from linkgraph.similarity import node_similarity
+    return node_similarity(
+        purchase_edges(spark, sf_dir),
+        metric="jaccard",
+        direction="INCOMING",
+        min_similarity=0.24,
+    )
+
+
+def _q_nodesim_topk_cosupplier(spark, sf_dir):
+    """nodeSimilarity topK contract: each supplier's 3 most similar
+    co-suppliers by neighbor-set cosine, deterministic tie-break on
+    the peer id."""
+    from linkgraph.similarity import node_similarity_topk
+    res = node_similarity_topk(
+        cosupplier_edges(spark, sf_dir), k=3, metric="cosine", direction="BOTH"
+    )
+    return res.select("node", "other", "similarity", F.col("rank").cast("long").alias("rank"))
+
+
 # --------------------------------------------- training-data pipeline
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
+        "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
+        "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
@@ -1399,6 +1426,45 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
+        # node similarity — co-neighbor join + degree join, DuckDB's
+        # integer `/` is float division so no casts needed; rank is a
+        # legal alias (matches the pagerank oracle's usage)
+        "nodesim_suppliers_jaccard": f"""
+WITH e AS ({PURCHASE_EDGES_SQL}),
+nbr AS (SELECT DISTINCT e.dst AS src, e.src AS nbr FROM e),
+deg AS (SELECT src, COUNT(*) AS deg FROM nbr GROUP BY src),
+cm AS (SELECT a.src AS node1, b.src AS node2, COUNT(*) AS common
+       FROM nbr a JOIN nbr b ON a.nbr = b.nbr AND a.src < b.src
+       GROUP BY 1, 2),
+sc AS (SELECT node1, node2,
+              ROUND(cm.common / (d1.deg + d2.deg - cm.common), 6) AS similarity
+       FROM cm JOIN deg d1 ON d1.src = cm.node1
+               JOIN deg d2 ON d2.src = cm.node2)
+SELECT node1, node2, similarity FROM sc WHERE similarity >= 0.24
+""",
+        "nodesim_topk_cosupplier": f"""
+WITH ce AS ({COSUPPLIER_EDGES_SQL}),
+nbr AS (SELECT DISTINCT src, nbr FROM (
+          SELECT src, dst AS nbr FROM ce
+          UNION ALL SELECT dst AS src, src AS nbr FROM ce)
+        WHERE src <> nbr),
+deg AS (SELECT src, COUNT(*) AS deg FROM nbr GROUP BY src),
+cm AS (SELECT a.src AS node1, b.src AS node2, COUNT(*) AS common
+       FROM nbr a JOIN nbr b ON a.nbr = b.nbr AND a.src < b.src
+       GROUP BY 1, 2),
+sc AS (SELECT node1, node2,
+              ROUND(cm.common / sqrt(d1.deg * d2.deg), 6) AS similarity
+       FROM cm JOIN deg d1 ON d1.src = cm.node1
+               JOIN deg d2 ON d2.src = cm.node2),
+sym AS (SELECT node1 AS node, node2 AS other, similarity FROM sc
+        UNION ALL
+        SELECT node2 AS node, node1 AS other, similarity FROM sc),
+rk AS (SELECT node, other, similarity,
+              ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY similarity DESC, other ASC) AS rank
+       FROM sym)
+SELECT node, other, similarity, rank FROM rk WHERE rank <= 3
+""",
         "numeric_guards_orders": """
 WITH v AS (
   SELECT o_orderkey AS id,

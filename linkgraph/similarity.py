@@ -1,0 +1,175 @@
+"""Node similarity over neighbor sets (Jaccard / overlap / cosine).
+
+Lineage: the neo4j-graph-algorithms similarity procedures
+(``algo.similarity.jaccard`` / the later ``gds.nodeSimilarity``) —
+SURVEY.md §2.2 notes the similarity family as the natural extension of
+the inventoried operator set. Two nodes are similar when their
+neighbor sets overlap; the procedure emits scored pairs above a
+cutoff, optionally the top-k per node (the ``topK`` contract).
+
+Spark-first shape (100 TB):
+
+  * Candidate pairs come from the classic co-neighbor self-join —
+    ``nbr(a, w) ⋈ nbr(b, w)`` on the shared neighbor ``w`` — which is
+    a single shuffle keyed by ``w`` followed by one pair-keyed partial
+    aggregation. No crossJoin anywhere: nodes with disjoint
+    neighborhoods never meet.
+  * The scale hazard is the hub FEATURE: a shared neighbor of degree f
+    fans out f²/2 candidate rows (same defect class as
+    `pipeline/dedup.py#jaccard_pairs_df_capped`'s hyper-common
+    shingle). ``feature_cap`` drops shared-neighbor keys whose fan-in
+    exceeds the cap BEFORE the self-join; set sizes are then computed
+    over the same capped feature universe so every metric stays a
+    true similarity over the filtered bipartite graph
+    (self-consistent, deterministic, SQL-reproducible) rather than a
+    mixed-universe ratio. Production guidance is the dedup module's:
+    a neighbor shared by millions of nodes carries no discriminative
+    signal but dominates the join cost.
+  * ``top_k`` ranks with one window over the symmetrized pair table —
+    partitioned by node, so the sort is per-node local after a single
+    hash shuffle.
+  * Degree frames are |V|-sized; their joins broadcast under AQE on
+    small graphs and sort-merge co-partitioned at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["node_similarity", "node_similarity_topk"]
+
+_METRICS = ("jaccard", "overlap", "cosine")
+
+
+def _neighbor_table(
+    edges: DataFrame, direction: str, feature_cap: int | None
+) -> DataFrame:
+    """Distinct (src, nbr) rows per the direction contract.
+
+    BOTH unions the two orientations before the distinct — parallel
+    edges and reciprocal pairs collapse to one feature row, matching
+    the set semantics of every metric here.
+    """
+    e = edges.select("src", "dst")
+    if direction == "OUTGOING":
+        nbr = e.select(F.col("src"), F.col("dst").alias("nbr"))
+    elif direction == "INCOMING":
+        nbr = e.select(F.col("dst").alias("src"), F.col("src").alias("nbr"))
+    elif direction == "BOTH":
+        nbr = e.select("src", F.col("dst").alias("nbr")).unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("nbr"))
+        )
+    else:
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
+    nbr = nbr.filter(F.col("src") != F.col("nbr")).distinct()
+    if feature_cap is not None:
+        keep = (
+            nbr.groupBy("nbr")
+            .agg(F.count("*").alias("fan_in"))
+            .filter(F.col("fan_in") <= feature_cap)
+            .select("nbr")
+        )
+        nbr = nbr.join(keep, "nbr")
+    return nbr
+
+
+def _sim_expr(metric: str):
+    i, c1, c2 = F.col("common"), F.col("deg1"), F.col("deg2")
+    if metric == "jaccard":
+        return i / (c1 + c2 - i)
+    if metric == "overlap":
+        return i / F.least(c1, c2)
+    if metric == "cosine":
+        return i / F.sqrt(c1 * c2)
+    raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+
+
+def node_similarity(
+    edges: DataFrame,
+    metric: str = "jaccard",
+    direction: str = "OUTGOING",
+    min_similarity: float = 0.0,
+    degree_cutoff: int = 1,
+    feature_cap: int | None = None,
+) -> DataFrame:
+    """Scored neighbor-set similarity pairs ``(node1 < node2, similarity)``.
+
+    ``degree_cutoff`` is the reference's degreeCutoff contract: nodes
+    with fewer than that many (capped-universe) neighbors emit no
+    pairs. Pairs with empty intersections are never materialized.
+    Similarity is rounded to 6 decimals (cross-engine float contract).
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+    nbr = _neighbor_table(edges, direction, feature_cap)
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    if degree_cutoff > 1:
+        deg = deg.filter(F.col("deg") >= degree_cutoff)
+        nbr = nbr.join(deg.select("src"), "src")
+    a = nbr.select(F.col("src").alias("node1"), "nbr")
+    b = nbr.select(F.col("src").alias("node2"), "nbr")
+    common = (
+        a.join(b, "nbr")
+        .filter(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        common.join(
+            deg.select(F.col("src").alias("node1"), F.col("deg").alias("deg1")),
+            "node1",
+        )
+        .join(
+            deg.select(F.col("src").alias("node2"), F.col("deg").alias("deg2")),
+            "node2",
+        )
+        .select(
+            "node1",
+            "node2",
+            F.round(_sim_expr(metric), 6).alias("similarity"),
+        )
+    )
+    return scored.filter(F.col("similarity") >= min_similarity)
+
+
+def node_similarity_topk(
+    edges: DataFrame,
+    k: int,
+    metric: str = "jaccard",
+    direction: str = "OUTGOING",
+    min_similarity: float = 0.0,
+    degree_cutoff: int = 1,
+    feature_cap: int | None = None,
+) -> DataFrame:
+    """The reference ``topK`` contract: each node's k most similar
+    peers as directed rows ``(node, other, similarity)``.
+
+    Deterministic rank order: similarity descending, then ``other``
+    ascending — ties always resolve the same way on every engine.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = node_similarity(
+        edges,
+        metric=metric,
+        direction=direction,
+        min_similarity=min_similarity,
+        degree_cutoff=degree_cutoff,
+        feature_cap=feature_cap,
+    )
+    sym = pairs.select(
+        F.col("node1").alias("node"), F.col("node2").alias("other"), "similarity"
+    ).unionByName(
+        pairs.select(
+            F.col("node2").alias("node"), F.col("node1").alias("other"), "similarity"
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("similarity").desc(), F.col("other").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("node", "other", "similarity", "rank")
+    )

@@ -1,0 +1,143 @@
+"""Node-similarity tests: golden values, random-graph python oracle,
+direction/cutoff/cap contracts, top-k determinism, plan shape."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.similarity import node_similarity, node_similarity_topk
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def test_jaccard_golden(spark):
+    # 1 -> {10, 11, 12}; 2 -> {10, 11, 13}; 3 -> {13}
+    e = _edges(spark, [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13), (3, 13)])
+    rows = {
+        (r.node1, r.node2): r.similarity
+        for r in node_similarity(e, metric="jaccard").collect()
+    }
+    assert rows[(1, 2)] == pytest.approx(2 / 4)
+    assert rows[(2, 3)] == pytest.approx(1 / 3)
+    assert (1, 3) not in rows  # disjoint pairs never materialize
+
+
+def test_overlap_and_cosine_golden(spark):
+    e = _edges(spark, [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13), (3, 13)])
+    ov = {
+        (r.node1, r.node2): r.similarity
+        for r in node_similarity(e, metric="overlap").collect()
+    }
+    assert ov[(1, 2)] == pytest.approx(2 / 3)
+    assert ov[(2, 3)] == pytest.approx(1 / 1)
+    cos = {
+        (r.node1, r.node2): r.similarity
+        for r in node_similarity(e, metric="cosine").collect()
+    }
+    assert cos[(1, 2)] == pytest.approx(2 / 3, abs=1e-6)
+    assert cos[(2, 3)] == pytest.approx(1 / math.sqrt(3), abs=1e-6)
+
+
+def test_direction_both_unions_orientations(spark):
+    # Undirected view: 1 -- {2, 3}; 4 -- {2, 3} (edges written in
+    # mixed orientations). BOTH must see identical neighbor sets.
+    e = _edges(spark, [(1, 2), (3, 1), (4, 2), (3, 4)])
+    rows = {
+        (r.node1, r.node2): r.similarity
+        for r in node_similarity(e, direction="BOTH").collect()
+    }
+    assert rows[(1, 4)] == pytest.approx(1.0)
+
+
+def test_incoming_is_reverse_outgoing(spark):
+    e = _edges(spark, [(10, 1), (11, 1), (10, 2), (11, 2), (12, 2)])
+    out_rev = node_similarity(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).collect()
+    inc = node_similarity(e, direction="INCOMING").collect()
+    assert sorted(map(tuple, out_rev)) == sorted(map(tuple, inc))
+
+
+def test_degree_cutoff_drops_small_nodes(spark):
+    e = _edges(spark, [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)])
+    rows = node_similarity(e, degree_cutoff=2).collect()
+    assert {(r.node1, r.node2) for r in rows} == {(1, 2)}
+
+
+def test_feature_cap_drops_hub_and_recomputes_degrees(spark):
+    # 10 is a hub feature shared by all three nodes; 11 only by 1, 2.
+    e = _edges(spark, [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11)])
+    rows = {
+        (r.node1, r.node2): r.similarity
+        for r in node_similarity(e, feature_cap=2).collect()
+    }
+    # capped universe: N(1)=N(2)={11}, N(3)={} -> only (1,2), jaccard 1
+    assert rows == {(1, 2): pytest.approx(1.0)}
+
+
+def test_random_graph_python_oracle(spark):
+    rng = random.Random(7)
+    pairs = {(rng.randrange(25), rng.randrange(60)) for _ in range(300)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+    for metric, fn in [
+        ("jaccard", lambda i, x, y: i / (x + y - i)),
+        ("overlap", lambda i, x, y: i / min(x, y)),
+        ("cosine", lambda i, x, y: i / math.sqrt(x * y)),
+    ]:
+        got = {
+            (r.node1, r.node2): r.similarity
+            for r in node_similarity(e, metric=metric).collect()
+        }
+        want = {}
+        for a in nbrs:
+            for b in nbrs:
+                if a < b and nbrs[a] & nbrs[b]:
+                    want[(a, b)] = round(
+                        fn(len(nbrs[a] & nbrs[b]), len(nbrs[a]), len(nbrs[b])), 6
+                    )
+        assert set(got) == set(want), metric
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6), (metric, k)
+
+
+def test_topk_contract(spark):
+    e = _edges(
+        spark,
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12), (4, 10), (4, 11)],
+    )
+    rows = node_similarity_topk(e, k=1).collect()
+    by_node = {r.node: (r.other, r.similarity, r.rank) for r in rows}
+    # node 1 ties (2, 4) at jaccard 1.0 -> deterministic tie-break on id
+    assert by_node[1] == (2, 1.0, 1)
+    assert by_node[2] == (1, 1.0, 1)
+    assert by_node[4] == (1, 1.0, 1)
+    assert all(r.rank == 1 for r in rows)
+    k2 = node_similarity_topk(e, k=2).collect()
+    assert max(r.rank for r in k2) == 2
+    with pytest.raises(ValueError):
+        node_similarity_topk(e, k=0)
+
+
+def test_no_cartesian_in_plan(spark):
+    e = _edges(spark, [(1, 10), (2, 10), (3, 11)])
+    plan = node_similarity(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bad_args(spark):
+    e = _edges(spark, [(1, 10)])
+    with pytest.raises(ValueError):
+        node_similarity(e, metric="dice")
+    with pytest.raises(ValueError):
+        node_similarity(e, direction="SIDEWAYS")
