@@ -496,6 +496,29 @@ def _q_kspanning_cosupplier(spark, sf_dir):
     return res.assignment.select("id", "cluster")
 
 
+def _walks_sql_wrapped() -> str:
+    from linkgraph.walks import random_walks_sql
+    inner = random_walks_sql(COSUPPLIER_EDGES_SQL, 4, walks_per_node=2, seed=0,
+                             direction="BOTH")
+    return f"""
+SELECT start, CAST(walk_no AS BIGINT) AS walk_no,
+       CAST(step AS BIGINT) AS step, node
+FROM ({inner})
+"""
+
+
+def _walk_sequences_sql() -> str:
+    from linkgraph.walks import random_walks_sql
+    inner = random_walks_sql(COSUPPLIER_EDGES_SQL, 6, walks_per_node=1, seed=1,
+                             direction="BOTH")
+    return f"""
+SELECT start, CAST(walk_no AS BIGINT) AS walk_no, COUNT(*) AS length,
+       string_agg(CAST(node AS VARCHAR), ' ' ORDER BY step) AS sequence
+FROM ({inner})
+GROUP BY start, walk_no
+"""
+
+
 def _q_nodesim_suppliers(spark, sf_dir):
     """Node similarity (neo4j algo.similarity.jaccard lineage,
     SURVEY.md §2.2): suppliers scored by shared customer base —
@@ -519,6 +542,45 @@ def _q_nodesim_topk_cosupplier(spark, sf_dir):
         cosupplier_edges(spark, sf_dir), k=3, metric="cosine", direction="BOTH"
     )
     return res.select("node", "other", "similarity", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_walks_cosupplier(spark, sf_dir):
+    """Deterministic random walks (DeepWalk corpus generator,
+    linkgraph/walks.py): hash-argmin successor choice makes the walk
+    set a pure function of (graph, seed) — exact-oracle-able across
+    engines. One shuffle per step, frontier bounded forever."""
+    from linkgraph.walks import random_walks
+    res = random_walks(
+        cosupplier_edges(spark, sf_dir),
+        walk_length=4,
+        walks_per_node=2,
+        seed=0,
+        direction="BOTH",
+    )
+    return res.select(
+        "start",
+        F.col("walk_no").cast("long").alias("walk_no"),
+        F.col("step").cast("long").alias("step"),
+        "node",
+    )
+
+
+def _q_walk_sequences_cosupplier(spark, sf_dir):
+    """Walk rows collapsed to one training sequence per walk — the
+    node2vec/DeepWalk text-corpus export."""
+    from linkgraph.walks import random_walks, walks_as_sequences
+    res = walks_as_sequences(
+        random_walks(
+            cosupplier_edges(spark, sf_dir),
+            walk_length=6,
+            walks_per_node=1,
+            seed=1,
+            direction="BOTH",
+        )
+    )
+    return res.select(
+        "start", F.col("walk_no").cast("long").alias("walk_no"), "length", "sequence"
+    )
 
 
 # --------------------------------------------- training-data pipeline
@@ -827,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
+        "walks_cosupplier": _q_walks_cosupplier,
+        "walk_sequences_cosupplier": _q_walk_sequences_cosupplier,
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
@@ -1426,6 +1490,10 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
+        # deterministic random walks — the module's own SQL generator
+        # unrolls one window-argmin CTE per step
+        "walks_cosupplier": _walks_sql_wrapped(),
+        "walk_sequences_cosupplier": _walk_sequences_sql(),
         # node similarity — co-neighbor join + degree join, DuckDB's
         # integer `/` is float division so no casts needed; rank is a
         # legal alias (matches the pagerank oracle's usage)

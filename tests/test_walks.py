@@ -1,0 +1,133 @@
+"""Deterministic random-walk tests: python replay oracle, dead-end
+termination, seed independence, sequence assembly, cache release."""
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import release_caches
+from linkgraph.walks import random_walks, walks_as_sequences
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _h(start, walk_no, step, dst, seed):
+    s = f"{start}|{walk_no}|{step}|{dst}#{seed}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _replay(pairs, walk_length, walks_per_node, seed, direction="OUTGOING"):
+    adj: dict[int, set[int]] = {}
+    es = set()
+    for a, b in pairs:
+        es.add((a, b))
+        if direction == "BOTH":
+            es.add((b, a))
+    if direction == "INCOMING":
+        es = {(b, a) for a, b in pairs}
+    nodes = {x for e in es for x in e}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    rows = set()
+    for n in sorted(nodes):
+        for w in range(walks_per_node):
+            cur = n
+            rows.add((n, w, 0, n))
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(nbrs, key=lambda d: (_h(n, w, t, d, seed), d))
+                rows.add((n, w, t, cur))
+    return rows
+
+
+def test_python_replay_oracle(spark):
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    for direction in ("OUTGOING", "BOTH"):
+        res = random_walks(
+            _edges(spark, pairs), walk_length=5, walks_per_node=2, seed=3,
+            direction=direction,
+        )
+        got = {(r.start, r.walk_no, r.step, r.node) for r in res.collect()}
+        assert got == _replay(pairs, 5, 2, 3, direction)
+        release_caches(res)
+
+
+def test_dead_end_stops_walk(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])  # 3 is a sink
+    res = random_walks(e, walk_length=5)
+    rows = {(r.start, r.step): r.node for r in res.collect()}
+    assert rows[(1, 0)] == 1 and rows[(1, 1)] == 2 and rows[(1, 2)] == 3
+    assert (1, 3) not in rows  # stopped at the sink
+    assert (3, 1) not in rows  # sink's own walk is just step 0
+    release_caches(res)
+
+
+def test_seed_changes_walks_same_seed_repeats(spark):
+    rng = random.Random(5)
+    pairs = [(a, b) for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(80)} if a != b]
+    e = _edges(spark, pairs)
+    r1 = random_walks(e, walk_length=6, seed=0)
+    r2 = random_walks(e, walk_length=6, seed=0)
+    r3 = random_walks(e, walk_length=6, seed=1)
+    s1 = {tuple(r) for r in r1.collect()}
+    s2 = {tuple(r) for r in r2.collect()}
+    s3 = {tuple(r) for r in r3.collect()}
+    assert s1 == s2
+    assert s1 != s3  # a different family (overwhelmingly likely)
+    for r in (r1, r2, r3):
+        release_caches(r)
+
+
+def test_walks_as_sequences(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    res = random_walks(e, walk_length=5)
+    seqs = {(r.start, r.walk_no): (r.length, r.sequence)
+            for r in walks_as_sequences(res).collect()}
+    assert seqs[(1, 0)] == (3, "1 2 3")
+    assert seqs[(3, 0)] == (1, "3")
+    release_caches(res)
+
+
+def test_walks_per_node_and_args(spark):
+    e = _edges(spark, [(1, 2), (2, 1)])
+    res = random_walks(e, walk_length=2, walks_per_node=3)
+    assert res.filter((F.col("start") == 1) & (F.col("step") == 0)).count() == 3
+    release_caches(res)
+    with pytest.raises(ValueError):
+        random_walks(e, walk_length=-1)
+    with pytest.raises(ValueError):
+        random_walks(e, walk_length=1, walks_per_node=0)
+    with pytest.raises(ValueError):
+        random_walks(e, walk_length=1, direction="UP")
+
+
+def test_duckdb_sql_twin(spark):
+    """random_walks_sql replays the engine exactly (the driver-oracle
+    contract, pinned here on a random graph)."""
+    import duckdb
+
+    from linkgraph.walks import random_walks_sql
+
+    rng = random.Random(23)
+    pairs = [(a, b) for a, b in {(rng.randrange(12), rng.randrange(12)) for _ in range(40)} if a != b]
+    res = random_walks(_edges(spark, pairs), walk_length=4, walks_per_node=2, seed=7,
+                       direction="BOTH")
+    got = {(r.start, r.walk_no, r.step, r.node) for r in res.collect()}
+    release_caches(res)
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = random_walks_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", 4, 2, 7, "BOTH"
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
