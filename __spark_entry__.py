@@ -817,6 +817,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style repeated-span removal at token granularity (the
+    single-line fixture's span unit; real corpora pass sep='\\n'):
+    spans in > max_df docs are boilerplate, stripped everywhere, docs
+    reassembled in original order. Hash-only shuffles."""
+    from linkgraph.pipeline.curate import line_dedup
+    return line_dedup(_docs(spark, sf_dir), max_df=390, sep=" ")
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Gap-timeout sessionization (30 min) — per-event session index."""
     from linkgraph.pipeline.events import sessionize
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_quota_sample": _q_quota,
         "curate_corpus_shuffle": _q_corpus_shuffle,
         "curate_pack_sequences": _q_pack_sequences,
+        "curate_line_dedup": _q_line_dedup,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
@@ -1584,6 +1594,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.curate import (
         corpus_shuffle_sql,
         decontaminate_sql,
+        line_dedup_sql,
         pack_sequences_sql,
         quota_sample_sql,
         stratified_sample_sql,
@@ -1635,6 +1646,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "curate_quota_sample": quota_sample_sql(quota=25, by="lang", seed=7),
         "curate_corpus_shuffle": corpus_shuffle_sql(n_shards=8, seed=7),
         "curate_pack_sequences": pack_sequences_sql(seq_len=128, n_shards=8, seed=7),
+        "curate_line_dedup": line_dedup_sql(max_df=390, sep=" "),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
         # LSH path verified against the SAME brute-force oracle: the

@@ -265,3 +265,95 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM laid
 """
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int = 1,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2): drop every line that occurs verbatim in
+    more than ``max_df`` distinct documents — license headers,
+    navigation boilerplate, cookie banners — and reassemble each
+    document from its surviving lines in original order. Documents
+    whose lines are all boilerplate disappear entirely.
+
+    ``sep`` picks the span granularity: ``"\\n"`` for real corpora
+    (the C4 contract), ``" "`` for token-granular stopword-style
+    removal (what the single-line driver fixture exercises). The
+    separator is split LITERALLY on both engines, so runs of
+    separators round-trip (empty spans count like any other).
+
+    Scale shape (100 TB): the document-frequency count and the
+    common-span anti-join both shuffle the 60-bit md5 span hash, never
+    the span text (same discipline as exact_dedup); reassembly is one
+    doc-keyed aggregation with array_sort in place of a window sort.
+    Returns (id, text, n_kept, n_dropped).
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("h", stable_hash64(F.col("line")))
+    common = (
+        lines.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    kept = lines.join(common, "h", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            text_col,
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
+def line_dedup_sql(max_df: int = 1, sep: str = "\n", table: str = "documents") -> str:
+    """DuckDB twin: literal string_split + parallel unnest ordinality,
+    the same md5 span hash, string_agg reassembly in position order."""
+    h = stable_hash64_sql("line")
+    s = sep.replace("'", "''")
+    sep_expr = "chr(10)" if sep == "\n" else f"'{s}'"
+    return f"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, {sep_expr})) AS line,
+         unnest(generate_series(1, len(string_split(text, {sep_expr})))) AS pos
+  FROM {table}),
+k AS (SELECT doc_id, pos, line, {h} AS h FROM l),
+common AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h)
+           WHERE df > {max_df}),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM k GROUP BY doc_id),
+kept AS (SELECT k.* FROM k ANTI JOIN common USING (h))
+SELECT kept.doc_id,
+       string_agg(kept.line, {sep_expr} ORDER BY kept.pos) AS text,
+       COUNT(*) AS n_kept,
+       ANY_VALUE(tot.n_total) - COUNT(*) AS n_dropped
+FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+GROUP BY kept.doc_id
+"""

@@ -114,3 +114,70 @@ def test_pack_sequences_gap_free_layout(spark):
         for r in placed.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
     }
     assert cursor == totals
+
+
+def test_line_dedup_golden(spark):
+    from linkgraph.pipeline.curate import line_dedup
+
+    boiler = "all rights reserved"
+    docs = _docs(spark, [
+        (1, f"alpha one\n{boiler}\nalpha two"),
+        (2, f"{boiler}\nbeta only"),
+        (3, boiler),                      # all-boilerplate doc vanishes
+        (4, "gamma solo\ngamma duo"),
+    ])
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped)
+           for r in line_dedup(docs, max_df=1).collect()}
+    assert got == {
+        1: ("alpha one\nalpha two", 2, 1),
+        2: ("beta only", 1, 1),
+        4: ("gamma solo\ngamma duo", 2, 0),
+    }
+
+
+def test_line_dedup_keeps_runs_of_separators(spark):
+    from linkgraph.pipeline.curate import line_dedup
+
+    docs = _docs(spark, [(1, "a\n\nb"), (2, "c\nd")])
+    got = {r.doc_id: r.text for r in line_dedup(docs, max_df=1).collect()}
+    # the empty span between the two \n is unique enough to survive
+    assert got[1] == "a\n\nb"
+    assert got[2] == "c\nd"
+
+
+def test_line_dedup_token_granularity(spark):
+    from linkgraph.pipeline.curate import line_dedup
+
+    docs = _docs(spark, [
+        (1, "the cat sat"),
+        (2, "the dog ran"),
+        (3, "the end"),
+    ])
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped)
+           for r in line_dedup(docs, max_df=2, sep=" ").collect()}
+    # "the" appears in 3 docs > max_df=2 -> stripped everywhere
+    assert got == {
+        1: ("cat sat", 2, 1),
+        2: ("dog ran", 2, 1),
+        3: ("end", 1, 1),
+    }
+
+
+def test_line_dedup_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline.curate import line_dedup, line_dedup_sql
+
+    rows = []
+    lines = ["shared header", "footer line", "u1", "u2", "u3", "u4", "", "x y"]
+    import random
+    rng = random.Random(3)
+    for d in range(20):
+        rows.append((d, "\n".join(rng.choice(lines) for _ in range(rng.randrange(1, 6)))))
+    docs = _docs(spark, rows)
+    got = {(r.doc_id, r.text, r.n_kept, r.n_dropped)
+           for r in line_dedup(docs, max_df=3).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {tuple(r) for r in con.execute(line_dedup_sql(max_df=3)).fetchall()}
+    assert got == want
