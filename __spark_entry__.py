@@ -817,6 +817,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub over the documents table. The fixture text carries no
+    identifiers, so the query appends a deterministic synthetic
+    contact line per doc (email + IPv4 + phone derived from doc_id) —
+    both engines build the same string, then redact it; counts are
+    per-pattern over the pre-redaction text."""
+    from linkgraph.pipeline.text import redact_pii
+    pii = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(pii)
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4-style repeated-span removal at token granularity (the
     single-line fixture's span unit; real corpora pass sep='\\n'):
@@ -929,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_shuffle": _q_corpus_shuffle,
         "curate_pack_sequences": _q_pack_sequences,
         "curate_line_dedup": _q_line_dedup,
+        "text_redact_pii": _q_redact_pii,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
@@ -1589,6 +1612,7 @@ def _pipeline_oracles() -> dict[str, str]:
         SOURCE_MIX_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
+        redact_pii_sql,
         vocab_stats_sql,
     )
     from linkgraph.pipeline.curate import (
@@ -1647,6 +1671,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "curate_corpus_shuffle": corpus_shuffle_sql(n_shards=8, seed=7),
         "curate_pack_sequences": pack_sequences_sql(seq_len=128, n_shards=8, seed=7),
         "curate_line_dedup": line_dedup_sql(max_df=390, sep=" "),
+        "text_redact_pii": redact_pii_sql(text_expr="text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),
         # LSH path verified against the SAME brute-force oracle: the

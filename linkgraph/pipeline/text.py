@@ -418,3 +418,58 @@ SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / (SELECT t FROM total), 6) AS frac
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# PII patterns chosen for the Java-regex / RE2 common subset (no
+# backreferences, no lookaround) so Spark and DuckDB match the exact
+# same spans. Replacement order: email -> ipv4 -> phone, so an
+# address's digit run is gone before the phone pattern scans; the
+# counts are computed per-pattern on the ORIGINAL text (independent
+# detectors — a digit-heavy email can count as both, disclosed).
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+    "phone": r"\+?\d[\d\- ()]{6,}\d",
+}
+_PII_MARKERS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def redact_pii(docs: DataFrame, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers from the text
+    column — the privacy pass a training-data pipeline runs before
+    packing (e.g. the C4/RefinedWeb-style preparation steps).
+
+    Returns (doc_id, text redacted with <EMAIL>/<IP>/<PHONE> markers,
+    n_<kind> match counts). Pure per-row JVM regexp map: no shuffle,
+    no UDF, whole-stage codegen end to end.
+    """
+    unknown = [k for k in kinds if k not in _PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; have {sorted(_PII_PATTERNS)}")
+    red = F.col("text")
+    counts = []
+    for k in kinds:
+        counts.append(
+            F.regexp_count(F.col("text"), F.lit(_PII_PATTERNS[k]))
+            .cast("long")
+            .alias(f"n_{k}")
+        )
+    for k in ("email", "ipv4", "phone"):
+        if k in kinds:
+            red = F.regexp_replace(red, _PII_PATTERNS[k], _PII_MARKERS[k])
+    return docs.select("doc_id", red.alias("text"), *counts)
+
+
+def redact_pii_sql(
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"), text_expr: str = "text"
+) -> str:
+    """DuckDB twin (regexp_replace needs the explicit 'g' flag)."""
+    red = text_expr
+    for k in ("email", "ipv4", "phone"):
+        if k in kinds:
+            red = f"regexp_replace({red}, '{_PII_PATTERNS[k]}', '{_PII_MARKERS[k]}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_expr}, '{_PII_PATTERNS[k]}')) AS n_{k}"
+        for k in kinds
+    )
+    return f"SELECT doc_id, {red} AS text, {counts} FROM documents"

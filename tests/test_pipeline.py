@@ -740,3 +740,52 @@ def test_source_mix_golden(spark):
     q = {r["doc_id"]: r["quality"] for r in quality_scores(d).collect()}
     want = round((round(q[1] * 1e6) + round(q[2] * 1e6)) / 2e6, 6)
     assert got["web"]["avg_quality"] == want
+
+
+def test_redact_pii_golden(spark):
+    from linkgraph.pipeline.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp-site.co before 9"),
+            (2, "server 192.168.1.77 then call +44 20 7946-0958 now"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_email, r.n_ipv4, r.n_phone)
+           for r in redact_pii(docs).collect()}
+    assert got[1] == ("mail me at <EMAIL> before 9", 1, 0, 0)
+    assert got[2] == ("server <IP> then call <PHONE> now", 0, 1, 1)
+    assert got[3] == ("clean text with no identifiers", 0, 0, 0)
+
+
+def test_redact_pii_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import redact_pii, redact_pii_sql
+
+    rows = [
+        (1, "a@b.io and c.d@e-f.org twice"),
+        (2, "ip 10.0.0.1 ip 255.255.255.255"),
+        (3, "tel (555) 123-4567 and +1 555 000 1111"),
+        (4, "digit-heavy mail x12345678@y.com counts as both"),
+        (5, "boundary 1.2.3.4.5 and 999.999.999.999"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in redact_pii(docs).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {tuple(r) for r in con.execute(redact_pii_sql()).fetchall()}
+    assert got == want
+
+
+def test_redact_pii_unknown_kind(spark):
+    import pytest as _pytest
+
+    from linkgraph.pipeline.text import redact_pii
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        redact_pii(docs, kinds=("email", "ssn"))
