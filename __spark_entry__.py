@@ -519,6 +519,41 @@ GROUP BY start, walk_no
 """
 
 
+def _node2vec_sql_wrapped() -> str:
+    from linkgraph.walks import node2vec_walks_sql
+    inner = node2vec_walks_sql(COSUPPLIER_EDGES_SQL, 4, p=2.0, q=0.5,
+                               walks_per_node=1, seed=2, direction="BOTH")
+    return f"""
+SELECT start, CAST(walk_no AS BIGINT) AS walk_no,
+       CAST(step AS BIGINT) AS step, node
+FROM ({inner})
+"""
+
+
+def _q_node2vec_cosupplier(spark, sf_dir):
+    """node2vec biased second-order walks (p=2 return-averse, q=0.5
+    DFS-leaning). The weighted draw is deterministic by construction
+    (dst-ordered prefix sums are bit-identical across engines; the
+    uniform is an exact 2^-53-granular double), so the oracle replays
+    every step value-exactly."""
+    from linkgraph.walks import node2vec_walks
+    res = node2vec_walks(
+        cosupplier_edges(spark, sf_dir),
+        walk_length=4,
+        p=2.0,
+        q=0.5,
+        walks_per_node=1,
+        seed=2,
+        direction="BOTH",
+    )
+    return res.select(
+        "start",
+        F.col("walk_no").cast("long").alias("walk_no"),
+        F.col("step").cast("long").alias("step"),
+        "node",
+    )
+
+
 def _q_nodesim_suppliers(spark, sf_dir):
     """Node similarity (neo4j algo.similarity.jaccard lineage,
     SURVEY.md §2.2): suppliers scored by shared customer base —
@@ -922,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
         "walk_sequences_cosupplier": _q_walk_sequences_cosupplier,
+        "node2vec_cosupplier": _q_node2vec_cosupplier,
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
@@ -1527,6 +1563,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         # unrolls one window-argmin CTE per step
         "walks_cosupplier": _walks_sql_wrapped(),
         "walk_sequences_cosupplier": _walk_sequences_sql(),
+        "node2vec_cosupplier": _node2vec_sql_wrapped(),
         # node similarity — co-neighbor join + degree join, DuckDB's
         # integer `/` is float division so no casts needed; rank is a
         # legal alias (matches the pagerank oracle's usage)

@@ -37,7 +37,42 @@ from pyspark.sql import functions as F
 from linkgraph.checkpoint import attach_caches
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 
-__all__ = ["random_walks", "walks_as_sequences", "random_walks_sql"]
+__all__ = [
+    "random_walks",
+    "node2vec_walks",
+    "walks_as_sequences",
+    "random_walks_sql",
+    "node2vec_walks_sql",
+]
+
+_U53 = 9007199254740992  # 2^53: hash % 2^53 / 2^53 is an EXACT double
+
+
+def _edge_universe(edges: DataFrame, direction: str) -> DataFrame:
+    e = edges.select("src", "dst")
+    if direction == "BOTH":
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    elif direction == "INCOMING":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction != "OUTGOING":
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
+    return e.distinct()
+
+
+def _start_frontier(e: DataFrame, walks_per_node: int) -> DataFrame:
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk_no"),
+        F.lit(0).alias("step"),
+        "node",
+    )
 
 
 def _choice_hash(seed: int):
@@ -75,23 +110,8 @@ def random_walks(
         raise ValueError(f"walk_length must be >= 0, got {walk_length}")
     if walks_per_node < 1:
         raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
-    e = edges.select("src", "dst")
-    if direction == "BOTH":
-        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    elif direction == "INCOMING":
-        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    elif direction != "OUTGOING":
-        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
-    e = e.distinct()
-    nodes = e.select(F.col("src").alias("node")).unionByName(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    cur = nodes.select(
-        F.col("node").alias("start"),
-        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk_no"),
-        F.lit(0).alias("step"),
-        "node",
-    )
+    e = _edge_universe(edges, direction)
+    cur = _start_frontier(e, walks_per_node)
     step0 = cur
     caches = []
     for t in range(1, walk_length + 1):
@@ -186,3 +206,185 @@ def random_walks_sql(
         for t in range(walk_length + 1)
     )
     return ",\n".join(parts) + "\n" + union
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    direction: str = "OUTGOING",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016,
+    arXiv:1607.00653): from edge (prev -> cur), candidate dst gets
+    weight 1/p if dst == prev (return), 1 if dst neighbors prev
+    (BFS-ish), else 1/q (DFS-ish). Step 1 has no prev and is uniform.
+
+    Deterministic weighted choice — the part that usually makes biased
+    sampling irreproducible on a cluster — is exact here BY
+    CONSTRUCTION: per walk-step, candidate weights are prefix-summed
+    in a window ORDERED BY dst (the same IEEE addition sequence on
+    every engine, so the sums are bit-identical), the walk draws one
+    uniform u = (hash % 2^53) / 2^53 (exact double), and the successor
+    is the first candidate whose prefix sum reaches u x total. The
+    result is a pure function of (graph, p, q, seed) — replayed
+    VALUE-EXACTLY by `node2vec_walks_sql` in DuckDB.
+
+    Scale shape: per step, the frontier joins edges on the current
+    node (one shuffle) plus one membership probe of (prev, dst)
+    against the edge set (second shuffle — the price of second-order
+    bias; node2vec's alias tables are the single-machine version of
+    the same cost). Frontier stays |V| x walks_per_node forever.
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p} q={q}")
+    from pyspark.sql import Window
+
+    e = _edge_universe(edges, direction)
+    s0 = _start_frontier(e, walks_per_node)
+    outs = [s0]
+    caches = []
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+
+    if walk_length >= 1:
+        f1 = (
+            s0.join(e, s0.node == e.src)
+            .withColumn("step", F.lit(1))
+            .groupBy("start", "walk_no")
+            .agg(
+                F.min_by(
+                    F.col("dst"),
+                    F.struct(_choice_hash(seed).alias("h"), F.col("dst").alias("d")),
+                ).alias("node")
+            )
+            .select(
+                "start", "walk_no", F.col("start").alias("prev"), "node"
+            )
+            .persist()
+        )
+        caches.append(f1)
+        outs.append(f1.select("start", "walk_no", F.lit(1).alias("step"), "node"))
+        cur = f1
+
+    pe = e.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    for t in range(2, walk_length + 1):
+        cand = cur.join(e, cur.node == e.src).join(
+            pe,
+            (F.col("prev") == F.col("p_src")) & (F.col("dst") == F.col("p_dst")),
+            "left",
+        )
+        alpha = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(inv_p))
+            .when(F.col("p_src").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(inv_q))
+        )
+        walk_w = Window.partitionBy("start", "walk_no")
+        cum_w = walk_w.orderBy("dst").rowsBetween(Window.unboundedPreceding, 0)
+        u = (
+            stable_hash64(
+                F.concat_ws(
+                    "|", F.lit("n2v"), F.col("start"), F.col("walk_no"), F.lit(t)
+                ),
+                salt=seed,
+            )
+            % F.lit(_U53)
+        ) / F.lit(float(_U53))
+        scored = cand.select(
+            "start",
+            "walk_no",
+            F.col("node").alias("prev_next"),
+            "dst",
+            F.sum(alpha).over(cum_w).alias("cum"),
+            u.alias("u"),
+        ).withColumn("total", F.max("cum").over(walk_w))
+        nxt = (
+            scored.filter(F.col("cum") >= F.col("u") * F.col("total"))
+            .groupBy("start", "walk_no", "prev_next")
+            .agg(F.min("dst").alias("node"))
+            .select(
+                "start", "walk_no", F.col("prev_next").alias("prev"), "node"
+            )
+            .persist()
+        )
+        caches.append(nxt)
+        outs.append(nxt.select("start", "walk_no", F.lit(t).alias("step"), "node"))
+        cur = nxt
+
+    out = outs[0]
+    for f in outs[1:]:
+        out = out.unionByName(f)
+    return attach_caches(out, caches)
+
+
+def node2vec_walks_sql(
+    edge_sql: str,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    direction: str = "OUTGOING",
+) -> str:
+    """DuckDB twin of `node2vec_walks` — same ordered prefix sums,
+    same exact-double uniforms, so every drawn successor matches
+    bit-for-bit. Float literals embed via repr() (shortest round-trip
+    form, parses back to the identical double in both engines)."""
+    if direction == "BOTH":
+        universe = (
+            "SELECT DISTINCT src, dst FROM (SELECT src, dst FROM eraw "
+            "UNION ALL SELECT dst AS src, src AS dst FROM eraw)"
+        )
+    elif direction == "INCOMING":
+        universe = "SELECT DISTINCT dst AS src, src AS dst FROM eraw"
+    else:
+        universe = "SELECT DISTINCT src, dst FROM eraw"
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    h1 = stable_hash64_sql("concat_ws('|', s.start, s.walk_no, 1, e.dst)", salt=seed)
+    parts = [
+        f"WITH eraw AS ({edge_sql})",
+        f"e AS ({universe})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "s0 AS (SELECT node AS start, w.walk_no, node FROM nodes, "
+        f"(SELECT UNNEST(range({walks_per_node})) AS walk_no) w)",
+    ]
+    selects = ["SELECT start, walk_no, 0 AS step, node FROM s0"]
+    if walk_length >= 1:
+        parts.append(
+            "f1 AS (SELECT start, walk_no, start AS prev, dst AS node FROM ("
+            "SELECT s.start, s.walk_no, e.dst, "
+            "ROW_NUMBER() OVER (PARTITION BY s.start, s.walk_no "
+            f"ORDER BY {h1}, e.dst) AS rn "
+            "FROM s0 s JOIN e ON s.node = e.src) WHERE rn = 1)"
+        )
+        selects.append("SELECT start, walk_no, 1 AS step, node FROM f1")
+    for t in range(2, walk_length + 1):
+        ht = stable_hash64_sql(
+            f"concat_ws('|', 'n2v', start, walk_no, {t})", salt=seed
+        )
+        parts.append(
+            f"c{t} AS (SELECT s.start, s.walk_no, s.node AS prev_next, e.dst, "
+            f"CASE WHEN e.dst = s.prev THEN {inv_p!r} "
+            f"WHEN pe.src IS NOT NULL THEN 1.0 ELSE {inv_q!r} END AS alpha "
+            f"FROM f{t - 1} s JOIN e ON s.node = e.src "
+            f"LEFT JOIN e pe ON pe.src = s.prev AND pe.dst = e.dst)"
+        )
+        parts.append(
+            f"w{t} AS (SELECT *, SUM(alpha) OVER (PARTITION BY start, walk_no "
+            f"ORDER BY dst ROWS UNBOUNDED PRECEDING) AS cum FROM c{t})"
+        )
+        parts.append(
+            f"f{t} AS (SELECT start, walk_no, prev_next AS prev, MIN(dst) AS node "
+            f"FROM (SELECT *, MAX(cum) OVER (PARTITION BY start, walk_no) AS total "
+            f"FROM w{t}) "
+            f"WHERE cum >= (({ht} % {_U53}) / {float(_U53)!r}) * total "
+            f"GROUP BY start, walk_no, prev_next)"
+        )
+        selects.append(f"SELECT start, walk_no, {t} AS step, node FROM f{t}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

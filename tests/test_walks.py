@@ -131,3 +131,107 @@ def test_duckdb_sql_twin(spark):
     )
     want = {tuple(r) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def _replay_n2v(pairs, L, p, q, wpn, seed, direction="OUTGOING"):
+    es = set()
+    for a, b in pairs:
+        es.add((a, b))
+        if direction == "BOTH":
+            es.add((b, a))
+    if direction == "INCOMING":
+        es = {(b, a) for a, b in pairs}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    nodes = {x for e in es for x in e}
+    rows = set()
+    U53 = 1 << 53
+    for n in sorted(nodes):
+        for w in range(wpn):
+            rows.add((n, w, 0, n))
+            nbrs = adj.get(n)
+            if not nbrs or L < 1:
+                continue
+            cur = min(nbrs, key=lambda d: (_h(n, w, 1, d, seed), d))
+            prev = n
+            rows.add((n, w, 1, cur))
+            for t in range(2, L + 1):
+                cands = sorted(adj.get(cur, ()))
+                if not cands:
+                    break
+                cum, cums = 0.0, []
+                for d in cands:
+                    if d == prev:
+                        a = 1.0 / p
+                    elif d in adj.get(prev, ()):
+                        a = 1.0
+                    else:
+                        a = 1.0 / q
+                    cum += a
+                    cums.append(cum)
+                hs = f"n2v|{n}|{w}|{t}#{seed}"
+                import hashlib as _hl
+                h = int(_hl.md5(hs.encode()).hexdigest()[:15], 16)
+                th = ((h % U53) / U53) * cums[-1]
+                nxt = next(d for d, c in zip(cands, cums) if c >= th)
+                prev, cur = cur, nxt
+                rows.add((n, w, t, cur))
+    return rows
+
+
+def test_node2vec_python_replay(spark):
+    from linkgraph.walks import node2vec_walks
+
+    rng = random.Random(31)
+    pairs = [(a, b) for a, b in {(rng.randrange(18), rng.randrange(18)) for _ in range(70)} if a != b]
+    for p, q, direction in [(2.0, 0.5, "OUTGOING"), (1.0, 1.0, "BOTH"), (3.0, 0.7, "BOTH")]:
+        res = node2vec_walks(
+            _edges(spark, pairs), walk_length=5, p=p, q=q, walks_per_node=2,
+            seed=9, direction=direction,
+        )
+        got = {(r.start, r.walk_no, r.step, r.node) for r in res.collect()}
+        assert got == _replay_n2v(pairs, 5, p, q, 2, 9, direction), (p, q, direction)
+        release_caches(res)
+
+
+def test_node2vec_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.walks import node2vec_walks, node2vec_walks_sql
+
+    rng = random.Random(41)
+    pairs = [(a, b) for a, b in {(rng.randrange(14), rng.randrange(14)) for _ in range(50)} if a != b]
+    res = node2vec_walks(
+        _edges(spark, pairs), walk_length=4, p=3.0, q=0.7, walks_per_node=2,
+        seed=5, direction="BOTH",
+    )
+    got = {(r.start, r.walk_no, r.step, r.node) for r in res.collect()}
+    release_caches(res)
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = node2vec_walks_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", 4, p=3.0, q=0.7,
+        walks_per_node=2, seed=5, direction="BOTH",
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_node2vec_bias_direction(spark):
+    """On a path A-B with a triangle hanging off B, tiny q (DFS-ish)
+    must explore outward while huge p forbids returning."""
+    from linkgraph.walks import node2vec_walks
+
+    # star: 1 -- 2 -- {3, 4}; 3 -- 4 (triangle 2,3,4)
+    pairs = [(1, 2), (2, 3), (2, 4), (3, 4)]
+    res = node2vec_walks(
+        _edges(spark, pairs), walk_length=2, p=1e9, q=1e-9, direction="BOTH",
+    )
+    rows = {(r.start, r.step): r.node for r in res.collect()}
+    # from 1: step1 -> 2 (only nbr); step2: return weight ~0, distance-2
+    # nodes 3,4 get weight 1/q >> 1 -> never returns to 1
+    assert rows[(1, 1)] == 2 and rows[(1, 2)] in (3, 4)
+    release_caches(res)
+    with pytest.raises(ValueError):
+        node2vec_walks(_edges(spark, pairs), walk_length=1, p=0.0)
