@@ -496,6 +496,11 @@ def _q_kspanning_cosupplier(spark, sf_dir):
     return res.assignment.select("id", "cluster")
 
 
+def _eigenvector_sql_wrapped() -> str:
+    from linkgraph.eigenvector import eigenvector_sql
+    return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
+
+
 def _walks_sql_wrapped() -> str:
     from linkgraph.walks import random_walks_sql
     inner = random_walks_sql(COSUPPLIER_EDGES_SQL, 4, walks_per_node=2, seed=0,
@@ -552,6 +557,18 @@ def _q_node2vec_cosupplier(spark, sf_dir):
         F.col("step").cast("long").alias("step"),
         "node",
     )
+
+
+def _q_eigenvector_purchase(spark, sf_dir):
+    """Eigenvector centrality (the centrality family's classical
+    root): 5 power-iteration supersteps on the undirected purchase
+    graph, Linf-normalized per round (max is exact cross-engine,
+    unlike an L2 float sum — linkgraph/eigenvector.py)."""
+    from linkgraph.eigenvector import eigenvector_centrality
+    res = eigenvector_centrality(
+        purchase_edges(spark, sf_dir), max_iter=5, direction="BOTH"
+    )
+    return res.select("id", F.round("score", 6).alias("score"))
 
 
 def _q_nodesim_suppliers(spark, sf_dir):
@@ -953,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
+        "eigenvector_purchase": _q_eigenvector_purchase,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
@@ -1559,6 +1577,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
+        "eigenvector_purchase": _eigenvector_sql_wrapped(),
         # deterministic random walks — the module's own SQL generator
         # unrolls one window-argmin CTE per step
         "walks_cosupplier": _walks_sql_wrapped(),

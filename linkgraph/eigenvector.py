@@ -1,0 +1,165 @@
+"""Eigenvector centrality — power iteration on the adjacency matrix.
+
+Lineage: the centrality family of the reference library (PageRank /
+betweenness / closeness in mknblch/neo4j-graph-algorithms — SURVEY.md
+§2.1/§2.2; eigenvector centrality is the family's classical root:
+PageRank IS eigenvector centrality on the teleport-damped matrix).
+
+Spark-first shape: each superstep is EXACTLY the PageRank
+contribution pattern — score joins edges on src, one groupBy(dst)
+shuffle with map-side partial sums — followed by an L∞ normalization
+via a 1-row broadcast crossJoin (no driver action inside the loop).
+Supersteps run on SuperstepLoop: lineage truncated every round,
+durable parquet every ``checkpoint_every`` rounds, resume validated
+against an order-independent graph fingerprint (the same contract as
+k-core/SCC/MST — SURVEY.md §8).
+
+Normalization uses max (L∞), not the L2 norm: max of identical
+doubles is exact on every engine, while a global float SUM has
+engine-dependent addition order — this is what keeps the DuckDB
+oracle value-exact at 6 decimals through many iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import SuperstepLoop, attach_caches
+
+__all__ = ["eigenvector_centrality", "eigenvector_sql"]
+
+
+def _oriented(edges: DataFrame, direction: str, weighted: bool) -> DataFrame:
+    w = F.coalesce(F.col("weight"), F.lit(1.0)) if weighted else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w"))
+    if direction == "BOTH":
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    elif direction == "INCOMING":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    elif direction != "OUTGOING":
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
+    return e.distinct()
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_iter: int = 20,
+    direction: str = "OUTGOING",
+    weighted: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
+    """(id, score) after ``max_iter`` power-iteration supersteps,
+    L∞-normalized each round (the top score is 1.0 whenever any mass
+    survives). Nodes with no in-neighbors under ``direction`` decay
+    to exactly 0. Parallel edges with distinct weights contribute
+    separately (the edge universe is distinct on (src, dst, w)).
+    """
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    e = _oriented(edges, direction, weighted)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    graph_fp = int(
+        e.agg(F.expr("bit_xor(xxhash64(src, dst, w))").alias("fp")).first()["fp"] or 0
+    )
+    loop = SuperstepLoop(
+        edges.sparkSession,
+        checkpoint_dir,
+        every=checkpoint_every,
+        name="eigenvector",
+        context={"graph_fp": graph_fp, "direction": direction,
+                 "weighted": weighted},
+        max_steps=max_iter,
+    )
+    x = nodes.select("id", F.lit(1.0).alias("score"))
+    start = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            rec = loop.last_context
+            if rec.get("graph_fp") is not None and int(rec["graph_fp"]) != graph_fp:
+                raise ValueError(
+                    "eigenvector resume mismatch: edge table differs from the "
+                    f"checkpointed run ({rec['graph_fp']} != {graph_fp})."
+                )
+            if rec.get("direction", direction) != direction or bool(
+                rec.get("weighted", weighted)
+            ) != weighted:
+                raise ValueError(
+                    "eigenvector resume mismatch: direction/weighted differ "
+                    "from the checkpointed run."
+                )
+            start, x = resumed
+    for t in range(start + 1, max_iter + 1):
+        contrib = (
+            x.join(e, x.id == e.src)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.sum(F.col("score") * F.col("w")).alias("s"))
+        )
+        raw = nodes.join(contrib, nodes.id == F.col("nid"), "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("score")
+        )
+        mx = raw.agg(F.max("score").alias("mx"))
+        nx = raw.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.when(F.col("mx") > 0, F.col("score") / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+        x = loop.advance(t, nx)
+    return attach_caches(x, [x])
+
+
+def eigenvector_sql(
+    edge_sql: str,
+    iters: int,
+    direction: str = "OUTGOING",
+    weighted: bool = False,
+) -> str:
+    """DuckDB oracle: the unrolled power iteration. Every per-round
+    CTE is MATERIALIZED — each x{t} is referenced twice (values + its
+    own max), and default inlining would re-expand the whole chain
+    exponentially (the doubling-CTE gotcha in .claude/skills/verify)."""
+    w = "COALESCE(weight, 1.0)" if weighted else "1.0"
+    if direction == "BOTH":
+        universe = (
+            f"SELECT DISTINCT src, dst, w FROM ("
+            f"SELECT src, dst, {w} AS w FROM eraw "
+            f"UNION ALL SELECT dst AS src, src AS dst, {w} AS w FROM eraw)"
+        )
+    elif direction == "INCOMING":
+        universe = f"SELECT DISTINCT dst AS src, src AS dst, {w} AS w FROM eraw"
+    else:
+        universe = f"SELECT DISTINCT src, dst, {w} AS w FROM eraw"
+    parts = [
+        f"WITH eraw AS ({edge_sql})",
+        f"e AS MATERIALIZED ({universe})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        "x0 AS (SELECT id, 1.0 AS score FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT n.id, COALESCE(c.s, 0.0) AS score "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(x.score * e.w) AS s "
+            f"FROM x{t - 1} x JOIN e ON x.id = e.src GROUP BY e.dst) c "
+            f"ON n.id = c.id)"
+        )
+        parts.append(
+            f"x{t} AS MATERIALIZED (SELECT r.id, "
+            f"CASE WHEN m.mx > 0 THEN r.score / m.mx ELSE 0.0 END AS score "
+            f"FROM r{t} r CROSS JOIN (SELECT MAX(score) AS mx FROM r{t}) m)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(score, 6) AS score FROM x{iters}"
+    )

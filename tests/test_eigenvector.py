@@ -1,0 +1,119 @@
+"""Eigenvector centrality: numpy replay, decay/normalization
+contracts, DuckDB twin, resume-equals-uninterrupted."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import release_caches
+from linkgraph.eigenvector import eigenvector_centrality, eigenvector_sql
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _replay(pairs, iters, direction="OUTGOING"):
+    es = set()
+    for a, b in pairs:
+        es.add((a, b))
+        if direction == "BOTH":
+            es.add((b, a))
+    if direction == "INCOMING":
+        es = {(b, a) for a, b in pairs}
+    nodes = sorted({x for e in es for x in e})
+    x = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        nx = {n: 0.0 for n in nodes}
+        for a, b in es:
+            nx[b] += x[a]
+        mx = max(nx.values())
+        x = {n: (v / mx if mx > 0 else 0.0) for n, v in nx.items()}
+    return x
+
+
+def test_numpy_style_replay(spark):
+    rng = random.Random(13)
+    pairs = [(a, b) for a, b in {(rng.randrange(20), rng.randrange(20)) for _ in range(70)} if a != b]
+    for direction in ("OUTGOING", "BOTH"):
+        res = eigenvector_centrality(_edges(spark, pairs), max_iter=6, direction=direction)
+        got = {r.id: r.score for r in res.collect()}
+        want = _replay(pairs, 6, direction)
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n] == pytest.approx(want[n], abs=1e-9), (direction, n)
+        release_caches(res)
+
+
+def test_star_center_dominates(spark):
+    e = _edges(spark, [(1, 9), (2, 9), (3, 9), (9, 4)])
+    res = eigenvector_centrality(e, max_iter=4, direction="BOTH")
+    got = {r.id: r.score for r in res.collect()}
+    assert got[9] == max(got.values()) == 1.0
+    release_caches(res)
+
+
+def test_source_decays_to_zero(spark):
+    # directed chain 1 -> 2 -> 3: node 1 has no in-edges -> exactly 0
+    res = eigenvector_centrality(_edges(spark, [(1, 2), (2, 3)]), max_iter=3)
+    got = {r.id: r.score for r in res.collect()}
+    assert got[1] == 0.0
+    release_caches(res)
+
+
+def test_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(29)
+    pairs = [(a, b) for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(60)} if a != b]
+    res = eigenvector_centrality(_edges(spark, pairs), max_iter=5, direction="BOTH")
+    got = {(r.id, round(r.score, 6)) for r in res.collect()}
+    release_caches(res)
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    sql = eigenvector_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)", 5, "BOTH"
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    rng = random.Random(37)
+    pairs = [(a, b) for a, b in {(rng.randrange(12), rng.randrange(12)) for _ in range(50)} if a != b]
+    e = _edges(spark, pairs)
+    full = eigenvector_centrality(e, max_iter=6, direction="BOTH")
+    want = {r.id: r.score for r in full.collect()}
+    release_caches(full)
+    ckpt = str(tmp_path / "eig")
+    part = eigenvector_centrality(
+        e, max_iter=3, direction="BOTH", checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    part.count()
+    release_caches(part)
+    res = eigenvector_centrality(
+        e, max_iter=6, direction="BOTH", checkpoint_dir=ckpt,
+        checkpoint_every=1, resume=True,
+    )
+    got = {r.id: r.score for r in res.collect()}
+    release_caches(res)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # resuming against a different graph must refuse
+    other = _edges(spark, pairs[:-1])
+    with pytest.raises(ValueError, match="resume mismatch"):
+        eigenvector_centrality(
+            other, max_iter=6, direction="BOTH", checkpoint_dir=ckpt, resume=True
+        )
+
+
+def test_bad_args(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        eigenvector_centrality(e, max_iter=-1)
+    with pytest.raises(ValueError):
+        eigenvector_centrality(e, max_iter=1, direction="DOWN")
