@@ -559,6 +559,18 @@ def _q_node2vec_cosupplier(spark, sf_dir):
     )
 
 
+def _q_coproject_cosupplier(spark, sf_dir):
+    """Bipartite co-occurrence projection (the general operator behind
+    the cosupplier fixture graph): project (supplier -> order) edges
+    over shared orders. The oracle is the INDEPENDENT SQL formulation
+    used by the fixture builder — two formulations, one result."""
+    from linkgraph.similarity import bipartite_projection
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"), F.col("l_orderkey").alias("dst")
+    )
+    return bipartite_projection(li)
+
+
 def _q_eigenvector_purchase(spark, sf_dir):
     """Eigenvector centrality (the centrality family's classical
     root): 5 power-iteration supersteps on the undirected purchase
@@ -971,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
+        "coproject_cosupplier": _q_coproject_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
@@ -1578,6 +1591,13 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
+        "coproject_cosupplier": """
+SELECT a.l_suppkey AS node1, b.l_suppkey AS node2, COUNT(*) AS weight
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+""",
         # deterministic random walks — the module's own SQL generator
         # unrolls one window-argmin CTE per step
         "walks_cosupplier": _walks_sql_wrapped(),

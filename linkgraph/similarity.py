@@ -37,19 +37,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["node_similarity", "node_similarity_topk"]
+__all__ = ["node_similarity", "node_similarity_topk", "bipartite_projection"]
 
 _METRICS = ("jaccard", "overlap", "cosine")
 
 
 def _neighbor_table(
-    edges: DataFrame, direction: str, feature_cap: int | None
+    edges: DataFrame, direction: str, feature_cap: int | None,
+    drop_self: bool = True,
 ) -> DataFrame:
     """Distinct (src, nbr) rows per the direction contract.
 
     BOTH unions the two orientations before the distinct — parallel
     edges and reciprocal pairs collapse to one feature row, matching
-    the set semantics of every metric here.
+    the set semantics of every metric here. ``drop_self`` removes
+    src == nbr rows (self-loops) — right for node similarity within
+    one id space, wrong for bipartite projection where the two sides
+    are different entity spaces whose ids may coincide numerically.
     """
     e = edges.select("src", "dst")
     if direction == "OUTGOING":
@@ -62,7 +66,9 @@ def _neighbor_table(
         )
     else:
         raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
-    nbr = nbr.filter(F.col("src") != F.col("nbr")).distinct()
+    if drop_self:
+        nbr = nbr.filter(F.col("src") != F.col("nbr"))
+    nbr = nbr.distinct()
     if feature_cap is not None:
         keep = (
             nbr.groupBy("nbr")
@@ -173,3 +179,47 @@ def node_similarity_topk(
         .filter(F.col("rank") <= k)
         .select("node", "other", "similarity", "rank")
     )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    direction: str = "OUTGOING",
+    min_common: int = 1,
+    feature_cap: int | None = None,
+) -> DataFrame:
+    """Co-occurrence projection of a bipartite edge table: one row
+    ``(node1 < node2, weight)`` per pair sharing at least
+    ``min_common`` neighbors, weight = the shared-neighbor count.
+
+    This is the operator behind every "co-X" graph (co-supplier via
+    shared orders, co-author via shared papers, co-click via shared
+    sessions) — the engine's own cosupplier fixture graph is exactly
+    this projection of (supplier -> order) edges, and the driver
+    oracle pins that equality against the independent SQL
+    formulation (SURVEY.md §2.3 graph construction).
+
+    Scale: the projection is quadratic in each FEATURE's fan-in (an
+    order shared by f suppliers emits f²/2 pairs) — the same hazard
+    and the same knob as `node_similarity`: run `degree_histogram` on
+    the reversed edges first, then set ``feature_cap`` to drop
+    hyper-shared features, which cost the most and distinguish the
+    least. One co-neighbor shuffle + one pair-keyed partial
+    aggregation; no crossJoin.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    # drop_self=False: the two sides are separate entity spaces, so a
+    # numeric coincidence between a node id and a feature id is NOT a
+    # self-loop and must keep its feature row
+    nbr = _neighbor_table(edges, direction, feature_cap, drop_self=False)
+    a = nbr.select(F.col("src").alias("node1"), "nbr")
+    b = nbr.select(F.col("src").alias("node2"), "nbr")
+    pairs = (
+        a.join(b, "nbr")
+        .filter(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(F.count("*").alias("weight"))
+    )
+    if min_common > 1:
+        pairs = pairs.filter(F.col("weight") >= min_common)
+    return pairs

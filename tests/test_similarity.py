@@ -141,3 +141,48 @@ def test_bad_args(spark):
         node_similarity(e, metric="dice")
     with pytest.raises(ValueError):
         node_similarity(e, direction="SIDEWAYS")
+
+
+def test_bipartite_projection_golden(spark):
+    from linkgraph.similarity import bipartite_projection
+
+    # suppliers 1..3 over orders 10..12
+    e = _edges(spark, [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12)])
+    got = {(r.node1, r.node2): r.weight
+           for r in bipartite_projection(e).collect()}
+    assert got == {(1, 2): 2, (2, 3): 1}
+    # min_common prunes the weak pair
+    got2 = {(r.node1, r.node2): r.weight
+            for r in bipartite_projection(e, min_common=2).collect()}
+    assert got2 == {(1, 2): 2}
+    with pytest.raises(ValueError):
+        bipartite_projection(e, min_common=0)
+
+
+def test_bipartite_projection_feature_cap(spark):
+    from linkgraph.similarity import bipartite_projection
+
+    # order 10 is shared by all three -> dropped at cap 2; only the
+    # order-11 co-occurrence survives
+    e = _edges(spark, [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11)])
+    got = {(r.node1, r.node2): r.weight
+           for r in bipartite_projection(e, feature_cap=2).collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_bipartite_projection_matches_cosupplier_fixture(spark):
+    """Projection of (supplier -> order) edges == the engine's own
+    cosupplier graph builder (independent SQL formulation)."""
+    from linkgraph.graphs import cosupplier_edges
+    from linkgraph.similarity import bipartite_projection
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(F.col("l_suppkey").alias("src"), F.col("l_orderkey").alias("dst"))
+    )
+    proj = {(r.node1, r.node2): r.weight
+            for r in bipartite_projection(li).collect()}
+    want = {(r.src, r.dst): int(r.weight)
+            for r in cosupplier_edges(spark, sf).collect()}
+    assert proj == want
