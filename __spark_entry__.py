@@ -559,6 +559,14 @@ def _q_node2vec_cosupplier(spark, sf_dir):
     )
 
 
+def _q_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of the embeddings table (relational
+    long form with dequantized values for reconstruction queries)."""
+    from linkgraph.pipeline.simsearch import quantize_embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb)
+
+
 def _q_coproject_cosupplier(spark, sf_dir):
     """Bipartite co-occurrence projection (the general operator behind
     the cosupplier fixture graph): project (supplier -> order) edges
@@ -1024,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_lsh": _q_near_dup_lsh,
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
+        "sim_quantize_embeddings": _q_quantize_embeddings,
         "multimodal_features": _q_multimodal_features,
         "multimodal_video_frames": _q_video_frames,
         # event analytics (events table; batch twins of linkgraph.streaming)
@@ -1678,6 +1687,7 @@ def _pipeline_oracles() -> dict[str, str]:
         ann_lsh_topk_sql,
         cosine_topk_sql,
         near_dup_pairs_sql,
+        quantize_embeddings_sql,
         semantic_dedup_pairs_sql,
     )
     from linkgraph.pipeline.text import (
@@ -1760,6 +1770,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "sim_ann_lsh_topk": ann_lsh_topk_sql(dim=64, k=5, n_planes=11),
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
+        # int8 quantization: min/max are order-free, all arithmetic
+        # explicitly double-promoted => exact
+        "sim_quantize_embeddings": quantize_embeddings_sql(),
         "multimodal_features": asset_features_sql(n_features=4),
         # video decode stub: the UDTF-shaped mapInPandas chunking is
         # oracle-exact — byte slicing reproduced in hex-string space

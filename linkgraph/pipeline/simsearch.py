@@ -730,3 +730,76 @@ SELECT a.vid AS id1, b.vid AS id2, a.cent_id AS cluster,
 FROM members a JOIN members b ON a.cent_id = b.cent_id AND a.vid < b.vid
 WHERE ROUND({cos_pair}, 6) >= {threshold}
 """
+
+
+def quantize_embeddings(emb: DataFrame, col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Int8 scalar quantization of an embedding column — the storage/
+    ANN compression pass (4x smaller than float32; the standard
+    pre-step for product-quantized indexes).
+
+    Per-dimension corpus min/max define the scale; output is the
+    relational long form ``(vec_id, dim, qval ∈ [-128, 127], dq)``
+    with ``dq`` the dequantized double (rounded 6) so reconstruction
+    error is directly queryable. Constant dimensions quantize to 0.
+
+    Cross-engine exactness: FLOAT inputs are explicitly CAST to
+    DOUBLE before any arithmetic (promotion points would otherwise
+    differ), min/max are order-free (no float sums anywhere), and the
+    quantizer rounds a non-negative value (Spark HALF_UP == DuckDB
+    half-away for non-negatives).
+
+    Scale shape: one posexplode + a groupBy over ``dim`` keys
+    (map-side partial min/max collapse each split to |dim| rows) +
+    one broadcast join of the |dim|-row stats frame. No shuffle of
+    the corpus itself beyond the explode's narrow lineage.
+    """
+    ex = emb.select(
+        F.col(id_col), F.posexplode(F.col(col)).alias("pos", "v")
+    ).select(id_col, (F.col("pos") + 1).alias("dim"), "v")
+    stats = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    vd = F.col("v").cast("double")
+    mnd = F.col("mn").cast("double")
+    mxd = F.col("mx").cast("double")
+    qval = (
+        F.when(
+            mxd > mnd,
+            (F.round((vd - mnd) * (F.lit(255.0) / (mxd - mnd)))).cast("long") - 128,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    out = ex.join(F.broadcast(stats), "dim").select(
+        id_col, "dim", qval.alias("qval"), "mn", "mx"
+    )
+    dq = F.when(
+        F.col("mx").cast("double") > F.col("mn").cast("double"),
+        F.col("mn").cast("double")
+        + (F.col("qval") + 128)
+        * ((F.col("mx").cast("double") - F.col("mn").cast("double")) / F.lit(255.0)),
+    ).otherwise(F.col("mn").cast("double"))
+    return out.select(id_col, "dim", "qval", F.round(dq, 6).alias("dq"))
+
+
+def quantize_embeddings_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of `quantize_embeddings` — identical double
+    promotions, round-then-cast (DuckDB CAST(double AS BIGINT) rounds,
+    so the explicit ROUND keeps both engines integral first)."""
+    return f"""
+WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM {table}),
+st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+q AS (SELECT e.vec_id, e.dim, s.mn, s.mx,
+             CASE WHEN CAST(s.mx AS DOUBLE) > CAST(s.mn AS DOUBLE)
+                  THEN CAST(ROUND((CAST(e.v AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                                  * (255.0 / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE))))
+                            AS BIGINT) - 128
+                  ELSE 0 END AS qval
+      FROM ex e JOIN st s USING (dim))
+SELECT vec_id, dim, qval,
+       ROUND(CASE WHEN CAST(mx AS DOUBLE) > CAST(mn AS DOUBLE)
+                  THEN CAST(mn AS DOUBLE) + (qval + 128)
+                       * ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0)
+                  ELSE CAST(mn AS DOUBLE) END, 6) AS dq
+FROM q
+"""

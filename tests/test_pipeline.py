@@ -789,3 +789,51 @@ def test_redact_pii_unknown_kind(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         redact_pii(docs, kinds=("email", "ssn"))
+
+
+def test_quantize_embeddings_golden(spark):
+    from linkgraph.pipeline.simsearch import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.vec_id, r.dim): (r.qval, r.dq)
+           for r in quantize_embeddings(emb).collect()}
+    # dim 1 spans [0, 10]: 0 -> -128, 10 -> 127, 5 -> round(127.5)-128 = 0
+    assert got[(1, 1)] == (-128, 0.0)
+    assert got[(2, 1)] == (127, 10.0)
+    assert got[(3, 1)][0] == 0
+    # dim 2 is constant -> qval 0, dq = the constant
+    assert got[(1, 2)] == (0, 5.0)
+    # every qval in int8 range
+    assert all(-128 <= q <= 127 for q, _ in got.values())
+
+
+def test_quantize_embeddings_error_bound_and_twin(spark):
+    import duckdb
+    import random as _rnd
+
+    from linkgraph.pipeline.simsearch import (
+        quantize_embeddings,
+        quantize_embeddings_sql,
+    )
+
+    rng = _rnd.Random(17)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = quantize_embeddings(emb).collect()
+    # reconstruction error <= half a quantization step per dimension
+    vals = {(r[0], d + 1): v for r in rows for d, v in enumerate(r[1])}
+    spans = {}
+    for (vid, dim), v in vals.items():
+        spans.setdefault(dim, []).append(v)
+    for r in res:
+        # float32 storage wobbles the true value by ~1e-7 relative
+        step = (max(spans[r.dim]) - min(spans[r.dim])) / 255.0
+        assert abs(r.dq - vals[(r.vec_id, r.dim)]) <= step / 2 + 1e-5
+    got = {(r.vec_id, r.dim, r.qval, r.dq) for r in res}
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = {tuple(r) for r in con.execute(quantize_embeddings_sql()).fetchall()}
+    assert got == want
