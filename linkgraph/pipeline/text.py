@@ -473,3 +473,77 @@ def redact_pii_sql(
         for k in kinds
     )
     return f"SELECT doc_id, {red} AS text, {counts} FROM documents"
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF (the sklearn
+    formulation: idf = ln((N+1)/(df+1)) + 1, score = tf · idf) — the
+    classic keyword-extraction / doc-representation pass.
+
+    Returns (doc_id, token, tf, df, tfidf rounded 6, rank). Ranking
+    orders by the ROUNDED score (desc) then token (asc): rounding
+    first means both engines rank the identical values they will
+    also emit — an unrounded sort key could flip a rank on a 1-ulp
+    ln() difference while the emitted scores still matched.
+
+    Scale: tokenize map-side, one (doc, token) shuffle for tf, a
+    partial-aggregated token shuffle for df (|vocab| rows), the
+    corpus size N as a 1-row broadcast, and a per-doc window whose
+    sort is local after the doc-keyed shuffle. At 100 TB the df
+    frame joins back by token hash-partitioned; no global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    sc = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def tfidf_topk_sql(k: int = 5, table: str = "documents") -> str:
+    """DuckDB twin — same tokenizer, same smoothed idf, same
+    rounded-score ranking."""
+    return f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS token
+             FROM {table}),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM {table}),
+sc AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+              ROUND(tf.tf * (ln((n.n + 1.0) / (idf.df + 1.0)) + 1.0), 6) AS tfidf
+       FROM tf JOIN idf USING (token) CROSS JOIN n),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token ASC) AS rank
+       FROM sc)
+SELECT doc_id, token, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""

@@ -837,3 +837,46 @@ def test_quantize_embeddings_error_bound_and_twin(spark):
     con.register("embeddings", emb.toPandas())
     want = {tuple(r) for r in con.execute(quantize_embeddings_sql()).fetchall()}
     assert got == want
+
+
+def test_tfidf_topk_golden(spark):
+    from linkgraph.pipeline.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): (r.token, r.tf, r.df) for r in tfidf_topk(docs, k=2).collect()}
+    # doc 1: apple tf=2 df=1 dominates banana tf=1 df=2
+    assert got[(1, 1)][0] == "apple" and got[(1, 1)][1:] == (2, 1)
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 beats durian despite durian's rarer df
+    assert got[(3, 1)][0] == "cherry"
+    assert got[(3, 2)][0] == "durian"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tfidf_topk(docs, k=0)
+
+
+def test_tfidf_topk_duckdb_twin(spark):
+    import duckdb
+    import random as _rnd
+
+    from linkgraph.pipeline.text import tfidf_topk, tfidf_topk_sql
+
+    rng = _rnd.Random(19)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 15))))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in tfidf_topk(docs, k=3).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {tuple(r) for r in con.execute(tfidf_topk_sql(k=3)).fetchall()}
+    assert got == want
