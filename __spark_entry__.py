@@ -496,6 +496,16 @@ def _q_kspanning_cosupplier(spark, sf_dir):
     return res.assignment.select("id", "cluster")
 
 
+def _assortativity_sql_wrapped() -> str:
+    from linkgraph.graphs import DEGREE_ASSORTATIVITY_SQL_TEMPLATE
+    return DEGREE_ASSORTATIVITY_SQL_TEMPLATE.format(edges=PURCHASE_EDGES_SQL)
+
+
+def _induced_sql_wrapped() -> str:
+    from linkgraph.graphs import induced_subgraph_sql
+    return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
+
+
 def _eigenvector_sql_wrapped() -> str:
     from linkgraph.eigenvector import eigenvector_sql
     return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
@@ -565,6 +575,21 @@ def _q_quantize_embeddings(spark, sf_dir):
     from linkgraph.pipeline.simsearch import quantize_embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return quantize_embeddings(emb)
+
+
+def _q_assortativity_purchase(spark, sf_dir):
+    """Degree-correlation coefficient of the purchase graph — every
+    moment is an exact integer sum (order-free), only the final
+    Pearson ratio is floating point."""
+    from linkgraph.graphs import degree_assortativity
+    return degree_assortativity(purchase_edges(spark, sf_dir))
+
+
+def _q_induced_subgraph_cosupplier(spark, sf_dir):
+    """Node-induced subgraph sample: inline hash predicate on both
+    endpoints — no join, no node table, pushes down to the scan."""
+    from linkgraph.graphs import induced_subgraph
+    return induced_subgraph(cosupplier_edges(spark, sf_dir), 0.5, seed=3)
 
 
 def _q_coproject_cosupplier(spark, sf_dir):
@@ -1000,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
+        "assortativity_purchase": _q_assortativity_purchase,
+        "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
@@ -1609,6 +1636,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
+        "assortativity_purchase": _assortativity_sql_wrapped(),
+        "induced_subgraph_cosupplier": _induced_sql_wrapped(),
         "coproject_cosupplier": """
 SELECT a.l_suppkey AS node1, b.l_suppkey AS node2, COUNT(*) AS weight
 FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a

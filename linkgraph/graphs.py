@@ -90,3 +90,127 @@ def degree_histogram(edges: DataFrame, direction: str = "OUTGOING") -> DataFrame
         raise ValueError(f"bad direction {direction}")
     deg = ends.groupBy("id").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-correlation (assortativity) coefficient of the
+    undirected graph (Newman 2002, Phys. Rev. Lett. 89:208701 — the
+    simplified degree-Pearson form): Pearson correlation of
+    (deg(u), deg(v)) over all oriented edge endpoints.
+
+    One row: (n_endpoints, assortativity rounded 6). EXACT
+    cross-engine: every moment (Σx, Σxy, Σx²) is an INTEGER sum of
+    degree products — order-free — and only the final Pearson ratio
+    touches floating point, so the oracle needs no tolerance. The
+    symmetric marginals mean r = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²).
+
+    Scale: degree table (one partial-agg shuffle) joined back to the
+    symmetrized edges on each endpoint (hash joins on the node key),
+    then a single global aggregate (map-side combinable). Integer
+    moments fit int64 up to Σdeg² ≈ 9e18 — beyond that, pre-scale
+    degrees or switch the moment columns to decimal(38,0).
+    """
+    e = edges.select("src", "dst")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    paired = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dy")), "dst")
+    )
+    m = paired.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n").alias("n_endpoints"),
+        F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL_TEMPLATE = """
+WITH eraw AS ({edges}),
+sym AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM eraw UNION ALL SELECT dst AS src, src AS dst FROM eraw)),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+paired AS (SELECT dx.deg AS dx, dy.deg AS dy
+           FROM sym JOIN deg dx ON sym.src = dx.id
+                    JOIN deg dy ON sym.dst = dy.id),
+m AS (SELECT COUNT(*) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx
+      FROM paired)
+SELECT n AS n_endpoints,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+                  THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                  ELSE 0.0 END, 6) AS assortativity
+FROM m
+"""
+
+
+def sample_edges(edges: DataFrame, fraction: float, seed: int = 0) -> DataFrame:
+    """Deterministic edge sampling: keep an edge iff its stable hash
+    falls under the rate threshold. Shuffle-free, partition- and
+    run-independent (unlike df.sample), identical on every engine —
+    the same contract as `pipeline/curate.py#stratified_sample`.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    h = stable_hash64(
+        F.concat_ws("|", F.col("src"), F.col("dst")), salt=seed
+    )
+    return edges.filter((h % 1000000) < int(fraction * 1000000))
+
+
+def induced_subgraph(edges: DataFrame, node_fraction: float, seed: int = 0) -> DataFrame:
+    """Node-induced subgraph sampling: hash-sample the NODE set, keep
+    edges whose BOTH endpoints survive. The membership test is an
+    inline hash predicate on each endpoint — a pure map filter with
+    NO join and no node-table materialization, so it composes with
+    predicate pushdown at any scale. Expected edge retention is
+    node_fraction² on random graphs.
+    """
+    if not 0.0 <= node_fraction <= 1.0:
+        raise ValueError(f"node_fraction must be in [0, 1], got {node_fraction}")
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    t = int(node_fraction * 1000000)
+    hs = stable_hash64(F.col("src").cast("string"), salt=seed) % 1000000
+    hd = stable_hash64(F.col("dst").cast("string"), salt=seed) % 1000000
+    return edges.filter((hs < t) & (hd < t))
+
+
+def sample_edges_sql(edges: str, fraction: float, seed: int = 0) -> str:
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql("concat_ws('|', src, dst)", salt=seed)
+    return (
+        f"SELECT * FROM ({edges}) WHERE ({h}) % 1000000 "
+        f"< {int(fraction * 1000000)}"
+    )
+
+
+def induced_subgraph_sql(edges: str, node_fraction: float, seed: int = 0) -> str:
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    t = int(node_fraction * 1000000)
+    hs = stable_hash64_sql("CAST(src AS VARCHAR)", salt=seed)
+    hd = stable_hash64_sql("CAST(dst AS VARCHAR)", salt=seed)
+    return (
+        f"SELECT * FROM ({edges}) WHERE ({hs}) % 1000000 < {t} "
+        f"AND ({hd}) % 1000000 < {t}"
+    )

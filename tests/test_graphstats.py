@@ -1,0 +1,102 @@
+"""Degree assortativity + deterministic graph sampling."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graphs import (
+    degree_assortativity,
+    induced_subgraph,
+    induced_subgraph_sql,
+    sample_edges,
+    sample_edges_sql,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _assort_py(pairs):
+    es = set()
+    for a, b in pairs:
+        es.add((a, b))
+        es.add((b, a))
+    deg = {}
+    for a, _ in es:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(es)
+    sx = sum(deg[a] for a, _ in es)
+    sxy = sum(deg[a] * deg[b] for a, b in es)
+    sxx = sum(deg[a] * deg[a] for a, _ in es)
+    den = n * sxx - sx * sx
+    return round((n * sxy - sx * sx) / den, 6) if den > 0 else 0.0
+
+
+def test_assortativity_star_is_negative(spark):
+    # star: hub degree 4, leaves degree 1 -> strongly disassortative
+    res = degree_assortativity(_edges(spark, [(0, i) for i in range(1, 5)])).collect()
+    assert res[0].n_endpoints == 8
+    assert res[0].assortativity == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    # 4-cycle: every degree 2 -> zero variance -> defined as 0
+    res = degree_assortativity(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])).collect()
+    assert res[0].assortativity == 0.0
+
+
+def test_assortativity_random_python_oracle(spark):
+    rng = random.Random(43)
+    pairs = [(a, b) for a, b in {(rng.randrange(20), rng.randrange(20)) for _ in range(60)} if a != b]
+    got = degree_assortativity(_edges(spark, pairs)).collect()[0]
+    assert got.assortativity == pytest.approx(_assort_py(pairs), abs=2e-6)
+
+
+def test_sample_edges_deterministic_and_twin(spark):
+    import duckdb
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(300)]
+    e = _edges(spark, pairs)
+    s1 = {tuple(r) for r in sample_edges(e, 0.3, seed=1).collect()}
+    s2 = {tuple(r) for r in sample_edges(e, 0.3, seed=1).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < len(pairs)
+    # repartitioning must not change the sample
+    s3 = {tuple(r) for r in sample_edges(e.repartition(7), 0.3, seed=1).collect()}
+    assert s1 == s3
+    con = duckdb.connect()
+    con.register("edges", e.toPandas())
+    want = {tuple(r) for r in
+            con.execute(sample_edges_sql("SELECT * FROM edges", 0.3, seed=1)).fetchall()}
+    assert s1 == want
+    with pytest.raises(ValueError):
+        sample_edges(e, 1.5)
+
+
+def test_induced_subgraph_closed_and_twin(spark):
+    import duckdb
+
+    rng = random.Random(9)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    e = _edges(spark, pairs)
+    sub = induced_subgraph(e, 0.6, seed=2)
+    rows = sub.collect()
+    kept_nodes = {r.src for r in rows} | {r.dst for r in rows}
+    # closure: every edge of the original graph between kept nodes is kept
+    full = {(r.src, r.dst) for r in e.collect()}
+    got = {(r.src, r.dst) for r in rows}
+    for a, b in full:
+        if a in kept_nodes and b in kept_nodes:
+            assert (a, b) in got
+    con = duckdb.connect()
+    con.register("edges", e.toPandas())
+    want = {tuple(r) for r in
+            con.execute(induced_subgraph_sql("SELECT * FROM edges", 0.6, seed=2)).fetchall()}
+    assert {tuple(r) for r in rows} == want
+    with pytest.raises(ValueError):
+        induced_subgraph(e, -0.1)
