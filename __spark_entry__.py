@@ -914,6 +914,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval over the corpus: map-side term filter
+    before any shuffle, broadcast df/corpus stats, distributed
+    TakeOrdered for the top-n (never a global sort)."""
+    from linkgraph.pipeline.text import bm25_search
+    return bm25_search(_docs(spark, sf_dir), "table scan merge", top_n=20)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 terms by smoothed TF-IDF (keyword
     extraction); ranking on the ROUNDED score so both engines rank
@@ -1063,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_line_dedup": _q_line_dedup,
         "text_redact_pii": _q_redact_pii,
         "text_tfidf_topk": _q_tfidf_topk,
+        "text_bm25_search": _q_bm25_search,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
         "sim_near_dup_lsh": _q_near_dup_lsh,
@@ -1736,6 +1745,7 @@ def _pipeline_oracles() -> dict[str, str]:
         SOURCE_MIX_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
+        bm25_search_sql,
         redact_pii_sql,
         tfidf_topk_sql,
         vocab_stats_sql,
@@ -1797,6 +1807,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "curate_pack_sequences": pack_sequences_sql(seq_len=128, n_shards=8, seed=7),
         "curate_line_dedup": line_dedup_sql(max_df=390, sep=" "),
         "text_tfidf_topk": tfidf_topk_sql(k=5),
+        "text_bm25_search": bm25_search_sql("table scan merge", top_n=20),
         "text_redact_pii": redact_pii_sql(text_expr="text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),
         "sim_embedding_near_dup": near_dup_pairs_sql(dim=64, threshold=0.4),

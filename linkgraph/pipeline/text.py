@@ -547,3 +547,122 @@ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
 SELECT doc_id, token, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {k}
 """
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, the
+    Okapi/Lucene formulation): score the corpus against a free-text
+    query, return the ``top_n`` docs.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term weight
+    tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen)). ``avglen`` is an
+    integer token-count sum over N — exact as a double. Returns
+    (doc_id, n_terms_matched, score rounded 6); ties order by doc_id.
+
+    Scale: the token stream is FILTERED to query terms before any
+    shuffle (the filter runs map-side against a literal array), so
+    the tf aggregation shuffles only matching (doc, term) pairs; df
+    and the corpus stats are tiny broadcast frames; the final top-n
+    is a distributed TakeOrdered, never a global sort.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    import re as _re
+
+    terms = sorted(set(_re.findall(_WORD_RE, query.lower())))
+    if not terms:
+        raise ValueError(f"query has no tokens under {_WORD_RE!r}: {query!r}")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)
+        ).alias("token"),
+    )
+    lens = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (
+                            F.col("total_dl").cast("double")
+                            / F.col("n").cast("double")
+                        )
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+
+
+def bm25_search_sql(
+    query: str,
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `bm25_search` (float literals via repr —
+    shortest round-trip form parses to the identical double)."""
+    import re as _re
+
+    terms = sorted(set(_re.findall(_WORD_RE, query.lower())))
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS token
+             FROM {table}),
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       WHERE token IN ({lst}) GROUP BY 1, 2),
+idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+w AS (SELECT tf.doc_id,
+             ln(1.0 + (s.n - idf.df + 0.5) / (idf.df + 0.5))
+             * (tf.tf * ({k1!r} + 1.0))
+             / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * lens.dl
+                / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS w
+      FROM tf JOIN idf USING (token) JOIN lens USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, COUNT(*) AS n_terms_matched, ROUND(SUM(w), 6) AS score
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {top_n}
+"""

@@ -880,3 +880,48 @@ def test_tfidf_topk_duckdb_twin(spark):
     con.register("documents", docs.toPandas())
     want = {tuple(r) for r in con.execute(tfidf_topk_sql(k=3)).fetchall()}
     assert got == want
+
+
+def test_bm25_golden_ordering(spark):
+    from linkgraph.pipeline.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark scan scan scan"),
+            (2, "spark scan"),
+            (3, "spark only here"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, "scan spark", top_n=3).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[0].n_terms_matched == 2
+    assert rows[2].n_terms_matched == 1
+    assert rows[0].score > rows[1].score > rows[2].score
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_search(docs, "!!!")
+    with _pt.raises(ValueError):
+        bm25_search(docs, "spark", top_n=0)
+
+
+def test_bm25_duckdb_twin(spark):
+    import duckdb
+    import random as _rnd
+
+    from linkgraph.pipeline.text import bm25_search, bm25_search_sql
+
+    rng = _rnd.Random(23)
+    vocab = ["scan", "merge", "table", "row", "key", "sort", "agg", "hash"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 20))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bm25_search(docs, "table merge sort", top_n=10).collect()]
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = [tuple(r) for r in
+            con.execute(bm25_search_sql("table merge sort", top_n=10)).fetchall()]
+    assert got == want
