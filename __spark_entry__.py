@@ -989,6 +989,13 @@ def _q_events_retention(spark, sf_dir):
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_events_transitions(spark, sf_dir):
+    """First-order Markov event-type transitions (lead over the shared
+    user-key window sort; probability = ratio of integer counts)."""
+    from linkgraph.pipeline.events import transition_matrix
+    return transition_matrix(_events(spark, sf_dir))
+
+
 def _q_events_props_stats(spark, sf_dir):
     from linkgraph.pipeline.events import props_stats
     return props_stats(_events(spark, sf_dir), field="k")
@@ -1087,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_props_stats": _q_events_props_stats,
+        "events_transitions": _q_events_transitions,
     }
 
 
@@ -1867,6 +1875,18 @@ SELECT CAST(floor(epoch(c.cohort_day)) AS BIGINT) AS cohort_day,
        COUNT(DISTINCT a.user_id) AS users
 FROM active a JOIN cohort c ON a.user_id = c.user_id
 GROUP BY 1, 2
+""",
+        "events_transitions": """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+cnt AS (SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM cnt
 """,
         "events_props_stats": """
 SELECT event_type,

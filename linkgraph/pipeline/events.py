@@ -263,3 +263,38 @@ def props_stats(
         F.round(F.sum(v), 6).alias("sum_field"),
         F.round(F.avg(v), 6).alias("avg_field"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transitions between event types: for each
+    (from_type, to_type) the transition count and row-normalized
+    probability P(next=to | cur=from), over each user's time-ordered
+    event sequence (ties break on ``order_tiebreak``).
+
+    One user-key window shuffle (shared sort with sessionize) + one
+    tiny (|types|²-bounded) pair aggregation with map-side combine;
+    the probability divides two integer counts — exact cross-engine.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 6).alias("p"),
+    )

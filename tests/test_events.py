@@ -204,3 +204,27 @@ def test_session_stats_single_shuffle(spark, tiny_events):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_transition_matrix_golden(spark):
+    import datetime as dt
+
+    from linkgraph.pipeline.events import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> view;  user 2: view -> view
+        (1, 1, t0, "view"), (2, 1, t0 + dt.timedelta(minutes=1), "click"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "view"),
+        (4, 2, t0, "view"), (5, 2, t0 + dt.timedelta(minutes=5), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in transition_matrix(ev).collect()}
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
