@@ -577,6 +577,25 @@ def _q_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+def _q_pagerank_coproject(spark, sf_dir):
+    """Composition demo: weighted PageRank DIRECTLY over the
+    bipartite projection's output frame — projection, edge weighting,
+    and all supersteps are one lazy Catalyst plan; the oracle nests
+    the projection SQL inside the unrolled PageRank recurrence."""
+    from linkgraph.pagerank import pagerank
+    from linkgraph.similarity import bipartite_projection
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"), F.col("l_orderkey").alias("dst")
+    )
+    proj = bipartite_projection(li).select(
+        F.col("node1").alias("src"),
+        F.col("node2").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    res = pagerank(proj, damping=DAMPING, max_iter=5, weighted=True)
+    return res.scores.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_assortativity_purchase(spark, sf_dir):
     """Degree-correlation coefficient of the purchase graph — every
     moment is an exact integer sum (order-free), only the final
@@ -1041,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_purchase": _q_eigenvector_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
+        "pagerank_coproject": _q_pagerank_coproject,
         "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
@@ -1654,6 +1674,18 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
+        "pagerank_coproject": _pagerank_sql(
+            iters=5,
+            weighted=True,
+            edge_sql="""
+SELECT node1 AS src, node2 AS dst, CAST(weight AS DOUBLE) AS weight FROM (
+  SELECT a.l_suppkey AS node1, b.l_suppkey AS node2, COUNT(*) AS weight
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2)
+""",
+        ),
         "induced_subgraph_cosupplier": _induced_sql_wrapped(),
         "coproject_cosupplier": """
 SELECT a.l_suppkey AS node1, b.l_suppkey AS node2, COUNT(*) AS weight
