@@ -51,7 +51,23 @@ from linkgraph.anf import (
 from linkgraph.registry import algo_list, is_finite, is_infinite
 from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_results
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
-from linkgraph.graphs import degree_histogram
+from linkgraph.graphs import (
+    degree_assortativity,
+    degree_histogram,
+    induced_subgraph,
+    sample_edges,
+)
+from linkgraph.eigenvector import eigenvector_centrality
+from linkgraph.similarity import (
+    bipartite_projection,
+    node_similarity,
+    node_similarity_topk,
+)
+from linkgraph.walks import (
+    node2vec_walks,
+    random_walks,
+    walks_as_sequences,
+)
 from linkgraph.loader import LinkGraph
 
 __all__ = [
@@ -107,4 +123,14 @@ __all__ = [
     "algo_list",
     "is_finite",
     "is_infinite",
+    "degree_assortativity",
+    "induced_subgraph",
+    "sample_edges",
+    "eigenvector_centrality",
+    "node_similarity",
+    "node_similarity_topk",
+    "bipartite_projection",
+    "random_walks",
+    "node2vec_walks",
+    "walks_as_sequences",
 ]
