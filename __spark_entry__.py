@@ -511,6 +511,14 @@ def _eigenvector_sql_wrapped() -> str:
     return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
 
 
+def _keep_caches(out, res):
+    """Propagate attach_caches handles through a driver-side select so
+    the oracle harness's release_caches frees the walk/superstep
+    frames (a bare .select drops the attribute)."""
+    from linkgraph.checkpoint import attach_caches
+    return attach_caches(out, getattr(res, "_linkgraph_caches", []))
+
+
 def _walks_sql_wrapped() -> str:
     from linkgraph.walks import random_walks_sql
     inner = random_walks_sql(COSUPPLIER_EDGES_SQL, 4, walks_per_node=2, seed=0,
@@ -561,11 +569,14 @@ def _q_node2vec_cosupplier(spark, sf_dir):
         seed=2,
         direction="BOTH",
     )
-    return res.select(
-        "start",
-        F.col("walk_no").cast("long").alias("walk_no"),
-        F.col("step").cast("long").alias("step"),
-        "node",
+    return _keep_caches(
+        res.select(
+            "start",
+            F.col("walk_no").cast("long").alias("walk_no"),
+            F.col("step").cast("long").alias("step"),
+            "node",
+        ),
+        res,
     )
 
 
@@ -632,7 +643,9 @@ def _q_eigenvector_purchase(spark, sf_dir):
     res = eigenvector_centrality(
         purchase_edges(spark, sf_dir), max_iter=5, direction="BOTH"
     )
-    return res.select("id", F.round("score", 6).alias("score"))
+    return _keep_caches(
+        res.select("id", F.round("score", 6).alias("score")), res
+    )
 
 
 def _q_nodesim_suppliers(spark, sf_dir):
@@ -673,11 +686,14 @@ def _q_walks_cosupplier(spark, sf_dir):
         seed=0,
         direction="BOTH",
     )
-    return res.select(
-        "start",
-        F.col("walk_no").cast("long").alias("walk_no"),
-        F.col("step").cast("long").alias("step"),
-        "node",
+    return _keep_caches(
+        res.select(
+            "start",
+            F.col("walk_no").cast("long").alias("walk_no"),
+            F.col("step").cast("long").alias("step"),
+            "node",
+        ),
+        res,
     )
 
 
@@ -694,8 +710,12 @@ def _q_walk_sequences_cosupplier(spark, sf_dir):
             direction="BOTH",
         )
     )
-    return res.select(
-        "start", F.col("walk_no").cast("long").alias("walk_no"), "length", "sequence"
+    return _keep_caches(
+        res.select(
+            "start", F.col("walk_no").cast("long").alias("walk_no"),
+            "length", "sequence",
+        ),
+        res,
     )
 
 

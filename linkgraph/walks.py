@@ -142,8 +142,9 @@ def walks_as_sequences(walks: DataFrame, sep: str = " ") -> DataFrame:
     """Collapse per-step rows into one training sequence per walk:
     ``(start, walk_no, length, sequence)`` with nodes joined by
     ``sep`` in step order (array_sort on (step, node) structs — no
-    window, one aggregation)."""
-    return (
+    window, one aggregation). Propagates the walk frame's cache
+    handles so `release_caches` on the sequences frees them."""
+    return attach_caches(
         walks.groupBy("start", "walk_no")
         .agg(
             F.count("*").alias("length"),
@@ -156,7 +157,8 @@ def walks_as_sequences(walks: DataFrame, sep: str = " ") -> DataFrame:
                 ),
                 sep,
             ).alias("sequence"),
-        )
+        ),
+        getattr(walks, "_linkgraph_caches", []),
     )
 
 
