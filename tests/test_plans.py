@@ -344,3 +344,67 @@ def test_anf_round_is_maxagg_not_collect_list(spark):
     assert "InMemoryTableScan" in plan           # pinned inputs reused
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     release_state(sym); release_state(sk)
+
+
+def test_sessionize_single_exchange_and_sort(spark):
+    """Both window functions (lag + running sum) share ONE user-key
+    exchange and ONE sort — Catalyst must not re-shuffle between
+    them, and session_stats' groupBy reuses the same partitioning."""
+    import datetime as dt
+
+    from linkgraph.pipeline.events import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, i % 3, t0 + dt.timedelta(minutes=i), "view", 1.0)
+         for i in range(30)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    plan = _plan(sessionize(ev).select("event_id", "session_idx"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # stats: the window exchange is the ONLY hash exchange; the
+    # groupBy rides the same (user_id, ...) partitioning
+    plan2 = _plan(session_stats(ev))
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark):
+    """The DF-count aggregation exchange must carry the 60-bit span
+    hash, never the span text: no Exchange on a `line` column."""
+    from linkgraph.pipeline.curate import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = _plan(line_dedup(docs))
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        keys = frag[: frag.index(")")]
+        assert "line#" not in keys, plan
+
+
+def test_induced_subgraph_is_pure_filter(spark):
+    """Node-induced sampling must plan as a scan filter — no join, no
+    exchange, no aggregation."""
+    from linkgraph.graphs import induced_subgraph
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    plan = _plan(induced_subgraph(e, 0.5, seed=1))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The query-term IN filter must sit below the tf aggregation's
+    exchange (map-side), so only matching tokens move."""
+    from linkgraph.pipeline.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "scan merge row"), (2, "scan scan")], "doc_id long, text string"
+    )
+    plan = _plan(bm25_search(docs, "scan merge", top_n=2))
+    # the literal term array appears in a Filter, and TakeOrdered (not
+    # a global Sort+Exchange) caps the result
+    assert "Filter" in plan and "scan" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
