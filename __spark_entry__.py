@@ -648,6 +648,37 @@ def _q_eigenvector_purchase(spark, sf_dir):
     )
 
 
+def _weighted_walks_sql_wrapped() -> str:
+    from linkgraph.walks import weighted_walks_sql
+    inner = weighted_walks_sql(COSUPPLIER_EDGES_SQL, 4, walks_per_node=1,
+                               seed=4, direction="BOTH")
+    return f"""
+SELECT start, CAST(walk_no AS BIGINT) AS walk_no,
+       CAST(step AS BIGINT) AS step, node
+FROM ({inner})
+"""
+
+
+def _q_weighted_walks_cosupplier(spark, sf_dir):
+    """Edge-weight-biased walks over the cosupplier graph (weight =
+    co-order count): the same bit-exact prefix-sum draw as node2vec,
+    with the edge weight as the measure."""
+    from linkgraph.walks import weighted_walks
+    res = weighted_walks(
+        cosupplier_edges(spark, sf_dir), walk_length=4, walks_per_node=1,
+        seed=4, direction="BOTH",
+    )
+    return _keep_caches(
+        res.select(
+            "start",
+            F.col("walk_no").cast("long").alias("walk_no"),
+            F.col("step").cast("long").alias("step"),
+            "node",
+        ),
+        res,
+    )
+
+
 def _q_nodesim_suppliers(spark, sf_dir):
     """Node similarity (neo4j algo.similarity.jaccard lineage,
     SURVEY.md §2.2): suppliers scored by shared customer base —
@@ -1087,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_cosupplier": _q_walks_cosupplier,
         "walk_sequences_cosupplier": _q_walk_sequences_cosupplier,
         "node2vec_cosupplier": _q_node2vec_cosupplier,
+        "weighted_walks_cosupplier": _q_weighted_walks_cosupplier,
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
@@ -1719,6 +1751,7 @@ GROUP BY 1, 2
         "walks_cosupplier": _walks_sql_wrapped(),
         "walk_sequences_cosupplier": _walk_sequences_sql(),
         "node2vec_cosupplier": _node2vec_sql_wrapped(),
+        "weighted_walks_cosupplier": _weighted_walks_sql_wrapped(),
         # node similarity — co-neighbor join + degree join, DuckDB's
         # integer `/` is float division so no casts needed; rank is a
         # legal alias (matches the pagerank oracle's usage)

@@ -39,9 +39,11 @@ from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 
 __all__ = [
     "random_walks",
+    "weighted_walks",
     "node2vec_walks",
     "walks_as_sequences",
     "random_walks_sql",
+    "weighted_walks_sql",
     "node2vec_walks_sql",
 ]
 
@@ -387,6 +389,131 @@ def node2vec_walks_sql(
             f"FROM w{t}) "
             f"WHERE cum >= (({ht} % {_U53}) / {float(_U53)!r}) * total "
             f"GROUP BY start, walk_no, prev_next)"
+        )
+        selects.append(f"SELECT start, walk_no, {t} AS step, node FROM f{t}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def weighted_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    direction: str = "OUTGOING",
+) -> DataFrame:
+    """First-order walks with EDGE-WEIGHT-proportional successor
+    choice (the weighted DeepWalk contract): P(v -> u) ∝ weight(v,u).
+
+    Uses the same bit-exact draw as `node2vec_walks` — dst-ordered
+    prefix sums over the weights (identical IEEE addition sequence on
+    every engine), one exact 2^-53-granular uniform per walk-step,
+    successor = first prefix reaching u × total. Missing weights
+    default to 1.0; non-positive-weight edges are excluded (a
+    prefix-sum draw needs a positive measure).
+
+    Same scale shape as `random_walks`: one frontier-edge shuffle +
+    one walk-keyed window per step, frontier bounded forever.
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    from pyspark.sql import Window
+
+    from linkgraph.eigenvector import _oriented
+
+    e = _oriented(edges, direction, weighted=True).filter(F.col("w") > 0)
+    cur = _start_frontier(e.select("src", "dst"), walks_per_node)
+    step0 = cur
+    caches = []
+    walk_w = Window.partitionBy("start", "walk_no")
+    cum_w = walk_w.orderBy("dst").rowsBetween(Window.unboundedPreceding, 0)
+    for t in range(1, walk_length + 1):
+        u = (
+            stable_hash64(
+                F.concat_ws(
+                    "|", F.lit("ww"), F.col("start"), F.col("walk_no"), F.lit(t)
+                ),
+                salt=seed,
+            )
+            % F.lit(_U53)
+        ) / F.lit(float(_U53))
+        scored = (
+            cur.join(e, cur.node == e.src)
+            .select(
+                "start",
+                "walk_no",
+                "dst",
+                F.sum(F.col("w").cast("double")).over(cum_w).alias("cum"),
+                u.alias("u"),
+            )
+            .withColumn("total", F.max("cum").over(walk_w))
+        )
+        nxt = (
+            scored.filter(F.col("cum") >= F.col("u") * F.col("total"))
+            .groupBy("start", "walk_no")
+            .agg(F.min("dst").alias("node"))
+            .select("start", "walk_no", F.lit(t).alias("step"), "node")
+            .persist()
+        )
+        caches.append(nxt)
+        cur = nxt
+    out = step0
+    for f in caches:
+        out = out.unionByName(f)
+    return attach_caches(out, caches)
+
+
+def weighted_walks_sql(
+    edge_sql: str,
+    walk_length: int,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    direction: str = "OUTGOING",
+) -> str:
+    """DuckDB twin of `weighted_walks` (same prefix-sum draw)."""
+    w = "COALESCE(weight, 1.0)"
+    if direction == "BOTH":
+        universe = (
+            f"SELECT DISTINCT src, dst, w FROM ("
+            f"SELECT src, dst, {w} AS w FROM eraw "
+            f"UNION ALL SELECT dst AS src, src AS dst, {w} AS w FROM eraw) "
+            f"WHERE w > 0"
+        )
+    elif direction == "INCOMING":
+        universe = (
+            f"SELECT DISTINCT dst AS src, src AS dst, {w} AS w FROM eraw "
+            f"WHERE {w} > 0"
+        )
+    else:
+        universe = (
+            f"SELECT DISTINCT src, dst, {w} AS w FROM eraw WHERE {w} > 0"
+        )
+    parts = [
+        f"WITH eraw AS ({edge_sql})",
+        f"e AS ({universe})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "f0 AS (SELECT node AS start, w.walk_no, node FROM nodes, "
+        f"(SELECT UNNEST(range({walks_per_node})) AS walk_no) w)",
+    ]
+    selects = ["SELECT start, walk_no, 0 AS step, node FROM f0"]
+    for t in range(1, walk_length + 1):
+        ht = stable_hash64_sql(
+            f"concat_ws('|', 'ww', start, walk_no, {t})", salt=seed
+        )
+        parts.append(
+            f"w{t} AS (SELECT s.start, s.walk_no, e.dst, "
+            f"SUM(CAST(e.w AS DOUBLE)) OVER (PARTITION BY s.start, s.walk_no "
+            f"ORDER BY e.dst ROWS UNBOUNDED PRECEDING) AS cum "
+            f"FROM f{t - 1} s JOIN e ON s.node = e.src)"
+        )
+        parts.append(
+            f"f{t} AS (SELECT start, walk_no, MIN(dst) AS node "
+            f"FROM (SELECT *, MAX(cum) OVER (PARTITION BY start, walk_no) AS total "
+            f"FROM w{t}) "
+            f"WHERE cum >= (({ht} % {_U53}) / {float(_U53)!r}) * total "
+            f"GROUP BY start, walk_no)"
         )
         selects.append(f"SELECT start, walk_no, {t} AS step, node FROM f{t}")
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

@@ -235,3 +235,68 @@ def test_node2vec_bias_direction(spark):
     release_caches(res)
     with pytest.raises(ValueError):
         node2vec_walks(_edges(spark, pairs), walk_length=1, p=0.0)
+
+
+def test_weighted_walks_python_replay_and_twin(spark):
+    import duckdb
+
+    from linkgraph.walks import weighted_walks, weighted_walks_sql
+
+    rng = random.Random(53)
+    triples = [(a, b, float(rng.randrange(1, 6)))
+               for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(60)}
+               if a != b]
+    e = spark.createDataFrame(triples, "src long, dst long, weight double")
+    res = weighted_walks(e, walk_length=5, walks_per_node=2, seed=11)
+    got = {(r.start, r.walk_no, r.step, r.node) for r in res.collect()}
+    release_caches(res)
+
+    # python replay (same prefix-sum + exact-double uniform)
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for a, b, w in triples:
+        adj.setdefault(a, []).append((b, w))
+    nodes = {x for a, b, _ in triples for x in (a, b)}
+    U53 = 1 << 53
+    want = set()
+    for n in sorted(nodes):
+        for wk in range(2):
+            cur = n
+            want.add((n, wk, 0, n))
+            for t in range(1, 6):
+                cands = sorted(adj.get(cur, ()))
+                if not cands:
+                    break
+                cum, cums = 0.0, []
+                for d, wt in cands:
+                    cum += wt
+                    cums.append((d, cum))
+                hs = f"ww|{n}|{wk}|{t}#11"
+                h = int(hashlib.md5(hs.encode()).hexdigest()[:15], 16)
+                th = ((h % U53) / U53) * cums[-1][1]
+                cur = next(d for d, c in cums if c >= th)
+                want.add((n, wk, t, cur))
+    assert got == want
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b}, {w!r})" for a, b, w in triples)
+    sql = weighted_walks_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)", 5,
+        walks_per_node=2, seed=11,
+    )
+    assert got == {tuple(r) for r in con.execute(sql).fetchall()}
+
+
+def test_weighted_walks_bias(spark):
+    """A 1000:1 weight split must essentially always take the heavy
+    edge (checked over many independent walk draws)."""
+    from linkgraph.walks import weighted_walks
+
+    e = spark.createDataFrame(
+        [(1, 2, 1000.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    res = weighted_walks(e, walk_length=1, walks_per_node=40, seed=0)
+    picks = [r.node for r in res.collect() if r.start == 1 and r.step == 1]
+    assert len(picks) == 40
+    assert picks.count(2) >= 38  # ~1/1001 chance per draw to pick 3
+    release_caches(res)
