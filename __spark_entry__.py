@@ -1059,6 +1059,20 @@ def _q_events_retention(spark, sf_dir):
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_events_coactivity(spark, sf_dir):
+    """Events -> graph bridge: the co-activity user graph as a
+    bipartite projection of (user, active-hour) edges — users linked
+    by the number of distinct hours both were active in (kept at
+    >= 3). Composes the events table with the general projection
+    operator in one lazy plan."""
+    from linkgraph.similarity import bipartite_projection
+    ua = _events(spark, sf_dir).select(
+        F.col("user_id").alias("src"),
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("dst"),
+    )
+    return bipartite_projection(ua, min_common=3)
+
+
 def _q_events_transitions(spark, sf_dir):
     """First-order Markov event-type transitions (lead over the shared
     user-key window sort; probability = ratio of integer counts)."""
@@ -1167,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_props_stats": _q_events_props_stats,
         "events_transitions": _q_events_transitions,
+        "events_coactivity_graph": _q_events_coactivity,
     }
 
 
@@ -1960,6 +1975,15 @@ SELECT CAST(floor(epoch(c.cohort_day)) AS BIGINT) AS cohort_day,
        COUNT(DISTINCT a.user_id) AS users
 FROM active a JOIN cohort c ON a.user_id = c.user_id
 GROUP BY 1, 2
+""",
+        "events_coactivity_graph": """
+WITH nbr AS (SELECT DISTINCT user_id AS src,
+                    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS nbr
+             FROM events),
+pairs AS (SELECT a.src AS node1, b.src AS node2, COUNT(*) AS weight
+          FROM nbr a JOIN nbr b ON a.nbr = b.nbr AND a.src < b.src
+          GROUP BY 1, 2)
+SELECT node1, node2, weight FROM pairs WHERE weight >= 3
 """,
         "events_transitions": """
 WITH pairs AS (
