@@ -1059,6 +1059,13 @@ def _q_events_retention(spark, sf_dir):
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_events_top_paths(spark, sf_dir):
+    """Top-20 session event-type paths (first 10 events per 30-min
+    session) — path mining over the shared sessionization core."""
+    from linkgraph.pipeline.events import top_session_paths
+    return top_session_paths(_events(spark, sf_dir), k=20)
+
+
 def _q_events_coactivity(spark, sf_dir):
     """Events -> graph bridge: the co-activity user graph as a
     bipartite projection of (user, active-hour) edges — users linked
@@ -1182,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": _q_events_props_stats,
         "events_transitions": _q_events_transitions,
         "events_coactivity_graph": _q_events_coactivity,
+        "events_top_paths": _q_events_top_paths,
     }
 
 
@@ -1975,6 +1983,15 @@ SELECT CAST(floor(epoch(c.cohort_day)) AS BIGINT) AS cohort_day,
        COUNT(DISTINCT a.user_id) AS users
 FROM active a JOIN cohort c ON a.user_id = c.user_id
 GROUP BY 1, 2
+""",
+        "events_top_paths": f"""
+WITH {_EVENTS_SESS_CORE},
+p AS (SELECT user_id, session_idx,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:10],
+                             '>') AS path
+      FROM labeled GROUP BY 1, 2)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
 """,
         "events_coactivity_graph": """
 WITH nbr AS (SELECT DISTINCT user_id AS src,

@@ -298,3 +298,60 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(totals), 6).alias("p"),
     )
+
+
+def top_session_paths(
+    events: DataFrame,
+    k: int = 20,
+    gap_minutes: int = 30,
+    max_len: int = 10,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Path mining: the k most frequent session event-type sequences
+    (first ``max_len`` events per session, joined with '>'), with
+    counts — "view>click>purchase"-style behavioral paths.
+
+    Rides `sessionize`'s single user-key window shuffle; the sequence
+    assembly is an array_sort aggregation (no second sort), the path
+    census is a partial-aggregated groupBy on the path string, and
+    the top-k is a distributed TakeOrdered (count desc, path asc).
+    ``max_len`` bounds the path-string domain so the census key space
+    stays bounded regardless of session length.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    labeled = sessionize(events, gap_minutes, ts_col=ts_col, user_col=user_col)
+    paths = (
+        labeled.groupBy(user_col, "session_idx")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ts_col).alias("t"),
+                                    F.col("event_id").alias("e"),
+                                    F.col(type_col).alias("y"),
+                                )
+                            )
+                        ),
+                        lambda s: s["y"],
+                    ),
+                    1,
+                    max_len,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )

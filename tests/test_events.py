@@ -228,3 +228,32 @@ def test_transition_matrix_golden(spark):
         ("view", "view"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_top_session_paths_golden(spark):
+    import datetime as dt
+
+    from linkgraph.pipeline.events import top_session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes, typ):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), typ, 1.0)
+
+    rows = [
+        # user 1, one session: view > click
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"),
+        # user 1, second session (gap > 30): view > click
+        ev(3, 1, 60, "view"), ev(4, 1, 61, "click"),
+        # user 2: view only
+        ev(5, 2, 0, "view"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = [(r.path, r.n_sessions) for r in top_session_paths(e, k=5).collect()]
+    assert got == [("view>click", 2), ("view", 1)]
+    # max_len truncates
+    got2 = [(r.path, r.n_sessions) for r in top_session_paths(e, k=5, max_len=1).collect()]
+    assert got2 == [("view", 3)]
