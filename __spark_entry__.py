@@ -607,6 +607,29 @@ def _q_pagerank_coproject(spark, sf_dir):
     return res.scores.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_transitivity_cosupplier(spark, sf_dir):
+    """Global transitivity (3T/W) from the triangle counts frame:
+    corner and wedge totals are integer sums — only the final ratio
+    is floating point."""
+    from linkgraph.checkpoint import attach_caches
+    from linkgraph.triangles import triangle_count
+    res = triangle_count(cosupplier_edges(spark, sf_dir))
+    m = res.counts.agg(
+        F.sum("triangles").alias("corners_sum"),
+        F.sum(F.col("degree") * (F.col("degree") - 1)).alias("w2"),
+    )
+    out = m.select(
+        F.col("corners_sum").alias("triangle_corners"),
+        (F.col("w2") / 2).cast("long").alias("wedges"),
+        F.round(
+            F.col("corners_sum").cast("double")
+            / (F.col("w2").cast("double") / F.lit(2.0)),
+            6,
+        ).alias("transitivity"),
+    )
+    return attach_caches(out, res._caches)
+
+
 def _q_assortativity_purchase(spark, sf_dir):
     """Degree-correlation coefficient of the purchase graph — every
     moment is an exact integer sum (order-free), only the final
@@ -1132,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_purchase": _q_eigenvector_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
+        "transitivity_cosupplier": _q_transitivity_cosupplier,
         "pagerank_coproject": _q_pagerank_coproject,
         "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
@@ -1350,6 +1374,20 @@ SELECT d.id,
              THEN 2.0 * COALESCE(c.triangles, 0) / (d.degree * (d.degree - 1))
              ELSE 0.0 END AS DOUBLE), 6) AS coefficient
 FROM deg d LEFT JOIN cnt c ON c.id = d.id
+""",
+        "transitivity_cosupplier": f"""
+WITH {TRI_SQL_BASE},
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+deg AS (SELECT id, COUNT(*) AS degree
+        FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id),
+cnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id),
+m AS (SELECT CAST(SUM(COALESCE(c.triangles, 0)) AS BIGINT) AS corners_sum,
+             CAST(SUM(d.degree * (d.degree - 1)) AS BIGINT) AS w2
+      FROM deg d LEFT JOIN cnt c ON c.id = d.id)
+SELECT corners_sum AS triangle_corners, w2 // 2 AS wedges,
+       ROUND(CAST(corners_sum AS DOUBLE) / (CAST(w2 AS DOUBLE) / 2.0), 6)
+         AS transitivity
+FROM m
 """,
         "triangle_stream_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT x AS node_a, y AS node_b, z AS node_c FROM tri",
         # same oracle as the wedge-kernel per-node query: the two
