@@ -252,3 +252,66 @@ def _is_agg_without_watermark_output(df: DataFrame) -> bool:
     # degree counts (plain streaming agg) need complete mode; windowed
     # aggs with watermark and sessionize emit append-mode finals
     return "outdeg" in df.columns
+
+
+def stream_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of `pipeline.events.transition_matrix`'s pair
+    derivation: emit one row per consecutive (from_type -> to_type)
+    user transition as events arrive, carrying each user's LAST event
+    in state so transitions spanning micro-batch boundaries are not
+    lost. Within a batch the user's rows are sorted by (ts, id) —
+    the same total order as the batch operator, so a replayed history
+    yields the identical pair multiset (pytest-pinned).
+
+    State per user is one (ts, id, type) triple — O(1), no timeout
+    needed; the census/normalization happens downstream on the
+    emitted pair stream (or in batch on the sink table).
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        frames = [
+            pdf[[ts_col, id_col, type_col]] for pdf in pdfs
+        ]
+        if not frames:
+            return
+        df = pd.concat(frames).sort_values([ts_col, id_col])
+        ts = df[ts_col].astype("int64").to_numpy() // 1_000_000
+        ids = df[id_col].to_numpy()
+        types = df[type_col].tolist()
+        prev = state.get if state.exists else None
+        out_from, out_to, out_ts = [], [], []
+        for i in range(len(df)):
+            cur = (int(ts[i]), int(ids[i]), types[i])
+            if prev is not None:
+                out_from.append(prev[2])
+                out_to.append(cur[2])
+                out_ts.append(cur[0])
+            prev = cur
+        state.update(prev)
+        if out_from:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_from),
+                    "from_type": out_from,
+                    "to_type": out_to,
+                    "ts": [pd.Timestamp(t, unit="ms") for t in out_ts],
+                }
+            )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, from_type string, to_type string, ts timestamp",
+            stateStructType="ts long, id long, t string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

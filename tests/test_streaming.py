@@ -161,3 +161,24 @@ def test_streaming_exact_dedup(spark, tmp_path):
     n_distinct = docs.select("text").distinct().count()
     assert len(got) == n_distinct
     assert {r["text"] for r in got} == {r["text"] for r in docs.collect()}
+
+
+def test_stream_transitions_match_batch(spark, events_stream_dir, tmp_path):
+    """The streamed transition pair multiset equals the batch
+    transition_matrix counts (state carries the last event across
+    micro-batches)."""
+    from linkgraph.pipeline.events import transition_matrix
+    from linkgraph.streaming import stream_transitions
+
+    stream = stream_transitions(_read_stream(spark, events_stream_dir))
+    run_available_now(stream, "transitions_out", str(tmp_path / "ckpt_tr"))
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.sql(
+            "SELECT from_type, to_type, COUNT(*) AS n FROM transitions_out "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    ev = spark.read.parquet(events_stream_dir)
+    want = {(r.from_type, r.to_type): r.n for r in transition_matrix(ev).collect()}
+    assert got == want
