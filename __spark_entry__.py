@@ -580,6 +580,14 @@ def _q_node2vec_cosupplier(spark, sf_dir):
     )
 
 
+def _q_pq_encode(spark, sf_dir):
+    """Product-quantization codes over the embeddings table (8
+    subspaces x 16 codes — the compressed ANN index layout)."""
+    from linkgraph.pipeline.simsearch import pq_encode
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, m=8, n_centroids=16)
+
+
 def _q_quantize_embeddings(spark, sf_dir):
     """Int8 scalar quantization of the embeddings table (relational
     long form with dequantized values for reconstruction queries)."""
@@ -1202,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
         "sim_quantize_embeddings": _q_quantize_embeddings,
+        "sim_pq_encode": _q_pq_encode,
         "multimodal_features": _q_multimodal_features,
         "multimodal_video_frames": _q_video_frames,
         # event analytics (events table; batch twins of linkgraph.streaming)
@@ -1888,6 +1897,7 @@ def _pipeline_oracles() -> dict[str, str]:
         ann_lsh_topk_sql,
         cosine_topk_sql,
         near_dup_pairs_sql,
+        pq_encode_sql,
         quantize_embeddings_sql,
         semantic_dedup_pairs_sql,
     )
@@ -1978,6 +1988,7 @@ def _pipeline_oracles() -> dict[str, str]:
         # int8 quantization: min/max are order-free, all arithmetic
         # explicitly double-promoted => exact
         "sim_quantize_embeddings": quantize_embeddings_sql(),
+        "sim_pq_encode": pq_encode_sql(dim=64, m=8, n_centroids=16),
         "multimodal_features": asset_features_sql(n_features=4),
         # video decode stub: the UDTF-shaped mapInPandas chunking is
         # oracle-exact — byte slicing reproduced in hex-string space

@@ -803,3 +803,130 @@ SELECT vec_id, dim, qval,
                   ELSE CAST(mn AS DOUBLE) END, 6) AS dq
 FROM q
 """
+
+
+def _sq_l2_expr(a: str, b: str, lo: int, hi: int):
+    """Left-assoc squared-L2 over elements lo..hi (1-based, inclusive)
+    — fixed addition order keeps both engines bit-identical."""
+    e = None
+    for i in range(lo, hi + 1):
+        t = F.element_at(F.col(a), i).cast("double") - F.element_at(
+            F.col(b), i
+        ).cast("double")
+        term = t * t
+        e = term if e is None else e + term
+    return e
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, TPAMI —
+    "Product Quantization for Nearest Neighbor Search"): split each
+    vector into ``m`` subvectors, assign every subvector to its
+    nearest codebook entry, emit ``(vec_id, subspace, code, dist)``.
+    m·log2(k) bits per vector — the standard compressed-index layout
+    at 100 TB ANN scale (one byte per subspace at k=256).
+
+    Codebooks are deterministic: the rank-stride corpus rows (the
+    shared contract with `ann_ivf_topk` / SemDeDup) provide the
+    subvector codebook for every subspace; assignment is argmin
+    squared L2 with the fixed left-assoc term order, rounded to 6
+    before ranking (ties -> lowest code), so the DuckDB oracle
+    replays every code exactly.
+
+    Scale: one broadcast of the k-row codebook against the corpus
+    (no shuffle of the corpus), the m per-subspace distances computed
+    in one pass per (vector, centroid) row, argmin as a pair-keyed
+    partial aggregation.
+    """
+    dim = _dim(emb, col)
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim ({dim}), got m={m}")
+    sub = dim // m
+    cents = _stride_centroids(emb, n_centroids, id_col, col)
+    cents = cents.withColumn(
+        "code", F.row_number().over(Window.orderBy("cent_id")) - 1
+    ).select("code", "cvec")
+    joined = emb.select(id_col, col).crossJoin(F.broadcast(cents))
+    per_sub = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                F.round(
+                    _sq_l2_expr(col, "cvec", s * sub + 1, (s + 1) * sub), 6
+                ).alias("dist"),
+            )
+            for s in range(m)
+        ]
+    )
+    exploded = joined.select(
+        id_col, "code", F.explode(per_sub).alias("sd")
+    ).select(id_col, "code", F.col("sd.subspace").alias("subspace"), F.col("sd.dist").alias("dist"))
+    best = (
+        exploded.groupBy(id_col, "subspace")
+        .agg(
+            F.min(
+                F.struct(F.col("dist").alias("d"), F.col("code").alias("c"))
+            ).alias("b")
+        )
+        .select(
+            id_col,
+            "subspace",
+            F.col("b.c").cast("long").alias("code"),
+            F.col("b.d").alias("dist"),
+        )
+    )
+    return best
+
+
+def pq_encode_sql(
+    dim: int,
+    m: int = 8,
+    n_centroids: int = 16,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of `pq_encode` — same rank-stride codebook, the
+    same left-assoc squared-L2 expansion, ROW_NUMBER argmin."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim ({dim}), got m={m}")
+    sub = dim // m
+
+    def sq(lo: int, hi: int) -> str:
+        terms = [
+            f"(CAST(v.embedding[{i}] AS DOUBLE) - CAST(c.cvec[{i}] AS DOUBLE))"
+            f" * (CAST(v.embedding[{i}] AS DOUBLE) - CAST(c.cvec[{i}] AS DOUBLE))"
+            for i in range(lo, hi + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    branches = "\nUNION ALL ".join(
+        f"SELECT vec_id, code, CAST({s} AS BIGINT) AS subspace, "
+        f"ROUND({sq(s * sub + 1, (s + 1) * sub)}, 6) AS dist "
+        f"FROM {table} v CROSS JOIN cents c"
+        for s in range(m)
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n FROM {table}),
+ranked AS (SELECT vec_id AS cent_id, embedding,
+                  ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+           FROM {table}),
+cents AS (SELECT ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS code,
+                 embedding AS cvec
+          FROM ranked
+          WHERE (rn - 1) % (SELECT CAST(CEIL(n / {n_centroids}.0) AS BIGINT) FROM n) = 0),
+d AS ({branches}),
+rk AS (SELECT vec_id, subspace, code, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY dist ASC, code ASC) AS rn
+       FROM d)
+SELECT vec_id, subspace, CAST(code AS BIGINT) AS code, dist
+FROM rk WHERE rn = 1
+"""

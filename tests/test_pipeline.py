@@ -925,3 +925,33 @@ def test_bm25_duckdb_twin(spark):
     want = [tuple(r) for r in
             con.execute(bm25_search_sql("table merge sort", top_n=10)).fetchall()]
     assert got == want
+
+
+def test_pq_encode_contract_and_twin(spark):
+    import duckdb
+    import random as _rnd
+
+    from linkgraph.pipeline.simsearch import pq_encode, pq_encode_sql
+
+    rng = _rnd.Random(71)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = pq_encode(emb, m=4, n_centroids=8).collect()
+    # shape: every vector gets exactly m codes, codes within codebook
+    per_vec = {}
+    for r in res:
+        per_vec.setdefault(r.vec_id, set()).add(r.subspace)
+        assert 0 <= r.code < 8
+        assert r.dist >= 0
+    assert all(s == {0, 1, 2, 3} for s in per_vec.values())
+    # a codebook row encodes itself at distance 0 in every subspace
+    # (vec_id 0 is always the first strided centroid)
+    assert all(r.dist == 0.0 for r in res if r.vec_id == 0)
+    got = {(r.vec_id, r.subspace, r.code, r.dist) for r in res}
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = {tuple(r) for r in con.execute(pq_encode_sql(dim=16, m=4, n_centroids=8)).fetchall()}
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pq_encode(emb, m=5)
