@@ -511,6 +511,12 @@ def _eigenvector_sql_wrapped() -> str:
     return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
 
 
+def _katz_sql_wrapped() -> str:
+    from linkgraph.eigenvector import katz_sql
+    return katz_sql(PURCHASE_EDGES_SQL, 5, alpha=0.005, beta=1.0,
+                    direction="BOTH")
+
+
 def _keep_caches(out, res):
     """Propagate attach_caches handles through a driver-side select so
     the oracle harness's release_caches frees the walk/superstep
@@ -663,6 +669,20 @@ def _q_coproject_cosupplier(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_orderkey").alias("dst")
     )
     return bipartite_projection(li)
+
+
+def _q_katz_purchase(spark, sf_dir):
+    """Katz centrality: truncated attenuated path-count series — the
+    affine recurrence needs NO global normalizer (one groupBy(dst)
+    shuffle per round and nothing else)."""
+    from linkgraph.eigenvector import katz_centrality
+    res = katz_centrality(
+        purchase_edges(spark, sf_dir), alpha=0.005, beta=1.0, max_iter=5,
+        direction="BOTH",
+    )
+    return _keep_caches(
+        res.select("id", F.round("score", 6).alias("score")), res
+    )
 
 
 def _q_eigenvector_purchase(spark, sf_dir):
@@ -1161,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
+        "katz_purchase": _q_katz_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
         "transitivity_cosupplier": _q_transitivity_cosupplier,
@@ -1795,6 +1816,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
+        "katz_purchase": _katz_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(
             iters=5,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import SuperstepLoop, attach_caches
 
-__all__ = ["eigenvector_centrality", "eigenvector_sql"]
+__all__ = ["eigenvector_centrality", "eigenvector_sql", "katz_centrality", "katz_sql"]
 
 
 def _oriented(edges: DataFrame, direction: str, weighted: bool) -> DataFrame:
@@ -158,6 +158,136 @@ def eigenvector_sql(
             f"x{t} AS MATERIALIZED (SELECT r.id, "
             f"CASE WHEN m.mx > 0 THEN r.score / m.mx ELSE 0.0 END AS score "
             f"FROM r{t} r CROSS JOIN (SELECT MAX(score) AS mx FROM r{t}) m)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(score, 6) AS score FROM x{iters}"
+    )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 20,
+    direction: str = "OUTGOING",
+    weighted: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
+    """Katz centrality (Katz 1953): the attenuated path-count series
+    x = Σ_k α^k (Aᵀ)^k · β, iterated as x ← β + α·Aᵀx from x = β.
+    Converges for α < 1/λ_max; ``max_iter`` truncates the series
+    (every node's score then counts walks up to that length — the
+    deterministic contract the oracle replays).
+
+    PageRank's superstep shape without the degree normalization or
+    teleport redistribution — one groupBy(dst) shuffle per round, no
+    global normalizer at all (the recurrence is affine, so unlike
+    eigenvector centrality nothing needs a cross-partition scalar).
+    Same SuperstepLoop resume contract as `eigenvector_centrality`.
+    """
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    e = _oriented(edges, direction, weighted)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    graph_fp = int(
+        e.agg(F.expr("bit_xor(xxhash64(src, dst, w))").alias("fp")).first()["fp"] or 0
+    )
+    loop = SuperstepLoop(
+        edges.sparkSession,
+        checkpoint_dir,
+        every=checkpoint_every,
+        name="katz",
+        context={"graph_fp": graph_fp, "direction": direction,
+                 "weighted": weighted, "alpha": alpha, "beta": beta},
+        max_steps=max_iter,
+    )
+    x = nodes.select("id", F.lit(float(beta)).alias("score"))
+    start = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            rec = loop.last_context
+            if rec.get("graph_fp") is not None and int(rec["graph_fp"]) != graph_fp:
+                raise ValueError(
+                    "katz resume mismatch: edge table differs from the "
+                    f"checkpointed run ({rec['graph_fp']} != {graph_fp})."
+                )
+            for key, cur in (
+                ("direction", direction),
+                ("weighted", weighted),
+                ("alpha", alpha),
+                ("beta", beta),
+            ):
+                if rec.get(key, cur) != cur:
+                    raise ValueError(
+                        f"katz resume mismatch: {key} differs from the "
+                        "checkpointed run."
+                    )
+            start, x = resumed
+    for t in range(start + 1, max_iter + 1):
+        contrib = (
+            x.join(e, x.id == e.src)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.sum(F.col("score") * F.col("w")).alias("s"))
+        )
+        nx = nodes.join(contrib, nodes.id == F.col("nid"), "left").select(
+            "id",
+            (
+                F.lit(float(beta))
+                + F.lit(float(alpha)) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("score"),
+        )
+        x = loop.advance(t, nx)
+    return attach_caches(x, [x])
+
+
+def katz_sql(
+    edge_sql: str,
+    iters: int,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    direction: str = "OUTGOING",
+    weighted: bool = False,
+) -> str:
+    """DuckDB oracle: the unrolled affine recurrence (CTEs
+    MATERIALIZED against exponential re-inlining; float literals via
+    repr for identical doubles)."""
+    w = "COALESCE(weight, 1.0)" if weighted else "1.0"
+    if direction == "BOTH":
+        universe = (
+            f"SELECT DISTINCT src, dst, w FROM ("
+            f"SELECT src, dst, {w} AS w FROM eraw "
+            f"UNION ALL SELECT dst AS src, src AS dst, {w} AS w FROM eraw)"
+        )
+    elif direction == "INCOMING":
+        universe = f"SELECT DISTINCT dst AS src, src AS dst, {w} AS w FROM eraw"
+    else:
+        universe = f"SELECT DISTINCT src, dst, {w} AS w FROM eraw"
+    parts = [
+        f"WITH eraw AS ({edge_sql})",
+        f"e AS MATERIALIZED ({universe})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        f"x0 AS (SELECT id, CAST({float(beta)!r} AS DOUBLE) AS score FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"x{t} AS MATERIALIZED (SELECT n.id, "
+            f"CAST({float(beta)!r} AS DOUBLE) "
+            f"+ CAST({float(alpha)!r} AS DOUBLE) * COALESCE(c.s, 0.0) AS score "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(x.score * e.w) AS s "
+            f"FROM x{t - 1} x JOIN e ON x.id = e.src GROUP BY e.dst) c "
+            f"ON n.id = c.id)"
         )
     return (
         ",\n".join(parts)

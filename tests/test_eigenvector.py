@@ -117,3 +117,69 @@ def test_bad_args(spark):
         eigenvector_centrality(e, max_iter=-1)
     with pytest.raises(ValueError):
         eigenvector_centrality(e, max_iter=1, direction="DOWN")
+
+
+def _katz_replay(pairs, iters, alpha, beta, direction="OUTGOING"):
+    es = set()
+    for a, b in pairs:
+        es.add((a, b))
+        if direction == "BOTH":
+            es.add((b, a))
+    nodes = sorted({x for e in es for x in e})
+    x = {n: beta for n in nodes}
+    for _ in range(iters):
+        nx = {n: 0.0 for n in nodes}
+        for a, b in es:
+            nx[b] += x[a]
+        x = {n: beta + alpha * v for n, v in nx.items()}
+    return x
+
+
+def test_katz_replay_and_twin(spark):
+    import duckdb
+
+    from linkgraph.eigenvector import katz_centrality, katz_sql
+
+    rng = random.Random(61)
+    pairs = [(a, b) for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(55)} if a != b]
+    res = katz_centrality(_edges(spark, pairs), alpha=0.05, beta=1.0, max_iter=5)
+    got = {r.id: r.score for r in res.collect()}
+    want = _katz_replay(pairs, 5, 0.05, 1.0)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+    release_caches(res)
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    res2 = katz_centrality(_edges(spark, pairs), alpha=0.05, beta=1.0, max_iter=5)
+    got6 = {(r.id, round(r.score, 6)) for r in res2.collect()}
+    release_caches(res2)
+    sql = katz_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)", 5, alpha=0.05
+    )
+    assert got6 == {tuple(r) for r in con.execute(sql).fetchall()}
+
+
+def test_katz_resume_and_args(spark, tmp_path):
+    from linkgraph.eigenvector import katz_centrality
+
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = _edges(spark, pairs)
+    full = {r.id: r.score
+            for r in katz_centrality(e, max_iter=6, direction="BOTH").collect()}
+    ckpt = str(tmp_path / "katz")
+    part = katz_centrality(e, max_iter=3, direction="BOTH",
+                           checkpoint_dir=ckpt, checkpoint_every=1)
+    part.count()
+    release_caches(part)
+    res = katz_centrality(e, max_iter=6, direction="BOTH",
+                          checkpoint_dir=ckpt, checkpoint_every=1, resume=True)
+    got = {r.id: r.score for r in res.collect()}
+    release_caches(res)
+    for n in full:
+        assert got[n] == pytest.approx(full[n], abs=1e-12)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        katz_centrality(e, max_iter=6, direction="BOTH", alpha=0.2,
+                        checkpoint_dir=ckpt, resume=True)
+    with pytest.raises(ValueError):
+        katz_centrality(e, max_iter=1, alpha=0.0)
