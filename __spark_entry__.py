@@ -511,6 +511,11 @@ def _eigenvector_sql_wrapped() -> str:
     return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
 
 
+def _hits_sql_wrapped() -> str:
+    from linkgraph.eigenvector import hits_sql
+    return hits_sql(PURCHASE_EDGES_SQL, 5)
+
+
 def _katz_sql_wrapped() -> str:
     from linkgraph.eigenvector import katz_sql
     return katz_sql(PURCHASE_EDGES_SQL, 5, alpha=0.005, beta=1.0,
@@ -669,6 +674,20 @@ def _q_coproject_cosupplier(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_orderkey").alias("dst")
     )
     return bipartite_projection(li)
+
+
+def _q_hits_purchase(spark, sf_dir):
+    """HITS hubs & authorities on the directed purchase graph:
+    customers are pure hubs, suppliers pure authorities (bipartite),
+    so the scores ARE the normalized purchase-intensity profile."""
+    from linkgraph.eigenvector import hits
+    res = hits(purchase_edges(spark, sf_dir), max_iter=5)
+    return _keep_caches(
+        res.select(
+            "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        ),
+        res,
+    )
 
 
 def _q_katz_purchase(spark, sf_dir):
@@ -1182,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
         "katz_purchase": _q_katz_purchase,
+        "hits_purchase": _q_hits_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
         "transitivity_cosupplier": _q_transitivity_cosupplier,
@@ -1817,6 +1837,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
         "katz_purchase": _katz_sql_wrapped(),
+        "hits_purchase": _hits_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(
             iters=5,

@@ -57,7 +57,7 @@ from linkgraph.graphs import (
     induced_subgraph,
     sample_edges,
 )
-from linkgraph.eigenvector import eigenvector_centrality
+from linkgraph.eigenvector import eigenvector_centrality, katz_centrality
 from linkgraph.similarity import (
     bipartite_projection,
     node_similarity,
@@ -127,6 +127,7 @@ __all__ = [
     "induced_subgraph",
     "sample_edges",
     "eigenvector_centrality",
+    "katz_centrality",
     "node_similarity",
     "node_similarity_topk",
     "bipartite_projection",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import SuperstepLoop, attach_caches
 
-__all__ = ["eigenvector_centrality", "eigenvector_sql", "katz_centrality", "katz_sql"]
+__all__ = ["eigenvector_centrality", "eigenvector_sql", "katz_centrality", "katz_sql", "hits", "hits_sql"]
 
 
 def _oriented(edges: DataFrame, direction: str, weighted: bool) -> DataFrame:
@@ -292,4 +292,131 @@ def katz_sql(
     return (
         ",\n".join(parts)
         + f"\nSELECT id, ROUND(score, 6) AS score FROM x{iters}"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM — the original
+    web-link-analysis algorithm): authority ← Σ_in hub, then hub ←
+    Σ_out authority (using the UPDATED authorities, per the paper's
+    sequential update), each L∞-normalized per round.
+
+    Returns (id, hub, auth). Two contribution shuffles per round —
+    one keyed by dst (authority gather), one by src (hub gather) —
+    each the PageRank partial-aggregation shape; normalizers are
+    1-row broadcasts (max is cross-engine exact, same argument as
+    eigenvector centrality). SuperstepLoop resume with graph-fp
+    validation; directedness is inherent (HITS on a symmetrized
+    graph degenerates to eigenvector centrality).
+    """
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    e = _oriented(edges, "OUTGOING", weighted=False).select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    graph_fp = int(
+        e.agg(F.expr("bit_xor(xxhash64(src, dst))").alias("fp")).first()["fp"] or 0
+    )
+    loop = SuperstepLoop(
+        edges.sparkSession,
+        checkpoint_dir,
+        every=checkpoint_every,
+        name="hits",
+        context={"graph_fp": graph_fp},
+        max_steps=max_iter,
+    )
+    x = nodes.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    start = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            rec = loop.last_context
+            if rec.get("graph_fp") is not None and int(rec["graph_fp"]) != graph_fp:
+                raise ValueError(
+                    "hits resume mismatch: edge table differs from the "
+                    f"checkpointed run ({rec['graph_fp']} != {graph_fp})."
+                )
+            start, x = resumed
+    for t in range(start + 1, max_iter + 1):
+        a_raw = nodes.join(
+            x.join(e, x.id == e.src)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.sum("hub").alias("s")),
+            nodes.id == F.col("nid"),
+            "left",
+        ).select("id", F.coalesce(F.col("s"), F.lit(0.0)).alias("auth"))
+        amx = a_raw.agg(F.max("auth").alias("amx"))
+        a1 = a_raw.crossJoin(F.broadcast(amx)).select(
+            "id",
+            F.when(F.col("amx") > 0, F.col("auth") / F.col("amx"))
+            .otherwise(F.lit(0.0))
+            .alias("auth"),
+        )
+        h_raw = nodes.join(
+            a1.join(e, a1.id == e.dst)
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.sum("auth").alias("s")),
+            nodes.id == F.col("nid"),
+            "left",
+        ).select("id", F.coalesce(F.col("s"), F.lit(0.0)).alias("hub"))
+        hmx = h_raw.agg(F.max("hub").alias("hmx"))
+        h1 = h_raw.crossJoin(F.broadcast(hmx)).select(
+            "id",
+            F.when(F.col("hmx") > 0, F.col("hub") / F.col("hmx"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+        )
+        nx = h1.join(a1, "id").select("id", "hub", "auth")
+        x = loop.advance(t, nx)
+    return attach_caches(x, [x])
+
+
+def hits_sql(edge_sql: str, iters: int) -> str:
+    """DuckDB oracle for `hits` — sequential a-then-h update, every
+    per-round CTE MATERIALIZED, max-normalizers in scalar subqueries."""
+    parts = [
+        f"WITH eraw AS ({edge_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        "x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub, "
+        "CAST(1.0 AS DOUBLE) AS auth FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        hub_src = "x0" if t == 1 else f"h{t - 1}"
+        parts.append(
+            f"ar{t} AS MATERIALIZED (SELECT n.id, COALESCE(c.s, 0.0) AS auth "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(x.hub) AS s "
+            f"FROM {hub_src} x JOIN e ON x.id = e.src GROUP BY e.dst) c "
+            f"ON n.id = c.id)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT r.id, CASE WHEN m.mx > 0 "
+            f"THEN r.auth / m.mx ELSE 0.0 END AS auth FROM ar{t} r "
+            f"CROSS JOIN (SELECT MAX(auth) AS mx FROM ar{t}) m)"
+        )
+        parts.append(
+            f"hr{t} AS MATERIALIZED (SELECT n.id, COALESCE(c.s, 0.0) AS hub "
+            f"FROM nodes n LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS s "
+            f"FROM a{t} a JOIN e ON a.id = e.dst GROUP BY e.src) c "
+            f"ON n.id = c.id)"
+        )
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT r.id, CASE WHEN m.mx > 0 "
+            f"THEN r.hub / m.mx ELSE 0.0 END AS hub FROM hr{t} r "
+            f"CROSS JOIN (SELECT MAX(hub) AS mx FROM hr{t}) m)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth "
+        f"FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
     )

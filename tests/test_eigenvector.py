@@ -183,3 +183,57 @@ def test_katz_resume_and_args(spark, tmp_path):
                         checkpoint_dir=ckpt, resume=True)
     with pytest.raises(ValueError):
         katz_centrality(e, max_iter=1, alpha=0.0)
+
+
+def _hits_replay(pairs, iters):
+    es = set(pairs)
+    nodes = sorted({x for e in es for x in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0.0 for n in nodes}
+        for s, d in es:
+            a[d] += hub[s]
+        amx = max(a.values())
+        a = {n: (v / amx if amx > 0 else 0.0) for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in es:
+            h[s] += a[d]
+        hmx = max(h.values())
+        h = {n: (v / hmx if hmx > 0 else 0.0) for n, v in h.items()}
+        hub, auth = h, a
+    return hub, auth
+
+
+def test_hits_replay_and_twin(spark):
+    import duckdb
+
+    from linkgraph.eigenvector import hits, hits_sql
+
+    rng = random.Random(67)
+    pairs = [(a, b) for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(55)} if a != b]
+    res = hits(_edges(spark, pairs), max_iter=5)
+    rows = res.collect()
+    hub_want, auth_want = _hits_replay(pairs, 5)
+    assert {r.id for r in rows} == set(hub_want)
+    for r in rows:
+        assert r.hub == pytest.approx(hub_want[r.id], abs=1e-9)
+        assert r.auth == pytest.approx(auth_want[r.id], abs=1e-9)
+    got6 = {(r.id, round(r.hub, 6), round(r.auth, 6)) for r in rows}
+    release_caches(res)
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    sql = hits_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)", 5)
+    assert got6 == {tuple(r) for r in con.execute(sql).fetchall()}
+
+
+def test_hits_hub_authority_split(spark):
+    # bipartite fan: 1,2 -> 8,9 — sources are pure hubs, sinks pure
+    # authorities
+    from linkgraph.eigenvector import hits
+
+    res = hits(_edges(spark, [(1, 8), (1, 9), (2, 8), (2, 9)]), max_iter=3)
+    got = {r.id: (r.hub, r.auth) for r in res.collect()}
+    assert got[1] == (1.0, 0.0) and got[2] == (1.0, 0.0)
+    assert got[8] == (0.0, 1.0) and got[9] == (0.0, 1.0)
+    release_caches(res)
