@@ -57,7 +57,7 @@ from linkgraph.graphs import (
     induced_subgraph,
     sample_edges,
 )
-from linkgraph.eigenvector import eigenvector_centrality, katz_centrality
+from linkgraph.eigenvector import eigenvector_centrality, hits, katz_centrality
 from linkgraph.similarity import (
     bipartite_projection,
     node_similarity,
@@ -128,6 +128,7 @@ __all__ = [
     "sample_edges",
     "eigenvector_centrality",
     "katz_centrality",
+    "hits",
     "node_similarity",
     "node_similarity_topk",
     "bipartite_projection",
