@@ -749,6 +749,20 @@ def _q_weighted_walks_cosupplier(spark, sf_dir):
     )
 
 
+def _q_linkpred_purchase(spark, sf_dir):
+    """Adamic-Adar link prediction on the undirected purchase graph,
+    feature_cap=50 (drops supplier hub features whose fan-out
+    dominates cost and whose per-pair weight ~1/ln(300) carries least
+    signal — the documented production knob), global top-100."""
+    from linkgraph.similarity import link_prediction
+    return link_prediction(
+        purchase_edges(spark, sf_dir),
+        method="adamic_adar",
+        feature_cap=50,
+        top_n=100,
+    )
+
+
 def _q_nodesim_suppliers(spark, sf_dir):
     """Node similarity (neo4j algo.similarity.jaccard lineage,
     SURVEY.md §2.2): suppliers scored by shared customer base —
@@ -1208,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_coproject": _q_pagerank_coproject,
         "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
+        "linkpred_purchase_topn": _q_linkpred_purchase,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
         "walk_sequences_cosupplier": _q_walk_sequences_cosupplier,
@@ -1868,6 +1883,28 @@ GROUP BY 1, 2
         # node similarity — co-neighbor join + degree join, DuckDB's
         # integer `/` is float division so no casts needed; rank is a
         # legal alias (matches the pagerank oracle's usage)
+        "linkpred_purchase_topn": f"""
+WITH e AS ({PURCHASE_EDGES_SQL}),
+nbr0 AS (SELECT DISTINCT src, nbr FROM (
+           SELECT src, dst AS nbr FROM e
+           UNION ALL SELECT dst AS src, src AS nbr FROM e)
+         WHERE src <> nbr),
+keep AS (SELECT nbr FROM (SELECT nbr, COUNT(*) AS f FROM nbr0 GROUP BY nbr)
+         WHERE f <= 50),
+nbr AS (SELECT nbr0.* FROM nbr0 JOIN keep USING (nbr)),
+deg AS (SELECT src, COUNT(*) AS deg FROM nbr0 GROUP BY src),
+wn AS (SELECT nbr.src, nbr.nbr,
+              CASE WHEN d.deg > 1 THEN 1.0 / ln(d.deg) ELSE 0.0 END AS w
+       FROM nbr JOIN deg d ON d.src = nbr.nbr),
+cand AS (SELECT a.src AS node1, b.src AS node2, SUM(a.w) AS raw
+         FROM wn a JOIN nbr b ON a.nbr = b.nbr AND a.src < b.src
+         GROUP BY 1, 2),
+ex AS (SELECT src AS node1, nbr AS node2 FROM nbr0 WHERE src < nbr),
+sc AS (SELECT c.node1, c.node2, ROUND(c.raw, 6) AS score
+       FROM cand c ANTI JOIN ex ON c.node1 = ex.node1 AND c.node2 = ex.node2)
+SELECT node1, node2, score FROM sc
+ORDER BY score DESC, node1 ASC, node2 ASC LIMIT 100
+""",
         "nodesim_suppliers_jaccard": f"""
 WITH e AS ({PURCHASE_EDGES_SQL}),
 nbr AS (SELECT DISTINCT e.dst AS src, e.src AS nbr FROM e),

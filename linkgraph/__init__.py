@@ -60,6 +60,7 @@ from linkgraph.graphs import (
 from linkgraph.eigenvector import eigenvector_centrality, hits, katz_centrality
 from linkgraph.similarity import (
     bipartite_projection,
+    link_prediction,
     node_similarity,
     node_similarity_topk,
 )
@@ -132,6 +133,7 @@ __all__ = [
     "node_similarity",
     "node_similarity_topk",
     "bipartite_projection",
+    "link_prediction",
     "random_walks",
     "node2vec_walks",
     "walks_as_sequences",

@@ -186,3 +186,79 @@ def test_bipartite_projection_matches_cosupplier_fixture(spark):
     want = {(r.src, r.dst): int(r.weight)
             for r in cosupplier_edges(spark, sf).collect()}
     assert proj == want
+
+
+def test_link_prediction_golden(spark):
+    from linkgraph.similarity import link_prediction
+
+    # path 1-2-3 plus 3-4: (1,3) share {2}; (2,4) share {3}; (1,4) none
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    cn = {(r.node1, r.node2): r.score
+          for r in link_prediction(e, method="common_neighbors").collect()}
+    assert cn == {(1, 3): 1.0, (2, 4): 1.0}
+    ra = {(r.node1, r.node2): r.score
+          for r in link_prediction(e, method="resource_allocation").collect()}
+    assert ra[(1, 3)] == pytest.approx(1 / 2)  # deg(2) = 2
+    assert ra[(2, 4)] == pytest.approx(1 / 2)  # deg(3) = 2
+    jc = {(r.node1, r.node2): r.score
+          for r in link_prediction(e, method="jaccard").collect()}
+    assert jc[(1, 3)] == pytest.approx(1 / 2)  # |{2}| / |{2} u {2,4}|
+    with pytest.raises(ValueError):
+        link_prediction(e, method="katz")
+
+
+def test_link_prediction_excludes_existing_and_python_oracle(spark):
+    import math as _m
+
+    from linkgraph.similarity import link_prediction
+
+    rng = random.Random(83)
+    pairs = [(a, b) for a, b in {(rng.randrange(18), rng.randrange(18)) for _ in range(60)} if a != b]
+    e = _edges(spark, pairs)
+    und = set()
+    for a, b in pairs:
+        und.add((a, b)); und.add((b, a))
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    got = {(r.node1, r.node2): r.score
+           for r in link_prediction(e, method="adamic_adar").collect()}
+    want = {}
+    ids = sorted(nbrs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if (a, b) in und or a == b:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if not common:
+                continue
+            s = sum(1.0 / _m.log(len(nbrs[w])) for w in common if len(nbrs[w]) > 1)
+            want[(a, b)] = round(s, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+    # no predicted pair is an existing edge
+    assert all((a, b) not in und for a, b in got)
+    # top_n returns the global best, deterministically ordered
+    top = link_prediction(e, method="adamic_adar", top_n=5).collect()
+    assert len(top) == 5
+    assert [r.score for r in top] == sorted((r.score for r in top), reverse=True)
+
+
+def test_link_prediction_cap_prunes_terms_keeps_true_degrees(spark):
+    from linkgraph.similarity import link_prediction
+
+    # 10 is a hub shared by 1,2,3 (fan-in 3); 11 shared by 1,2 only.
+    # deg(11) = 2 in the TRUE universe.
+    e = _edges(spark, [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11)])
+    capped = {(r.node1, r.node2): r.score
+              for r in link_prediction(e, method="resource_allocation",
+                                       feature_cap=2).collect()}
+    # hub 10's terms are gone: (1,3) and (2,3) vanish entirely; (1,2)
+    # keeps only the 11-term, weighted by 11's TRUE degree (2). The
+    # symmetrized view also predicts (10, 11) through their shared
+    # degree-2 neighbors 1 and 2 (1/2 + 1/2).
+    assert capped == {
+        (1, 2): pytest.approx(1 / 2),
+        (10, 11): pytest.approx(1.0),
+    }
