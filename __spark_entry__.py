@@ -1076,6 +1076,13 @@ def _q_bm25_search(spark, sf_dir):
     return bm25_search(_docs(spark, sf_dir), "table scan merge", top_n=20)
 
 
+def _q_ngram_lm(spark, sf_dir):
+    """Bigram LM census with ML conditional probabilities — p divides
+    two integer counts, so the oracle needs no float tolerance."""
+    from linkgraph.pipeline.text import ngram_lm
+    return ngram_lm(_docs(spark, sf_dir), n=2, min_count=5)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 terms by smoothed TF-IDF (keyword
     extraction); ranking on the ROUNDED score so both engines rank
@@ -1259,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_line_dedup": _q_line_dedup,
         "text_redact_pii": _q_redact_pii,
         "text_tfidf_topk": _q_tfidf_topk,
+        "text_ngram_lm": _q_ngram_lm,
         "text_bm25_search": _q_bm25_search,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
@@ -1990,6 +1998,7 @@ def _pipeline_oracles() -> dict[str, str]:
         TOKEN_STATS_SQL,
         fingerprints_sql,
         bm25_search_sql,
+        ngram_lm_sql,
         redact_pii_sql,
         tfidf_topk_sql,
         vocab_stats_sql,
@@ -2051,6 +2060,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "curate_pack_sequences": pack_sequences_sql(seq_len=128, n_shards=8, seed=7),
         "curate_line_dedup": line_dedup_sql(max_df=390, sep=" "),
         "text_tfidf_topk": tfidf_topk_sql(k=5),
+        "text_ngram_lm": ngram_lm_sql(n=2, min_count=5),
         "text_bm25_search": bm25_search_sql("table scan merge", top_n=20),
         "text_redact_pii": redact_pii_sql(text_expr="text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),

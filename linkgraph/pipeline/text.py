@@ -666,3 +666,122 @@ SELECT doc_id, COUNT(*) AS n_terms_matched, ROUND(SUM(w), 6) AS score
 FROM w GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {top_n}
 """
+
+
+def ngram_lm(
+    docs: DataFrame,
+    n: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Count-based n-gram language model table: every corpus n-gram
+    with its count, its (n−1)-gram prefix count, and the maximum-
+    likelihood conditional probability P(w_n | prefix) — the
+    count-ratio LM used for data-quality perplexity proxies and
+    classic backoff models.
+
+    Returns (gram, prefix, count, prefix_count, p rounded 6).
+    ``p`` divides two INTEGER counts, so the oracle is exact with no
+    float-sum tolerance. For n = 1 the prefix is the empty string and
+    ``prefix_count`` is the corpus token total.
+
+    Scale: tokenize map-side, one gram-keyed count shuffle (map-side
+    combine), one prefix-keyed count over the same token stream, and
+    a gram→prefix hash join. The gram key is the string itself
+    (output needs it); a production census at 100 TB would pre-hash
+    to 8-byte keys and join the strings back for the surviving rows
+    only (the `decontaminate` discipline).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)
+    grams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    gc = grams.groupBy("gram").agg(F.count("*").alias("count"))
+    if n == 1:
+        total = gc.agg(F.sum("count").alias("prefix_count"))
+        return (
+            gc.crossJoin(F.broadcast(total))
+            .filter(F.col("count") >= min_count)
+            .select(
+                "gram",
+                F.lit("").alias("prefix"),
+                "count",
+                "prefix_count",
+                F.round(F.col("count") / F.col("prefix_count"), 6).alias("p"),
+            )
+        )
+    prefixes = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= n - 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 2)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n - 1)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("prefix")
+    )
+    pc = prefixes.groupBy("prefix").agg(F.count("*").alias("prefix_count"))
+    withp = gc.withColumn(
+        "prefix",
+        F.substring_index(F.col("gram"), " ", n - 1),
+    )
+    return (
+        withp.join(pc, "prefix")
+        .filter(F.col("count") >= min_count)
+        .select(
+            "gram",
+            "prefix",
+            "count",
+            "prefix_count",
+            F.round(F.col("count") / F.col("prefix_count"), 6).alias("p"),
+        )
+    )
+
+
+def ngram_lm_sql(n: int = 2, min_count: int = 1, table: str = "documents") -> str:
+    """DuckDB twin of `ngram_lm` (n >= 2 form; n = 1 degenerates to a
+    unigram frequency table)."""
+    tok = f"regexp_extract_all(lower(text), '{_WORD_RE}')"
+
+    def grams_of(k: int) -> str:
+        join = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+        return (
+            f"SELECT unnest([{join} for i in range(1, len(t) - {k - 1} + 1)]) AS g "
+            f"FROM (SELECT {tok} AS t FROM {table}) WHERE len(t) >= {k}"
+        )
+
+    if n == 1:
+        return f"""
+WITH gc AS (SELECT g AS gram, COUNT(*) AS count FROM ({grams_of(1)}) GROUP BY g),
+tot AS (SELECT CAST(SUM(count) AS BIGINT) AS prefix_count FROM gc)
+SELECT gram, '' AS prefix, count, tot.prefix_count,
+       ROUND(count / tot.prefix_count, 6) AS p
+FROM gc CROSS JOIN tot WHERE count >= {min_count}
+"""
+    return f"""
+WITH gc AS (SELECT g AS gram, COUNT(*) AS count FROM ({grams_of(n)}) GROUP BY g),
+pc AS (SELECT g AS prefix, COUNT(*) AS prefix_count FROM ({grams_of(n - 1)}) GROUP BY g),
+wp AS (SELECT gram, count,
+              array_to_string((string_split(gram, ' '))[1:{n - 1}], ' ') AS prefix
+       FROM gc)
+SELECT wp.gram, wp.prefix, wp.count, pc.prefix_count,
+       ROUND(wp.count / pc.prefix_count, 6) AS p
+FROM wp JOIN pc USING (prefix)
+WHERE wp.count >= {min_count}
+"""

@@ -955,3 +955,31 @@ def test_pq_encode_contract_and_twin(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pq_encode(emb, m=5)
+
+
+def test_ngram_lm_golden_and_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import ngram_lm, ngram_lm_sql
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a cat")],
+        "doc_id long, text string",
+    )
+    bi = {r["gram"]: (r["prefix"], r["count"], r["prefix_count"], r["p"])
+          for r in ngram_lm(docs, n=2).collect()}
+    # "the cat" 2x out of prefix "the" 2x -> p = 1.0
+    assert bi["the cat"] == ("the", 2, 2, 1.0)
+    # "cat sat" 1x of prefix "cat" 3x
+    assert bi["cat sat"] == ("cat", 1, 3, pytest.approx(1 / 3))
+    uni = {r["gram"]: (r["count"], r["prefix_count"], r["p"])
+           for r in ngram_lm(docs, n=1).collect()}
+    assert uni["cat"] == (3, 8, pytest.approx(3 / 8))
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    for n in (1, 2, 3):
+        got = {tuple(r) for r in ngram_lm(docs, n=n).collect()}
+        want = {tuple(r) for r in con.execute(ngram_lm_sql(n=n)).fetchall()}
+        assert got == want, n
+    with pytest.raises(ValueError):
+        ngram_lm(docs, n=0)
