@@ -1,0 +1,575 @@
+"""Community structure — exact Newman modularity and deterministic Louvain.
+
+Engine extension beyond the reference procedure list (SURVEY.md §2 is
+100% covered elsewhere): modularity is the standard quality functional
+for the communities this engine's own label propagation / union-find
+procedures emit, and the Louvain local-move sweep is the canonical
+greedy optimizer over it (Blondel, Guillaume, Lambiotte, Lefebvre,
+"Fast unfolding of communities in large networks", J. Stat. Mech. 2008
+— public result).
+
+Everything here is INTEGER-EXACT until the final division, which makes
+the operators value-oracle-able against ANSI SQL despite being
+"floating point" quantities:
+
+* ``modularity(edges, assignment)`` — global Q as ONE double division
+  of two BIGINT aggregates:  Q = (4m*E_in - sum_c D_c^2) / (4m^2)
+  where m = undirected simple edge count, E_in = intra-community
+  edges, D_c = total degree of community c. A single correctly-rounded
+  IEEE division of exactly-representable integers is bit-identical on
+  every engine. (BIGINT bound: safe to ~2^63 in the numerator, i.e.
+  m*E_in < 2^61 — beyond ~1e9 edges switch the two aggregates to
+  DECIMAL(38,0); the division itself is unchanged.)
+* ``community_stats(edges, assignment)`` — per-community
+  (intra_edges, degree_sum, contribution) where contribution
+  = e_c/m - (D_c/2m)^2 with a PINNED evaluation order (each row is an
+  independent expression over integers — no cross-row float sums).
+* ``louvain_local_move(edges, rounds)`` — the Louvain phase-1 sweep,
+  SYNCHRONIZED and integer-scaled: node i's gain for joining community
+  C reduces (after dropping terms constant across candidates) to
+      score(i, C) = 2m * e_iC - d_i * (D_C - d_i*[i in C])
+  — pure BIGINT arithmetic, so the argmax (score DESC, community ASC)
+  is deterministic and replayable in SQL. All nodes move at once
+  (classic "parallel Louvain"; the sequential sweep's per-node order
+  is inherently serial, exactly what a distributed engine must not
+  do). Synchronous sweeps can oscillate on symmetric fixtures instead
+  of strictly increasing Q — rounds are capped and the contract is
+  determinism + the SQL oracle, with Q improvement asserted on the
+  multilevel driver below.
+* ``louvain(edges, max_levels, rounds_per_level)`` — full multilevel
+  Louvain: local-move sweep, contract communities into weighted
+  super-nodes (integer weights; intra mass becomes self-loops),
+  repeat. Weights stay BIGINT through every level, so every level's
+  sweep is as deterministic as the first.
+
+Scale notes (100TB): the per-round cost is two hash aggregations (the
+neighbor-community vote and the community degree sum) plus the
+pre-partitioned vote join — the same shuffle shape as label
+propagation, and the same hub caveat: a power-law hub's vote fan lives
+in one task, so pair with the degree-histogram probe and LPA's
+hub_cap pattern if the sweep ever runs on an uncontracted web graph.
+Contraction shrinks the graph geometrically, so levels past the first
+are cheap. Driver-side state is zero — no collect anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import attach_caches, pin_table, release_state
+from linkgraph.triangles import _undirected_simple
+
+
+@dataclass
+class LouvainResult:
+    assignment: DataFrame  # (id: long, community: long)
+    levels: int
+    rounds: list  # local-move rounds actually run per level
+    modularity: float | None
+    stats: dict = field(default_factory=dict)
+    _caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        for c in self._caches:
+            release_state(c)
+        self._caches = []
+
+
+def _und_long(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edges (a < b, BIGINT unit weight)."""
+    return _undirected_simple(edges).select(
+        "a", "b", F.lit(1).cast("long").alias("w")
+    )
+
+
+def _degrees(und: DataFrame, loops: DataFrame | None) -> DataFrame:
+    """(id, d): weighted degree, self-loops counting twice (standard
+    modularity convention — a loop contributes 2 to its node's degree
+    and 1 to m)."""
+    ends = und.select(F.col("a").alias("id"), "w").unionByName(
+        und.select(F.col("b").alias("id"), "w")
+    )
+    if loops is not None:
+        ends = ends.unionByName(
+            loops.select("id", (F.col("w") * F.lit(2)).cast("long").alias("w"))
+        )
+    return ends.groupBy("id").agg(F.sum("w").cast("long").alias("d"))
+
+
+def _modularity_exact(und: DataFrame, deg: DataFrame, assignment: DataFrame) -> float:
+    """Q over a prepared (a, b, w) simple view + (id, d) degrees."""
+    asg = assignment.select("id", F.col("community").cast("long").alias("community"))
+    node_c = deg.join(asg, "id", "left").select(
+        "id", "d", F.coalesce("community", F.col("id")).alias("c")
+    )
+    ca = node_c.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+    cb = node_c.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+    agg = (
+        und.join(ca, "a").join(cb, "b")
+        .agg(
+            F.sum("w").cast("long").alias("m"),
+            F.sum(F.when(F.col("ca") == F.col("cb"), F.col("w")).otherwise(0))
+            .cast("long").alias("e_in"),
+        )
+        .first()
+    )
+    m, e_in = int(agg["m"] or 0), int(agg["e_in"] or 0)
+    if m == 0:
+        return 0.0
+    s = (
+        node_c.groupBy("c").agg(F.sum("d").cast("long").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).cast("long").alias("s"))
+        .first()["s"]
+    )
+    return (4 * m * e_in - int(s)) / (4 * m * m)
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> float:
+    """Exact global Newman modularity of ``assignment`` (id, community)
+    over the undirected simple view of ``edges``.
+
+    ONE double division of two BIGINT aggregates — see module
+    docstring. Nodes present in the graph but missing from the
+    assignment land in singleton communities of their own id (so Q is
+    always well-defined); extra assignment rows for isolated nodes
+    contribute zero.
+    """
+    und = _und_long(edges)
+    return _modularity_exact(und, _degrees(und, None), assignment)
+
+
+def community_stats(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Per-community (community, intra_edges, degree_sum, contribution)
+    over the undirected simple view; contribution uses the pinned
+    order  CAST(e)/m - (CAST(D)/(2m)) * (CAST(D)/(2m))  so each row is
+    an exact, engine-independent double. SUM(contribution) is Q — but
+    sum it yourself only for display; the exact scalar is
+    ``modularity()`` (cross-row float sums are order-dependent)."""
+    und = _und_long(edges)
+    deg = _degrees(und, None)
+    asg = assignment.select("id", F.col("community").cast("long").alias("community"))
+    node_c = deg.join(asg, "id", "left").select(
+        "id", "d", F.coalesce("community", F.col("id")).alias("c")
+    )
+    m = int(und.agg(F.sum("w")).first()[0] or 0)
+    if m == 0:
+        raise ValueError("modularity undefined on an empty graph")
+    ca = node_c.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+    cb = node_c.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+    intra = (
+        und.join(ca, "a").join(cb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.sum("w").cast("long").alias("intra_edges"))
+    )
+    dsum = node_c.groupBy("c").agg(F.sum("d").cast("long").alias("degree_sum"))
+    md = float(m)
+    half = F.col("degree_sum").cast("double") / F.lit(2.0 * md)
+    return (
+        dsum.join(intra, "c", "left")
+        .select(
+            F.col("c").alias("community"),
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.coalesce("intra_edges", F.lit(0)).cast("double") / F.lit(md)
+                - half * half
+            ).alias("contribution"),
+        )
+    )
+
+
+def community_stats_sql(edges_sql: str, assignment_sql: str) -> str:
+    """Oracle for ``community_stats``: assignment_sql must yield
+    (id, community) — e.g. the LPA oracle — over the same tables."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+asg AS ({assignment_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+nc AS (SELECT deg.id, deg.d, COALESCE(asg.community, deg.id) AS c
+       FROM deg LEFT JOIN asg ON asg.id = deg.id),
+m AS (SELECT COUNT(*) AS m FROM und),
+intra AS (SELECT ca.c, COUNT(*) AS intra_edges
+          FROM und JOIN nc ca ON ca.id = und.a JOIN nc cb ON cb.id = und.b
+          WHERE ca.c = cb.c GROUP BY ca.c),
+dsum AS (SELECT c, SUM(d) AS degree_sum FROM nc GROUP BY c)
+SELECT dsum.c AS community,
+       CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(dsum.degree_sum AS BIGINT) AS degree_sum,
+       CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         - (CAST(dsum.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+           * (CAST(dsum.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+         AS contribution
+FROM dsum LEFT JOIN intra ON intra.c = dsum.c CROSS JOIN m
+"""
+
+
+def _local_move_round(
+    sym: DataFrame, deg: DataFrame, state: DataFrame, two_m: int,
+    parity: int | None = None,
+) -> DataFrame:
+    """One synchronized integer-scaled local-move sweep.
+
+    sym: (node, nbr, w) both directions, loops EXCLUDED (a loop never
+    changes relative gain — e_iC gains it only for i's own membership
+    decisions where it is constant across candidates).
+    deg: (id, d) loop-inclusive weighted degree. state: (id, c).
+    parity: when 0/1, ONLY nodes with id % 2 == parity may move this
+    round (the rest keep their community verbatim). Alternating the
+    parity between rounds breaks the two-coloring oscillation a fully
+    synchronous sweep exhibits on bipartite(-ish) graphs — two
+    adjacent nodes can no longer swap into each other's communities in
+    the same round — while staying deterministic and SQL-replayable.
+    """
+    nbr_state = state.select(F.col("id").alias("nbr"), F.col("c").alias("cand"))
+    nbrc = (
+        sym.join(nbr_state, "nbr")
+        .groupBy(F.col("node").alias("id"), "cand")
+        .agg(F.sum("w").cast("long").alias("e"))
+    )
+    # community degree sums come from the FULL state — frozen nodes
+    # still weigh down the communities movable nodes consider joining
+    dc = (
+        state.join(deg, "id")
+        .groupBy(F.col("c").alias("cand"))
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    frozen = None
+    movers = state
+    if parity is not None:
+        movable = F.pmod(F.col("id"), F.lit(2)) == F.lit(parity)
+        frozen = state.filter(~movable)
+        nbrc = nbrc.filter(movable)
+        movers = state.filter(movable)
+    # current community is always a candidate (e += 0 keeps the sum
+    # exact whether or not a neighbor already votes for it)
+    cand = (
+        nbrc.unionByName(
+            movers.select("id", F.col("c").alias("cand"), F.lit(0).cast("long").alias("e"))
+        )
+        .groupBy("id", "cand")
+        .agg(F.sum("e").cast("long").alias("e"))
+    )
+    scored = (
+        cand.join(deg, "id")
+        .join(movers, "id")  # adds current community c
+        .join(dc, "cand")
+        .select(
+            "id",
+            "cand",
+            (
+                F.lit(two_m) * F.col("e")
+                - F.col("d")
+                * (
+                    F.col("dc")
+                    - F.when(F.col("cand") == F.col("c"), F.col("d")).otherwise(0)
+                )
+            ).cast("long").alias("score"),
+        )
+    )
+    moved = scored.groupBy("id").agg(
+        F.max_by("cand", F.struct(F.col("score"), (-F.col("cand")).alias("nc")))
+        .alias("c")
+    )
+    return moved if frozen is None else moved.unionByName(frozen)
+
+
+def louvain_local_move(
+    edges: DataFrame,
+    rounds: int = 2,
+    assignment: DataFrame | None = None,
+    sweep: str = "sync",
+) -> LouvainResult:
+    """Louvain phase-1: ``rounds`` synchronized local-move sweeps over
+    the undirected simple view, starting from singletons (or
+    ``assignment`` (id, community) when given). Deterministic —
+    integer-scaled gains, (score DESC, community ASC) argmax — and
+    exactly replayable by ``louvain_local_sql``. Stops early when no
+    node moves (for ``sweep="alternate"``: no move in a full even+odd
+    cycle — a single parity round leaves half the nodes frozen by
+    construction).
+
+    sweep: ``"sync"`` moves every node every round (the pure
+    synchronized sweep — oscillates into a 2-coloring on bipartite
+    graphs, kept as the simplest oracle target); ``"alternate"`` gates
+    round t to nodes with id % 2 == t % 2 (see _local_move_round) —
+    the production default used by ``louvain()``."""
+    und = pin_table(_und_long(edges))
+    sym = pin_table(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
+        .repartition("nbr")
+        .sortWithinPartitions("nbr")
+    )
+    deg = pin_table(_degrees(und, None))
+    two_m = 2 * int(und.agg(F.sum("w")).first()[0] or 0)
+    if assignment is None:
+        state = deg.select("id", F.col("id").alias("c"))
+    else:
+        state = deg.select("id").join(
+            assignment.select("id", F.col("community").cast("long").alias("c")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("c", F.col("id")).alias("c"))
+    if sweep not in ("sync", "alternate"):
+        raise ValueError(f"bad sweep {sweep}")
+    state = pin_table(state)
+    t0 = time.time()
+    ran = 0
+    zero_streak = 0
+    for r in range(1, rounds + 1):
+        parity = (r % 2) if sweep == "alternate" else None
+        new_state = pin_table(_local_move_round(sym, deg, state, two_m, parity))
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        release_state(state)
+        state = new_state
+        ran = r
+        zero_streak = zero_streak + 1 if changed == 0 else 0
+        if zero_streak >= (2 if sweep == "alternate" else 1):
+            break
+    out = attach_caches(
+        state.select("id", F.col("c").alias("community")), [state]
+    )
+    stats = {"two_m": two_m, "rounds": ran, "sweep": sweep,
+             "compute_s": round(time.time() - t0, 4)}
+    release_state(sym)
+    release_state(und)
+    release_state(deg)
+    return LouvainResult(
+        assignment=out, levels=1, rounds=[ran], modularity=None, stats=stats,
+        _caches=[state],
+    )
+
+
+def louvain_local_sql(edges_sql: str, rounds: int, sweep: str = "sync") -> str:
+    """Oracle: the sweep unrolled ``rounds`` times (same integer
+    scores, ROW_NUMBER (score DESC, cand ASC) argmax). With
+    ``sweep="alternate"`` round t only rescores ids with id % 2 = t % 2
+    and carries the rest verbatim — byte-for-byte the Spark gating."""
+    if sweep not in ("sync", "alternate"):
+        raise ValueError(f"bad sweep {sweep}")
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        """und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst)""",
+        """sym AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und)""",
+        "deg AS (SELECT node AS id, COUNT(*) AS d FROM sym GROUP BY node)",
+        "m2 AS (SELECT COUNT(*) AS two_m FROM sym)",
+        "s0 AS MATERIALIZED (SELECT id, id AS c FROM deg)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        gate = f" WHERE s.node % 2 = {t % 2}" if sweep == "alternate" else ""
+        gate_cur = f" WHERE id % 2 = {t % 2}" if sweep == "alternate" else ""
+        parts.append(
+            f"""cand{t} AS MATERIALIZED (
+  SELECT id, cand, SUM(e) AS e FROM (
+    SELECT s.node AS id, st.c AS cand, COUNT(*) AS e
+    FROM sym s JOIN s{p} st ON st.id = s.nbr{gate} GROUP BY s.node, st.c
+    UNION ALL SELECT id, c AS cand, 0 AS e FROM s{p}{gate_cur}
+  ) GROUP BY id, cand)"""
+        )
+        parts.append(
+            f"""dc{t} AS MATERIALIZED (SELECT st.c AS cand, SUM(deg.d) AS dc
+  FROM s{p} st JOIN deg ON deg.id = st.id GROUP BY st.c)"""
+        )
+        parts.append(
+            f"""sc{t} AS (SELECT cand{t}.id, cand{t}.cand,
+  m2.two_m * cand{t}.e
+    - deg.d * (dc{t}.dc - CASE WHEN cand{t}.cand = s{p}.c THEN deg.d ELSE 0 END)
+    AS score
+  FROM cand{t} JOIN deg ON deg.id = cand{t}.id
+  JOIN s{p} ON s{p}.id = cand{t}.id
+  JOIN dc{t} ON dc{t}.cand = cand{t}.cand CROSS JOIN m2)"""
+        )
+        moved = f"""SELECT id, cand AS c FROM (
+  SELECT id, cand,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cand ASC) AS rk
+  FROM sc{t}) WHERE rk = 1"""
+        if sweep == "alternate":
+            moved += f"\n  UNION ALL SELECT id, c FROM s{p} WHERE id % 2 <> {t % 2}"
+        parts.append(f"s{t} AS MATERIALIZED ({moved})")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, c AS community FROM s{rounds}"
+    )
+
+
+def louvain(
+    edges: DataFrame,
+    max_levels: int = 3,
+    rounds_per_level: int = 5,
+    compute_modularity: bool = True,
+) -> LouvainResult:
+    """Full multilevel Louvain. Each level runs the alternate-parity
+    local-move sweep to (early-stopped) fixpoint, then contracts each
+    community into one super-node: cross-community edge weights sum,
+    intra-community mass (edges + prior loops) becomes self-loop
+    weight. Weights are BIGINT at every level, so determinism and the
+    gain algebra survive contraction unchanged. Stops early when a
+    level produces no merge. Returns the ORIGINAL-node assignment and
+    (optionally) the exact modularity of that final assignment."""
+    und0 = pin_table(_und_long(edges))
+    deg0 = pin_table(_degrees(und0, None))
+    und = und0
+    loops = None  # (id, w) — appears from level 2 on
+    # mapping original id -> current community (refined level by level)
+    mapping = pin_table(und.select(F.col("a").alias("id")).unionByName(
+        und.select(F.col("b").alias("id"))
+    ).distinct().select("id", F.col("id").alias("community")))
+    rounds_run: list[int] = []
+    # Q-guard baseline: every round's refined mapping is scored
+    # exactly on the original graph (see the per-round guard below)
+    # and only improvements are kept — best-cut tracking for a greedy
+    # hierarchy whose joint moves are individually, not jointly, safe
+    best_q = _modularity_exact(und0, deg0, mapping)
+    n_prev = None
+    levels = 0
+    for _ in range(max_levels):
+        deg = pin_table(_degrees(und, loops))
+        two_m = 2 * int(und.agg(F.sum("w")).first()[0] or 0)
+        if loops is not None:
+            two_m += 2 * int(loops.agg(F.sum("w")).first()[0] or 0)
+        if two_m == 0:
+            release_state(deg)
+            break
+        sym = pin_table(
+            und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
+            .unionByName(
+                und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+            )
+            .repartition("nbr")
+            .sortWithinPartitions("nbr")
+        )
+        init_state = pin_table(deg.select("id", F.col("id").alias("c")))
+        state = init_state
+        # per-ROUND Q-guard: joint (even parity-gated) moves are only
+        # heuristically good — score every round's refined mapping
+        # EXACTLY on the original graph (two aggregates off the pinned
+        # und0/deg0) and contract the best-scoring round's state. This
+        # makes the hierarchy monotone in true Q by construction.
+        best_state, best_q_level = init_state, best_q
+        ran = 0
+        zero_streak = 0
+        for r in range(1, rounds_per_level + 1):
+            # alternate-parity gating — see _local_move_round: the
+            # fully synchronous sweep 2-colors bipartite(-ish) graphs
+            new_state = pin_table(
+                _local_move_round(sym, deg, state, two_m, parity=r % 2)
+            )
+            changed = (
+                new_state.alias("n")
+                .join(state.alias("o"), "id")
+                .filter(F.col("n.c") != F.col("o.c"))
+                .count()
+            )
+            if state is not best_state and state is not init_state:
+                release_state(state)
+            state = new_state
+            ran = r
+            zero_streak = zero_streak + 1 if changed == 0 else 0
+            if changed > 0:
+                lifted_map = mapping.join(
+                    state.select(
+                        F.col("id").alias("community"), F.col("c").alias("nc")
+                    ),
+                    "community",
+                ).select("id", F.col("nc").alias("community"))
+                q_r = _modularity_exact(und0, deg0, lifted_map)
+                if q_r > best_q_level:
+                    if best_state is not init_state:
+                        release_state(best_state)
+                    best_state, best_q_level = state, q_r
+            if zero_streak >= 2:
+                break
+        rounds_run.append(ran)
+        levels += 1
+        if state is not best_state and state is not init_state:
+            release_state(state)
+        state = best_state
+        if state is init_state:
+            # no round improved the global best — nothing to contract
+            release_state(sym)
+            release_state(deg)
+            release_state(init_state)
+            break
+        n_comms = state.select("c").distinct().count()
+        # refine the original-node mapping through this level's moves
+        new_mapping = pin_table(
+            mapping.join(
+                state.select(F.col("id").alias("community"), F.col("c").alias("nc")),
+                "community",
+            ).select("id", F.col("nc").alias("community"))
+        )
+        release_state(mapping)
+        mapping = new_mapping
+        best_q = best_q_level
+        if n_prev is not None and n_comms >= n_prev:
+            release_state(sym)
+            release_state(deg)
+            release_state(state)
+            release_state(init_state)
+            break
+        n_prev = n_comms
+        # contract: endpoints -> communities; intra mass -> loops
+        a_c = state.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+        b_c = state.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+        lifted = und.join(a_c, "a").join(b_c, "b")
+        new_und = pin_table(
+            lifted.filter(F.col("ca") != F.col("cb"))
+            .groupBy(
+                F.least("ca", "cb").alias("a"), F.greatest("ca", "cb").alias("b")
+            )
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        new_loop_src = lifted.filter(F.col("ca") == F.col("cb")).select(
+            F.col("ca").alias("id"), "w"
+        )
+        if loops is not None:
+            old_lifted = loops.join(
+                state.select(F.col("id").alias("id"), F.col("c").alias("cl")),
+                "id",
+            ).select(F.col("cl").alias("id"), "w")
+            new_loop_src = new_loop_src.unionByName(old_lifted)
+        new_loops = pin_table(
+            new_loop_src.groupBy("id").agg(F.sum("w").cast("long").alias("w"))
+        )
+        release_state(sym)
+        release_state(deg)
+        release_state(state)
+        if init_state is not state:
+            release_state(init_state)
+        if loops is not None:
+            release_state(loops)
+        if und is not und0:
+            release_state(und)
+        und, loops = new_und, new_loops
+    if und is not und0:
+        release_state(und)
+    if loops is not None:
+        release_state(loops)
+    release_state(und0)
+    release_state(deg0)
+    q = best_q if compute_modularity else None
+    mapping = attach_caches(mapping, [mapping])
+    return LouvainResult(
+        assignment=mapping,
+        levels=levels,
+        rounds=rounds_run,
+        modularity=q,
+        stats={"levels": levels, "rounds": rounds_run, "modularity": q},
+        _caches=[mapping],
+    )

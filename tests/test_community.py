@@ -1,0 +1,169 @@
+"""Community module tests: exact-rational modularity goldens, Louvain
+local-move DuckDB twins (sync + alternate sweeps), multilevel Louvain
+quality/determinism, and input hygiene."""
+
+import random
+
+from linkgraph.checkpoint import release_caches
+from linkgraph.community import (
+    community_stats,
+    community_stats_sql,
+    louvain,
+    louvain_local_move,
+    louvain_local_sql,
+    modularity,
+)
+
+# barbell: triangle 1-2-3 and triangle 4-5-6 joined by bridge 3-4.
+# m = 7; optimal split = the two triangles:
+#   E_in = 6, sum D_c^2 = 7^2 + 7^2 = 98 -> Q = (4*7*6 - 98)/(4*49) = 70/196
+BARBELL = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+Q_BARBELL = 70 / 196
+# singletons: sum d^2 = 4+4+9+9+4+4 = 34 -> Q = -34/196
+Q_SINGLETON = -34 / 196
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _assign(spark, pairs):
+    return spark.createDataFrame(list(pairs), "id long, community long")
+
+
+def test_modularity_exact_barbell_split(spark):
+    asg = _assign(spark, [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)])
+    assert modularity(_edges(spark, BARBELL), asg) == Q_BARBELL
+
+
+def test_modularity_singletons_and_missing_rows_default_to_own_id(spark):
+    e = _edges(spark, BARBELL)
+    empty = _assign(spark, [])
+    assert modularity(e, empty) == Q_SINGLETON
+    # one community = everything intra: Q = (4m*m - (2m)^2)/(4m^2) = 0
+    one = _assign(spark, [(i, 1) for i in range(1, 7)])
+    assert modularity(e, one) == 0.0
+
+
+def test_community_stats_rows_sum_to_modularity(spark):
+    e = _edges(spark, BARBELL)
+    asg = _assign(spark, [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)])
+    rows = {r["community"]: r for r in community_stats(e, asg).collect()}
+    assert rows[1]["intra_edges"] == 3 and rows[1]["degree_sum"] == 7
+    # each contribution: 3/7 - (7/14)^2 = 25/140... computed as doubles
+    want = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert rows[1]["contribution"] == want == rows[4]["contribution"]
+
+
+def test_louvain_finds_barbell_triangles(spark):
+    res = louvain(_edges(spark, BARBELL), max_levels=3, rounds_per_level=8)
+    got = {r["id"]: r["community"] for r in res.assignment.collect()}
+    res.release()
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[4], got[5], got[6]}) == 1
+    assert got[1] != got[4]
+    assert res.modularity == Q_BARBELL
+
+
+def test_louvain_q_never_below_singletons(spark):
+    # dense bipartite-ish random graph — the sync-sweep trap fixture
+    rng = random.Random(11)
+    pairs = {(rng.randrange(8), 100 + rng.randrange(8)) for _ in range(40)}
+    e = _edges(spark, list(pairs))
+    res = louvain(e, max_levels=3, rounds_per_level=6)
+    q0 = modularity(e, _assign(spark, []))
+    res.release()
+    assert res.modularity >= q0
+
+
+def test_louvain_deterministic(spark):
+    rng = random.Random(23)
+    pairs = [(a, b) for a, b in {(rng.randrange(14), rng.randrange(14)) for _ in range(50)} if a != b]
+    e = _edges(spark, pairs)
+    r1 = louvain(e, max_levels=3, rounds_per_level=4)
+    a1 = sorted(map(tuple, r1.assignment.collect()))
+    r1.release()
+    r2 = louvain(e, max_levels=3, rounds_per_level=4)
+    a2 = sorted(map(tuple, r2.assignment.collect()))
+    r2.release()
+    assert a1 == a2 and r1.modularity == r2.modularity
+
+
+def _values_sql(pairs):
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    return f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+
+
+def test_louvain_local_sync_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(31)
+    pairs = [(a, b) for a, b in {(rng.randrange(16), rng.randrange(16)) for _ in range(70)} if a != b]
+    res = louvain_local_move(_edges(spark, pairs), rounds=2, sweep="sync")
+    got = sorted(map(tuple, res.assignment.collect()))
+    res.release()
+    want = sorted(
+        map(tuple, duckdb.connect().execute(
+            louvain_local_sql(_values_sql(pairs), 2, sweep="sync")
+        ).fetchall())
+    )
+    assert got == want
+
+
+def test_louvain_local_alternate_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(37)
+    pairs = [(a, b) for a, b in {(rng.randrange(16), rng.randrange(16)) for _ in range(70)} if a != b]
+    res = louvain_local_move(_edges(spark, pairs), rounds=3, sweep="alternate")
+    got = sorted(map(tuple, res.assignment.collect()))
+    res.release()
+    want = sorted(
+        map(tuple, duckdb.connect().execute(
+            louvain_local_sql(_values_sql(pairs), 3, sweep="alternate")
+        ).fetchall())
+    )
+    assert got == want
+
+
+def test_community_stats_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(41)
+    pairs = [(a, b) for a, b in {(rng.randrange(12), rng.randrange(12)) for _ in range(45)} if a != b]
+    e = _edges(spark, pairs)
+    res = louvain_local_move(e, rounds=2, sweep="alternate")
+    got = sorted(map(tuple, community_stats(e, res.assignment).collect()))
+    res.release()
+    esql = _values_sql(pairs)
+    want = sorted(
+        map(tuple, duckdb.connect().execute(
+            community_stats_sql(esql, louvain_local_sql(esql, 2, sweep="alternate"))
+        ).fetchall())
+    )
+    assert got == want  # contributions are pinned-order doubles: exact
+
+
+def test_local_move_ignores_self_loops_and_duplicates(spark):
+    noisy = BARBELL + [(2, 1), (3, 3), (1, 2), (6, 4)]
+    r1 = louvain_local_move(_edges(spark, BARBELL), rounds=2)
+    r2 = louvain_local_move(_edges(spark, noisy), rounds=2)
+    a1 = sorted(map(tuple, r1.assignment.collect()))
+    a2 = sorted(map(tuple, r2.assignment.collect()))
+    r1.release()
+    r2.release()
+    assert a1 == a2
+
+
+def test_local_move_early_stops_at_fixpoint(spark):
+    # alternate sweep on one edge: node 1 joins 2's community in round
+    # 1, then two consecutive no-move rounds end the loop early. (The
+    # sync sweep would swap 1<->2 forever — the oscillation the parity
+    # gate exists to break.)
+    res = louvain_local_move(_edges(spark, [(1, 2)]), rounds=6, sweep="alternate")
+    assert res.stats["rounds"] < 6
+    got = {r["id"]: r["community"] for r in res.assignment.collect()}
+    res.release()
+    assert got == {1: 2, 2: 2}
