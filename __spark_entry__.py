@@ -109,6 +109,36 @@ def _q_labelprop_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.labels.select("id", "label")
 
 
+def _q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity decomposition of the 2-iteration LPA
+    assignment on the co-supplier graph — integer intra/degree masses
+    plus a pinned-order double contribution (value-EXACT cross-engine;
+    linkgraph/community.py)."""
+    from linkgraph.community import community_stats
+    e = cosupplier_edges(spark, sf_dir)
+    res = label_propagation(e, direction="BOTH", max_iter=2)
+    asg = res.labels.select("id", F.col("label").alias("community"))
+    return community_stats(e, asg)
+
+
+def _q_louvain_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 on the purchase graph: 3 alternate-parity
+    integer-scaled local-move sweeps (deterministic, SQL-replayable;
+    linkgraph/community.py)."""
+    from linkgraph.community import louvain_local_move
+    res = louvain_local_move(purchase_edges(spark, sf_dir), rounds=3, sweep="alternate")
+    return res.assignment
+
+
+def _q_louvain_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 on the co-supplier graph: 2 fully synchronous
+    sweeps (the simplest oracle target — the near-clique graph has no
+    bipartite oscillation risk)."""
+    from linkgraph.community import louvain_local_move
+    res = louvain_local_move(cosupplier_edges(spark, sf_dir), rounds=2, sweep="sync")
+    return res.assignment
+
+
 _LPA2_SQL_TEMPLATE = """
 WITH e AS ({edges}),
 sym AS (SELECT src AS node, dst AS nbr, weight FROM e
@@ -129,6 +159,47 @@ SELECT id, label FROM b2 WHERE rk = 1
 """
 
 _LPA2_SQL = _LPA2_SQL_TEMPLATE.format(edges=COSUPPLIER_EDGES_SQL)
+
+
+def _modularity_lpa_sql() -> str:
+    from linkgraph.community import community_stats_sql
+    asg = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
+    return community_stats_sql(COSUPPLIER_EDGES_SQL, asg)
+
+
+def _louvain_purchase_sql() -> str:
+    from linkgraph.community import louvain_local_sql
+    return louvain_local_sql(PURCHASE_EDGES_SQL, 3, sweep="alternate")
+
+
+def _louvain_cosupplier_sql() -> str:
+    from linkgraph.community import louvain_local_sql
+    return louvain_local_sql(COSUPPLIER_EDGES_SQL, 2, sweep="sync")
+
+
+def _q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support on the co-supplier graph (the k-truss
+    building block; linkgraph/truss.py)."""
+    from linkgraph.truss import edge_support
+    return edge_support(cosupplier_edges(spark, sf_dir))
+
+
+def _q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-supplier graph: every surviving edge closes
+    >= 2 triangles inside the truss (iterative support peel)."""
+    from linkgraph.truss import k_truss
+    res = k_truss(cosupplier_edges(spark, sf_dir), k=4)
+    return res.edges
+
+
+def _edge_support_sql() -> str:
+    from linkgraph.truss import edge_support_sql
+    return edge_support_sql(COSUPPLIER_EDGES_SQL)
+
+
+def _ktruss4_sql() -> str:
+    from linkgraph.truss import k_truss_sql
+    return k_truss_sql(COSUPPLIER_EDGES_SQL, 4, n_rounds=6)
 
 
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,6 +1267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_cosupplier_1iter": _q_labelprop,
         "labelprop_cosupplier_2iter": _q_labelprop2,
         "labelprop_hub_cosupplier_2iter": _q_labelprop_hub,
+        "modularity_lpa_cosupplier": _q_modularity_lpa,
+        "louvain_purchase_alt3": _q_louvain_purchase,
+        "louvain_cosupplier_sync2": _q_louvain_cosupplier,
+        "edge_support_cosupplier": _q_edge_support,
+        "ktruss4_cosupplier": _q_ktruss4,
         "triangle_count_cosupplier": _q_triangle_count,
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
@@ -1433,6 +1509,11 @@ SELECT id, label FROM best WHERE rk = 1
         # split must be invisible in the values, so the oracle is the
         # same 2-iteration SQL
         "labelprop_hub_cosupplier_2iter": _LPA2_SQL,
+        "modularity_lpa_cosupplier": _modularity_lpa_sql(),
+        "louvain_purchase_alt3": _louvain_purchase_sql(),
+        "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),
+        "edge_support_cosupplier": _edge_support_sql(),
+        "ktruss4_cosupplier": _ktruss4_sql(),
         "triangle_count_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT COUNT(*) AS triangle_count FROM tri",
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},

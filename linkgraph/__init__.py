@@ -69,6 +69,18 @@ from linkgraph.walks import (
     random_walks,
     walks_as_sequences,
 )
+from linkgraph.community import (
+    LouvainResult,
+    community_stats,
+    louvain,
+    louvain_local_move,
+    modularity,
+)
+from linkgraph.truss import (
+    TrussResult,
+    edge_support,
+    k_truss,
+)
 from linkgraph.loader import LinkGraph
 
 __all__ = [
@@ -137,4 +149,12 @@ __all__ = [
     "random_walks",
     "node2vec_walks",
     "walks_as_sequences",
+    "modularity",
+    "community_stats",
+    "louvain",
+    "louvain_local_move",
+    "LouvainResult",
+    "edge_support",
+    "k_truss",
+    "TrussResult",
 ]
