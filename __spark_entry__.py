@@ -44,6 +44,19 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleRank on the purchase graph — the reference family's
+    damped-citation PageRank variant (linkgraph/articlerank.py)."""
+    from linkgraph.articlerank import article_rank
+    res = article_rank(purchase_edges(spark, sf_dir), damping=DAMPING, max_iter=PR_ITERS)
+    return res.scores.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _articlerank_sql() -> str:
+    from linkgraph.articlerank import article_rank_sql
+    return article_rank_sql(PURCHASE_EDGES_SQL, PR_ITERS, d=DAMPING)
+
+
 def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted mode (engine extension): contribution rank*w/sum_w."""
     res = pagerank(
@@ -1258,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph procedures (SURVEY.md §2.1)
         "pagerank_purchase_5iter": _q_pagerank,
+        "articlerank_purchase_5iter": _q_articlerank,
         "pagerank_weighted_cosupplier": _q_pagerank_weighted,
         "pagerank_personalized_purchase": _q_pagerank_personalized,
         "wcc_purchase": _q_wcc,
@@ -1479,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank_purchase_5iter": _pagerank_sql(),
+        "articlerank_purchase_5iter": _articlerank_sql(),
         "pagerank_weighted_cosupplier": _pagerank_sql(
             edge_sql=COSUPPLIER_EDGES_SQL, weighted=True
         ),

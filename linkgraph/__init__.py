@@ -76,6 +76,10 @@ from linkgraph.community import (
     louvain_local_move,
     modularity,
 )
+from linkgraph.articlerank import (
+    ArticleRankResult,
+    article_rank,
+)
 from linkgraph.truss import (
     TrussResult,
     edge_support,
@@ -157,4 +161,6 @@ __all__ = [
     "edge_support",
     "k_truss",
     "TrussResult",
+    "article_rank",
+    "ArticleRankResult",
 ]
