@@ -382,6 +382,44 @@ def _trade_nation_edges_w(spark, sf_dir):
     )
 
 
+def _q_astar_nation(spark, sf_dir):
+    """A* on the weighted trade graph, nation 0 -> 9: heuristic is the
+    graph's min edge weight as a uniform lower bound (h(t)=0) —
+    admissible+consistent by construction (linkgraph/kpaths.py)."""
+    from linkgraph.kpaths import astar_path
+    e = _trade_nation_edges_w(spark, sf_dir)
+    minw = float(e.agg(F.min("weight")).first()[0])
+    universe = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    h = universe.select(
+        "id", F.when(F.col("id") == 9, F.lit(0.0)).otherwise(F.lit(minw)).alias("h")
+    )
+    res = astar_path(e, 0, 9, heuristic=h)
+    rows = [] if res.total_cost is None else [(9, res.total_cost)]
+    return e.sparkSession.createDataFrame(rows, "target long, total_cost double")
+
+
+def _q_yen_nation(spark, sf_dir):
+    """Yen top-3 loopless <=4-hop paths on the weighted trade graph,
+    nation 0 -> 9 (linkgraph/kpaths.py)."""
+    from linkgraph.kpaths import yen_k_shortest
+    res = yen_k_shortest(
+        _trade_nation_edges_w(spark, sf_dir), 0, 9, k=3, max_hops=4
+    )
+    return res.df.select("rank", "total_cost")
+
+
+def _astar_nation_sql() -> str:
+    from linkgraph.kpaths import astar_cost_sql
+    return astar_cost_sql(TRADE_NATION_W_SQL, 0, 9, n_rounds=24)
+
+
+def _yen_nation_sql() -> str:
+    from linkgraph.kpaths import yen_sql
+    return yen_sql(TRADE_NATION_W_SQL, 0, 9, 3, 4)
+
+
 def _q_apsp_nation(spark, sf_dir):
     from linkgraph import all_shortest_paths_stream
     return all_shortest_paths_stream(
@@ -1299,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paths / scc / mst (SURVEY.md §2.2)
         "sssp_hops2_cosupplier": _q_sssp_cosupplier,
         "sp_pair_cosupplier": _q_sp_pair_cosupplier,
+        "astar_trade_nation": _q_astar_nation,
+        "yen3_trade_nation": _q_yen_nation,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
@@ -1941,6 +1981,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
     return {
         "sssp_hops2_cosupplier": sssp_sql,
         "sp_pair_cosupplier": sp_pair_sql,
+        "astar_trade_nation": _astar_nation_sql(),
+        "yen3_trade_nation": _yen_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),

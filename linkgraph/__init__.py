@@ -80,6 +80,12 @@ from linkgraph.articlerank import (
     ArticleRankResult,
     article_rank,
 )
+from linkgraph.kpaths import (
+    AStarResult,
+    YenResult,
+    astar_path,
+    yen_k_shortest,
+)
 from linkgraph.truss import (
     TrussResult,
     edge_support,
@@ -163,4 +169,8 @@ __all__ = [
     "TrussResult",
     "article_rank",
     "ArticleRankResult",
+    "astar_path",
+    "AStarResult",
+    "yen_k_shortest",
+    "YenResult",
 ]
