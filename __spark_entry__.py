@@ -420,6 +420,34 @@ def _yen_nation_sql() -> str:
     return yen_sql(TRADE_NATION_W_SQL, 0, 9, 3, 4)
 
 
+def _q_luby_purchase(spark, sf_dir):
+    """Luby maximal independent set on the purchase graph under the
+    portable md5 priority (linkgraph/coloring.py)."""
+    from linkgraph.coloring import luby_mis
+    res = luby_mis(purchase_edges(spark, sf_dir), seed=42)
+    return res.assignment
+
+
+def _q_jp_nation(spark, sf_dir):
+    """Jones-Plassmann greedy coloring of the (dense) trade-nation
+    graph (linkgraph/coloring.py)."""
+    from linkgraph.coloring import jones_plassmann
+    res = jones_plassmann(_trade_nation_edges(spark, sf_dir), seed=42)
+    return res.assignment
+
+
+def _luby_purchase_sql() -> str:
+    from linkgraph.coloring import luby_mis_sql
+    return luby_mis_sql(PURCHASE_EDGES_SQL, 42, 8)
+
+
+def _jp_nation_sql() -> str:
+    # 25 nations; every round colors >= 1 node, so 25 rounds cover any
+    # scale factor (extra rounds are idempotent)
+    from linkgraph.coloring import jones_plassmann_sql
+    return jones_plassmann_sql(TRADE_NATION_SQL, 42, 25)
+
+
 def _q_apsp_nation(spark, sf_dir):
     from linkgraph import all_shortest_paths_stream
     return all_shortest_paths_stream(
@@ -1339,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_pair_cosupplier": _q_sp_pair_cosupplier,
         "astar_trade_nation": _q_astar_nation,
         "yen3_trade_nation": _q_yen_nation,
+        "luby_mis_purchase": _q_luby_purchase,
+        "coloring_jp_nation": _q_jp_nation,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
@@ -1983,6 +2013,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "sp_pair_cosupplier": sp_pair_sql,
         "astar_trade_nation": _astar_nation_sql(),
         "yen3_trade_nation": _yen_nation_sql(),
+        "luby_mis_purchase": _luby_purchase_sql(),
+        "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),

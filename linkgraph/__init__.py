@@ -80,6 +80,11 @@ from linkgraph.articlerank import (
     ArticleRankResult,
     article_rank,
 )
+from linkgraph.coloring import (
+    ColoringResult,
+    jones_plassmann,
+    luby_mis,
+)
 from linkgraph.kpaths import (
     AStarResult,
     YenResult,
@@ -173,4 +178,7 @@ __all__ = [
     "AStarResult",
     "yen_k_shortest",
     "YenResult",
+    "luby_mis",
+    "jones_plassmann",
+    "ColoringResult",
 ]
