@@ -119,6 +119,10 @@ def luby_mis(edges: DataFrame, seed: int = 42, max_rounds: int = 64) -> Coloring
     t0 = time.time()
     sym = pin_table(_sym(edges).repartition("node"))
     active = pin_table(_nodes(edges))
+    if active.count() == 0:
+        release_state(sym)
+        release_state(active)
+        raise ValueError("luby_mis on an empty graph")
     done = None  # (id, in_mis, round)
     rounds = 0
     for r in range(1, max_rounds + 1):
@@ -167,6 +171,10 @@ def jones_plassmann(
     t0 = time.time()
     sym = pin_table(_sym(edges).repartition("node"))
     active = pin_table(_nodes(edges))
+    if active.count() == 0:
+        release_state(sym)
+        release_state(active)
+        raise ValueError("jones_plassmann on an empty graph")
     colored = None  # (id, color, round)
     rounds = 0
     for r in range(1, max_rounds + 1):

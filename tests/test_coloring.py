@@ -164,6 +164,16 @@ def test_coloring_ignores_loops_duplicates_direction(spark):
         assert a1 == a2, fn.__name__
 
 
+def test_coloring_empty_graph_raises(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="empty graph"):
+        luby_mis(empty)
+    with pytest.raises(ValueError, match="empty graph"):
+        jones_plassmann(empty)
+
+
 def test_jp_triangle_uses_three_colors_and_star_two(spark):
     res = jones_plassmann(_edges(spark, [(1, 2), (2, 3), (1, 3)]), seed=2)
     assert res.n_colors == 3
