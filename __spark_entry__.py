@@ -661,6 +661,18 @@ def _eigenvector_sql_wrapped() -> str:
     return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
 
 
+def _fastrp_sql_wrapped() -> str:
+    from linkgraph.embeddings import fastrp_sql
+    return fastrp_sql(PURCHASE_EDGES_SQL, dim=8, iterations=2,
+                      weights=[1, 2], seed=42)
+
+
+def _fastrp_knn_sql_wrapped() -> str:
+    from linkgraph.embeddings import fastrp_knn_sql
+    return fastrp_knn_sql(PURCHASE_EDGES_SQL, query_mod=97, k=5, dim=8,
+                          iterations=2, weights=[1, 2], seed=42)
+
+
 def _hits_sql_wrapped() -> str:
     from linkgraph.eigenvector import hits_sql
     return hits_sql(PURCHASE_EDGES_SQL, 5)
@@ -865,6 +877,30 @@ def _q_eigenvector_purchase(spark, sf_dir):
     )
     return _keep_caches(
         res.select("id", F.round("score", 6).alias("score")), res
+    )
+
+
+def _q_fastrp_purchase(spark, sf_dir):
+    """FastRP node embeddings (engine extension; Chen et al. 2019):
+    dim-8, 2 iterations, deterministic integer-exact variant on the
+    undirected purchase graph — every component is a BIGINT path-count
+    sum, so the DuckDB oracle is value-exact (linkgraph/embeddings.py)."""
+    from linkgraph.embeddings import fastrp_embeddings
+
+    return fastrp_embeddings(
+        purchase_edges(spark, sf_dir), dim=8, iterations=2, weights=[1, 2], seed=42
+    )
+
+
+def _q_fastrp_knn_purchase(spark, sf_dir):
+    """Composition: FastRP embeddings -> exact top-5 cosine neighbors
+    for the id % 97 == 0 query nodes (broadcast query side, integer
+    dot products — linkgraph/embeddings.py#fastrp_knn)."""
+    from linkgraph.embeddings import fastrp_knn
+
+    return fastrp_knn(
+        purchase_edges(spark, sf_dir), query_mod=97, k=5, dim=8,
+        iterations=2, weights=[1, 2], seed=42,
     )
 
 
@@ -1381,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
+        "fastrp_purchase": _q_fastrp_purchase,
+        "fastrp_knn_purchase": _q_fastrp_knn_purchase,
         "katz_purchase": _q_katz_purchase,
         "hits_purchase": _q_hits_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
@@ -2029,6 +2067,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
+        "fastrp_purchase": _fastrp_sql_wrapped(),
+        "fastrp_knn_purchase": _fastrp_knn_sql_wrapped(),
         "katz_purchase": _katz_sql_wrapped(),
         "hits_purchase": _hits_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),

@@ -58,6 +58,7 @@ from linkgraph.graphs import (
     sample_edges,
 )
 from linkgraph.eigenvector import eigenvector_centrality, hits, katz_centrality
+from linkgraph.embeddings import fastrp_embeddings, fastrp_knn
 from linkgraph.similarity import (
     bipartite_projection,
     link_prediction,
@@ -156,6 +157,8 @@ __all__ = [
     "sample_edges",
     "eigenvector_centrality",
     "katz_centrality",
+    "fastrp_embeddings",
+    "fastrp_knn",
     "hits",
     "node_similarity",
     "node_similarity_topk",

@@ -1,0 +1,345 @@
+"""FastRP graph embeddings — deterministic, integer-exact variant.
+
+Lineage: Chen et al., "Fast and Accurate Network Embeddings via Very
+Sparse Random Projection" (CIKM 2019) — the algorithm the graph-
+algorithms reference family later ships as ``gds.fastRP``. An
+embedding is a weighted sum of powers of the adjacency matrix applied
+to a very sparse random node-signature matrix:
+
+    emb = sum_t  w_t * A^t R,   R[i, j] in {-1, 0, +1}
+
+This module implements the DETERMINISTIC INTEGER variant:
+
+  * R is derived from the cross-engine md5 hash
+    (`pipeline/hashing.stable_hash64`): component j of node i is
+    +1 / -1 / 0 with probability 1/6 / 1/6 / 2/3 (the paper's s = 3
+    sparse projection, unscaled — the sqrt(3) scale is a constant
+    factor that L2 normalization removes anyway).
+  * Iterations multiply by the UNNORMALIZED adjacency A and combine
+    with INTEGER weights, so every intermediate value is a BIGINT and
+    the embedding is bit-reproducible on any engine — the same trick
+    that makes `linkgraph/anf.py`'s sketches value-exact. (The paper
+    normalizes by degree each step for spectral stability; with 2-3
+    iterations the unnormalized power sum preserves the same weighted
+    path-count geometry, and the final per-node L2 normalization
+    removes the global magnitude. Documented deviation.)
+  * The final L2 norm folds x*x over the embedding ARRAY left-to-right
+    in Spark and as an integer SUM in SQL — both exact, so the
+    normalized components are identical doubles in both engines.
+
+Spark-first shape (100 TB):
+
+  * One ``groupBy(dst)`` shuffle per iteration with ``dim``
+    map-side-combinable SUM aggregates over array slots — the hub-safe
+    layout from `linkgraph/anf.py` (a power-law hub never concentrates
+    rows in one task beyond what partial aggregation already
+    collapsed).
+  * The per-iteration accumulator rides the node frame: two co-keyed
+    joins on ``id`` per superstep (agg result + carried acc), both
+    sort-merge co-partitioned on the same key at scale.
+  * ``fastrp_knn`` broadcasts the (small) query side and computes
+    integer dot products with a single pass over the corpus — no
+    crossJoin, no shuffle beyond the final per-query top-k
+    (TakeOrdered-style window over |queries| * k candidates).
+
+No reference file:line cites — `/root/reference/` is provisioned empty
+(SURVEY.md §0); FastRP is an engine extension beyond the inventoried
+§2 procedures, composing with `pipeline/simsearch.py` consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+
+__all__ = ["fastrp_embeddings", "fastrp_knn", "fastrp_sql", "fastrp_knn_sql"]
+
+_DIRECTIONS = ("OUTGOING", "INCOMING", "BOTH")
+
+
+def _message_pairs(edges: DataFrame, direction: str) -> DataFrame:
+    """Distinct (u, v) message pairs: v gathers from u. Self-loops are
+    dropped (simple-graph contract, as in `linkgraph/similarity.py`)."""
+    e = edges.select("src", "dst")
+    if direction == "OUTGOING":
+        p = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    elif direction == "INCOMING":
+        p = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    elif direction == "BOTH":
+        p = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+            e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    else:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
+    return p.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _check_params(dim: int, iterations: int, weights: list[int] | None) -> list[int]:
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = list(weights) if weights is not None else [1] * iterations
+    if len(w) != iterations:
+        raise ValueError(f"need {iterations} weights, got {len(w)}")
+    if not all(isinstance(x, int) for x in w):
+        raise ValueError("weights must be ints (integer-exact contract); "
+                         f"got {w!r}")
+    return w
+
+
+def _init_state(edges: DataFrame, direction: str, dim: int, seed: int):
+    """(pairs, state) where state = (id, vec array<long>, acc array<long>)."""
+    pairs = _message_pairs(edges, direction)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comps = []
+    for j in range(dim):
+        h = stable_hash64(F.col("id").cast("string"), salt=f"fastrp-{seed}-{j}")
+        comps.append(
+            F.when(h % 6 == 0, F.lit(1))
+            .when(h % 6 == 1, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(dim)])
+    return pairs, nodes.select("id", F.array(*comps).alias("vec"), zero.alias("acc"))
+
+
+def _fastrp_state(
+    edges: DataFrame,
+    dim: int,
+    iterations: int,
+    weights: list[int] | None,
+    direction: str,
+    seed: int,
+) -> DataFrame:
+    """(id, acc array<long>) — the exact integer embedding."""
+    w = _check_params(dim, iterations, weights)
+    pairs, state = _init_state(edges, direction, dim, seed)
+    for wt in w:
+        msgs = pairs.join(
+            state.select(F.col("id").alias("u"), "vec"), "u"
+        ).select(F.col("v").alias("id"), "vec")
+        agg = msgs.groupBy("id").agg(
+            *[F.sum(F.element_at("vec", j + 1)).alias(f"s{j}") for j in range(dim)]
+        )
+        joined = state.select("id", "acc").join(agg, "id", "left")
+        newvec = F.array(
+            *[F.coalesce(F.col(f"s{j}"), F.lit(0)).cast("long") for j in range(dim)]
+        )
+        state = joined.select("id", newvec.alias("vec"), "acc").select(
+            "id",
+            "vec",
+            F.zip_with("acc", "vec", lambda a, x: a + F.lit(wt) * x).alias("acc"),
+        )
+    return state.select("id", "acc")
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dim: int = 8,
+    iterations: int = 2,
+    weights: list[int] | None = None,
+    direction: str = "BOTH",
+    seed: int = 42,
+) -> DataFrame:
+    """Relational long-form embeddings: (id, d, v, nv).
+
+    ``v`` is the exact BIGINT component of ``sum_t w_t * (A^t R)[id]``;
+    ``nv`` is the L2-normalized double, rounded to 6 decimals (0.0 for
+    all-zero vectors). Long form keeps the oracle comparable row-wise
+    (arrays don't sort in the driver's pandas compare — same choice as
+    `pipeline/simsearch.py#quantize_embeddings`).
+    """
+    state = _fastrp_state(edges, dim, iterations, weights, direction, seed)
+    sumsq = F.aggregate(
+        "acc", F.lit(0).cast("long"), lambda a, x: a + x * x
+    ).cast("double")
+    wide = state.select("id", "acc", F.sqrt(sumsq).alias("nrm"))
+    return wide.select(
+        "id",
+        F.posexplode("acc").alias("d", "v"),
+        "nrm",
+    ).select(
+        "id",
+        F.col("d").cast("int").alias("d"),
+        "v",
+        F.round(
+            F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(F.col("v") / F.col("nrm")),
+            6,
+        ).alias("nv"),
+    )
+
+
+def fastrp_knn(
+    edges: DataFrame,
+    query_mod: int,
+    k: int = 5,
+    dim: int = 8,
+    iterations: int = 2,
+    weights: list[int] | None = None,
+    direction: str = "BOTH",
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k cosine neighbors per query node over the FastRP space:
+    (query_id, neighbor_id, cosine, rk).
+
+    Queries are the nodes with ``id % query_mod == 0`` (a deterministic
+    small set — the stand-in for a user-supplied query list, which the
+    planner BROADCASTs against the corpus). The dot product folds the
+    two integer arrays left-to-right (exact); cosine is ranked on the
+    ROUNDED score with an id tie-break (the `pipeline/text.py#tfidf_topk`
+    rank-what-you-emit contract). Zero-vector nodes are excluded from
+    both sides (cosine undefined).
+    """
+    if query_mod < 1:
+        raise ValueError(f"query_mod must be >= 1, got {query_mod}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    state = _fastrp_state(edges, dim, iterations, weights, direction, seed)
+    sumsq = F.aggregate("acc", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    emb = state.select("id", "acc", F.sqrt(sumsq.cast("double")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    q = emb.select(
+        F.col("id").alias("query_id"),
+        F.col("acc").alias("qacc"),
+        F.col("nrm").alias("qnrm"),
+    ).filter(F.col("query_id") % query_mod == 0)
+    c = emb.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("acc").alias("cacc"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qacc", "cacc", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qnrm") * F.col("cnrm")), 6).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB SQL twins
+# --------------------------------------------------------------------------
+
+
+def _pairs_sql(direction: str) -> str:
+    if direction == "OUTGOING":
+        inner = "SELECT src AS u, dst AS v FROM e"
+    elif direction == "INCOMING":
+        inner = "SELECT dst AS u, src AS v FROM e"
+    elif direction == "BOTH":
+        inner = ("SELECT src AS u, dst AS v FROM e "
+                 "UNION ALL SELECT dst AS u, src AS v FROM e")
+    else:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
+    return f"SELECT DISTINCT u, v FROM ({inner}) WHERE u <> v"
+
+
+def _fastrp_ctes(
+    edge_sql: str, dim: int, iterations: int, weights: list[int] | None,
+    direction: str, seed: int,
+) -> str:
+    """Shared WITH-body: CTEs e, pairs, nodes, dims, x0..xL, emb."""
+    w = _check_params(dim, iterations, weights)
+    h = stable_hash64_sql(
+        "CAST(id AS VARCHAR) || '#fastrp-" + f"{seed}-' || CAST(d AS VARCHAR)"
+    )
+    # stable_hash64_sql appends nothing here: the salt suffix is baked
+    # into the expression so it varies with the dim column d, exactly
+    # matching the per-j literal salt on the Spark side.
+    layers = []
+    prev = "x0"
+    for t in range(1, iterations + 1):
+        layers.append(f"""
+x{t} AS (SELECT nd.id, nd.d, CAST(COALESCE(m.s, 0) AS BIGINT) AS v
+         FROM (SELECT id, d FROM nodes CROSS JOIN dims) nd
+         LEFT JOIN (SELECT p.v AS id, x.d, SUM(x.v) AS s
+                    FROM pairs p JOIN {prev} x ON x.id = p.u
+                    GROUP BY p.v, x.d) m
+         ON m.id = nd.id AND m.d = nd.d)""")
+        prev = f"x{t}"
+    combo = " + ".join(f"{w[t - 1]} * x{t}.v" for t in range(1, iterations + 1))
+    joins = " ".join(
+        f"JOIN x{t} ON x{t}.id = x1.id AND x{t}.d = x1.d"
+        for t in range(2, iterations + 1)
+    )
+    return f"""e AS ({edge_sql}),
+pairs AS ({_pairs_sql(direction)}),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+dims AS (SELECT CAST(unnest(range(0, {dim})) AS INT) AS d),
+x0 AS (SELECT id, d,
+              CAST(CASE ({h}) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS BIGINT) AS v
+       FROM nodes CROSS JOIN dims),
+{",".join(layers)},
+emb AS (SELECT x1.id, x1.d, CAST({combo} AS BIGINT) AS v FROM x1 {joins})"""
+
+
+def fastrp_sql(
+    edge_sql: str, dim: int = 8, iterations: int = 2,
+    weights: list[int] | None = None, direction: str = "BOTH", seed: int = 42,
+) -> str:
+    """DuckDB twin of `fastrp_embeddings` — value-exact (integer path
+    counts; the only float op is the final norm division, computed from
+    identical exact integers on both engines)."""
+    ctes = _fastrp_ctes(edge_sql, dim, iterations, weights, direction, seed)
+    return f"""
+WITH {ctes},
+nrm AS (SELECT id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm FROM emb GROUP BY id)
+SELECT emb.id, emb.d, emb.v,
+       ROUND(CASE WHEN nrm.nrm = 0 THEN 0.0 ELSE emb.v / nrm.nrm END, 6) AS nv
+FROM emb JOIN nrm ON nrm.id = emb.id
+"""
+
+
+def fastrp_knn_sql(
+    edge_sql: str, query_mod: int, k: int = 5, dim: int = 8,
+    iterations: int = 2, weights: list[int] | None = None,
+    direction: str = "BOTH", seed: int = 42,
+) -> str:
+    """DuckDB twin of `fastrp_knn`."""
+    ctes = _fastrp_ctes(edge_sql, dim, iterations, weights, direction, seed)
+    return f"""
+WITH {ctes},
+nrm AS (SELECT id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm FROM emb GROUP BY id
+        HAVING SUM(v * v) > 0),
+dot AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+               CAST(SUM(eq.v * ec.v) AS DOUBLE) AS dp
+        FROM nrm q JOIN nrm c ON c.id <> q.id
+        JOIN emb eq ON eq.id = q.id
+        JOIN emb ec ON ec.id = c.id AND ec.d = eq.d
+        WHERE q.id % {query_mod} = 0
+        GROUP BY q.id, c.id),
+scored AS (SELECT dot.query_id, dot.neighbor_id,
+                  ROUND(dot.dp / (q.nrm * c.nrm), 6) AS cosine
+           FROM dot JOIN nrm q ON q.id = dot.query_id
+                    JOIN nrm c ON c.id = dot.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""

@@ -1,0 +1,161 @@
+"""FastRP embeddings: exact python replay, DuckDB twin, knn contract."""
+
+import hashlib
+import math
+import random
+
+import pytest
+
+from linkgraph.embeddings import (
+    fastrp_embeddings,
+    fastrp_knn,
+    fastrp_knn_sql,
+    fastrp_sql,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _replay(pairs, dim, weights, direction, seed):
+    msg = set()
+    for a, b in pairs:
+        if direction in ("OUTGOING", "BOTH"):
+            msg.add((a, b))
+        if direction in ("INCOMING", "BOTH"):
+            msg.add((b, a))
+    msg = {(u, v) for u, v in msg if u != v}
+    nodes = sorted({x for e in pairs for x in e})
+
+    def init(n, j):
+        m = _h60(f"{n}#fastrp-{seed}-{j}") % 6
+        return 1 if m == 0 else (-1 if m == 1 else 0)
+
+    x = {n: [init(n, j) for j in range(dim)] for n in nodes}
+    acc = {n: [0] * dim for n in nodes}
+    for w in weights:
+        nx = {n: [0] * dim for n in nodes}
+        for u, v in msg:
+            for j in range(dim):
+                nx[v][j] += x[u][j]
+        x = nx
+        for n in nodes:
+            for j in range(dim):
+                acc[n][j] += w * x[n][j]
+    return acc
+
+
+def _rand_pairs(seed, n=14, m=55):
+    rng = random.Random(seed)
+    return [(a, b) for a, b in {(rng.randrange(n), rng.randrange(n)) for _ in range(m)} if a != b]
+
+
+def test_python_replay_exact(spark):
+    pairs = _rand_pairs(11)
+    for direction in ("OUTGOING", "BOTH"):
+        res = fastrp_embeddings(
+            _edges(spark, pairs), dim=6, iterations=2, weights=[1, 2],
+            direction=direction, seed=7,
+        ).collect()
+        want = _replay(pairs, 6, [1, 2], direction, 7)
+        got = {(r.id, r.d): (r.v, r.nv) for r in res}
+        assert len(got) == len(want) * 6
+        for n, vec in want.items():
+            nrm = math.sqrt(sum(v * v for v in vec))
+            for j, v in enumerate(vec):
+                gv, gnv = got[(n, j)]
+                assert gv == v, (direction, n, j)
+                expect_nv = round(v / nrm, 6) if nrm > 0 else 0.0
+                assert gnv == pytest.approx(expect_nv, abs=0), (direction, n, j)
+
+
+def test_signature_distribution_and_determinism(spark):
+    # a no-edge-influence check: one isolated pair keeps init-only zeros
+    pairs = [(1, 2)]
+    a = fastrp_embeddings(_edges(spark, pairs), dim=16, iterations=1, seed=3).collect()
+    b = fastrp_embeddings(_edges(spark, pairs), dim=16, iterations=1, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = fastrp_embeddings(_edges(spark, pairs), dim=16, iterations=1, seed=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_duckdb_twin(spark):
+    import duckdb
+
+    pairs = _rand_pairs(23)
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    edge_sql = f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+    res = fastrp_embeddings(
+        _edges(spark, pairs), dim=5, iterations=3, weights=[2, 1, 3],
+        direction="BOTH", seed=42,
+    ).collect()
+    got = {(r.id, r.d, r.v, r.nv) for r in res}
+    con = duckdb.connect()
+    sql = fastrp_sql(edge_sql, dim=5, iterations=3, weights=[2, 1, 3],
+                     direction="BOTH", seed=42)
+    want = {(r[0], r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_knn_matches_brute_force(spark):
+    pairs = _rand_pairs(31, n=16, m=70)
+    dim, weights, seed = 6, [1, 1], 5
+    res = fastrp_knn(
+        _edges(spark, pairs), query_mod=3, k=4, dim=dim, iterations=2,
+        weights=weights, direction="BOTH", seed=seed,
+    ).collect()
+    acc = _replay(pairs, dim, weights, "BOTH", seed)
+    nrm = {n: math.sqrt(sum(v * v for v in vec)) for n, vec in acc.items()}
+    live = {n for n in acc if nrm[n] > 0}
+    want = {}
+    for q in sorted(live):
+        if q % 3 != 0:
+            continue
+        scored = []
+        for c in sorted(live):
+            if c == q:
+                continue
+            dp = sum(a * b for a, b in zip(acc[q], acc[c]))
+            scored.append((round(dp / (nrm[q] * nrm[c]), 6), c))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (cos, c) in enumerate(scored[:4], 1):
+            want[(q, c)] = (cos, rk)
+    got = {(r.query_id, r.neighbor_id): (r.cosine, r.rk) for r in res}
+    assert got == want
+
+
+def test_knn_duckdb_twin(spark):
+    import duckdb
+
+    pairs = _rand_pairs(47, n=12, m=50)
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    edge_sql = f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+    res = fastrp_knn(
+        _edges(spark, pairs), query_mod=2, k=3, dim=4, iterations=2, seed=9,
+    ).collect()
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rk) for r in res}
+    con = duckdb.connect()
+    sql = fastrp_knn_sql(edge_sql, query_mod=2, k=3, dim=4, iterations=2, seed=9)
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_param_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="dim"):
+        fastrp_embeddings(e, dim=0)
+    with pytest.raises(ValueError, match="weights"):
+        fastrp_embeddings(e, iterations=2, weights=[1])
+    with pytest.raises(ValueError, match="ints"):
+        fastrp_embeddings(e, iterations=1, weights=[0.5])
+    with pytest.raises(ValueError, match="direction"):
+        fastrp_embeddings(e, direction="SIDEWAYS")
+    with pytest.raises(ValueError, match="query_mod"):
+        fastrp_knn(e, query_mod=0)
