@@ -661,6 +661,13 @@ def _eigenvector_sql_wrapped() -> str:
     return eigenvector_sql(PURCHASE_EDGES_SQL, 5, direction="BOTH")
 
 
+def _weighted_nodesim_sql_wrapped(metric: str) -> str:
+    from linkgraph.similarity import weighted_node_similarity_sql
+    return weighted_node_similarity_sql(
+        COSUPPLIER_EDGES_SQL, metric, direction="BOTH"
+    )
+
+
 def _fastrp_sql_wrapped() -> str:
     from linkgraph.embeddings import fastrp_sql
     return fastrp_sql(PURCHASE_EDGES_SQL, dim=8, iterations=2,
@@ -960,6 +967,29 @@ def _q_nodesim_suppliers(spark, sf_dir):
         metric="jaccard",
         direction="INCOMING",
         min_similarity=0.24,
+    )
+
+
+def _q_nodesim_pearson_cosupplier(spark, sf_dir):
+    """algo.similarity.pearson analog: co-suppliers correlated over
+    their weighted co-order vectors (dense missing-as-0 semantics over
+    the global feature dimension; 6-decimal fixed-point exact
+    aggregates — linkgraph/similarity.py#weighted_node_similarity)."""
+    from linkgraph.similarity import weighted_node_similarity
+
+    return weighted_node_similarity(
+        cosupplier_edges(spark, sf_dir), metric="pearson", direction="BOTH"
+    )
+
+
+def _q_nodesim_euclidean_cosupplier(spark, sf_dir):
+    """algo.similarity.euclidean analog: pair distances via the sparse
+    identity ||a-b||^2 = q_a + q_b - 2<a,b> on integer fixed-point
+    aggregates (linkgraph/similarity.py#weighted_node_similarity)."""
+    from linkgraph.similarity import weighted_node_similarity
+
+    return weighted_node_similarity(
+        cosupplier_edges(spark, sf_dir), metric="euclidean", direction="BOTH"
     )
 
 
@@ -1427,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_coproject": _q_pagerank_coproject,
         "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
+        "nodesim_pearson_cosupplier": _q_nodesim_pearson_cosupplier,
+        "nodesim_euclidean_cosupplier": _q_nodesim_euclidean_cosupplier,
         "linkpred_purchase_topn": _q_linkpred_purchase,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
@@ -2123,6 +2155,8 @@ sc AS (SELECT c.node1, c.node2, ROUND(c.raw, 6) AS score
 SELECT node1, node2, score FROM sc
 ORDER BY score DESC, node1 ASC, node2 ASC LIMIT 100
 """,
+        "nodesim_pearson_cosupplier": _weighted_nodesim_sql_wrapped("pearson"),
+        "nodesim_euclidean_cosupplier": _weighted_nodesim_sql_wrapped("euclidean"),
         "nodesim_suppliers_jaccard": f"""
 WITH e AS ({PURCHASE_EDGES_SQL}),
 nbr AS (SELECT DISTINCT e.dst AS src, e.src AS nbr FROM e),

@@ -37,7 +37,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["node_similarity", "node_similarity_topk", "bipartite_projection", "link_prediction"]
+__all__ = [
+    "node_similarity",
+    "node_similarity_topk",
+    "bipartite_projection",
+    "link_prediction",
+    "weighted_node_similarity",
+    "weighted_node_similarity_sql",
+]
 
 _METRICS = ("jaccard", "overlap", "cosine")
 
@@ -317,3 +324,212 @@ def link_prediction(
             F.col("score").desc(), F.col("node1").asc(), F.col("node2").asc()
         ).limit(top_n)
     return out
+
+
+# --------------------------------------------------------------------------
+# Weighted similarity (algo.similarity.euclidean / algo.similarity.pearson)
+# --------------------------------------------------------------------------
+
+_WEIGHTED_METRICS = ("euclidean", "pearson")
+_W_SCALE = 1_000_000  # 6-decimal fixed point: exact integer arithmetic
+
+
+def _weighted_neighbor_table(
+    edges: DataFrame, direction: str, feature_cap: int | None
+) -> DataFrame:
+    """(src, nbr, w6) — weighted feature vectors in 6-decimal fixed
+    point. Parallel edges SUM their weights (exact in the scaled
+    integer domain); self-loops drop; ``feature_cap`` prunes hub
+    features exactly as `_neighbor_table` does."""
+    w6 = F.round(F.coalesce(F.col("weight"), F.lit(1.0)) * _W_SCALE, 0).cast("long")
+    e = edges.select("src", "dst", w6.alias("w6"))
+    if direction == "OUTGOING":
+        nbr = e.select("src", F.col("dst").alias("nbr"), "w6")
+    elif direction == "INCOMING":
+        nbr = e.select(F.col("dst").alias("src"), F.col("src").alias("nbr"), "w6")
+    elif direction == "BOTH":
+        nbr = e.select("src", F.col("dst").alias("nbr"), "w6").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("nbr"), "w6")
+        )
+    else:
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
+    nbr = (
+        nbr.filter(F.col("src") != F.col("nbr"))
+        .groupBy("src", "nbr")
+        .agg(F.sum("w6").alias("w6"))
+    )
+    if feature_cap is not None:
+        keep = (
+            nbr.groupBy("nbr")
+            .agg(F.count("*").alias("fan_in"))
+            .filter(F.col("fan_in") <= feature_cap)
+            .select("nbr")
+        )
+        nbr = nbr.join(keep, "nbr")
+    return nbr
+
+
+def weighted_node_similarity(
+    edges: DataFrame,
+    metric: str = "pearson",
+    direction: str = "OUTGOING",
+    degree_cutoff: int = 1,
+    feature_cap: int | None = None,
+) -> DataFrame:
+    """Weighted-vector similarity pairs — the reference's
+    ``algo.similarity.euclidean`` / ``algo.similarity.pearson``
+    procedures (the SimilarityProc family sibling of the set-based
+    metrics above; SURVEY.md §2.2 similarity lineage).
+
+    Each node's vector is its weighted (capped-universe) feature row
+    set with missing features = 0 over the GLOBAL feature dimension n
+    (the reference materializes dense per-category weight lists; the
+    sparse identity ``||a-b||^2 = q_a + q_b - 2<a,b>`` and the
+    n-dimensional Pearson moments make that dense semantics computable
+    from sparse rows). Emits ``(node1 < node2, distance)`` for
+    euclidean (smaller = more similar) or ``(node1 < node2, pearson)``.
+
+    CANDIDATE CONTRACT (documented deviation from the reference's
+    all-pairs loop): only pairs sharing >= 1 feature are emitted —
+    the same never-materialize-empty-intersections rule as
+    `node_similarity`, which is what keeps the operator a single
+    co-feature shuffle instead of a crossJoin at 100 TB. Pearson rows
+    whose variance denominator is 0 (constant vector over the n-dim
+    dense semantics) are dropped (correlation undefined).
+
+    EXACTNESS: weights live in 6-decimal fixed point (BIGINT); every
+    aggregate (dot, sums, sums of squares) is an exact integer in
+    DECIMAL(38,0) / HUGEINT, and only the FINAL expression casts to
+    double — both engines see identical inputs and the identical
+    IEEE expression tree, so the rounded score is value-exact.
+    """
+    if metric not in _WEIGHTED_METRICS:
+        raise ValueError(f"metric must be one of {_WEIGHTED_METRICS}, got {metric!r}")
+    nbr = _weighted_neighbor_table(edges, direction, feature_cap)
+    stats = nbr.groupBy("src").agg(
+        F.count("*").alias("cnt"),
+        F.sum("w6").alias("s"),
+        F.sum((F.col("w6") * F.col("w6")).cast("decimal(38,0)")).alias("q"),
+    )
+    if degree_cutoff > 1:
+        stats = stats.filter(F.col("cnt") >= degree_cutoff)
+        nbr = nbr.join(stats.select("src"), "src")
+    a = nbr.select(F.col("src").alias("node1"), "nbr", F.col("w6").alias("w1"))
+    b = nbr.select(F.col("src").alias("node2"), "nbr", F.col("w6").alias("w2"))
+    dots = (
+        a.join(b, "nbr")
+        .filter(F.col("node1") < F.col("node2"))
+        .groupBy("node1", "node2")
+        .agg(F.sum((F.col("w1") * F.col("w2")).cast("decimal(38,0)")).alias("dot"))
+    )
+    joined = dots.join(
+        stats.select(
+            F.col("src").alias("node1"),
+            F.col("s").alias("s1"),
+            F.col("q").alias("q1"),
+        ),
+        "node1",
+    ).join(
+        stats.select(
+            F.col("src").alias("node2"),
+            F.col("s").alias("s2"),
+            F.col("q").alias("q2"),
+        ),
+        "node2",
+    )
+    if metric == "euclidean":
+        diff = (
+            F.col("q1").cast("double")
+            + F.col("q2").cast("double")
+            - 2.0 * F.col("dot").cast("double")
+        )
+        return joined.select(
+            "node1",
+            "node2",
+            F.round(F.sqrt(diff) / F.lit(float(_W_SCALE)), 6).alias("distance"),
+        )
+    # pearson over the global dense dimension n (one-row broadcast)
+    n = nbr.select(F.countDistinct("nbr").alias("n"))
+    jn = joined.crossJoin(F.broadcast(n))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("dot").cast("double") - F.col("s1").cast("double") * F.col("s2").cast("double")
+    v1 = nd * F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")
+    v2 = nd * F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double")
+    return (
+        jn.filter((v1 > 0) & (v2 > 0))
+        .select(
+            "node1",
+            "node2",
+            F.round(num / (F.sqrt(v1) * F.sqrt(v2)), 6).alias("pearson"),
+        )
+    )
+
+
+def _weighted_nbr_sql(edge_sql: str, direction: str, feature_cap: int | None) -> str:
+    w6 = "CAST(ROUND(COALESCE(weight, 1.0) * 1000000) AS BIGINT)"
+    if direction == "OUTGOING":
+        sel = f"SELECT src, dst AS nbr, {w6} AS w6 FROM e"
+    elif direction == "INCOMING":
+        sel = f"SELECT dst AS src, src AS nbr, {w6} AS w6 FROM e"
+    elif direction == "BOTH":
+        sel = (f"SELECT src, dst AS nbr, {w6} AS w6 FROM e "
+               f"UNION ALL SELECT dst AS src, src AS nbr, {w6} AS w6 FROM e")
+    else:
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction!r}")
+    base = (f"SELECT src, nbr, SUM(w6) AS w6 FROM ({sel}) "
+            f"WHERE src <> nbr GROUP BY src, nbr")
+    if feature_cap is None:
+        return base
+    return (f"SELECT t.* FROM ({base}) t JOIN ("
+            f"SELECT nbr FROM ({base}) GROUP BY nbr HAVING COUNT(*) <= {feature_cap}"
+            f") k ON k.nbr = t.nbr")
+
+
+def weighted_node_similarity_sql(
+    edge_sql: str,
+    metric: str = "pearson",
+    direction: str = "OUTGOING",
+    degree_cutoff: int = 1,
+    feature_cap: int | None = None,
+) -> str:
+    """DuckDB twin of `weighted_node_similarity` (value-exact: integer
+    fixed-point aggregates, one final double expression)."""
+    if metric not in _WEIGHTED_METRICS:
+        raise ValueError(f"metric must be one of {_WEIGHTED_METRICS}, got {metric!r}")
+    cutoff = f"HAVING COUNT(*) >= {degree_cutoff}" if degree_cutoff > 1 else ""
+    head = f"""
+WITH e AS ({edge_sql}),
+nbr AS ({_weighted_nbr_sql(edge_sql, direction, feature_cap)}),
+stats AS (SELECT src, COUNT(*) AS cnt, SUM(w6) AS s,
+                 SUM(CAST(w6 AS HUGEINT) * w6) AS q
+          FROM nbr GROUP BY src {cutoff}),
+dots AS (SELECT a.src AS node1, b.src AS node2,
+                SUM(CAST(a.w6 AS HUGEINT) * b.w6) AS dot
+         FROM nbr a JOIN nbr b ON a.nbr = b.nbr AND a.src < b.src
+         JOIN stats sa ON sa.src = a.src
+         JOIN stats sb ON sb.src = b.src
+         GROUP BY a.src, b.src),
+j AS (SELECT d.node1, d.node2, d.dot,
+             s1.s AS s1, s1.q AS q1, s2.s AS s2, s2.q AS q2
+      FROM dots d JOIN stats s1 ON s1.src = d.node1
+                  JOIN stats s2 ON s2.src = d.node2)"""
+    if metric == "euclidean":
+        return f"""{head}
+SELECT node1, node2,
+       ROUND(sqrt(CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE)
+                  - 2.0 * CAST(dot AS DOUBLE)) / 1000000.0, 6) AS distance
+FROM j
+"""
+    return f"""{head},
+nn AS (SELECT COUNT(DISTINCT nbr) AS n FROM nbr)
+SELECT node1, node2,
+       ROUND((CAST(n AS DOUBLE) * CAST(dot AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6) AS pearson
+FROM j CROSS JOIN nn
+WHERE CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
+"""

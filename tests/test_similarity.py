@@ -262,3 +262,146 @@ def test_link_prediction_cap_prunes_terms_keeps_true_degrees(spark):
         (1, 2): pytest.approx(1 / 2),
         (10, 11): pytest.approx(1.0),
     }
+
+
+# --------------------------------------------------------------------------
+# weighted similarity (algo.similarity.euclidean / .pearson)
+# --------------------------------------------------------------------------
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in triples],
+        "src long, dst long, weight double",
+    )
+
+
+def _dense_replay(triples, direction="OUTGOING"):
+    """{node: {feature: weight}} after direction expansion + self drop."""
+    vec = {}
+    for a, b, w in triples:
+        rows = []
+        if direction in ("OUTGOING", "BOTH"):
+            rows.append((a, b, w))
+        if direction in ("INCOMING", "BOTH"):
+            rows.append((b, a, w))
+        for s, f, ww in rows:
+            if s == f:
+                continue
+            vec.setdefault(s, {})
+            vec[s][f] = vec[s].get(f, 0.0) + ww
+    return vec
+
+
+def _expected_weighted(triples, metric, direction="OUTGOING"):
+    vec = _dense_replay(triples, direction)
+    feats = sorted({f for v in vec.values() for f in v})
+    n = len(feats)
+    out = {}
+    for a in sorted(vec):
+        for b in sorted(vec):
+            if not a < b:
+                continue
+            if not set(vec[a]) & set(vec[b]):
+                continue
+            xa = [vec[a].get(f, 0.0) for f in feats]
+            xb = [vec[b].get(f, 0.0) for f in feats]
+            if metric == "euclidean":
+                out[(a, b)] = round(
+                    math.sqrt(sum((x - y) ** 2 for x, y in zip(xa, xb))), 6
+                )
+            else:
+                sx, sy = sum(xa), sum(xb)
+                dot = sum(x * y for x, y in zip(xa, xb))
+                qx = sum(x * x for x in xa)
+                qy = sum(y * y for y in xb)
+                v1 = n * qx - sx * sx
+                v2 = n * qy - sy * sy
+                if v1 <= 0 or v2 <= 0:
+                    continue
+                out[(a, b)] = round(
+                    (n * dot - sx * sy) / (math.sqrt(v1) * math.sqrt(v2)), 6
+                )
+    return out
+
+
+def test_weighted_euclidean_golden(spark):
+    from linkgraph.similarity import weighted_node_similarity
+
+    # 1: {10: 3, 11: 4}; 2: {10: 1, 11: 1, 12: 2}; 3: {12: 5}
+    t = [(1, 10, 3), (1, 11, 4), (2, 10, 1), (2, 11, 1), (2, 12, 2), (3, 12, 5)]
+    got = {
+        (r.node1, r.node2): r.distance
+        for r in weighted_node_similarity(_wedges(spark, t), "euclidean").collect()
+    }
+    # ||v1-v2||: (3-1)^2 + (4-1)^2 + (0-2)^2 = 17
+    assert got[(1, 2)] == pytest.approx(round(math.sqrt(17), 6), abs=0)
+    # (2,3): (1)^2 + (1)^2 + (2-5)^2 = 11
+    assert got[(2, 3)] == pytest.approx(round(math.sqrt(11), 6), abs=0)
+    assert (1, 3) not in got  # no shared feature -> never materialized
+
+
+def test_weighted_random_python_oracle(spark):
+    from linkgraph.similarity import weighted_node_similarity
+
+    rng = random.Random(71)
+    t = [
+        (rng.randrange(8), 100 + rng.randrange(6), rng.randrange(1, 9) / 2.0)
+        for _ in range(40)
+    ]
+    for metric, col in (("euclidean", "distance"), ("pearson", "pearson")):
+        res = weighted_node_similarity(_wedges(spark, t), metric).collect()
+        got = {(r.node1, r.node2): getattr(r, col) for r in res}
+        want = _expected_weighted(t, metric)
+        assert set(got) == set(want), metric
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6), (metric, k)
+
+
+def test_weighted_pearson_sign_golden(spark):
+    from linkgraph.similarity import weighted_node_similarity
+
+    # perfectly aligned vectors -> pearson 1; two-feature opposites -> -? 
+    t = [(1, 10, 2), (1, 11, 4), (2, 10, 1), (2, 11, 2)]
+    got = {
+        (r.node1, r.node2): r.pearson
+        for r in weighted_node_similarity(_wedges(spark, t), "pearson").collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weighted_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.similarity import (
+        weighted_node_similarity,
+        weighted_node_similarity_sql,
+    )
+
+    rng = random.Random(83)
+    t = [
+        (rng.randrange(10), 100 + rng.randrange(7), rng.randrange(1, 12) / 4.0)
+        for _ in range(60)
+    ]
+    vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in t)
+    edge_sql = f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+    con = duckdb.connect()
+    for metric in ("euclidean", "pearson"):
+        res = weighted_node_similarity(
+            _wedges(spark, t), metric, direction="BOTH", feature_cap=8
+        ).collect()
+        got = {tuple(r) for r in res}
+        sql = weighted_node_similarity_sql(
+            edge_sql, metric, direction="BOTH", feature_cap=8
+        )
+        want = {tuple(r) for r in con.execute(sql).fetchall()}
+        assert got == want, metric
+
+
+def test_weighted_validation(spark):
+    from linkgraph.similarity import weighted_node_similarity
+
+    e = _wedges(spark, [(1, 2, 1.0)])
+    with pytest.raises(ValueError, match="metric"):
+        weighted_node_similarity(e, metric="cosine")
+    with pytest.raises(ValueError, match="direction"):
+        weighted_node_similarity(e, direction="NOPE")
