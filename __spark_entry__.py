@@ -1299,6 +1299,16 @@ def _q_ngram_lm(spark, sf_dir):
     return ngram_lm(_docs(spark, sf_dir), n=2, min_count=5)
 
 
+def _q_perplexity(spark, sf_dir):
+    """CCNet-style quality signal: per-doc cross-entropy under the
+    corpus's own add-1 bigram LM. Each per-gram ln is rounded to 7
+    decimals before a token-ordered left fold, which removes the
+    measured Java-vs-libm 1-ulp ln divergence — value-exact oracle
+    (linkgraph/pipeline/text.py#perplexity_scores)."""
+    from linkgraph.pipeline.text import perplexity_scores
+    return perplexity_scores(_docs(spark, sf_dir), n=2, k=1.0)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 terms by smoothed TF-IDF (keyword
     extraction); ranking on the ROUNDED score so both engines rank
@@ -1497,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_redact_pii,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_ngram_lm": _q_ngram_lm,
+        "text_perplexity": _q_perplexity,
         "text_bm25_search": _q_bm25_search,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
@@ -2243,6 +2254,7 @@ def _pipeline_oracles() -> dict[str, str]:
         fingerprints_sql,
         bm25_search_sql,
         ngram_lm_sql,
+        perplexity_scores_sql,
         redact_pii_sql,
         tfidf_topk_sql,
         vocab_stats_sql,
@@ -2305,6 +2317,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "curate_line_dedup": line_dedup_sql(max_df=390, sep=" "),
         "text_tfidf_topk": tfidf_topk_sql(k=5),
         "text_ngram_lm": ngram_lm_sql(n=2, min_count=5),
+        "text_perplexity": perplexity_scores_sql(n=2, k=1.0),
         "text_bm25_search": bm25_search_sql("table scan merge", top_n=20),
         "text_redact_pii": redact_pii_sql(text_expr="text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),

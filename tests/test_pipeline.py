@@ -983,3 +983,78 @@ def test_ngram_lm_golden_and_twin(spark):
         assert got == want, n
     with pytest.raises(ValueError):
         ngram_lm(docs, n=0)
+
+
+# ------------------------------------------------- perplexity scoring
+
+def test_perplexity_golden_bigram(spark):
+    import math
+
+    from linkgraph.pipeline.text import perplexity_scores
+
+    # corpus: "a b a b" and "a b c"; V = 3
+    d = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    got = {r.doc_id: (r.n_grams, r.cross_entropy) for r in
+           perplexity_scores(d, n=2, k=1.0).collect()}
+    # bigram counts: "a b"=3, "b a"=1, "b c"=1; prefix counts: a=3, b=3(+? )
+    # unigrams: doc1 a,b,a,b doc2 a,b,c -> prefix (1-gram) counts a=3 b=3 c=1
+    V = 3
+    def p(c, cp):
+        return (c + 1.0) / (cp + 1.0 * V)
+    lp = lambda c, cp: round(math.log(p(c, cp)), 7)
+    # doc1 grams: (a b), (b a), (a b) -> c/cp: (3,3) (1,3) (3,3)
+    s1 = lp(3, 3) + lp(1, 3) + lp(3, 3)
+    # doc2 grams: (a b), (b c) -> (3,3) (1,3)
+    s2 = lp(3, 3) + lp(1, 3)
+    assert got[1] == (3, round(-s1 / 3, 6))
+    assert got[2] == (2, round(-s2 / 2, 6))
+
+
+def test_perplexity_short_doc_excluded_and_validation(spark):
+    import pytest as _pt
+
+    from linkgraph.pipeline.text import perplexity_scores
+
+    d = _docs(spark, [(1, "solo"), (2, "two tokens here")])
+    got = {r.doc_id for r in perplexity_scores(d, n=2).collect()}
+    assert got == {2}
+    with _pt.raises(ValueError, match="n must"):
+        perplexity_scores(d, n=0)
+    with _pt.raises(ValueError, match="k must"):
+        perplexity_scores(d, k=0.0)
+
+
+def test_perplexity_repetitive_scores_lower(spark):
+    from linkgraph.pipeline.text import perplexity_scores
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows.append((100, "the the the the the the the the the"))
+    rows.append((200, "zebra quantum umbrella fox the over dog quick"))
+    d = _docs(spark, rows)
+    got = {r.doc_id: r.cross_entropy for r in perplexity_scores(d, n=2).collect()}
+    # the repeated-template docs compress well; the shuffled-vocab doc doesn't
+    assert got[0] < got[200]
+
+
+def test_perplexity_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import perplexity_scores, perplexity_scores_sql
+
+    rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "beta gamma delta"),
+        (3, "alpha alpha alpha beta"),
+        (4, "epsilon"),
+        (5, "gamma delta epsilon zeta eta theta"),
+    ]
+    d = _docs(spark, rows)
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) AS t(doc_id, text)")
+    for n in (1, 2, 3):
+        got = {(r.doc_id, r.n_grams, r.cross_entropy) for r in
+               perplexity_scores(d, n=n).collect()}
+        want = {(r[0], r[1], r[2]) for r in
+                con.execute(perplexity_scores_sql(n=n)).fetchall()}
+        assert got == want, n
