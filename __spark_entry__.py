@@ -235,6 +235,18 @@ def _q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triangles.select("node_a", "node_b", "node_c")
 
 
+def _q_balanced_triads_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.balancedTriads analog: structural-balance census on the
+    cosupplier graph with sign = (co-order count - 2 >= 0) — pairs
+    sharing >= 2 orders are friends, single-order pairs enemies
+    (linkgraph/triangles.py#balanced_triads)."""
+    from linkgraph.triangles import balanced_triads
+    e = cosupplier_edges(spark, sf_dir).withColumn(
+        "weight", F.col("weight") - 2.0
+    )
+    return balanced_triads(e)
+
+
 def _q_triangles_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second execution path: the adjacency-intersection kernel
     (linkgraph/triangles.py kernel="intersect") against the same
@@ -475,6 +487,21 @@ def _q_harmonic_nation(spark, sf_dir):
         "id", F.col("reached").cast("long").alias("reached"),
         F.round("harmonic", 6).alias("harmonic"),
         F.round("normalized", 6).alias("normalized"),
+    )
+
+
+def _q_dangalchev_nation(spark, sf_dir):
+    """Dangalchev closeness (algo.closeness.dangalchev): sum of
+    2^-dist over reachable nodes — every term a dyadic rational, so
+    the SUM is order-independent and the oracle exact
+    (linkgraph/paths.py#dangalchev_centrality)."""
+    from linkgraph.paths import dangalchev_centrality
+    return dangalchev_centrality(
+        _trade_nation_edges(spark, sf_dir), direction="BOTH", max_hops=8
+    ).select(
+        "id",
+        F.col("reached").cast("long").alias("reached"),
+        F.round("dangalchev", 6).alias("dangalchev"),
     )
 
 
@@ -1431,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_cosupplier": _q_triangle_count,
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
+        "balanced_triads_cosupplier": _q_balanced_triads_cosupplier,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
         "kcore_purchase": _q_kcore_purchase,
@@ -1452,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_nation": _q_closeness_nation,
         "closeness_sampled_nation": _q_closeness_sampled_nation,
         "harmonic_nation": _q_harmonic_nation,
+        "dangalchev_nation": _q_dangalchev_nation,
         "harmonic_sampled_nation": _q_harmonic_sampled_nation,
         "scc_returns": _q_scc_returns,
         "mst_cosupplier": _q_mst_cosupplier,
@@ -1680,6 +1709,29 @@ SELECT id, label FROM best WHERE rk = 1
         "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),
         "edge_support_cosupplier": _edge_support_sql(),
         "ktruss4_cosupplier": _ktruss4_sql(),
+        "balanced_triads_cosupplier": f"""
+WITH e AS ({COSUPPLIER_EDGES_SQL}),
+se AS (SELECT src AS a, dst AS b,
+              CASE WHEN weight - 2.0 >= 0 THEN 1 ELSE -1 END AS s
+       FROM e),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+               e1.s * e3.s * e2.s AS prod
+        FROM se e1
+        JOIN se e2 ON e2.a = e1.b
+        JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS id, prod FROM tri
+            UNION ALL SELECT y, prod FROM tri
+            UNION ALL SELECT z, prod FROM tri),
+nodes AS (SELECT DISTINCT id FROM (SELECT a AS id FROM se UNION ALL SELECT b FROM se)),
+cnt AS (SELECT id,
+               SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS balanced,
+               SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS unbalanced
+        FROM corners GROUP BY id)
+SELECT n.id,
+       CAST(COALESCE(c.balanced, 0) AS BIGINT) AS balanced,
+       CAST(COALESCE(c.unbalanced, 0) AS BIGINT) AS unbalanced
+FROM nodes n LEFT JOIN cnt c ON c.id = n.id
+""",
         "triangle_count_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT COUNT(*) AS triangle_count FROM tri",
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},
@@ -2105,6 +2157,16 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "closeness_nation": closeness_sql,
         "closeness_sampled_nation": closeness_sampled_sql,
         "harmonic_nation": harmonic_sql,
+        "dangalchev_nation": f"""
+WITH RECURSIVE {bfs_base}
+SELECT nd.id AS id,
+       CAST(COALESCE(h.reached, 0) AS BIGINT) AS reached,
+       ROUND(COALESCE(h.dang, 0.0), 6) AS dangalchev
+FROM nodes nd LEFT JOIN (
+  SELECT source AS id, COUNT(*) AS reached,
+         SUM(1.0 / (CAST(1 AS BIGINT) << dist)) AS dang
+  FROM best WHERE dist > 0 GROUP BY source) h ON h.id = nd.id
+""",
         "harmonic_sampled_nation": harmonic_sampled_sql,
         "scc_returns": scc_sql,
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),

@@ -18,7 +18,7 @@ from linkgraph.ids import dense_ids, edges_from_pairs
 from linkgraph.pagerank import pagerank, PageRankResult
 from linkgraph.components import connected_components, canonical_components, ComponentsResult
 from linkgraph.labelprop import label_propagation, LabelPropagationResult
-from linkgraph.triangles import triangle_count, TriangleResult
+from linkgraph.triangles import balanced_triads, triangle_count, TriangleResult
 from linkgraph.csr import pagerank_csr, triangle_count_csr
 from linkgraph.scc import strongly_connected_components, SccResult
 from linkgraph.paths import (
@@ -29,6 +29,7 @@ from linkgraph.paths import (
     ms_relax_distances,
     closeness_centrality,
     harmonic_centrality,
+    dangalchev_centrality,
     all_shortest_paths_stream,
     SsspResult,
 )
@@ -112,6 +113,7 @@ __all__ = [
     "label_propagation",
     "LabelPropagationResult",
     "triangle_count",
+    "balanced_triads",
     "triangle_count_csr",
     "TriangleResult",
     "strongly_connected_components",
@@ -131,6 +133,7 @@ __all__ = [
     "ms_relax_distances",
     "closeness_centrality",
     "harmonic_centrality",
+    "dangalchev_centrality",
     "all_shortest_paths_stream",
     "SsspResult",
     "minimum_spanning_forest",

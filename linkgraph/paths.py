@@ -828,6 +828,48 @@ def harmonic_centrality(
     )
 
 
+def dangalchev_centrality(
+    edges: DataFrame,
+    direction: str = "BOTH",
+    max_hops: int = 64,
+    exact_warn_nodes: int = 100_000,
+) -> DataFrame:
+    """Dangalchev closeness — the reference's third closeness variant
+    (``algo.closeness.dangalchev``, pub:algo/.../impl/
+    DangalchevClosenessCentrality.java; SURVEY.md §2.2 closeness
+    lineage): c(u) = sum over reachable v != u of 2^(-dist(u, v)).
+    Like harmonic it is defined on disconnected graphs (unreachable
+    nodes contribute 0), and it additionally dampens far nodes
+    geometrically rather than hyperbolically.
+
+    EXACTNESS: every term is the dyadic rational 1 / (1 << dist)
+    (exact integer shift, exact double division), and a sum of <= 2^53
+    such terms with dist <= ~40 is exactly representable — so the
+    unordered SUM is order-independent and the SQL oracle needs no
+    float tolerance at all, unlike the 1/dist harmonic sum.
+
+    Returns (id, reached, dangalchev) for every node. Shares the
+    batched MS-BFS (one frontier job per hop level for all sources).
+    """
+    d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
+    nodes = d.select(F.col("source").alias("id")).distinct()
+    n = nodes.count()
+    if n > exact_warn_nodes:
+        _warn_all_sources(n, "Dangalchev closeness")
+    term = F.lit(1.0) / F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("dist").cast("int")
+    )
+    agg = d.filter(F.col("dist") > 0).groupBy(F.col("source").alias("id")).agg(
+        F.count("*").alias("reached"),
+        F.sum(term).alias("dangalchev"),
+    )
+    return nodes.join(agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("reached"), F.lit(0)).alias("reached"),
+        F.coalesce(F.col("dangalchev"), F.lit(0.0)).alias("dangalchev"),
+    )
+
+
 def all_shortest_paths_stream(
     edges: DataFrame,
     sources: DataFrame | None = None,

@@ -201,3 +201,85 @@ def _live_ops(df) -> list:
 
     walk(df._jdf.queryExecution().executedPlan())
     return ops
+
+
+# --------------------------------------------------- balanced triads
+
+def _signed_edges(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in triples],
+        "src long, dst long, weight double",
+    )
+
+
+def _brute_balanced(triples, threshold=0.0):
+    import itertools
+
+    w = {}
+    for a, b, ww in triples:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        w[k] = w.get(k, 0.0) + ww
+    sign = {k: (1 if v >= threshold else -1) for k, v in w.items()}
+    nodes = sorted({x for k in sign for x in k})
+    bal = {n: [0, 0] for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in sign and (x, z) in sign and (y, z) in sign:
+            p = sign[(x, y)] * sign[(x, z)] * sign[(y, z)]
+            for n in (x, y, z):
+                bal[n][0 if p > 0 else 1] += 1
+    return bal
+
+
+def test_balanced_triads_golden(spark):
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.triangles import balanced_triads
+
+    # triangle 1-2-3 all friends (balanced +++); triangle 2-3-4 with
+    # one enemy edge (unbalanced ++-)
+    t = [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (2, 4, 1.0), (3, 4, -1.0)]
+    res = balanced_triads(_signed_edges(spark, t))
+    got = {r.id: (r.balanced, r.unbalanced) for r in res.collect()}
+    release_caches(res)
+    assert got[1] == (1, 0)
+    assert got[2] == (1, 1)
+    assert got[3] == (1, 1)
+    assert got[4] == (0, 1)
+
+
+def test_balanced_triads_random_oracle(spark):
+    import random
+
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.triangles import balanced_triads
+
+    rng = random.Random(59)
+    t = [
+        (a, b, rng.choice([-2.0, -1.0, 1.0, 3.0]))
+        for a, b in {(rng.randrange(12), rng.randrange(12)) for _ in range(60)}
+        if a != b
+    ]
+    res = balanced_triads(_signed_edges(spark, t))
+    got = {r.id: (r.balanced, r.unbalanced) for r in res.collect()}
+    release_caches(res)
+    want = _brute_balanced(t)
+    assert got == {n: tuple(v) for n, v in want.items()}
+
+
+def test_balanced_triads_threshold_and_default_weight(spark):
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.triangles import balanced_triads
+
+    # no weight column: all edges positive -> every triangle balanced
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    res = balanced_triads(e)
+    got = {r.id: (r.balanced, r.unbalanced) for r in res.collect()}
+    release_caches(res)
+    assert got == {1: (1, 0), 2: (1, 0), 3: (1, 0)}
+    # threshold above every weight -> all edges negative -> product -1
+    e2 = _signed_edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)])
+    res2 = balanced_triads(e2, threshold=5.0)
+    got2 = {r.id: (r.balanced, r.unbalanced) for r in res2.collect()}
+    release_caches(res2)
+    assert got2 == {1: (0, 1), 2: (0, 1), 3: (0, 1)}
