@@ -298,6 +298,16 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_weighted_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.degree with weightProperty: undirected (in+out) relationship
+    count + 6-decimal fixed-point exact weighted degree
+    (linkgraph/graphs.py#degree_centrality)."""
+    from linkgraph.graphs import degree_centrality
+    return degree_centrality(
+        cosupplier_edges(spark, sf_dir), direction="BOTH", weighted=True
+    )
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution probe (SURVEY.md §7 skew measurement)."""
     from linkgraph import degree_histogram
@@ -693,6 +703,11 @@ def _weighted_nodesim_sql_wrapped(metric: str) -> str:
     return weighted_node_similarity_sql(
         COSUPPLIER_EDGES_SQL, metric, direction="BOTH"
     )
+
+
+def _degree_weighted_sql_wrapped() -> str:
+    from linkgraph.graphs import degree_centrality_sql
+    return degree_centrality_sql(COSUPPLIER_EDGES_SQL, direction="BOTH", weighted=True)
 
 
 def _fastrp_sql_wrapped() -> str:
@@ -1133,6 +1148,19 @@ def _q_corpus_prep(spark, sf_dir):
     return corpus_prep(_docs(spark, sf_dir), n=3, threshold=0.8, min_quality=0.5)
 
 
+def _q_corpus_prep_lm(spark, sf_dir):
+    """Composition: the corpus_prep survivors annotated with the
+    bigram-LM cross-entropy — dedup pick, quality gate, token
+    accounting, and the CCNet-style perplexity signal in ONE lazy
+    Catalyst plan (no intermediate materialization)."""
+    from linkgraph.pipeline import corpus_prep
+    from linkgraph.pipeline.text import perplexity_scores
+    docs = _docs(spark, sf_dir)
+    base = corpus_prep(docs, n=3, threshold=0.8, min_quality=0.5)
+    ppl = perplexity_scores(docs, n=2, k=1.0).select("doc_id", "cross_entropy")
+    return _keep_caches(base.join(ppl, "doc_id"), base)
+
+
 def _q_simhash(spark, sf_dir):
     from linkgraph.pipeline import simhash_table
     return simhash_table(_docs(spark, sf_dir), bits=32)
@@ -1461,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_triads_cosupplier": _q_balanced_triads_cosupplier,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
+        "degree_weighted_cosupplier": _q_degree_weighted_cosupplier,
         "kcore_purchase": _q_kcore_purchase,
         "coreness_purchase": _q_coreness_purchase,
         "anf_purchase": _q_anf_purchase,
@@ -1516,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_pick": _q_canonical_pick,
         "sim_semantic_dedup": _q_semantic_dedup,
         "pipeline_corpus_prep": _q_corpus_prep,
+        "pipeline_corpus_prep_lm": _q_corpus_prep_lm,
         "simhash_table": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "text_token_stats": _q_token_stats,
@@ -1794,6 +1824,7 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
         "hyperball_harmonic_purchase": hyperball_harmonic_sql(
             PURCHASE_EDGES_SQL, max_t=3, m=16, seed=0
         ),
+        "degree_weighted_cosupplier": _degree_weighted_sql_wrapped(),
         "degrees_purchase": f"""
 WITH edges AS ({PURCHASE_EDGES_SQL})
 SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
@@ -2358,6 +2389,12 @@ def _pipeline_oracles() -> dict[str, str]:
         "pipeline_corpus_prep": corpus_prep_sql(
             jaccard_pairs_sql(n=3, threshold=0.8), min_quality=0.5
         ),
+        "pipeline_corpus_prep_lm": f"""
+WITH base AS ({corpus_prep_sql(jaccard_pairs_sql(n=3, threshold=0.8), min_quality=0.5)}),
+ppl AS ({perplexity_scores_sql(n=2, k=1.0)})
+SELECT base.*, ppl.cross_entropy
+FROM base JOIN ppl ON ppl.doc_id = base.doc_id
+""",
         "simhash_table": simhash_table_sql(bits=32),
         "simhash_pairs": simhash_pairs_sql(bits=32, max_hamming=3),
         "text_token_stats": TOKEN_STATS_SQL,

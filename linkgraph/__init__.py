@@ -54,6 +54,7 @@ from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_re
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
 from linkgraph.graphs import (
     degree_assortativity,
+    degree_centrality,
     degree_histogram,
     induced_subgraph,
     sample_edges,
@@ -156,6 +157,7 @@ __all__ = [
     "is_finite",
     "is_infinite",
     "degree_assortativity",
+    "degree_centrality",
     "induced_subgraph",
     "sample_edges",
     "eigenvector_centrality",

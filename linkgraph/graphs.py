@@ -214,3 +214,80 @@ def induced_subgraph_sql(edges: str, node_fraction: float, seed: int = 0) -> str
         f"SELECT * FROM ({edges}) WHERE ({hs}) % 1000000 < {t} "
         f"AND ({hd}) % 1000000 < {t}"
     )
+
+
+def degree_centrality(
+    edges: DataFrame, direction: str = "OUTGOING", weighted: bool = False
+) -> DataFrame:
+    """algo.degree analog (pub:algo/.../DegreeCentralityProc.java,
+    SURVEY.md §2.2 centrality family): per-node relationship count
+    along ``direction`` (BOTH = in + out, parallel edges counted —
+    the reference iterates relationships, not neighbor sets), plus
+    the weightProperty contract when ``weighted``.
+
+    Returns (id, degree) or (id, degree, weighted_degree) for EVERY
+    node of the edge table (0 for nodes with no incidence in the
+    chosen direction). The weighted sum runs in the 6-decimal
+    fixed-point integer domain (exact, order-independent — the
+    `weighted_node_similarity` contract), divided back once at the
+    end. One map-side-combinable aggregate; no joins beyond the
+    |V|-row universe left join.
+    """
+    d = direction.upper()
+    if d not in ("OUTGOING", "INCOMING", "BOTH"):
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
+    w6 = F.round(F.coalesce(F.col("weight"), F.lit(1.0)) * 1_000_000, 0).cast("long")
+    inc_out = edges.select(F.col("src").alias("id"), w6.alias("w6"))
+    inc_in = edges.select(F.col("dst").alias("id"), w6.alias("w6"))
+    if d == "OUTGOING":
+        inc = inc_out
+    elif d == "INCOMING":
+        inc = inc_in
+    else:
+        inc = inc_out.unionByName(inc_in)
+    agg = inc.groupBy("id").agg(
+        F.count("*").alias("degree"), F.sum("w6").alias("w6")
+    )
+    universe = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = universe.join(agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        F.round(
+            F.coalesce(F.col("w6"), F.lit(0)).cast("double") / 1_000_000.0, 6
+        ).alias("weighted_degree"),
+    )
+    if not weighted:
+        out = out.select("id", "degree")
+    return out
+
+
+def degree_centrality_sql(
+    edge_sql: str, direction: str = "OUTGOING", weighted: bool = False
+) -> str:
+    """DuckDB twin of `degree_centrality` (value-exact)."""
+    d = direction.upper()
+    if d not in ("OUTGOING", "INCOMING", "BOTH"):
+        raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
+    w6 = "CAST(ROUND(COALESCE(weight, 1.0) * 1000000) AS BIGINT)"
+    sel = {
+        "OUTGOING": f"SELECT src AS id, {w6} AS w6 FROM e",
+        "INCOMING": f"SELECT dst AS id, {w6} AS w6 FROM e",
+        "BOTH": (f"SELECT src AS id, {w6} AS w6 FROM e "
+                 f"UNION ALL SELECT dst AS id, {w6} AS w6 FROM e"),
+    }[d]
+    cols = "id, degree" + (", weighted_degree" if weighted else "")
+    return f"""
+WITH e AS ({edge_sql}),
+inc AS ({sel}),
+agg AS (SELECT id, COUNT(*) AS degree, SUM(w6) AS w6 FROM inc GROUP BY id),
+universe AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+SELECT {cols} FROM (
+  SELECT u.id,
+         CAST(COALESCE(a.degree, 0) AS BIGINT) AS degree,
+         ROUND(CAST(COALESCE(a.w6, 0) AS DOUBLE) / 1000000.0, 6) AS weighted_degree
+  FROM universe u LEFT JOIN agg a ON a.id = u.id)
+"""

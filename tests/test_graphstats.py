@@ -100,3 +100,49 @@ def test_induced_subgraph_closed_and_twin(spark):
     assert {tuple(r) for r in rows} == want
     with pytest.raises(ValueError):
         induced_subgraph(e, -0.1)
+
+
+def test_degree_centrality_contract(spark):
+    from linkgraph.graphs import degree_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.5), (1, 2, 1.0), (2, 3, 4.0), (3, 1, 0.5)],
+        "src long, dst long, weight double",
+    )
+    out = {r.id: r.degree for r in degree_centrality(e, "OUTGOING").collect()}
+    assert out == {1: 2, 2: 1, 3: 1}  # parallel edges counted
+    inn = {r.id: r.degree for r in degree_centrality(e, "INCOMING").collect()}
+    assert inn == {1: 1, 2: 2, 3: 1}
+    both = {
+        r.id: (r.degree, r.weighted_degree)
+        for r in degree_centrality(e, "BOTH", weighted=True).collect()
+    }
+    assert both[1] == (3, 4.0)   # out 2.5+1.0, in 0.5
+    assert both[2] == (3, 7.5)   # in 2.5+1.0, out 4.0
+    assert both[3] == (2, 4.5)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="direction"):
+        degree_centrality(e, "NOPE")
+
+
+def test_degree_centrality_duckdb_twin(spark):
+    import random
+
+    import duckdb
+
+    from linkgraph.graphs import degree_centrality, degree_centrality_sql
+
+    rng = random.Random(97)
+    t = [
+        (rng.randrange(9), rng.randrange(9), rng.randrange(1, 20) / 4.0)
+        for _ in range(50)
+    ]
+    e = spark.createDataFrame(t, "src long, dst long, weight double")
+    vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in t)
+    edge_sql = f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+    con = duckdb.connect()
+    for d in ("OUTGOING", "INCOMING", "BOTH"):
+        got = {tuple(r) for r in degree_centrality(e, d, weighted=True).collect()}
+        want = {tuple(r) for r in con.execute(
+            degree_centrality_sql(edge_sql, d, weighted=True)).fetchall()}
+        assert got == want, d

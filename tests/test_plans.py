@@ -408,3 +408,53 @@ def test_bm25_filters_terms_before_shuffle(spark):
     # a global Sort+Exchange) caps the result
     assert "Filter" in plan and "scan" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_similarity_no_cartesian(spark):
+    """weighted_node_similarity is a co-feature self-join, never a
+    crossJoin: no CartesianProduct / BroadcastNestedLoop anywhere
+    (the 100 TB contract shared with node_similarity)."""
+    from linkgraph.similarity import weighted_node_similarity
+
+    e = spark.createDataFrame(
+        [(1, 10, 2.0), (2, 10, 1.0), (2, 11, 3.0), (3, 11, 1.0)],
+        "src long, dst long, weight double",
+    )
+    for metric in ("euclidean", "pearson"):
+        plan = _plan(weighted_node_similarity(e, metric))
+        assert "CartesianProduct" not in plan, metric
+        if metric == "euclidean":
+            # pearson legitimately broadcasts the 1-ROW global feature
+            # count (a BroadcastNestedLoop over one row); euclidean has
+            # no global term, so any nested loop there is a defect
+            assert "BroadcastNestedLoop" not in plan, metric
+
+
+def test_fastrp_iteration_is_partial_aggregated(spark):
+    """FastRP's per-iteration message combine must be a hash aggregate
+    with a map-side partial (hub-safe: a power-law dst never
+    concentrates raw rows in one task) — same contract as the ANF
+    round. And the only wide exchanges are the per-iteration
+    hashpartitioning on the gather key."""
+    from linkgraph.embeddings import fastrp_embeddings
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    plan = _plan(fastrp_embeddings(e, dim=4, iterations=2))
+    assert "partial_sum" in plan.lower() or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_degree_centrality_single_aggregate(spark):
+    """degree_centrality is one map-side-combinable aggregate + the
+    |V|-row universe join — no window, no extra shuffle stages."""
+    from linkgraph.graphs import degree_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0)], "src long, dst long, weight double"
+    )
+    plan = _plan(degree_centrality(e, "BOTH", weighted=True))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
