@@ -1141,6 +1141,14 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_pairs(_emb(spark, sf_dir), n_clusters=16, threshold=0.4)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Within-doc sliding-window token chunking (chunk 64, stride 48 —
+    overlapping long-context windows); map-only, composes with the
+    scan (linkgraph/pipeline/curate.py#chunk_documents)."""
+    from linkgraph.pipeline.curate import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk_len=64, stride=48)
+
+
 def _q_corpus_prep(spark, sf_dir):
     """Composed end-to-end pipeline: near-dup pick + quality gate +
     token accounting in one lazy plan."""
@@ -1544,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dup_clusters": _q_near_dup_clusters,
         "dedup_canonical_pick": _q_canonical_pick,
         "sim_semantic_dedup": _q_semantic_dedup,
+        "curate_chunk_documents": _q_chunk_documents,
         "pipeline_corpus_prep": _q_corpus_prep,
         "pipeline_corpus_prep_lm": _q_corpus_prep_lm,
         "simhash_table": _q_simhash,
@@ -2353,6 +2362,7 @@ def _pipeline_oracles() -> dict[str, str]:
         vocab_stats_sql,
     )
     from linkgraph.pipeline.curate import (
+        chunk_documents_sql,
         corpus_shuffle_sql,
         decontaminate_sql,
         line_dedup_sql,
@@ -2386,6 +2396,7 @@ def _pipeline_oracles() -> dict[str, str]:
             dim=64, n_clusters=16, threshold=0.4
         ),
         # composed pipeline: same stage SQL, same joins
+        "curate_chunk_documents": chunk_documents_sql(chunk_len=64, stride=48),
         "pipeline_corpus_prep": corpus_prep_sql(
             jaccard_pairs_sql(n=3, threshold=0.8), min_quality=0.5
         ),

@@ -34,6 +34,7 @@ from linkgraph.pipeline.curate import (
     corpus_shuffle,
     decontaminate,
     pack_sequences,
+    chunk_documents,
     quota_sample,
     stratified_sample,
 )
@@ -82,7 +83,7 @@ __all__ = [
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
     "decontaminate", "stratified_sample", "quota_sample",
-    "corpus_shuffle", "pack_sequences",
+    "corpus_shuffle", "pack_sequences", "chunk_documents",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "repetition_scores", "vocab_stats", "containment_pairs",
     "normalize_text", "source_mix",

@@ -357,3 +357,78 @@ SELECT kept.doc_id,
 FROM kept JOIN tot ON kept.doc_id = tot.doc_id
 GROUP BY kept.doc_id
 """
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_len: int = 128, stride: int = 128, min_tokens: int = 1
+) -> DataFrame:
+    """Within-document token chunking — the sliding-window companion to
+    `pack_sequences` (that operator places whole docs into packed
+    sequences; this one splits LONG docs into training-sized windows,
+    the standard long-context preprocessing step).
+
+    Whitespace tokens, windows starting every ``stride`` tokens
+    (stride < chunk_len = overlapping windows), tail window kept when
+    it still has >= ``min_tokens`` tokens. Returns
+    (doc_id, chunk_id, start, n_tokens, chunk): 0-based chunk index,
+    0-based start-token offset, the window's token count, and the
+    reassembled chunk text.
+
+    Shuffle-free: one per-row transform + posexplode, entirely inside
+    whole-stage codegen — at 100 TB this is a map-only stage that
+    composes with the scan (no exchange before or after; downstream
+    packers shuffle the CHUNKS, which is the point: chunk rows are
+    bounded by chunk_len regardless of document length, so no
+    straggler task ever holds a whole mega-document).
+    """
+    if chunk_len < 1:
+        raise ValueError(f"chunk_len must be >= 1, got {chunk_len}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size(toks) - 1) / stride).cast("int") * stride, F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"), F.slice(toks, s + 1, chunk_len).alias("ctoks")
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start").cast("long").alias("start"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+
+
+def chunk_documents_sql(
+    chunk_len: int = 128, stride: int = 128, min_tokens: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `chunk_documents` (exact: integer offsets and
+    string reassembly only)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}),
+ex AS (
+  SELECT doc_id,
+         unnest([{{'chunk_id': i, 'start': i * {stride},
+                   'ctoks': toks[i * {stride} + 1 : i * {stride} + {chunk_len}]}}
+                 for i in range(0, CAST(FLOOR(CAST(len(toks) - 1 AS DOUBLE) / {stride}) AS BIGINT) + 1)],
+                recursive := true)
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk
+FROM ex
+WHERE len(ctoks) >= {min_tokens}
+"""

@@ -181,3 +181,76 @@ def test_line_dedup_duckdb_twin(spark):
     con.register("documents", docs.toPandas())
     want = {tuple(r) for r in con.execute(line_dedup_sql(max_df=3)).fetchall()}
     assert got == want
+
+
+# --------------------------------------------------- document chunking
+
+def test_chunk_documents_golden(spark):
+    from linkgraph.pipeline.curate import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.start, r.n_tokens, r.chunk)
+        for r in chunk_documents(d, chunk_len=3, stride=2).collect()
+    }
+    assert got == {
+        (1, 0): (0, 3, "a b c"),
+        (1, 1): (2, 3, "c d e"),
+        (1, 2): (4, 1, "e"),
+        (2, 0): (0, 1, "x"),
+    }
+    # min_tokens drops the short tail
+    got2 = {
+        (r.doc_id, r.chunk_id)
+        for r in chunk_documents(d, chunk_len=3, stride=2, min_tokens=2).collect()
+    }
+    assert got2 == {(1, 0), (1, 1)}
+
+
+def test_chunk_documents_non_overlapping_covers_exactly(spark):
+    from linkgraph.pipeline.curate import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(d, chunk_len=4, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    rebuilt = " ".join(r.chunk for r in rows)
+    assert rebuilt == text
+    assert [r.n_tokens for r in rows] == [4, 4, 2]
+
+
+def test_chunk_documents_duckdb_twin(spark):
+    import random
+
+    import duckdb
+
+    from linkgraph.pipeline.curate import chunk_documents, chunk_documents_sql
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(rng.choice("abcdefg") for _ in range(rng.randrange(1, 40))))
+        for i in range(12)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    for cl, st, mt in ((8, 8, 1), (8, 4, 1), (5, 3, 3)):
+        got = {tuple(r) for r in chunk_documents(d, cl, st, mt).collect()}
+        want = {tuple(r) for r in con.execute(chunk_documents_sql(cl, st, mt)).fetchall()}
+        assert got == want, (cl, st, mt)
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pt
+
+    from linkgraph.pipeline.curate import chunk_documents
+
+    d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for kw in ({"chunk_len": 0}, {"stride": 0}, {"min_tokens": 0}):
+        with _pt.raises(ValueError):
+            chunk_documents(d, **kw)
