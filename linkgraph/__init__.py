@@ -99,7 +99,7 @@ from linkgraph.truss import (
     edge_support,
     k_truss,
 )
-from linkgraph.loader import LinkGraph
+from linkgraph.loader import GraphCatalog, LinkGraph
 
 __all__ = [
     "get_spark",
@@ -128,6 +128,7 @@ __all__ = [
     "read_table",
     "degree_histogram",
     "LinkGraph",
+    "GraphCatalog",
     "TerminationFlag",
     "TerminatedError",
     "write_results",

@@ -86,3 +86,73 @@ def _path_cooccurrence(source: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("src", "dst", F.lit(1.0).alias("weight"))
     )
     return nodes, edges
+
+
+class GraphCatalog:
+    """Named in-memory graph catalog — the reference's pre-loaded-graph
+    surface (``algo.graph.load`` / ``algo.graph.list`` /
+    ``algo.graph.remove`` / ``algo.graph.info``, pub:algo/.../
+    LoadGraphProc.java lineage): load a projection once under a name,
+    run many procedures against it, drop it when done.
+
+    Spark mapping: loading = persist + materialize the edge frame (the
+    'heavy' import), so every subsequent procedure reuses the cached
+    columnar blocks instead of re-deriving the projection (exactly why
+    the reference added the feature — amortizing the load phase across
+    procedure calls). ``remove`` unpersists. Entries record the
+    materialized node/edge counts (the reference's YIELD nodes,
+    relationships contract).
+
+    The catalog is deliberately a plain instance (not process-global):
+    a driver program scopes its own catalogs; tests stay hermetic.
+    """
+
+    def __init__(self):
+        self._graphs: dict[str, dict] = {}
+
+    def load(self, name: str, edges: DataFrame, replace: bool = False) -> dict:
+        """Persist + materialize ``edges`` under ``name``; returns the
+        info row {name, nodes, relationships}."""
+        if not name:
+            raise ValueError("graph name must be non-empty")
+        if name in self._graphs:
+            if not replace:
+                raise ValueError(
+                    f"graph {name!r} already loaded (pass replace=True)"
+                )
+            self.remove(name)
+        e = edges.persist()
+        n_edges = e.count()
+        n_nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        info = {"name": name, "nodes": n_nodes, "relationships": n_edges}
+        self._graphs[name] = {"edges": e, **info}
+        return dict(info)
+
+    def get(self, name: str) -> DataFrame:
+        """The persisted edge frame (algo calls pass this as `edges`)."""
+        if name not in self._graphs:
+            raise KeyError(f"no graph named {name!r} (loaded: {sorted(self._graphs)})")
+        return self._graphs[name]["edges"]
+
+    def info(self, name: str) -> dict:
+        if name not in self._graphs:
+            raise KeyError(f"no graph named {name!r} (loaded: {sorted(self._graphs)})")
+        g = self._graphs[name]
+        return {"name": g["name"], "nodes": g["nodes"], "relationships": g["relationships"]}
+
+    def list(self) -> list[dict]:
+        """algo.graph.list: one info row per loaded graph, name-sorted."""
+        return [self.info(n) for n in sorted(self._graphs)]
+
+    def remove(self, name: str) -> bool:
+        """algo.graph.remove: unpersist and forget; False if absent."""
+        g = self._graphs.pop(name, None)
+        if g is None:
+            return False
+        g["edges"].unpersist()
+        return True

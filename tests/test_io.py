@@ -100,3 +100,40 @@ def test_iceberg_catalog_end_to_end(spark, tmp_path):
     assert stats["rows"] == 3
     back = read_table(spark, "iceberg:lg_test.db.scores")
     assert back.count() == 4
+
+
+# ------------------------------------------------- named-graph catalog
+
+def test_graph_catalog_contract(spark):
+    import pytest as _pt
+
+    from linkgraph import GraphCatalog, pagerank
+
+    cat = GraphCatalog()
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, weight double"
+    )
+    info = cat.load("tri", e)
+    assert info == {"name": "tri", "nodes": 3, "relationships": 3}
+    # loaded twice without replace -> error; with replace -> ok
+    with _pt.raises(ValueError, match="already loaded"):
+        cat.load("tri", e)
+    assert cat.load("tri", e, replace=True)["relationships"] == 3
+    # a procedure runs against the catalog frame
+    from linkgraph.checkpoint import release_caches
+
+    res = pagerank(cat.get("tri"), max_iter=3)
+    assert res.scores.count() == 3
+    release_caches(res.scores)
+    # list/info/remove
+    cat.load("other", e.limit(1))
+    assert [g["name"] for g in cat.list()] == ["other", "tri"]
+    assert cat.info("other")["relationships"] == 1
+    assert cat.remove("other") is True
+    assert cat.remove("other") is False
+    with _pt.raises(KeyError):
+        cat.get("other")
+    assert cat.get("tri").storageLevel.useMemory  # still persisted
+    assert cat.remove("tri")
+    with _pt.raises(ValueError, match="non-empty"):
+        cat.load("", e)
