@@ -158,8 +158,14 @@ def fastrp_embeddings(
     `pipeline/simsearch.py#quantize_embeddings`).
     """
     state = _fastrp_state(edges, dim, iterations, weights, direction, seed)
+    # fold in DECIMAL(38,0), casting each element BEFORE the multiply:
+    # a long*long square wraps silently past 2^63 (components reach
+    # ~1e12 on mega-hub graphs at the advertised scale) while the
+    # decimal product stays exact — the twin's HUGEINT domain
     sumsq = F.aggregate(
-        "acc", F.lit(0).cast("long"), lambda a, x: a + x * x
+        "acc",
+        F.lit(0).cast("decimal(38,0)"),
+        lambda a, x: a + x.cast("decimal(19,0)") * x,
     ).cast("double")
     wide = state.select("id", "acc", F.sqrt(sumsq).alias("nrm"))
     return wide.select(
@@ -203,7 +209,11 @@ def fastrp_knn(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     state = _fastrp_state(edges, dim, iterations, weights, direction, seed)
-    sumsq = F.aggregate("acc", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    sumsq = F.aggregate(
+        "acc",
+        F.lit(0).cast("decimal(38,0)"),
+        lambda a, x: a + x.cast("decimal(19,0)") * x,
+    )
     emb = state.select("id", "acc", F.sqrt(sumsq.cast("double")).alias("nrm")).filter(
         F.col("nrm") > 0
     )
@@ -218,8 +228,8 @@ def fastrp_knn(
         F.col("nrm").alias("cnrm"),
     )
     dot = F.aggregate(
-        F.zip_with("qacc", "cacc", lambda a, b: a * b),
-        F.lit(0).cast("long"),
+        F.zip_with("qacc", "cacc", lambda a, b: a.cast("decimal(19,0)") * b),
+        F.lit(0).cast("decimal(38,0)"),
         lambda a, x: a + x,
     ).cast("double")
     scored = (
@@ -307,7 +317,7 @@ def fastrp_sql(
     ctes = _fastrp_ctes(edge_sql, dim, iterations, weights, direction, seed)
     return f"""
 WITH {ctes},
-nrm AS (SELECT id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm FROM emb GROUP BY id)
+nrm AS (SELECT id, sqrt(CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE)) AS nrm FROM emb GROUP BY id)
 SELECT emb.id, emb.d, emb.v,
        ROUND(CASE WHEN nrm.nrm = 0 THEN 0.0 ELSE emb.v / nrm.nrm END, 6) AS nv
 FROM emb JOIN nrm ON nrm.id = emb.id
@@ -323,8 +333,8 @@ def fastrp_knn_sql(
     ctes = _fastrp_ctes(edge_sql, dim, iterations, weights, direction, seed)
     return f"""
 WITH {ctes},
-nrm AS (SELECT id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm FROM emb GROUP BY id
-        HAVING SUM(v * v) > 0),
+nrm AS (SELECT id, sqrt(CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE)) AS nrm FROM emb GROUP BY id
+        HAVING SUM(CAST(v AS HUGEINT) * v) > 0),
 dot AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                CAST(SUM(eq.v * ec.v) AS DOUBLE) AS dp
         FROM nrm q JOIN nrm c ON c.id <> q.id

@@ -236,7 +236,12 @@ def degree_centrality(
     d = direction.upper()
     if d not in ("OUTGOING", "INCOMING", "BOTH"):
         raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
-    w6 = F.round(F.coalesce(F.col("weight"), F.lit(1.0)) * 1_000_000, 0).cast("long")
+    wcol = (
+        F.coalesce(F.col("weight"), F.lit(1.0))
+        if "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    w6 = F.round(wcol * 1_000_000, 0).cast("long")
     inc_out = edges.select(F.col("src").alias("id"), w6.alias("w6"))
     inc_in = edges.select(F.col("dst").alias("id"), w6.alias("w6"))
     if d == "OUTGOING":
@@ -245,24 +250,27 @@ def degree_centrality(
         inc = inc_in
     else:
         inc = inc_out.unionByName(inc_in)
-    agg = inc.groupBy("id").agg(
-        F.count("*").alias("degree"), F.sum("w6").alias("w6")
-    )
+    aggs = [F.count("*").alias("degree")]
+    if weighted:
+        # only pay the fixed-point sum when the column is emitted
+        aggs.append(F.sum("w6").alias("w6"))
+    agg = inc.groupBy("id").agg(*aggs)
     universe = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    out = universe.join(agg, "id", "left").select(
+    cols = [
         "id",
         F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
-        F.round(
-            F.coalesce(F.col("w6"), F.lit(0)).cast("double") / 1_000_000.0, 6
-        ).alias("weighted_degree"),
-    )
-    if not weighted:
-        out = out.select("id", "degree")
-    return out
+    ]
+    if weighted:
+        cols.append(
+            F.round(
+                F.coalesce(F.col("w6"), F.lit(0)).cast("double") / 1_000_000.0, 6
+            ).alias("weighted_degree")
+        )
+    return universe.join(agg, "id", "left").select(*cols)
 
 
 def degree_centrality_sql(
@@ -272,7 +280,11 @@ def degree_centrality_sql(
     d = direction.upper()
     if d not in ("OUTGOING", "INCOMING", "BOTH"):
         raise ValueError(f"direction must be OUTGOING/INCOMING/BOTH, got {direction}")
-    w6 = "CAST(ROUND(COALESCE(weight, 1.0) * 1000000) AS BIGINT)"
+    w6 = (
+        "CAST(ROUND(COALESCE(weight, 1.0) * 1000000) AS BIGINT)"
+        if weighted
+        else "CAST(1000000 AS BIGINT)"
+    )
     sel = {
         "OUTGOING": f"SELECT src AS id, {w6} AS w6 FROM e",
         "INCOMING": f"SELECT dst AS id, {w6} AS w6 FROM e",

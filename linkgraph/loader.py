@@ -149,10 +149,27 @@ class GraphCatalog:
         """algo.graph.list: one info row per loaded graph, name-sorted."""
         return [self.info(n) for n in sorted(self._graphs)]
 
+    @staticmethod
+    def _plan_key(df: DataFrame):
+        try:
+            return df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            return id(df)
+
     def remove(self, name: str) -> bool:
-        """algo.graph.remove: unpersist and forget; False if absent."""
+        """algo.graph.remove: unpersist and forget; False if absent.
+
+        Unpersisting is skipped while ANOTHER catalog entry shares the
+        same plan — Spark's cache is keyed by plan, so unpersisting an
+        aliased frame would silently evict the surviving entry's cache
+        (the amortize-the-load purpose of the catalog)."""
         g = self._graphs.pop(name, None)
         if g is None:
             return False
-        g["edges"].unpersist()
+        key = self._plan_key(g["edges"])
+        shared = any(
+            self._plan_key(o["edges"]) == key for o in self._graphs.values()
+        )
+        if not shared:
+            g["edges"].unpersist()
         return True

@@ -831,7 +831,7 @@ def harmonic_centrality(
 def dangalchev_centrality(
     edges: DataFrame,
     direction: str = "BOTH",
-    max_hops: int = 64,
+    max_hops: int = 32,
     exact_warn_nodes: int = 100_000,
 ) -> DataFrame:
     """Dangalchev closeness — the reference's third closeness variant
@@ -851,6 +851,11 @@ def dangalchev_centrality(
     Returns (id, reached, dangalchev) for every node. Shares the
     batched MS-BFS (one frontier job per hop level for all sources).
     """
+    if max_hops > 62:
+        # 1 << dist wraps the signed-64 domain at 63 (Spark) and errors
+        # in DuckDB; contributions past 2^-62 are < 2.2e-19 anyway, so
+        # the exact dyadic contract just refuses the degenerate range
+        raise ValueError(f"max_hops must be <= 62 (2^-d exactness domain), got {max_hops}")
     d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
     nodes = d.select(F.col("source").alias("id")).distinct()
     n = nodes.count()

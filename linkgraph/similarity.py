@@ -408,9 +408,16 @@ def weighted_node_similarity(
     nbr = _weighted_neighbor_table(edges, direction, feature_cap)
     stats = nbr.groupBy("src").agg(
         F.count("*").alias("cnt"),
-        F.sum("w6").alias("s"),
-        F.sum((F.col("w6") * F.col("w6")).cast("decimal(38,0)")).alias("q"),
+        F.sum(F.col("w6").cast("decimal(38,0)")).alias("s"),
+        # cast BEFORE the multiply: a long*long product wraps silently
+        # past 2^63 (weights ~3100 after the 1e6 scale), while the
+        # decimal product stays exact — the twin's HUGEINT domain
+        F.sum(F.col("w6").cast("decimal(19,0)") * F.col("w6")).alias("q"),
     )
+    # the dense feature dimension is a property of the CAPPED universe,
+    # not of which nodes clear degree_cutoff — fix n before filtering
+    # (the SQL twin counts the unfiltered nbr CTE)
+    n_frame = nbr.select(F.countDistinct("nbr").alias("n"))
     if degree_cutoff > 1:
         stats = stats.filter(F.col("cnt") >= degree_cutoff)
         nbr = nbr.join(stats.select("src"), "src")
@@ -420,7 +427,7 @@ def weighted_node_similarity(
         a.join(b, "nbr")
         .filter(F.col("node1") < F.col("node2"))
         .groupBy("node1", "node2")
-        .agg(F.sum((F.col("w1") * F.col("w2")).cast("decimal(38,0)")).alias("dot"))
+        .agg(F.sum(F.col("w1").cast("decimal(19,0)") * F.col("w2")).alias("dot"))
     )
     joined = dots.join(
         stats.select(
@@ -449,8 +456,7 @@ def weighted_node_similarity(
             F.round(F.sqrt(diff) / F.lit(float(_W_SCALE)), 6).alias("distance"),
         )
     # pearson over the global dense dimension n (one-row broadcast)
-    n = nbr.select(F.countDistinct("nbr").alias("n"))
-    jn = joined.crossJoin(F.broadcast(n))
+    jn = joined.crossJoin(F.broadcast(n_frame))
     nd = F.col("n").cast("double")
     num = nd * F.col("dot").cast("double") - F.col("s1").cast("double") * F.col("s2").cast("double")
     v1 = nd * F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")
@@ -480,8 +486,10 @@ def _weighted_nbr_sql(edge_sql: str, direction: str, feature_cap: int | None) ->
             f"WHERE src <> nbr GROUP BY src, nbr")
     if feature_cap is None:
         return base
-    return (f"SELECT t.* FROM ({base}) t JOIN ("
-            f"SELECT nbr FROM ({base}) GROUP BY nbr HAVING COUNT(*) <= {feature_cap}"
+    # nbr0 is a CTE injected by weighted_node_similarity_sql so the
+    # grouped derivation is evaluated once, not inlined twice
+    return (f"SELECT t.* FROM nbr0 t JOIN ("
+            f"SELECT nbr FROM nbr0 GROUP BY nbr HAVING COUNT(*) <= {feature_cap}"
             f") k ON k.nbr = t.nbr")
 
 
@@ -497,9 +505,14 @@ def weighted_node_similarity_sql(
     if metric not in _WEIGHTED_METRICS:
         raise ValueError(f"metric must be one of {_WEIGHTED_METRICS}, got {metric!r}")
     cutoff = f"HAVING COUNT(*) >= {degree_cutoff}" if degree_cutoff > 1 else ""
+    if feature_cap is not None:
+        base_cte = (f"nbr0 AS MATERIALIZED ("
+                    f"{_weighted_nbr_sql(edge_sql, direction, None)}),\n")
+    else:
+        base_cte = ""
     head = f"""
 WITH e AS ({edge_sql}),
-nbr AS ({_weighted_nbr_sql(edge_sql, direction, feature_cap)}),
+{base_cte}nbr AS ({_weighted_nbr_sql(edge_sql, direction, feature_cap)}),
 stats AS (SELECT src, COUNT(*) AS cnt, SUM(w6) AS s,
                  SUM(CAST(w6 AS HUGEINT) * w6) AS q
           FROM nbr GROUP BY src {cutoff}),

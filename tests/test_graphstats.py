@@ -146,3 +146,15 @@ def test_degree_centrality_duckdb_twin(spark):
         want = {tuple(r) for r in con.execute(
             degree_centrality_sql(edge_sql, d, weighted=True)).fetchall()}
         assert got == want, d
+
+
+def test_degree_centrality_weightless_frame(spark):
+    from linkgraph.graphs import degree_centrality
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: r.degree for r in degree_centrality(e, "BOTH").collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
+    # weighted=True on a weightless frame: default weight 1.0
+    w = {r.id: r.weighted_degree for r in
+         degree_centrality(e, "BOTH", weighted=True).collect()}
+    assert w == {1: 1.0, 2: 2.0, 3: 1.0}

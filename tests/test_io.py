@@ -137,3 +137,16 @@ def test_graph_catalog_contract(spark):
     assert cat.remove("tri")
     with _pt.raises(ValueError, match="non-empty"):
         cat.load("", e)
+
+
+def test_graph_catalog_shared_plan_remove(spark):
+    from linkgraph import GraphCatalog
+
+    cat = GraphCatalog()
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    cat.load("a", e)
+    cat.load("b", e)
+    assert cat.remove("a") is True
+    # the surviving alias keeps its cache (plan-shared unpersist skipped)
+    assert cat.get("b").storageLevel.useMemory
+    assert cat.remove("b") is True

@@ -481,3 +481,20 @@ def test_pair_bidirectional_unreachable_and_trivial(spark):
     path2, cost2 = shortest_path_pair(edges, ids["a"], ids["a"])
     assert cost2 == 0.0
     assert [tuple(r) for r in path2.collect()] == [(0, ids["a"], 0.0)]
+
+
+def test_dangalchev_golden_and_domain(spark):
+    import pytest as _pt
+
+    from linkgraph.paths import dangalchev_centrality
+
+    # path 1-2-3 undirected: c(2) = 2*(1/2) = 1.0; c(1) = 1/2 + 1/4
+    e = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)],
+                              "src long, dst long, weight double")
+    got = {r.id: (r.reached, r.dangalchev)
+           for r in dangalchev_centrality(e, direction="BOTH").collect()}
+    assert got[2] == (2, 1.0)
+    assert got[1] == (2, 0.75)
+    assert got[3] == (2, 0.75)
+    with _pt.raises(ValueError, match="62"):
+        dangalchev_centrality(e, max_hops=63)

@@ -405,3 +405,45 @@ def test_weighted_validation(spark):
         weighted_node_similarity(e, metric="cosine")
     with pytest.raises(ValueError, match="direction"):
         weighted_node_similarity(e, direction="NOPE")
+
+
+def test_weighted_big_weights_no_overflow(spark):
+    # w6 = 3.1e9 after fixed-point scaling; q = w6^2 ~ 9.6e18 > 2^63 —
+    # must stay exact through the decimal domain, not wrap in long
+    from linkgraph.similarity import weighted_node_similarity
+
+    t = [(1, 10, 3100.0), (2, 10, 3100.0), (1, 11, 1.0), (2, 11, 2.0)]
+    got = {
+        (r.node1, r.node2): r.distance
+        for r in weighted_node_similarity(_wedges(spark, t), "euclidean").collect()
+    }
+    want = _expected_weighted(t, "euclidean")
+    assert got == want
+    assert got[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weighted_pearson_cutoff_twin(spark):
+    # degree_cutoff > 1: the dense dimension n must stay the PRE-cutoff
+    # capped universe on both engines
+    import duckdb
+
+    from linkgraph.similarity import (
+        weighted_node_similarity,
+        weighted_node_similarity_sql,
+    )
+
+    t = [(1, 10, 2.0), (1, 11, 4.0), (2, 10, 1.0), (2, 11, 2.0), (3, 12, 5.0)]
+    vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in t)
+    edge_sql = f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+    con = duckdb.connect()
+    res = weighted_node_similarity(
+        _wedges(spark, t), "pearson", degree_cutoff=2
+    ).collect()
+    got = {tuple(r) for r in res}
+    want = {tuple(r) for r in con.execute(
+        weighted_node_similarity_sql(edge_sql, "pearson", degree_cutoff=2)
+    ).fetchall()}
+    assert got == want
+    # n = 3 features (12 is still a feature even though node 3 is cut):
+    # perfectly proportional vectors over n=3 with missing-as-0 -> r=1
+    assert {r.pearson for r in res} == {1.0}
