@@ -1362,6 +1362,14 @@ def _q_ngram_lm(spark, sf_dir):
     return ngram_lm(_docs(spark, sf_dir), n=2, min_count=5)
 
 
+def _q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS; Schleimer et al. 2003): window
+    minima over k-gram hashes — guaranteed-coverage local signatures
+    for copy detection (linkgraph/pipeline/text.py#winnow_fingerprints)."""
+    from linkgraph.pipeline.text import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=16)
+
+
 def _q_perplexity(spark, sf_dir):
     """CCNet-style quality signal: per-doc cross-entropy under the
     corpus's own add-1 bigram LM. Each per-gram ln is rounded to 7
@@ -1576,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_tfidf_topk,
         "text_ngram_lm": _q_ngram_lm,
         "text_perplexity": _q_perplexity,
+        "text_winnow_fingerprints": _q_winnow,
         "text_bm25_search": _q_bm25_search,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
@@ -2358,6 +2367,7 @@ def _pipeline_oracles() -> dict[str, str]:
         ngram_lm_sql,
         perplexity_scores_sql,
         redact_pii_sql,
+        winnow_fingerprints_sql,
         tfidf_topk_sql,
         vocab_stats_sql,
     )
@@ -2428,6 +2438,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_tfidf_topk": tfidf_topk_sql(k=5),
         "text_ngram_lm": ngram_lm_sql(n=2, min_count=5),
         "text_perplexity": perplexity_scores_sql(n=2, k=1.0),
+        "text_winnow_fingerprints": winnow_fingerprints_sql(k=8, w=16),
         "text_bm25_search": bm25_search_sql("table scan merge", top_n=20),
         "text_redact_pii": redact_pii_sql(text_expr="text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),

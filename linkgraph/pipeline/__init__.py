@@ -43,6 +43,7 @@ from linkgraph.pipeline.text import (
     quality_scores,
     language_id,
     fingerprints,
+    winnow_fingerprints,
     normalize_text,
     repetition_scores,
     source_mix,
@@ -85,6 +86,7 @@ __all__ = [
     "decontaminate", "stratified_sample", "quota_sample",
     "corpus_shuffle", "pack_sequences", "chunk_documents",
     "token_stats", "quality_scores", "language_id", "fingerprints",
+    "winnow_fingerprints",
     "repetition_scores", "vocab_stats", "containment_pairs",
     "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",

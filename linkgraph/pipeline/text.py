@@ -928,3 +928,65 @@ SELECT doc_id, n_grams,
        ROUND((-list_reduce(l, (a, b) -> a + b)) / n_grams, 6) AS cross_entropy
 FROM per
 """
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every character k-gram, slide
+    a window of ``w`` consecutive hashes, keep each window's MINIMUM —
+    the guaranteed-coverage local fingerprint set (any match of length
+    >= w+k-1 shares a fingerprint; density ~2/(w+1)).
+
+    Returns DISTINCT (doc_id, fp) rows — the selected-hash set a
+    copy-detection join runs on (`fp`-keyed self-join, the same
+    bucket-join discipline as `dedup.minhash_lsh_pairs`; the full
+    `fingerprints` single-min signature above is the degenerate
+    w = len(text) case).
+
+    Shuffle story: the k-gram hashing + window minima are one per-row
+    JVM map (arrays in whole-stage codegen, no UDF); the only shuffle
+    is the final DISTINCT on (doc_id, fp) — 16 bytes a row, never raw
+    text. Ties pick the plain minimum (60-bit md5 hashes collide with
+    probability ~n²/2^60, and min is position-free), so the selection
+    is deterministic and engine-independent.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    n_grams = F.greatest(F.length("text") - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("text").substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    n_windows = F.greatest(F.size(F.col("h")) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+    )
+    return (
+        docs.select("doc_id", hashes.alias("h"))
+        .select("doc_id", F.explode(mins).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4, table: str = "documents") -> str:
+    """DuckDB twin of `winnow_fingerprints` (exact: integer hashes)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    gram_hash = f"CAST(('0x' || substr(md5(substr(text, i, {k})), 1, 15)) AS BIGINT)"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         [{gram_hash} for i in range(1, greatest(len(text) - {k - 1}, 1) + 1)] AS hs
+  FROM {table})
+SELECT DISTINCT doc_id,
+       unnest([list_min(hs[i : i + {w - 1}])
+               for i in range(1, greatest(len(hs) - {w - 1}, 1) + 1)]) AS fp
+FROM h
+"""

@@ -1058,3 +1058,63 @@ def test_perplexity_duckdb_twin(spark):
         want = {(r[0], r[1], r[2]) for r in
                 con.execute(perplexity_scores_sql(n=n)).fetchall()}
         assert got == want, n
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+def test_winnow_python_replay(spark):
+    import hashlib
+
+    from linkgraph.pipeline.text import winnow_fingerprints
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(1, "the quick brown fox"), (2, "ab"), (3, "aaaaaa")]
+    k, w = 3, 2
+    want = set()
+    for doc_id, text in rows:
+        hs = [h60(text[i:i + k]) for i in range(max(len(text) - k + 1, 1))]
+        for i in range(max(len(hs) - w + 1, 1)):
+            want.add((doc_id, min(hs[i:i + w])))
+    d = _docs(spark, rows)
+    got = {(r.doc_id, r.fp) for r in winnow_fingerprints(d, k=k, w=w).collect()}
+    assert got == want
+
+
+def test_winnow_guarantee_shared_fp_on_long_match(spark):
+    # any shared substring of length >= w+k-1 must share a fingerprint
+    from linkgraph.pipeline.text import winnow_fingerprints
+
+    core = "common substring payload"
+    d = _docs(spark, [(1, "xxx " + core), (2, core + " yyy")])
+    k, w = 4, 3
+    rows = winnow_fingerprints(d, k=k, w=w).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2]
+
+
+def test_winnow_duckdb_twin_and_validation(spark):
+    import duckdb
+
+    import pytest as _pt
+
+    from linkgraph.pipeline.text import winnow_fingerprints, winnow_fingerprints_sql
+
+    rows = [(i, t) for i, t in enumerate(
+        ["hello world", "z", "hello hello hello", "abcabcabc", ""]
+    )]
+    d = _docs(spark, rows)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    for k, w in ((3, 2), (5, 4), (2, 6)):
+        got = {(r.doc_id, r.fp) for r in winnow_fingerprints(d, k=k, w=w).collect()}
+        want = {tuple(r) for r in con.execute(winnow_fingerprints_sql(k=k, w=w)).fetchall()}
+        assert got == want, (k, w)
+    with _pt.raises(ValueError, match="k must"):
+        winnow_fingerprints(d, k=0)
+    with _pt.raises(ValueError, match="w must"):
+        winnow_fingerprints(d, w=0)
