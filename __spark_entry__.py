@@ -1362,6 +1362,14 @@ def _q_ngram_lm(spark, sf_dir):
     return ngram_lm(_docs(spark, sf_dir), n=2, min_count=5)
 
 
+def _q_fuzzy_dup(spark, sf_dir):
+    """Edit-distance near-dups: winnowing-fingerprint candidates +
+    exact Levenshtein verify (both engines' integer DP agrees exactly
+    — linkgraph/pipeline/dedup.py#fuzzy_dup_pairs)."""
+    from linkgraph.pipeline.dedup import fuzzy_dup_pairs
+    return fuzzy_dup_pairs(_docs(spark, sf_dir), k=8, w=16, max_dist=40)
+
+
 def _q_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS; Schleimer et al. 2003): window
     minima over k-gram hashes — guaranteed-coverage local signatures
@@ -1585,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_lm": _q_ngram_lm,
         "text_perplexity": _q_perplexity,
         "text_winnow_fingerprints": _q_winnow,
+        "dedup_fuzzy_pairs": _q_fuzzy_dup,
         "text_bm25_search": _q_bm25_search,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_embedding_near_dup": _q_emb_near_dup,
@@ -2335,6 +2344,7 @@ FROM v""",
 
 def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.dedup import (
+        fuzzy_dup_pairs_sql,
         EXACT_DEDUP_SQL,
         containment_pairs_sql,
         jaccard_pairs_df_capped_sql,
@@ -2439,6 +2449,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_ngram_lm": ngram_lm_sql(n=2, min_count=5),
         "text_perplexity": perplexity_scores_sql(n=2, k=1.0),
         "text_winnow_fingerprints": winnow_fingerprints_sql(k=8, w=16),
+        "dedup_fuzzy_pairs": fuzzy_dup_pairs_sql(k=8, w=16, max_dist=40),
         "text_bm25_search": bm25_search_sql("table scan merge", top_n=20),
         "text_redact_pii": redact_pii_sql(text_expr="text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
         "sim_cosine_topk": cosine_topk_sql(dim=64, k=5),

@@ -22,6 +22,7 @@ from linkgraph.pipeline.dedup import (
     containment_pairs,
     exact_dedup,
     near_dup_clusters,
+    fuzzy_dup_pairs,
     jaccard_pairs,
     jaccard_pairs_df_capped,
     minhash_lsh_pairs,
@@ -80,7 +81,7 @@ from linkgraph.pipeline.events import (
 
 __all__ = [
     "stable_hash64", "stable_hash64_sql",
-    "exact_dedup", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
+    "exact_dedup", "fuzzy_dup_pairs", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
     "decontaminate", "stratified_sample", "quota_sample",

@@ -1118,3 +1118,80 @@ def test_winnow_duckdb_twin_and_validation(spark):
         winnow_fingerprints(d, k=0)
     with _pt.raises(ValueError, match="w must"):
         winnow_fingerprints(d, w=0)
+
+
+# ------------------------------------------------ fuzzy edit-distance dedup
+
+def test_fuzzy_dup_pairs_golden(spark):
+    from linkgraph.pipeline.dedup import fuzzy_dup_pairs
+
+    d = _docs(spark, [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fax jumps"),   # 1 edit
+        (3, "completely different text here"),
+        (4, "the quick brown fox jumps"),   # exact dup of 1
+    ])
+    got = {(r.doc1, r.doc2): r.edit_distance
+           for r in fuzzy_dup_pairs(d, k=4, w=3, max_dist=2).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 4)] == 0
+    assert got[(2, 4)] == 1
+    assert all(3 not in pair for pair in got)
+
+
+def test_fuzzy_dup_pairs_python_oracle(spark):
+    import hashlib
+
+    from linkgraph.pipeline.dedup import fuzzy_dup_pairs
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def winnow(text, k, w):
+        hs = [h60(text[i:i + k]) for i in range(max(len(text) - k + 1, 1))]
+        return {min(hs[i:i + w]) for i in range(max(len(hs) - w + 1, 1))}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [
+        (1, "abcdefgh"), (2, "abcdefgx"), (3, "abxdefgh"),
+        (4, "qqqqqqqq"), (5, "abcdefgh extra tail"),
+    ]
+    k, w, md = 3, 2, 30
+    want = {}
+    for i, (d1, t1) in enumerate(rows):
+        for d2, t2 in rows[i + 1:]:
+            if winnow(t1, k, w) & winnow(t2, k, w) and lev(t1, t2) <= md:
+                want[(d1, d2)] = lev(t1, t2)
+    got = {(r.doc1, r.doc2): r.edit_distance
+           for r in fuzzy_dup_pairs(_docs(spark, rows), k=k, w=w,
+                                    max_dist=md, fp_cap=None).collect()}
+    assert got == want
+
+
+def test_fuzzy_dup_pairs_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline.dedup import fuzzy_dup_pairs, fuzzy_dup_pairs_sql
+
+    rows = [
+        (1, "hello world"), (2, "hello w0rld"), (3, "hello world again"),
+        (4, "zzzz"), (5, "hello world"),
+    ]
+    d = _docs(spark, rows)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    for kk, ww, md, cap in ((3, 2, 8, None), (4, 4, 3, 2)):
+        got = {tuple(r) for r in fuzzy_dup_pairs(d, k=kk, w=ww, max_dist=md,
+                                                 fp_cap=cap).collect()}
+        want = {tuple(r) for r in con.execute(
+            fuzzy_dup_pairs_sql(k=kk, w=ww, max_dist=md, fp_cap=cap)).fetchall()}
+        assert got == want, (kk, ww, md, cap)
