@@ -1251,6 +1251,24 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, docs.filter("doc_id % 29 = 0"), n=8)
 
 
+def _q_dsir_scores(spark, sf_dir):
+    """DSIR hashed-bigram importance log-ratios against the src0
+    slice as the target distribution (exact 1e-7 fixed point)."""
+    from linkgraph.pipeline import dsir_scores
+    docs = _docs(spark, sf_dir)
+    return dsir_scores(docs, docs.filter("source = 'src0'"), n=2, buckets=1009)
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel-top-k selection of 100 docs ∝ exp(importance)."""
+    from linkgraph.pipeline import dsir_sample
+    docs = _docs(spark, sf_dir)
+    return dsir_sample(
+        docs, docs.filter("source = 'src0'"), n_keep=100, n=2,
+        buckets=1009, seed=7,
+    )
+
+
 def _q_stratified(spark, sf_dir):
     """Deterministic hash-threshold per-language sampling."""
     from linkgraph.pipeline import stratified_sample
@@ -1583,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
         "curate_decontaminate": _q_decontaminate,
+        "curate_dsir_scores": _q_dsir_scores,
+        "curate_dsir_sample": _q_dsir_sample,
         "curate_stratified_sample": _q_stratified,
         "curate_quota_sample": _q_quota,
         "curate_corpus_shuffle": _q_corpus_shuffle,
@@ -2385,6 +2405,8 @@ def _pipeline_oracles() -> dict[str, str]:
         chunk_documents_sql,
         corpus_shuffle_sql,
         decontaminate_sql,
+        dsir_sample_sql,
+        dsir_scores_sql,
         line_dedup_sql,
         pack_sequences_sql,
         quota_sample_sql,
@@ -2438,6 +2460,10 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),
         "curate_decontaminate": decontaminate_sql("doc_id % 29 = 0", n=8),
+        "curate_dsir_scores": dsir_scores_sql("source = 'src0'", n=2, buckets=1009),
+        "curate_dsir_sample": dsir_sample_sql(
+            "source = 'src0'", 100, n=2, buckets=1009, seed=7
+        ),
         "curate_stratified_sample": stratified_sample_sql(
             _STRAT_RATES, default_rate=0.1, seed=7
         ),

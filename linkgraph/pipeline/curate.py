@@ -432,3 +432,217 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
 FROM ex
 WHERE len(ctoks) >= {min_tokens}
 """
+
+
+def _dsir_bucket(gram: Column, buckets: int) -> Column:
+    return F.pmod(stable_hash64(gram), F.lit(buckets)).cast("long")
+
+
+def _dsir_bucket_sql(gram_expr: str, buckets: int) -> str:
+    return f"({stable_hash64_sql(gram_expr)}) % {buckets}"
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = 10007,
+    k: float = 1.0,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR —
+    Xie et al. 2023, arXiv:2302.03169, public): score every corpus
+    document by how much more likely its features are under a TARGET
+    distribution (a high-quality subset) than under the RAW corpus
+    distribution.
+
+    Features are word ``n``-grams hashed into ``buckets`` bins; both
+    distributions are add-``k``-smoothed bucket unigram models. The
+    per-document importance log-weight is
+
+        score(d) = sum over gram occurrences g in d of
+                   [ ln p_target(bucket(g)) - ln p_raw(bucket(g)) ]
+
+    Returns (doc_id, n_feats, logratio_e7, logratio): ``logratio_e7``
+    is the score in EXACT 1e-7 fixed point — each per-bucket ln is
+    rounded to 7 decimals (Java vs libm ln differ by 1 ulp on ~7% of
+    inputs; at 7 decimals they agree — measured 0/200000), the bucket
+    weight becomes an integer w7 = round((ln_t - ln_r) * 1e7), and the
+    document score is a pure BIGINT sum — order-independent and
+    bit-identical to the DuckDB oracle. ``logratio`` = e7 / 1e7.
+
+    Scale shape (100TB): the two distribution estimates are B-row
+    aggregates (one corpus scan, one target scan); the B-row weight
+    table is BROADCAST, so scoring is one corpus scan with a map-side
+    probe and ONE shuffle (the per-doc sum, map-side combinable). No
+    self-joins, no gram text past the hash.
+    """
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        return df.select(
+            "doc_id", F.explode(_token_ngrams(toks, n)).alias("gram")
+        ).select("doc_id", _dsir_bucket(F.col("gram"), buckets).alias("b"))
+
+    dg = gram_buckets(docs)
+    raw = dg.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = gram_buckets(target).groupBy("b").agg(F.count("*").alias("ct"))
+
+    w = Window.partitionBy()
+    ln_t = F.round(
+        F.log((F.col("ct") + F.lit(k)) / (F.col("t_tot") + F.lit(k * buckets))), 7
+    )
+    ln_r = F.round(
+        F.log((F.col("cr") + F.lit(k)) / (F.col("r_tot") + F.lit(k * buckets))), 7
+    )
+    weights = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.col("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.sum("cr").over(w).alias("r_tot"),
+            F.sum(F.coalesce("ct", F.lit(0))).over(w).alias("t_tot"),
+        )
+        .select(
+            "b", F.round((ln_t - ln_r) * F.lit(1e7), 0).cast("long").alias("w7")
+        )
+    )
+    scored = (
+        dg.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("w7").alias("s7"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("s7", F.lit(0)).cast("long").alias("logratio_e7"),
+            F.round(F.coalesce("s7", F.lit(0)) / F.lit(1e7), 6).alias("logratio"),
+        )
+    )
+
+
+def dsir_scores_sql(
+    target_where: str,
+    n: int = 2,
+    buckets: int = 10007,
+    k: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """Oracle twin of ``dsir_scores`` with the target defined as
+    ``SELECT ... FROM {table} WHERE {target_where}`` (same fixed-point
+    ln discipline — value-exact, not approximate)."""
+    g = _token_ngrams_sql(n)
+    b = _dsir_bucket_sql("g", buckets)
+    kb = f"{k} * {buckets}"
+    return f"""
+WITH dg AS (
+  SELECT doc_id, {b} AS b
+  FROM (SELECT doc_id, unnest({g}) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}))),
+tg AS (
+  SELECT {b} AS b
+  FROM (SELECT unnest({g}) AS g
+        FROM (SELECT string_split(text, ' ') AS toks
+              FROM {table} WHERE {target_where}))),
+raw AS (SELECT b, COUNT(*) AS cr FROM dg GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS ct FROM tg GROUP BY b),
+wt AS (
+  SELECT raw.b, raw.cr, COALESCE(tc.ct, 0) AS ct,
+         SUM(raw.cr) OVER () AS r_tot,
+         SUM(COALESCE(tc.ct, 0)) OVER () AS t_tot
+  FROM raw LEFT JOIN tc ON tc.b = raw.b),
+w AS (
+  SELECT b,
+         CAST(ROUND((ROUND(LN((ct + {k}) / (t_tot + {kb})), 7)
+                   - ROUND(LN((cr + {k}) / (r_tot + {kb})), 7)) * 1e7, 0)
+              AS BIGINT) AS w7
+  FROM wt),
+sc AS (
+  SELECT dg.doc_id, COUNT(*) AS n_feats, SUM(w.w7) AS s7
+  FROM dg JOIN w ON w.b = dg.b GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(sc.s7, 0) AS BIGINT) AS logratio_e7,
+       ROUND(COALESCE(sc.s7, 0) / 1e7, 6) AS logratio
+FROM {table} d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    n: int = 2,
+    buckets: int = 10007,
+    k: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection: keep ``n_keep`` documents sampled WITHOUT
+    replacement with probability proportional to exp(score) via the
+    Gumbel-top-k trick (key = score + Gumbel noise; the top-k keys are
+    exactly a weighted sample — Vieira 2014, public), with the Gumbel
+    draw derived DETERMINISTICALLY from the seeded document hash so
+    the selection replays bit-identically in the SQL oracle.
+
+    u = (hash(doc_id, seed) % 2^53 + 0.5) / 2^53 is an exact dyadic
+    double in (0,1); g = -ln(-ln(u)) with both ln's rounded to 7
+    decimals (cross-engine ln discipline) and the inner value clamped
+    to >= 1e-7 so u ~ 1 can't reach ln(0). The sort key is pure 1e-7
+    FIXED POINT (logratio_e7 + round(gumbel*1e7) — a BIGINT; a rounded
+    DOUBLE key can land on a .5 boundary where Spark's BigDecimal
+    HALF_UP and DuckDB's double rounding disagree) with doc_id as the
+    tiebreak, so the top-k frontier is engine-independent.
+
+    Returns (doc_id, logratio, key_e7) for the kept rows. Scale: the
+    ranking is a global top-k (TakeOrdered — map-side partial heaps,
+    no full sort shuffle).
+    """
+    m = F.pmod(
+        stable_hash64(F.col("doc_id").cast("string"), salt=seed),
+        F.lit(1 << 53),
+    )
+    u = (m + F.lit(0.5)) / F.lit(float(1 << 53))
+    inner = F.greatest(F.round(-F.log(u), 7), F.lit(1e-7))
+    gumbel = F.round(-F.log(inner), 7)
+    scored = dsir_scores(docs, target, n=n, buckets=buckets, k=k)
+    keyed = scored.select(
+        "doc_id",
+        "logratio",
+        (
+            F.col("logratio_e7")
+            + F.round(gumbel * F.lit(1e7), 0).cast("long")
+        ).alias("key_e7"),
+    )
+    return keyed.orderBy(F.col("key_e7").desc(), F.col("doc_id")).limit(n_keep)
+
+
+def dsir_sample_sql(
+    target_where: str,
+    n_keep: int,
+    n: int = 2,
+    buckets: int = 10007,
+    k: float = 1.0,
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """Oracle twin of ``dsir_sample`` (exact: same hash-derived Gumbel
+    draw, same integer fixed-point key + doc_id ordering)."""
+    scores = dsir_scores_sql(
+        target_where, n=n, buckets=buckets, k=k, table=table
+    )
+    h = stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt=seed)
+    two53 = 1 << 53
+    return f"""
+WITH scores AS ({scores}),
+keyed AS (
+  SELECT doc_id, logratio,
+         logratio_e7
+         + CAST(ROUND(ROUND(-LN(GREATEST(
+               ROUND(-LN((({h}) % {two53} + 0.5) / {float(two53)}), 7),
+               1e-7)), 7) * 1e7, 0) AS BIGINT) AS key_e7
+  FROM scores)
+SELECT doc_id, logratio, key_e7
+FROM keyed ORDER BY key_e7 DESC, doc_id LIMIT {n_keep}
+"""

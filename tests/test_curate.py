@@ -254,3 +254,111 @@ def test_chunk_documents_validation(spark):
     for kw in ({"chunk_len": 0}, {"stride": 0}, {"min_tokens": 0}):
         with _pt.raises(ValueError):
             chunk_documents(d, **kw)
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_python_oracle(corpus, target, n=2, buckets=1009, k=1.0):
+    """Pure-python DSIR fixed-point scores (doc_id -> e7 int)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(gram):
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        return h % buckets
+
+    def grams(text):
+        toks = text.split(" ")
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    raw = Counter(bucket(g) for _, t in corpus for g in grams(t))
+    tgt = Counter(bucket(g) for _, t in target for g in grams(t))
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    w7 = {
+        b: round(
+            (round(math.log((tgt.get(b, 0) + k) / (t_tot + k * buckets)), 7)
+             - round(math.log((cr + k) / (r_tot + k * buckets)), 7)) * 1e7
+        )
+        for b, cr in raw.items()
+    }
+    return {
+        d: sum(w7[bucket(g)] for g in grams(t))
+        for d, t in corpus
+    }
+
+
+def test_dsir_scores_python_oracle(spark):
+    """Spark fixed-point scores == an independent python Counter
+    implementation, integer-exact."""
+    from linkgraph.pipeline import dsir_scores
+
+    corpus = [
+        (1, "spark join shuffle spark join agg"),
+        (2, "spark join shuffle window sort"),
+        (3, "cat dog bird cat dog fish"),
+        (4, "dog fish cat bird bird cat"),
+        (5, "x"),  # < n tokens: zero features
+    ]
+    target = [(1, corpus[0][1]), (2, corpus[1][1])]  # "spark-ish" docs
+    want = _dsir_python_oracle(corpus, target)
+    got = {
+        r["doc_id"]: (r["logratio_e7"], r["n_feats"])
+        for r in dsir_scores(
+            _docs(spark, corpus), _docs(spark, target), n=2, buckets=1009
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d, (e7, nf) in got.items():
+        assert e7 == want[d], (d, e7, want[d])
+    assert got[5] == (0, 0)  # featureless doc scored 0, not dropped
+    # in-distribution docs outscore off-distribution docs
+    assert min(got[1][0], got[2][0]) > max(got[3][0], got[4][0])
+
+
+def test_dsir_sample_contract(spark):
+    """Gumbel-top-k selection: deterministic given the seed, seed-
+    sensitive, n_keep-capped, and biased toward in-target docs."""
+    from linkgraph.pipeline import dsir_sample
+
+    corpus = [
+        (i, "spark join shuffle agg window sort") for i in range(20)
+    ] + [
+        (i, "cat dog bird fish mouse horse") for i in range(20, 40)
+    ]
+    target = [(0, "spark join shuffle agg window sort")]
+    docs, tgt = _docs(spark, corpus), _docs(spark, target)
+
+    kept = dsir_sample(docs, tgt, n_keep=10, buckets=1009, seed=3)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert len(ids) == 10
+    again = sorted(
+        r["doc_id"]
+        for r in dsir_sample(docs, tgt, n_keep=10, buckets=1009, seed=3).collect()
+    )
+    assert again == ids  # run-deterministic
+    other = sorted(
+        r["doc_id"]
+        for r in dsir_sample(docs, tgt, n_keep=10, buckets=1009, seed=4).collect()
+    )
+    assert other != ids  # seed actually enters the draw
+    # exp(score) gap between the two blocks is astronomical, so all
+    # kept docs must come from the in-target block despite the noise
+    assert all(i < 20 for i in ids)
+    # n_keep >= corpus: everything returned
+    assert dsir_sample(docs, tgt, n_keep=100, buckets=1009).count() == 40
+
+
+def test_dsir_scores_plan_broadcasts_weights(spark):
+    """The scoring probe must broadcast the B-row weight table — a
+    SortMergeJoin on the exploded gram stream would shuffle the whole
+    corpus by bucket id."""
+    from linkgraph.pipeline import dsir_scores
+
+    docs = _sf_docs(spark)
+    plan = (
+        dsir_scores(docs, docs.filter("source = 'src0'"), buckets=1009)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
