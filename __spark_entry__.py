@@ -727,6 +727,11 @@ def _hits_sql_wrapped() -> str:
     return hits_sql(PURCHASE_EDGES_SQL, 5)
 
 
+def _salsa_sql_wrapped() -> str:
+    from linkgraph.eigenvector import salsa_sql
+    return salsa_sql(PURCHASE_EDGES_SQL, 5)
+
+
 def _katz_sql_wrapped() -> str:
     from linkgraph.eigenvector import katz_sql
     return katz_sql(PURCHASE_EDGES_SQL, 5, alpha=0.005, beta=1.0,
@@ -893,6 +898,21 @@ def _q_hits_purchase(spark, sf_dir):
     so the scores ARE the normalized purchase-intensity profile."""
     from linkgraph.eigenvector import hits
     res = hits(purchase_edges(spark, sf_dir), max_iter=5)
+    return _keep_caches(
+        res.select(
+            "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        ),
+        res,
+    )
+
+
+def _q_salsa_purchase(spark, sf_dir):
+    """SALSA (Lempel-Moran; algo.hits lineage, degree-normalized
+    bipartite walk) on the directed purchase graph: the transient
+    after 5 a-then-h rounds pins the walk mixing per component
+    (linkgraph/eigenvector.py#salsa)."""
+    from linkgraph.eigenvector import salsa
+    res = salsa(purchase_edges(spark, sf_dir), max_iter=5)
     return _keep_caches(
         res.select(
             "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
@@ -1561,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_knn_purchase": _q_fastrp_knn_purchase,
         "katz_purchase": _q_katz_purchase,
         "hits_purchase": _q_hits_purchase,
+        "salsa_purchase": _q_salsa_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
         "transitivity_cosupplier": _q_transitivity_cosupplier,
@@ -2254,6 +2275,7 @@ FROM nodes nd LEFT JOIN (
         "fastrp_knn_purchase": _fastrp_knn_sql_wrapped(),
         "katz_purchase": _katz_sql_wrapped(),
         "hits_purchase": _hits_sql_wrapped(),
+        "salsa_purchase": _salsa_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(
             iters=5,

@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import SuperstepLoop, attach_caches
 
-__all__ = ["eigenvector_centrality", "eigenvector_sql", "katz_centrality", "katz_sql", "hits", "hits_sql"]
+__all__ = [
+    "eigenvector_centrality",
+    "eigenvector_sql",
+    "katz_centrality",
+    "katz_sql",
+    "hits",
+    "hits_sql",
+    "salsa",
+    "salsa_sql",
+]
 
 
 def _oriented(edges: DataFrame, direction: str, weighted: bool) -> DataFrame:
@@ -407,6 +416,167 @@ def hits_sql(edge_sql: str, iters: int) -> str:
         parts.append(
             f"hr{t} AS MATERIALIZED (SELECT n.id, COALESCE(c.s, 0.0) AS hub "
             f"FROM nodes n LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS s "
+            f"FROM a{t} a JOIN e ON a.id = e.dst GROUP BY e.src) c "
+            f"ON n.id = c.id)"
+        )
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT r.id, CASE WHEN m.mx > 0 "
+            f"THEN r.hub / m.mx ELSE 0.0 END AS hub FROM hr{t} r "
+            f"CROSS JOIN (SELECT MAX(hub) AS mx FROM hr{t}) m)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth "
+        f"FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+def salsa(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
+    """SALSA hubs & authorities (Lempel & Moran 2001, TOIS 19(2) —
+    the Stochastic Approach for Link-Structure Analysis; Twitter's
+    WTF recommender runs this exact bipartite walk at web scale).
+
+    HITS with degree-normalized contributions: each round performs
+    the sequential a-then-h update
+
+        auth(i) <- sum_{j -> i} hub(j)  / outdeg(j)
+        hub(j)  <- sum_{j -> i} auth(i) / indeg(i)   (updated auths)
+
+    i.e. a two-step random walk on the bipartite hub/authority views
+    instead of HITS's raw adjacency sums, which removes HITS's
+    tightly-knit-community bias. Stationary authorities within a
+    connected component are indegree-proportional; finite max_iter
+    exposes the transient (component structure + walk mixing), which
+    is what the driver query pins.
+
+    Returns (id, hub, auth), each side L∞-normalized per round (max
+    is cross-engine exact — the eigenvector-centrality argument).
+    Scale shape: the degree tables are one-time aggregates joined
+    onto the edge list ONCE before the loop (normalized edge weights
+    hub_w = 1/outdeg(src), auth_w = 1/indeg(dst) are static), so each
+    round is exactly two PageRank-shaped contribution shuffles; no
+    per-round degree recompute. SuperstepLoop resume with graph-fp
+    validation, same contract as `hits`.
+    """
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    e = _oriented(edges, "OUTGOING", weighted=False).select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    # static normalized edge weights: division happens once per edge,
+    # identically on both engines (1.0 / integer count is exact-input
+    # deterministic), not once per round
+    ew = (
+        e.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("od")).alias("hub_w"),
+            (F.lit(1.0) / F.col("idg")).alias("auth_w"),
+        )
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    graph_fp = int(
+        e.agg(F.expr("bit_xor(xxhash64(src, dst))").alias("fp")).first()["fp"] or 0
+    )
+    loop = SuperstepLoop(
+        edges.sparkSession,
+        checkpoint_dir,
+        every=checkpoint_every,
+        name="salsa",
+        context={"graph_fp": graph_fp},
+        max_steps=max_iter,
+    )
+    x = nodes.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    start = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            rec = loop.last_context
+            if rec.get("graph_fp") is not None and int(rec["graph_fp"]) != graph_fp:
+                raise ValueError(
+                    "salsa resume mismatch: edge table differs from the "
+                    f"checkpointed run ({rec['graph_fp']} != {graph_fp})."
+                )
+            start, x = resumed
+    for t in range(start + 1, max_iter + 1):
+        a_raw = nodes.join(
+            x.join(ew, x.id == ew.src)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.sum(F.col("hub") * F.col("hub_w")).alias("s")),
+            nodes.id == F.col("nid"),
+            "left",
+        ).select("id", F.coalesce(F.col("s"), F.lit(0.0)).alias("auth"))
+        amx = a_raw.agg(F.max("auth").alias("amx"))
+        a1 = a_raw.crossJoin(F.broadcast(amx)).select(
+            "id",
+            F.when(F.col("amx") > 0, F.col("auth") / F.col("amx"))
+            .otherwise(F.lit(0.0))
+            .alias("auth"),
+        )
+        h_raw = nodes.join(
+            a1.join(ew, a1.id == ew.dst)
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.sum(F.col("auth") * F.col("auth_w")).alias("s")),
+            nodes.id == F.col("nid"),
+            "left",
+        ).select("id", F.coalesce(F.col("s"), F.lit(0.0)).alias("hub"))
+        hmx = h_raw.agg(F.max("hub").alias("hmx"))
+        h1 = h_raw.crossJoin(F.broadcast(hmx)).select(
+            "id",
+            F.when(F.col("hmx") > 0, F.col("hub") / F.col("hmx"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+        )
+        nx = h1.join(a1, "id").select("id", "hub", "auth")
+        x = loop.advance(t, nx)
+    return attach_caches(x, [x])
+
+
+def salsa_sql(edge_sql: str, iters: int) -> str:
+    """DuckDB oracle for `salsa` — the hits_sql skeleton with the
+    static degree-normalized edge weights joined in up front."""
+    parts = [
+        f"WITH eraw AS ({edge_sql})",
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw)",
+        "e AS MATERIALIZED (SELECT ed.src, ed.dst, "
+        "1.0 / o.od AS hub_w, 1.0 / i.idg AS auth_w FROM ed "
+        "JOIN (SELECT src, COUNT(*) AS od FROM ed GROUP BY src) o ON o.src = ed.src "
+        "JOIN (SELECT dst, COUNT(*) AS idg FROM ed GROUP BY dst) i ON i.dst = ed.dst)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ed UNION ALL SELECT dst AS id FROM ed))",
+        "x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub, "
+        "CAST(1.0 AS DOUBLE) AS auth FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        hub_src = "x0" if t == 1 else f"h{t - 1}"
+        parts.append(
+            f"ar{t} AS MATERIALIZED (SELECT n.id, COALESCE(c.s, 0.0) AS auth "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS id, "
+            f"SUM(x.hub * e.hub_w) AS s "
+            f"FROM {hub_src} x JOIN e ON x.id = e.src GROUP BY e.dst) c "
+            f"ON n.id = c.id)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT r.id, CASE WHEN m.mx > 0 "
+            f"THEN r.auth / m.mx ELSE 0.0 END AS auth FROM ar{t} r "
+            f"CROSS JOIN (SELECT MAX(auth) AS mx FROM ar{t}) m)"
+        )
+        parts.append(
+            f"hr{t} AS MATERIALIZED (SELECT n.id, COALESCE(c.s, 0.0) AS hub "
+            f"FROM nodes n LEFT JOIN (SELECT e.src AS id, "
+            f"SUM(a.auth * e.auth_w) AS s "
             f"FROM a{t} a JOIN e ON a.id = e.dst GROUP BY e.src) c "
             f"ON n.id = c.id)"
         )

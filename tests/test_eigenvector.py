@@ -237,3 +237,97 @@ def test_hits_hub_authority_split(spark):
     assert got[1] == (1.0, 0.0) and got[2] == (1.0, 0.0)
     assert got[8] == (0.0, 1.0) and got[9] == (0.0, 1.0)
     release_caches(res)
+
+
+def _salsa_replay(pairs, iters):
+    es = sorted(set(pairs))
+    nodes = sorted({x for e in es for x in e})
+    od = {n: 0 for n in nodes}
+    idg = {n: 0 for n in nodes}
+    for s, d in es:
+        od[s] += 1
+        idg[d] += 1
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0.0 for n in nodes}
+        for s, d in es:
+            a[d] += hub[s] / od[s]
+        amx = max(a.values())
+        a = {n: (v / amx if amx > 0 else 0.0) for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in es:
+            h[s] += a[d] / idg[d]
+        hmx = max(h.values())
+        h = {n: (v / hmx if hmx > 0 else 0.0) for n, v in h.items()}
+        hub, auth = h, a
+    return hub, auth
+
+
+def test_salsa_replay_and_twin(spark):
+    import duckdb
+
+    from linkgraph.eigenvector import salsa, salsa_sql
+
+    rng = random.Random(71)
+    pairs = [(a, b) for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(55)} if a != b]
+    res = salsa(_edges(spark, pairs), max_iter=5)
+    rows = res.collect()
+    hub_want, auth_want = _salsa_replay(pairs, 5)
+    assert {r.id for r in rows} == set(hub_want)
+    for r in rows:
+        assert r.hub == pytest.approx(hub_want[r.id], abs=1e-9)
+        assert r.auth == pytest.approx(auth_want[r.id], abs=1e-9)
+    got6 = {(r.id, round(r.hub, 6), round(r.auth, 6)) for r in rows}
+    release_caches(res)
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    sql = salsa_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)", 5)
+    assert got6 == {tuple(r) for r in con.execute(sql).fetchall()}
+
+
+def test_salsa_tkc_debias(spark):
+    # HITS's tightly-knit-community bias: a dense 3x3 biclique
+    # (1,2,3 -> 11,12,13) vs a single popular page (4,5 -> 14 plus
+    # 4 -> 15).  HITS concentrates all authority in the biclique;
+    # SALSA's degree normalization keeps the outside component's
+    # authority alive (the Lempel-Moran motivating example).
+    from linkgraph.eigenvector import hits, salsa
+
+    pairs = [(s, d) for s in (1, 2, 3) for d in (11, 12, 13)]
+    pairs += [(4, 14), (5, 14), (4, 15)]
+    rh = hits(_edges(spark, pairs), max_iter=12)
+    rs = salsa(_edges(spark, pairs), max_iter=12)
+    hits_auth = {r.id: r.auth for r in rh.collect()}
+    salsa_auth = {r.id: r.auth for r in rs.collect()}
+    release_caches(rh)
+    release_caches(rs)
+    assert hits_auth[14] < 1e-5          # HITS starves the outside page
+    # SALSA's degree normalization FLIPS the ranking: the popular page
+    # (indegree 2) becomes the global maximum while each biclique
+    # authority settles at 0.75 — indegree-proportional, per component
+    assert salsa_auth[14] == 1.0
+    assert salsa_auth[11] == pytest.approx(0.75, abs=1e-6)
+
+
+def test_salsa_resume_equals_uninterrupted(spark, tmp_path):
+    from linkgraph.eigenvector import salsa
+
+    rng = random.Random(73)
+    pairs = [(a, b) for a, b in {(rng.randrange(12), rng.randrange(12)) for _ in range(40)} if a != b]
+    e = _edges(spark, pairs)
+    full = salsa(e, max_iter=6)
+    want = {(r.id, round(r.hub, 9), round(r.auth, 9)) for r in full.collect()}
+    release_caches(full)
+    ckpt = str(tmp_path / "salsa")
+    part = salsa(e, max_iter=3, checkpoint_dir=ckpt, checkpoint_every=1)
+    part.collect()
+    release_caches(part)
+    res = salsa(e, max_iter=6, checkpoint_dir=ckpt, checkpoint_every=1, resume=True)
+    got = {(r.id, round(r.hub, 9), round(r.auth, 9)) for r in res.collect()}
+    release_caches(res)
+    assert got == want
+    # resume against a DIFFERENT graph must refuse
+    other = _edges(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="resume mismatch"):
+        salsa(other, max_iter=6, checkpoint_dir=ckpt, resume=True)
