@@ -688,6 +688,16 @@ def _assortativity_sql_wrapped() -> str:
     return DEGREE_ASSORTATIVITY_SQL_TEMPLATE.format(edges=PURCHASE_EDGES_SQL)
 
 
+def _richclub_sql_wrapped() -> str:
+    from linkgraph.graphs import RICH_CLUB_SQL_TEMPLATE
+    return RICH_CLUB_SQL_TEMPLATE.format(edges=COSUPPLIER_EDGES_SQL)
+
+
+def _reciprocity_sql_wrapped() -> str:
+    from linkgraph.graphs import RECIPROCITY_SQL_TEMPLATE
+    return RECIPROCITY_SQL_TEMPLATE.format(edges=TRADE_NATION_SQL)
+
+
 def _induced_sql_wrapped() -> str:
     from linkgraph.graphs import induced_subgraph_sql
     return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
@@ -863,6 +873,22 @@ def _q_transitivity_cosupplier(spark, sf_dir):
         ).alias("transitivity"),
     )
     return attach_caches(out, res._caches)
+
+
+def _q_richclub_cosupplier(spark, sf_dir):
+    """Rich-club coefficient phi(k) over the co-supplier graph — the
+    hub-structure probe (integer suffix sums, exact final ratio;
+    linkgraph/graphs.py#rich_club_coefficients)."""
+    from linkgraph.graphs import rich_club_coefficients
+    return rich_club_coefficients(cosupplier_edges(spark, sf_dir))
+
+
+def _q_reciprocity_trade(spark, sf_dir):
+    """Directed reciprocity of the nation trade graph: fraction of
+    trade relations that flow both ways (integer pair-orientation
+    counts; linkgraph/graphs.py#reciprocity)."""
+    from linkgraph.graphs import reciprocity
+    return reciprocity(_trade_nation_edges(spark, sf_dir))
 
 
 def _q_assortativity_purchase(spark, sf_dir):
@@ -1584,6 +1610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_purchase": _q_salsa_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
+        "richclub_cosupplier": _q_richclub_cosupplier,
+        "reciprocity_trade_nation": _q_reciprocity_trade,
         "transitivity_cosupplier": _q_transitivity_cosupplier,
         "pagerank_coproject": _q_pagerank_coproject,
         "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
@@ -2277,6 +2305,8 @@ FROM nodes nd LEFT JOIN (
         "hits_purchase": _hits_sql_wrapped(),
         "salsa_purchase": _salsa_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
+        "richclub_cosupplier": _richclub_sql_wrapped(),
+        "reciprocity_trade_nation": _reciprocity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(
             iters=5,
             weighted=True,

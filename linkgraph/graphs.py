@@ -303,3 +303,180 @@ SELECT {cols} FROM (
          ROUND(CAST(COALESCE(a.w6, 0) AS DOUBLE) / 1000000.0, 6) AS weighted_degree
   FROM universe u LEFT JOIN agg a ON a.id = u.id)
 """
+
+
+def rich_club_coefficients(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient phi(k) for every degree threshold k
+    (Zhou & Mondragon 2004, IEEE Comm. Lett. 8:180 — do high-degree
+    nodes preferentially attach to each other?):
+
+        phi(k) = 2 * E_k / (N_k * (N_k - 1))
+
+    with N_k = #nodes of degree > k and E_k = #undirected edges whose
+    BOTH endpoints have degree > k. The canonical hub-structure probe
+    over the co-occurrence graph (the north star's import graph): a
+    rising phi(k) tail = the hubs form a club, which is exactly when
+    the engine's hub_cap/hot_key_salt paths matter.
+
+    Returns (k, n_nodes, n_edges, phi) for k = 0 .. max_degree - 1.
+    EXACT cross-engine: every count is an integer suffix sum (an edge
+    with m = min(deg_u, deg_v) is in E_k for all k < m, so E_k =
+    |E| - cumsum(edges_by_m, m <= k)); only the final phi ratio
+    touches floating point, identically associated on both engines.
+
+    Scale shape: degree aggregate, two small grouped histograms
+    (|distinct degrees| rows), one window over the k-grid whose size
+    is max_degree — bounded by the largest hub, NOT |V| or |E|. The
+    only |E|-sized shuffles are the canonical-edge distinct and the
+    two degree joins (hash joins on node id).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    em = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(F.least("da", "db").alias("m"))
+    )
+    nodes_by_deg = deg.groupBy("deg").agg(F.count("*").alias("nc"))
+    edges_by_m = em.groupBy("m").agg(F.count("*").alias("ec"))
+    totals = deg.agg(
+        F.count("*").alias("n_total"), F.max("deg").alias("maxd")
+    ).crossJoin(F.broadcast(em.agg(F.count("*").alias("m_total"))))
+    grid = totals.select(
+        "n_total",
+        "m_total",
+        F.explode(F.sequence(F.lit(0), F.col("maxd") - 1)).alias("k"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        grid.join(
+            F.broadcast(nodes_by_deg.select(F.col("deg").alias("k"), "nc")), "k", "left"
+        )
+        .join(F.broadcast(edges_by_m.select(F.col("m").alias("k"), "ec")), "k", "left")
+        .select(
+            "k",
+            (
+                F.col("n_total")
+                - F.sum(F.coalesce(F.col("nc"), F.lit(0))).over(w)
+            ).alias("n_nodes"),
+            (
+                F.col("m_total")
+                - F.sum(F.coalesce(F.col("ec"), F.lit(0))).over(w)
+            ).alias("n_edges"),
+        )
+    )
+    return joined.select(
+        "k",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(
+            F.when(
+                F.col("n_nodes") > 1,
+                (F.lit(2.0) * F.col("n_edges"))
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("phi"),
+    )
+
+
+RICH_CLUB_SQL_TEMPLATE = """
+WITH eraw AS ({edges}),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM eraw WHERE src != dst),
+deg AS (SELECT id, COUNT(*) AS deg FROM
+        (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+em AS (SELECT LEAST(da.deg, db.deg) AS m FROM e
+       JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+nodes_by_deg AS (SELECT deg, COUNT(*) AS nc FROM deg GROUP BY deg),
+edges_by_m AS (SELECT m, COUNT(*) AS ec FROM em GROUP BY m),
+totals AS (SELECT (SELECT COUNT(*) FROM deg) AS n_total,
+                  (SELECT MAX(deg) FROM deg) AS maxd,
+                  (SELECT COUNT(*) FROM em) AS m_total),
+grid AS (SELECT t.n_total, t.m_total,
+                UNNEST(generate_series(0, t.maxd - 1)) AS k
+         FROM totals t),
+cum AS (SELECT k,
+        n_total - SUM(COALESCE(nd.nc, 0)) OVER
+          (ORDER BY k ROWS UNBOUNDED PRECEDING) AS n_nodes,
+        m_total - SUM(COALESCE(eb.ec, 0)) OVER
+          (ORDER BY k ROWS UNBOUNDED PRECEDING) AS n_edges
+        FROM grid LEFT JOIN nodes_by_deg nd ON nd.deg = grid.k
+                  LEFT JOIN edges_by_m eb ON eb.m = grid.k)
+SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       ROUND(CASE WHEN n_nodes > 1
+             THEN (2.0 * n_edges) / CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+             ELSE 0.0 END, 6) AS phi
+FROM cum
+"""
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity (Newman et al. 2002): the fraction
+    of directed edges whose reverse edge also exists. Self-loops are
+    excluded; parallel edges collapse (the statistic is over the
+    distinct directed edge set, the networkx `reciprocity` contract).
+
+    Returns ONE row (n_edges, n_reciprocal, reciprocity). EXACT:
+    both counts are integers (a canonical (least, greatest) groupBy
+    counts each unordered pair's orientation multiplicity — exactly
+    2 means mutual, contributing 2 reciprocal directed edges), and
+    only the final ratio is floating point.
+
+    Scale shape: one distinct + one groupBy on the canonical pair key
+    (both |E|-shuffles, map-side combinable), then a single global
+    aggregate — no joins at all.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    pairs = e.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.count("*").alias("cnt"))
+    return pairs.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 2, F.lit(2)).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_reciprocal"),
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+RECIPROCITY_SQL_TEMPLATE = """
+WITH eraw AS ({edges}),
+e AS (SELECT DISTINCT src, dst FROM eraw WHERE src != dst),
+pairs AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS cnt
+          FROM e GROUP BY 1, 2)
+SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN 2 ELSE 0 END), 0) AS BIGINT)
+         AS n_reciprocal,
+       ROUND(CASE WHEN SUM(cnt) > 0
+             THEN CAST(SUM(CASE WHEN cnt = 2 THEN 2 ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(cnt) AS DOUBLE)
+             ELSE 0.0 END, 6) AS reciprocity
+FROM pairs
+"""

@@ -158,3 +158,90 @@ def test_degree_centrality_weightless_frame(spark):
     w = {r.id: r.weighted_degree for r in
          degree_centrality(e, "BOTH", weighted=True).collect()}
     assert w == {1: 1.0, 2: 2.0, 3: 1.0}
+
+
+def _richclub_py(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in range(max(deg.values())):
+        rich = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in es if a in rich and b in rich)
+        nk = len(rich)
+        phi = (2.0 * ek) / (nk * (nk - 1)) if nk > 1 else 0.0
+        out[k] = (nk, ek, round(phi, 6))
+    return out
+
+
+def test_richclub_random_python_oracle(spark):
+    from linkgraph.graphs import rich_club_coefficients
+
+    rng = random.Random(17)
+    pairs = [(a, b) for a, b in {(rng.randrange(25), rng.randrange(25)) for _ in range(120)} if a != b]
+    got = {r.k: (r.n_nodes, r.n_edges, r.phi) for r in rich_club_coefficients(_edges(spark, pairs)).collect()}
+    assert got == _richclub_py(pairs)
+
+
+def test_richclub_star_vs_clique(spark):
+    from linkgraph.graphs import rich_club_coefficients
+
+    # clique on 4: every node degree 3, phi(k)=1 for k<3
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r.k: r.phi for r in rich_club_coefficients(_edges(spark, clique)).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0}
+    # star: hub degree 5, leaves degree 1 — no edges among deg>1 nodes
+    star = [(0, i) for i in range(1, 6)]
+    got = {r.k: (r.n_nodes, r.n_edges, r.phi) for r in rich_club_coefficients(_edges(spark, star)).collect()}
+    assert got[1] == (1, 0, 0.0)  # only the hub survives k=1, no club
+    assert got[0][2] == round(2 * 5 / (6 * 5), 6)  # phi is rounded to 6
+
+
+def test_richclub_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.graphs import RICH_CLUB_SQL_TEMPLATE, rich_club_coefficients
+
+    rng = random.Random(19)
+    pairs = [(a, b) for a, b in {(rng.randrange(20), rng.randrange(20)) for _ in range(90)} if a != b]
+    got = {tuple(r) for r in rich_club_coefficients(_edges(spark, pairs)).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = RICH_CLUB_SQL_TEMPLATE.format(edges=f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
+    want = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want
+
+
+def test_reciprocity_contract(spark):
+    from linkgraph.graphs import reciprocity
+
+    # 1<->2 mutual, 1->3 and 4->1 one-way, self-loop dropped,
+    # parallel duplicate collapsed
+    e = _edges(spark, [(1, 2), (2, 1), (1, 3), (4, 1), (5, 5), (1, 3)])
+    row = reciprocity(e).first()
+    assert (row.n_edges, row.n_reciprocal) == (4, 2)
+    assert row.reciprocity == 0.5
+
+    # fully mutual triangle
+    full = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)])
+    assert reciprocity(full).first().reciprocity == 1.0
+
+    # empty after self-loop filter -> 0.0, no divide-by-zero
+    empty = _edges(spark, [(7, 7)])
+    row = reciprocity(empty).first()
+    assert (row.n_edges, row.n_reciprocal, row.reciprocity) == (0, 0, 0.0)
+
+
+def test_reciprocity_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.graphs import RECIPROCITY_SQL_TEMPLATE, reciprocity
+
+    rng = random.Random(23)
+    pairs = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    got = tuple(reciprocity(_edges(spark, pairs)).first())
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = RECIPROCITY_SQL_TEMPLATE.format(edges=f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
+    want = duckdb.connect().execute(sql).fetchone()
+    assert got == tuple(want)
