@@ -487,6 +487,19 @@ def _q_closeness_nation(spark, sf_dir):
     )
 
 
+def _q_closeness_wf_nation(spark, sf_dir):
+    """Wasserman-Faust improved closeness (the reference's `improved`
+    flag): raw closeness scaled by the reachable fraction, comparable
+    across components (linkgraph/paths.py#closeness_centrality)."""
+    from linkgraph import closeness_centrality
+    return closeness_centrality(
+        _trade_nation_edges(spark, sf_dir), direction="BOTH", max_hops=8, wf=True
+    ).select(
+        "id", "farness", F.col("reached").cast("long").alias("reached"),
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
 def _q_harmonic_nation(spark, sf_dir):
     """Harmonic centrality (algo.closeness.harmonic lineage): sum of
     1/dist over reachable nodes — defined on disconnected graphs."""
@@ -1595,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_weighted_nation": _q_apsp_weighted_nation,
         "apsp_weighted_sampled_nation": _q_apsp_weighted_sampled_nation,
         "closeness_nation": _q_closeness_nation,
+        "closeness_wf_nation": _q_closeness_wf_nation,
         "closeness_sampled_nation": _q_closeness_sampled_nation,
         "harmonic_nation": _q_harmonic_nation,
         "dangalchev_nation": _q_dangalchev_nation,
@@ -2193,6 +2207,18 @@ SELECT b.source AS id,
              ELSE 0.0 END, 6) AS closeness
 FROM best b GROUP BY b.source
 """
+    closeness_wf_sql = f"""
+WITH RECURSIVE {bfs_base}
+SELECT b.source AS id,
+       CAST(SUM(b.dist) AS DOUBLE) AS farness,
+       CAST(COUNT(*) - 1 AS BIGINT) AS reached,
+       ROUND(CASE WHEN SUM(b.dist) > 0
+             THEN (CAST(COUNT(*) - 1 AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE))
+                  / (CAST((SELECT COUNT(*) FROM nodes) - 1 AS DOUBLE)
+                     * CAST(SUM(b.dist) AS DOUBLE))
+             ELSE 0.0 END, 6) AS closeness
+FROM best b GROUP BY b.source
+"""
     harmonic_sql = f"""
 WITH RECURSIVE {bfs_base}
 SELECT nd.id AS id,
@@ -2282,6 +2308,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
             TRADE_NATION_W_SQL, source_pred="src % 3 = 0"
         ),
         "closeness_nation": closeness_sql,
+        "closeness_wf_nation": closeness_wf_sql,
         "closeness_sampled_nation": closeness_sampled_sql,
         "harmonic_nation": harmonic_sql,
         "dangalchev_nation": f"""

@@ -696,10 +696,24 @@ def closeness_centrality(
     max_hops: int = 64,
     sources: DataFrame | None = None,
     exact_warn_nodes: int = 100_000,
+    wf: bool = False,
 ) -> DataFrame:
     """Closeness = (n - 1) / farness(u), farness = sum of hop distances
     to reachable nodes; 0.0 for isolated/unreachable-everything nodes
     (reference MSClosenessCentrality contract).
+
+    ``wf=True`` switches to the Wasserman-Faust improved formula the
+    reference exposes as ``improved``:
+
+        C_WF(u) = (reached / (n - 1)) * (reached / farness)
+
+    which scales raw closeness by the reachable-fraction so scores
+    stay comparable ACROSS components of a disconnected graph (a node
+    reaching 3 nodes at distance 1 no longer outranks one reaching
+    3000 at distance 2). Identical association order on both engines:
+    reached^2 / ((n - 1) * farness). Exact mode only — the sampled
+    estimator's ``reached`` is a raw sampled-source count, so scaling
+    by it would estimate a different quantity.
 
     ``sources=None`` is EXACT mode — every node a BFS source, O(n *
     reached) multi-source state; above ``exact_warn_nodes`` nodes a
@@ -720,6 +734,12 @@ def closeness_centrality(
 
     Returns (id, farness, reached, closeness) for EVERY node of the
     graph in both modes."""
+    if wf and sources is not None:
+        raise ValueError(
+            "wf=True (Wasserman-Faust) is exact-mode only: the sampled "
+            "estimator's `reached` is a raw sampled count, not the "
+            "reachable-set size the WF correction needs."
+        )
     if sources is None:
         d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
         nodes = d.select(F.col("source").alias("id")).distinct()
@@ -730,11 +750,17 @@ def closeness_centrality(
             F.sum("dist").cast("double").alias("farness"),
             (F.count("*") - 1).alias("reached"),
         )
-        return agg.select(
-            "id", "farness", "reached",
-            F.when(F.col("farness") > 0, F.lit(float(n - 1)) / F.col("farness"))
-            .otherwise(F.lit(0.0)).alias("closeness"),
-        )
+        if wf:
+            score = F.when(
+                F.col("farness") > 0,
+                (F.col("reached").cast("double") * F.col("reached").cast("double"))
+                / (F.lit(float(n - 1)) * F.col("farness")),
+            ).otherwise(F.lit(0.0))
+        else:
+            score = F.when(
+                F.col("farness") > 0, F.lit(float(n - 1)) / F.col("farness")
+            ).otherwise(F.lit(0.0))
+        return agg.select("id", "farness", "reached", score.alias("closeness"))
     universe = _universe(edges)
     n = universe.count()
     n_s = sources.select("id").distinct().count()

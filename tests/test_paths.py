@@ -498,3 +498,43 @@ def test_dangalchev_golden_and_domain(spark):
     assert got[3] == (2, 0.75)
     with _pt.raises(ValueError, match="62"):
         dangalchev_centrality(e, max_hops=63)
+
+
+def test_closeness_wf_disconnected(spark):
+    import pytest as _pt
+
+    # K2 {a,b} plus path c-d-e-f-g (n=7).  Raw closeness rewards the
+    # tiny component (a: farness 1 -> (n-1)/1 = 6.0, the global max);
+    # WF scales by reached/(n-1) so the path's center e (reached 4,
+    # farness 6) outranks a: WF(e) = 16/36 = 0.444 > WF(a) = 1/6.
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")]
+    )
+    raw = {
+        r["key"]: (r["reached"], r["closeness"])
+        for r in closeness_centrality(edges, direction="BOTH")
+        .join(nodes, "id").collect()
+    }
+    wf = {
+        r["key"]: (r["reached"], r["closeness"])
+        for r in closeness_centrality(edges, direction="BOTH", wf=True)
+        .join(nodes, "id").collect()
+    }
+    assert raw["a"] == (1, 6.0)                      # raw: K2 wins
+    assert raw["e"][1] == np.float64(1.0)            # (7-1)/6
+    assert wf["a"] == (1, 1 / 6)
+    assert np.isclose(wf["e"][1], 16 / 36)
+    assert wf["e"][1] > wf["a"][1]                   # WF flips the order
+    # connected graph: WF == raw * reached/(n-1) == raw (all reached)
+    nodes2, edges2 = edges_from_pairs(spark, [("a", "b"), ("b", "c")])
+    r0 = {r["key"]: r["closeness"] for r in
+          closeness_centrality(edges2, direction="BOTH").join(nodes2, "id").collect()}
+    r1 = {r["key"]: r["closeness"] for r in
+          closeness_centrality(edges2, direction="BOTH", wf=True).join(nodes2, "id").collect()}
+    assert r0 == r1
+    # sampled + wf is a contract violation
+    with _pt.raises(ValueError, match="exact-mode only"):
+        closeness_centrality(
+            edges, direction="BOTH", wf=True,
+            sources=edges.select(F.col("src").alias("id")).limit(1),
+        )
