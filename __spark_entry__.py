@@ -1405,6 +1405,18 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """Deterministic distributed k-means (rank-stride seeding + 2
+    integer-exact Lloyd rounds): the one iterative FLOAT clustering
+    with a value-exact unrolled SQL twin — centroid means go through
+    the 6-decimal integer domain
+    (linkgraph/pipeline/simsearch.py#kmeans_clusters)."""
+    from linkgraph.pipeline import kmeans_clusters
+    return kmeans_clusters(_emb(spark, sf_dir), n_clusters=16, iters=2).select(
+        "vec_id", "cluster", "csim"
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from linkgraph.pipeline import asset_features, synth_assets
     return asset_features(synth_assets(_docs(spark, sf_dir))).select(
@@ -1683,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_lsh": _q_near_dup_lsh,
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
+        "sim_kmeans_assign": _q_kmeans,
         "sim_quantize_embeddings": _q_quantize_embeddings,
         "sim_pq_encode": _q_pq_encode,
         "multimodal_features": _q_multimodal_features,
@@ -2458,6 +2471,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.simsearch import (
         ann_ivf_topk_sql,
         ann_lsh_topk_sql,
+        kmeans_clusters_sql,
         cosine_topk_sql,
         near_dup_pairs_sql,
         pq_encode_sql,
@@ -2569,6 +2583,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "sim_ann_lsh_topk": ann_lsh_topk_sql(dim=64, k=5, n_planes=11),
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
+        "sim_kmeans_assign": kmeans_clusters_sql(dim=64, n_clusters=16, iters=2),
         # int8 quantization: min/max are order-free, all arithmetic
         # explicitly double-promoted => exact
         "sim_quantize_embeddings": quantize_embeddings_sql(),

@@ -58,6 +58,7 @@ from linkgraph.pipeline.simsearch import (
     auto_n_clusters,
     auto_n_planes,
     cosine_topk,
+    kmeans_clusters,
     near_dup_pairs,
     near_dup_pairs_lsh,
     semantic_cluster_assign,
@@ -95,6 +96,7 @@ __all__ = [
     "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",
+    "kmeans_clusters",
     "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
     "encode_wav_pcm16", "decode_wav_pcm16", "encode_png", "decode_png",

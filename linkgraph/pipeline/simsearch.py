@@ -292,6 +292,154 @@ def _lloyd_refine(
     return centroids
 
 
+def kmeans_clusters(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed k-means over an embedding column:
+    rank-stride seeding in id order (the shared IVF/SemDeDup centroid
+    contract — no RNG), then ``iters`` Lloyd rounds of argmax-cosine
+    assignment + INTEGER-EXACT centroid means, then a final
+    assignment. Returns (vec_id, cluster, csim) with cluster = the
+    seeding centroid's vector id and csim the round-6 cosine to the
+    final centroid.
+
+    Cross-engine exactness of an ITERATIVE float algorithm (the same
+    move as FastRP/ANF): member coordinates are quantized to 6-decimal
+    fixed point ONCE per round (ROUND(x * 1e6) as int64 — identical
+    half-away-from-zero rounding on both engines), summed in the
+    integer domain (order-free, exact), and the mean is the exact
+    rational (CAST(s AS DOUBLE) / 1e6) / count — so every centroid
+    coordinate is bit-identical on Spark and DuckDB and the unrolled
+    SQL twin (kmeans_clusters_sql) is value-exact, not approximate.
+    Empty clusters keep their previous centroid (the _lloyd_refine
+    contract).
+
+    Scale shape (100TB): centroids are a broadcast-sized table
+    (n_clusters ~ sqrt(n)); each round is ONE broadcast join + argmax
+    window partitioned by vector id + ONE map-side-combinable
+    aggregate of dim int64 sums — no |n|x|n| pair blowup anywhere;
+    cost is O(iters * n * k * dim) flops, all JVM-side codegen.
+    The per-round sums stay exact while |cluster| * 1e6 * max|x|
+    < 2^63 (~9e12 rows per cluster at |x| <= 1) — beyond that, cast
+    the sum column to decimal(38, 0) (the weighted-similarity
+    playbook).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    dim = _dim(emb, vec_col)
+    n = emb.count()
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("vnorm", _vec_norm("v", dim))
+    cents = _stride_centroids(emb, n_clusters, id_col, vec_col, n)
+    for _ in range(iters):
+        assigned = _ranked_centroid_scores(vecs, cents, dim).filter(
+            F.col("crank") == 1
+        )
+        sums = assigned.groupBy("cent_id").agg(
+            F.count("*").alias("cnt"),
+            *[
+                F.sum(
+                    F.round(
+                        F.element_at("v", i + 1).cast("double")
+                        * F.lit(1_000_000.0),
+                        0,
+                    ).cast("long")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        mvec = F.array(
+            *[
+                (F.col(f"s{i}").cast("double") / F.lit(1_000_000.0)) / F.col("cnt")
+                for i in range(dim)
+            ]
+        )
+        cents = (
+            cents.join(sums, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.when(F.col("cnt").isNull(), F.col("cvec"))
+                .otherwise(mvec)
+                .alias("cvec"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        _ranked_centroid_scores(vecs, cents, dim)
+        .filter(F.col("crank") == 1)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cent_id").alias("cluster"),
+            "csim",
+        )
+    )
+
+
+def kmeans_clusters_sql(
+    dim: int, n_clusters: int = 16, iters: int = 2, table: str = "embeddings"
+) -> str:
+    """Exact DuckDB oracle for `kmeans_clusters` — the ann_ivf_topk_sql
+    seeding/assignment CTEs with the Lloyd rounds unrolled; centroid
+    means go through the same 6-decimal integer domain, so every round
+    is value-exact (see kmeans_clusters)."""
+    parts = [
+        f"WITH n AS (SELECT COUNT(*) AS n FROM {table})",
+        f"""ranked AS (
+  SELECT vec_id AS cent_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+  FROM {table})""",
+        f"""c0 AS (
+  SELECT cent_id, embedding AS cvec FROM ranked
+  WHERE (rn - 1) % (SELECT CAST(CEIL(n / {n_clusters}.0) AS BIGINT) FROM n) = 0)""",
+    ]
+    for t in range(1, iters + 1):
+        cos = cosine_expr_duckdb("v.embedding", "c.cvec", dim)
+        sum_cols = ", ".join(
+            f"SUM(CAST(ROUND(CAST(list_extract(vv, {i + 1}) AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS s{i}"
+            for i in range(dim)
+        )
+        mean_list = ", ".join(
+            f"(CAST(m.s{i} AS DOUBLE) / 1000000.0) / m.cnt" for i in range(dim)
+        )
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT v.vec_id AS vid, v.embedding AS vv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND({cos}, 6) DESC, c.cent_id ASC) AS crank
+    FROM {table} v CROSS JOIN c{t - 1} c) WHERE crank = 1)"""
+        )
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT cent_id, COUNT(*) AS cnt, {sum_cols} FROM a{t} GROUP BY cent_id)"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT c.cent_id,
+         CASE WHEN m.cnt IS NULL THEN c.cvec
+              ELSE list_value({mean_list}) END AS cvec
+  FROM c{t - 1} c LEFT JOIN m{t} m ON m.cent_id = c.cent_id)"""
+        )
+    cos_f = cosine_expr_duckdb("v.embedding", "c.cvec", dim)
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vid AS vec_id, cent_id AS cluster, csim FROM (
+  SELECT v.vec_id AS vid, c.cent_id,
+         ROUND({cos_f}, 6) AS csim,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY ROUND({cos_f}, 6) DESC, c.cent_id ASC) AS crank
+  FROM {table} v CROSS JOIN c{iters} c) WHERE crank = 1
+"""
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     k: int = 5,

@@ -1195,3 +1195,90 @@ def test_fuzzy_dup_pairs_duckdb_twin(spark):
         want = {tuple(r) for r in con.execute(
             fuzzy_dup_pairs_sql(k=kk, w=ww, max_dist=md, fp_cap=cap)).fetchall()}
         assert got == want, (kk, ww, md, cap)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Planted-cluster fixture: 8 tight Gaussian blobs, k=8 — after 2
+    Lloyd rounds every blob lands in ONE k-means cluster (purity 1.0),
+    and the result is bit-stable on rerun."""
+    from linkgraph.pipeline import kmeans_clusters
+
+    rng = np.random.default_rng(29)
+    rows, truth, vid = [], {}, 0
+    for blob in range(8):
+        c = rng.standard_normal(16)
+        c /= np.linalg.norm(c)
+        for _ in range(10):
+            v = c + 0.02 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            truth[vid] = blob
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a1 = sorted(map(tuple, kmeans_clusters(emb, n_clusters=8, iters=2).collect()))
+    a2 = sorted(map(tuple, kmeans_clusters(emb, n_clusters=8, iters=2).collect()))
+    assert a1 == a2  # deterministic end-to-end
+    by_blob = {}
+    for vec_id, cluster, _ in a1:
+        by_blob.setdefault(truth[vec_id], set()).add(cluster)
+    assert all(len(cs) == 1 for cs in by_blob.values()), by_blob
+    # 8 blobs -> 8 distinct clusters
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == 8
+
+
+def test_kmeans_iters_zero_is_stride_assign(spark):
+    """iters=0 must equal the raw rank-stride assignment (the shared
+    IVF contract) — no refinement applied."""
+    from linkgraph.pipeline import kmeans_clusters
+    from linkgraph.pipeline.simsearch import (
+        _dim,
+        _ranked_centroid_scores,
+        _stride_centroids,
+        _vec_norm,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, kmeans_clusters(emb, n_clusters=5, iters=0).collect()))
+    dim = _dim(emb, "embedding")
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    ).withColumn("vnorm", _vec_norm("v", dim))
+    cents = _stride_centroids(emb, 5, "vec_id", "embedding")
+    want = sorted(
+        (r["vid"], r["cent_id"], r["csim"])
+        for r in _ranked_centroid_scores(vecs, cents, dim)
+        .filter(F.col("crank") == 1)
+        .collect()
+    )
+    assert got == want
+
+
+def test_kmeans_duckdb_twin_small(spark):
+    """Value-exact DuckDB twin on a small random fixture — including
+    the empty-cluster keep-previous branch (k larger than the number
+    of occupied cells forces some empties)."""
+    import duckdb
+
+    from linkgraph.pipeline import kmeans_clusters
+    from linkgraph.pipeline.simsearch import kmeans_clusters_sql
+
+    rng = np.random.default_rng(37)
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, kmeans_clusters(emb, n_clusters=10, iters=3).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT "
+        "UNNEST(range(30)) AS vec_id, NULL::FLOAT[] AS embedding WHERE FALSE"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, v) for i, v in rows],
+    )
+    want = sorted(
+        map(tuple, con.execute(kmeans_clusters_sql(dim=6, n_clusters=10, iters=3)).fetchall())
+    )
+    assert [(a, b, round(c, 6)) for a, b, c in got] == [
+        (a, b, round(c, 6)) for a, b, c in want
+    ]
