@@ -1444,6 +1444,14 @@ def _q_bm25_search(spark, sf_dir):
     return bm25_search(_docs(spark, sf_dir), "table scan merge", top_n=20)
 
 
+def _q_pmi(spark, sf_dir):
+    """Top-20 PMI bigram collocations (Church-Hanks): integer counts
+    into one fixed ln tree, rank on the ROUNDED score
+    (linkgraph/pipeline/text.py#pmi_collocations)."""
+    from linkgraph.pipeline import pmi_collocations
+    return pmi_collocations(_docs(spark, sf_dir), top_k=20, min_count=5)
+
+
 def _q_ngram_lm(spark, sf_dir):
     """Bigram LM census with ML conditional probabilities — p divides
     two integer counts, so the oracle needs no float tolerance."""
@@ -1686,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_redact_pii,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_ngram_lm": _q_ngram_lm,
+        "text_pmi_collocations": _q_pmi,
         "text_perplexity": _q_perplexity,
         "text_winnow_fingerprints": _q_winnow,
         "dedup_fuzzy_pairs": _q_fuzzy_dup,
@@ -2488,6 +2497,7 @@ def _pipeline_oracles() -> dict[str, str]:
         fingerprints_sql,
         bm25_search_sql,
         ngram_lm_sql,
+        pmi_collocations_sql,
         perplexity_scores_sql,
         redact_pii_sql,
         winnow_fingerprints_sql,
@@ -2566,6 +2576,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "curate_line_dedup": line_dedup_sql(max_df=390, sep=" "),
         "text_tfidf_topk": tfidf_topk_sql(k=5),
         "text_ngram_lm": ngram_lm_sql(n=2, min_count=5),
+        "text_pmi_collocations": pmi_collocations_sql(top_k=20, min_count=5),
         "text_perplexity": perplexity_scores_sql(n=2, k=1.0),
         "text_winnow_fingerprints": winnow_fingerprints_sql(k=8, w=16),
         "dedup_fuzzy_pairs": fuzzy_dup_pairs_sql(k=8, w=16, max_dist=40),

@@ -48,6 +48,7 @@ from linkgraph.pipeline.text import (
     fingerprints,
     winnow_fingerprints,
     normalize_text,
+    pmi_collocations,
     repetition_scores,
     source_mix,
     vocab_stats,
@@ -93,6 +94,7 @@ __all__ = [
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
     "repetition_scores", "vocab_stats", "containment_pairs",
+    "pmi_collocations",
     "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",

@@ -990,3 +990,125 @@ SELECT DISTINCT doc_id,
                for i in range(1, greatest(len(hs) - {w - 1}, 1) + 1)]) AS fp
 FROM h
 """
+
+
+def pmi_collocations(
+    docs: DataFrame, top_k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990, Comp. Ling. 16(1) — the classic collocation
+    statistic):
+
+        PMI(x, y) = ln( p(xy) / (p(x) p(y)) )
+                  = ln( (c_xy * N * N) / (B * c_x * c_y) )
+
+    with c_xy the bigram count over B corpus bigrams and c_x/c_y
+    unigram counts over N tokens. ``min_count`` drops rare bigrams
+    (raw PMI is maximized by hapaxes — the standard guard).
+
+    Returns (gram, count, pmi, rank), rank 1..top_k by
+    (pmi DESC, gram ASC). Every input to the ln is an exact integer
+    count so the argument is one fixed double expression tree;
+    the ln itself differs Java-vs-libm by 1 ulp on ~7% of inputs
+    (the perplexity finding), so pmi is ROUNDED to 6 and the rank
+    window orders by the ROUNDED value with the gram tie-break —
+    rank is engine-stable (the bm25 contract).
+
+    Scale: tokenize map-side, two count shuffles (bigrams, unigrams —
+    both map-side combinable), two hash joins of the bigram table
+    against the unigram counts, 1-row totals broadcast. min_count
+    filters BEFORE the global top-k window, so the single-partition
+    window sees only the surviving head, not the hapax tail.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    unigrams = docs.select(F.explode(toks).alias("tok"))
+    gc = bigrams.groupBy("gram").agg(F.count("*").alias("count"))
+    uc = unigrams.groupBy("tok").agg(F.count("*").alias("c1"))
+    totals = gc.agg(F.sum("count").alias("b_total")).crossJoin(
+        uc.agg(F.sum("c1").alias("n_total"))
+    )
+    scored = (
+        gc.filter(F.col("count") >= min_count)
+        .withColumn("x", F.substring_index("gram", " ", 1))
+        .withColumn("y", F.substring_index("gram", " ", -1))
+        .join(uc.select(F.col("tok").alias("x"), F.col("c1").alias("cx")), "x")
+        .join(uc.select(F.col("tok").alias("y"), F.col("c1").alias("cy")), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "gram",
+            "count",
+            F.round(
+                F.log(
+                    (
+                        F.col("count").cast("double")
+                        * F.col("n_total").cast("double")
+                        * F.col("n_total").cast("double")
+                    )
+                    / (
+                        F.col("b_total").cast("double")
+                        * F.col("cx").cast("double")
+                        * F.col("cy").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("gram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("gram", "count", "pmi", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pmi_collocations_sql(
+    top_k: int = 20, min_count: int = 5, table: str = "documents"
+) -> str:
+    """DuckDB twin of `pmi_collocations` (value-exact: integer counts
+    into one fixed double tree, ln rounded to 6, rank on the rounded
+    score)."""
+    tok = f"regexp_extract_all(lower(text), '{_WORD_RE}')"
+    return f"""
+WITH bigrams AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS gram
+  FROM (SELECT {tok} AS t FROM {table}) WHERE len(t) >= 2),
+unigrams AS (
+  SELECT unnest(t) AS tok FROM (SELECT {tok} AS t FROM {table})),
+gc AS (SELECT gram, COUNT(*) AS count FROM bigrams GROUP BY gram),
+uc AS (SELECT tok, COUNT(*) AS c1 FROM unigrams GROUP BY tok),
+totals AS (SELECT (SELECT SUM(count) FROM gc) AS b_total,
+                  (SELECT SUM(c1) FROM uc) AS n_total),
+scored AS (
+  SELECT g.gram, g.count,
+         ROUND(ln((CAST(g.count AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                   * CAST(t.n_total AS DOUBLE))
+                  / (CAST(t.b_total AS DOUBLE) * CAST(ux.c1 AS DOUBLE)
+                     * CAST(uy.c1 AS DOUBLE))), 6) AS pmi
+  FROM gc g
+  JOIN uc ux ON ux.tok = string_split(g.gram, ' ')[1]
+  JOIN uc uy ON uy.tok = string_split(g.gram, ' ')[2]
+  CROSS JOIN totals t
+  WHERE g.count >= {min_count})
+SELECT gram, count, pmi, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT gram, count, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, gram ASC) AS rank
+  FROM scored) WHERE rank <= {top_k}
+"""

@@ -1282,3 +1282,53 @@ def test_kmeans_duckdb_twin_small(spark):
     assert [(a, b, round(c, 6)) for a, b, c in got] == [
         (a, b, round(c, 6)) for a, b, c in want
     ]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from linkgraph.pipeline import pmi_collocations
+
+    # "new york" always together (3x), "the" everywhere: PMI must rank
+    # the collocation far above the function-word pairs
+    docs = spark.createDataFrame(
+        [
+            (1, "the new york times in the new york"),
+            (2, "new york is the city"),
+            (3, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, top_k=50, min_count=2).collect()
+    got = {r.gram: (r["count"], r.pmi) for r in rows}  # .count is the Row method
+    # counts: tokens N=16, bigrams B=13, c(new york)=3, c(new)=3, c(york)=3
+    n_tok, n_bi = 16, 13
+    want = round(math.log((3 * n_tok * n_tok) / (n_bi * 3 * 3)), 6)
+    assert got["new york"] == (3, want)
+    assert rows[0].gram == "new york" and rows[0].rank == 1
+    assert "the the" in got and got["the the"][1] < got["new york"][1]
+    # min_count guard: singleton bigrams are dropped
+    assert "york times" not in got
+
+
+def test_pmi_collocations_duckdb_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline import pmi_collocations
+    from linkgraph.pipeline.text import pmi_collocations_sql
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(3, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, pmi_collocations(df, top_k=10, min_count=2).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = sorted(
+        map(tuple, con.execute(pmi_collocations_sql(top_k=10, min_count=2)).fetchall())
+    )
+    assert got == want
