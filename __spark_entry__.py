@@ -1310,6 +1310,18 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, docs.filter("doc_id % 29 = 0"), n=8)
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (same benchmark slice as the exact
+    pass): zero false negatives, engine-identical false positives —
+    the filter fits one broadcast at any benchmark size
+    (linkgraph/pipeline/curate.py#bloom_decontaminate)."""
+    from linkgraph.pipeline import bloom_decontaminate
+    docs = _docs(spark, sf_dir)
+    return bloom_decontaminate(
+        docs, docs.filter("doc_id % 29 = 0"), n=8, m_bits=1 << 18, k_hashes=3
+    )
+
+
 def _q_dsir_scores(spark, sf_dir):
     """DSIR hashed-bigram importance log-ratios against the src0
     slice as the target distribution (exact 1e-7 fixed point)."""
@@ -1684,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
         "curate_decontaminate": _q_decontaminate,
+        "curate_bloom_decontaminate": _q_bloom_decontaminate,
         "curate_dsir_scores": _q_dsir_scores,
         "curate_dsir_sample": _q_dsir_sample,
         "curate_stratified_sample": _q_stratified,
@@ -2507,6 +2520,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.curate import (
         chunk_documents_sql,
         corpus_shuffle_sql,
+        bloom_decontaminate_sql,
         decontaminate_sql,
         dsir_sample_sql,
         dsir_scores_sql,
@@ -2563,6 +2577,9 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),
         "curate_decontaminate": decontaminate_sql("doc_id % 29 = 0", n=8),
+        "curate_bloom_decontaminate": bloom_decontaminate_sql(
+            "doc_id % 29 = 0", n=8, m_bits=1 << 18, k_hashes=3
+        ),
         "curate_dsir_scores": dsir_scores_sql("source = 'src0'", n=2, buckets=1009),
         "curate_dsir_sample": dsir_sample_sql(
             "source = 'src0'", 100, n=2, buckets=1009, seed=7

@@ -33,6 +33,7 @@ from linkgraph.pipeline.dedup import (
 from linkgraph.pipeline.prep import corpus_prep
 from linkgraph.pipeline.curate import (
     corpus_shuffle,
+    bloom_decontaminate,
     decontaminate,
     dsir_sample,
     dsir_scores,
@@ -88,7 +89,7 @@ __all__ = [
     "exact_dedup", "fuzzy_dup_pairs", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
-    "decontaminate", "dsir_scores", "dsir_sample",
+    "decontaminate", "bloom_decontaminate", "dsir_scores", "dsir_sample",
     "stratified_sample", "quota_sample",
     "corpus_shuffle", "pack_sequences", "chunk_documents",
     "token_stats", "quality_scores", "language_id", "fingerprints",

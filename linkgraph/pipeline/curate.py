@@ -646,3 +646,145 @@ keyed AS (
 SELECT doc_id, logratio, key_e7
 FROM keyed ORDER BY key_e7 DESC, doc_id LIMIT {n_keep}
 """
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """`decontaminate` with the benchmark n-gram set compressed into a
+    Bloom filter — the shape that still works when the "benchmark" is
+    itself large (a held-out shard, a sibling corpus) and the exact
+    distinct-hash broadcast would not fit: m_bits bits + k_hashes
+    probes replace the full hash set, at ~(1-e^(-kn/m))^k false-
+    positive rate and ZERO false negatives (every truly contaminated
+    doc is flagged).
+
+    Same output contract as `decontaminate` (doc_id, n_hits,
+    contaminated), where n_hits counts distinct n-grams that pass ALL
+    k probes — a deterministic superset of the exact operator's hits.
+    Because probe positions derive from the cross-engine md5 hash
+    (never a JVM-private hash), even the false positives are
+    engine-identical, so the SQL oracle is value-exact.
+
+    Scale shape (100TB): the filter is a (word_idx, word) table of at
+    most m_bits/32 int64 rows (2^20 bits = 32k rows ~ 0.5 MB) built
+    with one bit_or aggregate and BROADCAST; the corpus side dedups
+    (doc, gram-hash) pairs once, fans out k probe rows map-side, and
+    probes the broadcast — one |corpus-grams| shuffle (the distinct),
+    one per-doc count. Words use 32 bits of each int64 so no shift
+    ever reaches bit 63 (Spark wraps there, DuckDB errors — the
+    dangalchev finding).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if m_bits < 32 or m_bits % 32:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        return df.select(
+            "doc_id", F.explode(_token_ngrams(toks, n)).alias("gram")
+        ).select("doc_id", stable_hash64("gram").alias("gh"))
+
+    def positions(col: str) -> Column:
+        # k probe positions derived from the GRAM HASH's decimal string
+        # (not the gram text), so both sides can dedup to 8-byte keys
+        # before the fan-out
+        return F.array(
+            *[
+                F.pmod(
+                    stable_hash64(F.col(col).cast("string"), salt=j), F.lit(m_bits)
+                )
+                for j in range(k_hashes)
+            ]
+        )
+
+    bits = (
+        gram_hashes(benchmark)
+        .select("gh")
+        .distinct()
+        .select(F.explode(positions("gh")).alias("pos"))
+        .distinct()
+    )
+    words = bits.groupBy(F.expr("pos DIV 32").alias("widx")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod("pos", F.lit(32)).cast("int")
+            )
+        ).alias("word")
+    )
+    probes = (
+        gram_hashes(docs)
+        .distinct()
+        .select("doc_id", "gh", F.explode(positions("gh")).alias("pos"))
+        .withColumn("widx", F.expr("pos DIV 32"))
+    )
+    tested = probes.join(F.broadcast(words), "widx", "left").select(
+        "doc_id",
+        "gh",
+        (
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col("word"), F.lit(0).cast("long")),
+                F.pmod("pos", F.lit(32)).cast("int"),
+            )
+            % F.lit(2)
+        ).alias("is_set"),
+    )
+    hits = (
+        tested.groupBy("doc_id", "gh")
+        .agg(F.sum("is_set").alias("nset"))
+        .filter(F.col("nset") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bloom_decontaminate_sql(
+    benchmark_where: str, n: int = 8, m_bits: int = 1 << 20, k_hashes: int = 4
+) -> str:
+    """Oracle for `bloom_decontaminate` — the identical filter build
+    and probes in DuckDB (value-exact including false positives)."""
+    g = _token_ngrams_sql(n)
+    h = stable_hash64_sql("g")
+    pos_rows = " UNION ALL ".join(
+        f"SELECT *, {stable_hash64_sql('CAST(gh AS VARCHAR)', salt=j)} % {m_bits} AS pos FROM {{src}}"
+        for j in range(k_hashes)
+    )
+    return f"""
+WITH bt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE {benchmark_where}),
+bg AS (SELECT DISTINCT {h} AS gh FROM (SELECT unnest({g}) AS g FROM bt)),
+bpos AS (SELECT DISTINCT pos FROM ({pos_rows.format(src="bg")})),
+words AS (SELECT pos // 32 AS widx,
+                 BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+          FROM bpos GROUP BY 1),
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dg AS (SELECT DISTINCT doc_id, {h} AS gh
+       FROM (SELECT doc_id, unnest({g}) AS g FROM dt)),
+dpos AS (SELECT doc_id, gh, pos FROM ({pos_rows.format(src="dg")})),
+tested AS (SELECT d.doc_id, d.gh,
+                  (COALESCE(w.word, 0) >> CAST(d.pos % 32 AS INTEGER)) % 2 AS is_set
+           FROM dpos d LEFT JOIN words w ON w.widx = d.pos // 32),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM (
+           SELECT doc_id, gh FROM tested GROUP BY doc_id, gh
+           HAVING SUM(is_set) = {k_hashes}) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+"""

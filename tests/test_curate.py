@@ -362,3 +362,76 @@ def test_dsir_scores_plan_broadcasts_weights(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom flags are a SUPERSET of the exact operator's (zero false
+    negatives), and per-doc n_hits >= the exact n_hits; a tiny filter
+    (m_bits=64) is forced into false positives yet stays deterministic."""
+    from linkgraph.pipeline import bloom_decontaminate, decontaminate
+
+    rng = __import__("random").Random(43)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 7 = 0")
+    exact = {r.doc_id: r.n_hits for r in decontaminate(docs, bench, n=3).collect()}
+    for m_bits in (1 << 16, 64):
+        bloom = {
+            r.doc_id: r.n_hits
+            for r in bloom_decontaminate(
+                docs, bench, n=3, m_bits=m_bits, k_hashes=3
+            ).collect()
+        }
+        assert set(bloom) == set(exact)
+        assert all(bloom[d] >= exact[d] for d in exact), m_bits
+    # at the roomy size the FP rate is ~0: bloom == exact on this corpus
+    roomy = {
+        r.doc_id: r.n_hits
+        for r in bloom_decontaminate(docs, bench, n=3, m_bits=1 << 20, k_hashes=4).collect()
+    }
+    assert roomy == exact
+    # tiny filter: rerun is bit-identical (deterministic FPs)
+    t1 = sorted(map(tuple, bloom_decontaminate(docs, bench, n=3, m_bits=64, k_hashes=2).collect()))
+    t2 = sorted(map(tuple, bloom_decontaminate(docs, bench, n=3, m_bits=64, k_hashes=2).collect()))
+    assert t1 == t2
+
+
+def test_bloom_decontaminate_duckdb_twin_tiny_filter(spark):
+    """Twin check at a deliberately undersized filter — the false
+    positives themselves must be engine-identical."""
+    import duckdb
+
+    from linkgraph.pipeline import bloom_decontaminate
+    from linkgraph.pipeline.curate import bloom_decontaminate_sql
+
+    rng = __import__("random").Random(47)
+    vocab = [f"t{i}" for i in range(20)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(10))) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, bloom_decontaminate(docs, docs.filter("doc_id % 5 = 0"), n=2, m_bits=96, k_hashes=2).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        map(tuple, con.execute(bloom_decontaminate_sql("doc_id % 5 = 0", n=2, m_bits=96, k_hashes=2)).fetchall())
+    )
+    assert got == want
+
+
+def test_bloom_decontaminate_arg_guards(spark):
+    import pytest
+
+    from linkgraph.pipeline import bloom_decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_decontaminate(docs, docs, m_bits=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_decontaminate(docs, docs, k_hashes=0)
+    with pytest.raises(ValueError, match="n must be"):
+        bloom_decontaminate(docs, docs, n=0)
