@@ -134,6 +134,17 @@ def _q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_stats(e, asg)
 
 
+def _q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the same 2-iteration LPA
+    assignment — integer cut/volume counts, exact final ratio
+    (linkgraph/community.py#community_conductance)."""
+    from linkgraph.community import community_conductance
+    e = cosupplier_edges(spark, sf_dir)
+    res = label_propagation(e, direction="BOTH", max_iter=2)
+    asg = res.labels.select("id", F.col("label").alias("community"))
+    return community_conductance(e, asg)
+
+
 def _q_louvain_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain phase-1 on the purchase graph: 3 alternate-parity
     integer-scaled local-move sweeps (deterministic, SQL-replayable;
@@ -178,6 +189,12 @@ def _modularity_lpa_sql() -> str:
     from linkgraph.community import community_stats_sql
     asg = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
     return community_stats_sql(COSUPPLIER_EDGES_SQL, asg)
+
+
+def _conductance_lpa_sql() -> str:
+    from linkgraph.community import community_conductance_sql
+    asg = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
+    return community_conductance_sql(COSUPPLIER_EDGES_SQL, asg)
 
 
 def _louvain_purchase_sql() -> str:
@@ -1612,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_cosupplier_2iter": _q_labelprop2,
         "labelprop_hub_cosupplier_2iter": _q_labelprop_hub,
         "modularity_lpa_cosupplier": _q_modularity_lpa,
+        "conductance_lpa_cosupplier": _q_conductance_lpa,
         "louvain_purchase_alt3": _q_louvain_purchase,
         "louvain_cosupplier_sync2": _q_louvain_cosupplier,
         "edge_support_cosupplier": _q_edge_support,
@@ -1880,6 +1898,7 @@ SELECT id, label FROM best WHERE rk = 1
         # same 2-iteration SQL
         "labelprop_hub_cosupplier_2iter": _LPA2_SQL,
         "modularity_lpa_cosupplier": _modularity_lpa_sql(),
+        "conductance_lpa_cosupplier": _conductance_lpa_sql(),
         "louvain_purchase_alt3": _louvain_purchase_sql(),
         "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),
         "edge_support_cosupplier": _edge_support_sql(),

@@ -211,6 +211,97 @@ FROM dsum LEFT JOIN intra ON intra.c = dsum.c CROSS JOIN m
 """
 
 
+def community_conductance(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple view
+    (Kannan-Vempala-Vetta; the GDS conductance lineage):
+
+        phi(C) = cut(C) / min(vol(C), vol(G) - vol(C))
+
+    with cut(C) = #edges crossing the (C, complement) boundary and
+    vol(C) = sum of member degrees. Low phi = a well-separated
+    community; the standard sanity check on an LPA/Louvain assignment.
+    Nodes absent from ``assignment`` default to singleton communities
+    (the community_stats contract).
+
+    Returns (community, cut_edges, volume, conductance rounded 6) —
+    cut and volume are INTEGER counts (exact cross-engine); only the
+    final ratio is floating point. Communities with min(vol, rest)=0
+    (isolated-node singletons, or a community holding every edge)
+    report 0.0.
+
+    Scale shape: two hash joins of the edge list against the |V|-row
+    assignment (the modularity shape), then ONE map-side-combinable
+    per-community aggregate; no windows, no self-joins.
+    """
+    und = _und_long(edges)
+    asg = assignment.select("id", F.col("community").cast("long").alias("community"))
+    deg = _degrees(und, None)
+    node_c = deg.join(asg, "id", "left").select(
+        "id", F.coalesce("community", F.col("id")).alias("c")
+    )
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w").unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+    )
+    oriented = (
+        sym.join(node_c.select(F.col("id").alias("node"), F.col("c").alias("cn")), "node")
+        .join(node_c.select(F.col("id").alias("nbr"), F.col("c").alias("cm")), "nbr")
+    )
+    per_c = oriented.groupBy(F.col("cn").alias("community")).agg(
+        F.sum(F.when(F.col("cn") != F.col("cm"), F.col("w")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cut_edges"),
+        F.sum("w").cast("long").alias("volume"),
+    )
+    tot = per_c.agg(F.sum("volume").alias("total_vol"))
+    rest = F.col("total_vol") - F.col("volume")
+    denom = F.least(F.col("volume"), rest)
+    return per_c.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "cut_edges",
+        "volume",
+        F.round(
+            F.when(
+                denom > 0, F.col("cut_edges").cast("double") / denom.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("conductance"),
+    )
+
+
+def community_conductance_sql(edges_sql: str, assignment_sql: str) -> str:
+    """Oracle for ``community_conductance``: assignment_sql yields
+    (id, community) over the same tables (nest the LPA/Louvain oracle
+    SQL to check a composition end-to-end)."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+asg AS ({assignment_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+nc AS (SELECT deg.id, COALESCE(asg.community, deg.id) AS c
+       FROM deg LEFT JOIN asg ON asg.id = deg.id),
+sym AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+oriented AS (SELECT cn.c AS cn, cm.c AS cm
+             FROM sym JOIN nc cn ON cn.id = sym.node
+                      JOIN nc cm ON cm.id = sym.nbr),
+per_c AS (SELECT cn AS community,
+                 SUM(CASE WHEN cn <> cm THEN 1 ELSE 0 END) AS cut_edges,
+                 COUNT(*) AS volume
+          FROM oriented GROUP BY cn),
+tot AS (SELECT SUM(volume) AS total_vol FROM per_c)
+SELECT community,
+       CAST(cut_edges AS BIGINT) AS cut_edges,
+       CAST(volume AS BIGINT) AS volume,
+       ROUND(CASE WHEN LEAST(volume, tot.total_vol - volume) > 0
+             THEN CAST(cut_edges AS DOUBLE)
+                  / CAST(LEAST(volume, tot.total_vol - volume) AS DOUBLE)
+             ELSE 0.0 END, 6) AS conductance
+FROM per_c CROSS JOIN tot
+"""
+
+
 def _local_move_round(
     sym: DataFrame, deg: DataFrame, state: DataFrame, two_m: int,
     parity: int | None = None,

@@ -167,3 +167,73 @@ def test_local_move_early_stops_at_fixpoint(spark):
     got = {r["id"]: r["community"] for r in res.assignment.collect()}
     res.release()
     assert got == {1: 2, 2: 2}
+
+
+def test_conductance_barbell(spark):
+    """Two 4-cliques joined by one bridge edge: each community's cut
+    is 1, volume is 2*6+1 = 13, phi = 1/13."""
+    from linkgraph.community import community_conductance
+
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a + 10, b + 10) for a, b in clique_a]
+    e = _edges(spark, clique_a + clique_b + [(0, 10)])
+    asg = spark.createDataFrame(
+        [(i, 1) for i in range(4)] + [(i + 10, 2) for i in range(4)],
+        "id long, community long",
+    )
+    got = {r.community: (r.cut_edges, r.volume, r.conductance) for r in
+           community_conductance(e, asg).collect()}
+    assert got[1] == (1, 13, round(1 / 13, 6))
+    assert got[2] == (1, 13, round(1 / 13, 6))
+    # one community holding EVERYTHING: min(vol, rest)=0 -> 0.0
+    all_one = spark.createDataFrame(
+        [(i, 7) for i in list(range(4)) + [i + 10 for i in range(4)]],
+        "id long, community long",
+    )
+    got = {r.community: r.conductance for r in community_conductance(e, all_one).collect()}
+    assert got == {7: 0.0}
+
+
+def test_conductance_python_replay_and_twin(spark):
+    import random as _random
+
+    import duckdb
+
+    from linkgraph.community import (
+        community_conductance,
+        community_conductance_sql,
+    )
+
+    rng = _random.Random(53)
+    pairs = [(a, b) for a, b in {(rng.randrange(15), rng.randrange(15)) for _ in range(45)} if a != b]
+    asg_rows = [(i, i % 3) for i in range(15)]
+    e = _edges(spark, pairs)
+    asg = spark.createDataFrame(asg_rows, "id long, community long")
+    got = {r.community: (r.cut_edges, r.volume, r.conductance) for r in
+           community_conductance(e, asg).collect()}
+    # pure-python replay
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    com = dict(asg_rows)
+    cut, vol = {}, {}
+    for a, b in es:
+        for u, v in ((a, b), (b, a)):
+            vol[com[u]] = vol.get(com[u], 0) + 1
+            if com[u] != com[v]:
+                cut[com[u]] = cut.get(com[u], 0) + 1
+    tot = sum(vol.values())
+    want = {
+        c: (cut.get(c, 0), vol[c],
+            round(cut.get(c, 0) / min(vol[c], tot - vol[c]), 6)
+            if min(vol[c], tot - vol[c]) > 0 else 0.0)
+        for c in vol
+    }
+    assert got == want
+    # DuckDB twin
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    avals = ", ".join(f"({i}, {c})" for i, c in asg_rows)
+    sql = community_conductance_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        f"SELECT * FROM (VALUES {avals}) AS s(id, community)",
+    )
+    twin = {r[0]: (r[1], r[2], r[3]) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == twin
