@@ -145,6 +145,20 @@ def _q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_conductance(e, asg)
 
 
+def _q_compare_lpa_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI + NMI agreement between the 2-iteration LPA labels and the
+    2-sweep synchronous Louvain assignment on the co-supplier graph —
+    an algorithm-vs-algorithm composition checked end-to-end
+    (linkgraph/community.py#compare_assignments)."""
+    from linkgraph.community import compare_assignments, louvain_local_move
+    e = cosupplier_edges(spark, sf_dir)
+    lpa = label_propagation(e, direction="BOTH", max_iter=2).labels.select(
+        "id", F.col("label").alias("community")
+    )
+    lou = louvain_local_move(e, rounds=2, sweep="sync").assignment
+    return compare_assignments(lpa, lou)
+
+
 def _q_louvain_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain phase-1 on the purchase graph: 3 alternate-parity
     integer-scaled local-move sweeps (deterministic, SQL-replayable;
@@ -195,6 +209,13 @@ def _conductance_lpa_sql() -> str:
     from linkgraph.community import community_conductance_sql
     asg = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
     return community_conductance_sql(COSUPPLIER_EDGES_SQL, asg)
+
+
+def _compare_lpa_louvain_sql() -> str:
+    from linkgraph.community import compare_assignments_sql, louvain_local_sql
+    x = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
+    y = louvain_local_sql(COSUPPLIER_EDGES_SQL, 2, sweep="sync")
+    return compare_assignments_sql(x, y)
 
 
 def _louvain_purchase_sql() -> str:
@@ -1630,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_hub_cosupplier_2iter": _q_labelprop_hub,
         "modularity_lpa_cosupplier": _q_modularity_lpa,
         "conductance_lpa_cosupplier": _q_conductance_lpa,
+        "compare_lpa_louvain_cosupplier": _q_compare_lpa_louvain,
         "louvain_purchase_alt3": _q_louvain_purchase,
         "louvain_cosupplier_sync2": _q_louvain_cosupplier,
         "edge_support_cosupplier": _q_edge_support,
@@ -1899,6 +1921,7 @@ SELECT id, label FROM best WHERE rk = 1
         "labelprop_hub_cosupplier_2iter": _LPA2_SQL,
         "modularity_lpa_cosupplier": _modularity_lpa_sql(),
         "conductance_lpa_cosupplier": _conductance_lpa_sql(),
+        "compare_lpa_louvain_cosupplier": _compare_lpa_louvain_sql(),
         "louvain_purchase_alt3": _louvain_purchase_sql(),
         "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),
         "edge_support_cosupplier": _edge_support_sql(),

@@ -664,3 +664,185 @@ def louvain(
         stats={"levels": levels, "rounds": rounds_run, "modularity": q},
         _caches=[mapping],
     )
+
+
+def compare_assignments(x: DataFrame, y: DataFrame) -> DataFrame:
+    """Agreement between two community assignments — Adjusted Rand
+    Index (Hubert & Arabie 1985) and Normalized Mutual Information
+    (sqrt normalization, the sklearn default) over the nodes present
+    in BOTH assignments (inner join on id).
+
+    Returns ONE row (n_nodes, ari, nmi), each score rounded to 6.
+    Exactness: the contingency table and every pair-count Σ C(c,2)
+    are INTEGERS (order-free); ARI is one fixed double expression
+    over them. NMI's entropy/MI sums are genuine float series, so
+    each term's ln is rounded to 7 (the perplexity finding: Java vs
+    libm diverge 1 ulp on ~7% of inputs) and the series is folded in
+    (cx, cy) order on both engines — bit-identical pre-round.
+
+    Degenerate contracts: ARI with a zero denominator (both
+    partitions trivial — all-singletons or one block) reports 1.0
+    when the numerator is 0 too, else 0.0; NMI reports 1.0 when both
+    entropies are 0 (two identical one-block partitions), 0.0 when
+    exactly one is.
+
+    Scale shape: one |V| hash join, one contingency groupBy
+    (map-side combinable, at most |C_x|*|C_y| surviving cells), two
+    marginal aggregates, then 1-row combines. The NMI fold collects
+    the CELL table (not nodes) to one row — bounded by the community-
+    pair count; for million-community regimes, round-9 term sums are
+    the fallback (documented, not default).
+
+    Pair-count integers overflow int64 when C(n,2) does (n ~ 4.3e9
+    joined nodes) — cast the comb2 expressions to decimal(38,0) past
+    that (the weighted-similarity playbook).
+    """
+    xa = x.select("id", F.col("community").cast("long").alias("cx"))
+    ya = y.select("id", F.col("community").cast("long").alias("cy"))
+    j = xa.join(ya, "id")
+    cont = j.groupBy("cx", "cy").agg(F.count("*").alias("nij"))
+    amarg = cont.groupBy("cx").agg(F.sum("nij").alias("ai"))
+    bmarg = cont.groupBy("cy").agg(F.sum("nij").alias("bj"))
+    tot = cont.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(F.expr("(nij * (nij - 1)) DIV 2")).cast("long").alias("sij"),
+    )
+    sa = amarg.agg(F.sum(F.expr("(ai * (ai - 1)) DIV 2")).cast("long").alias("sa"))
+    sb = bmarg.agg(F.sum(F.expr("(bj * (bj - 1)) DIV 2")).cast("long").alias("sb"))
+
+    nd = F.col("n").cast("double")
+    # MI series: one term per contingency cell, ln rounded to 7,
+    # folded in (cx, cy) order
+    cells = (
+        cont.join(amarg, "cx")
+        .join(bmarg, "cy")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            "cx",
+            "cy",
+            (
+                (F.col("nij").cast("double") / nd)
+                * F.round(
+                    F.log(
+                        (nd * F.col("nij").cast("double"))
+                        / (F.col("ai").cast("double") * F.col("bj").cast("double"))
+                    ),
+                    7,
+                )
+            ).alias("t"),
+        )
+    )
+    mi_row = cells.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("cx", "cy", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("mi")
+    )
+
+    def entropy(marg: DataFrame, key: str, cnt: str, alias: str) -> DataFrame:
+        terms = marg.crossJoin(F.broadcast(tot.select("n"))).select(
+            F.col(key),
+            (
+                (F.col(cnt).cast("double") / nd)
+                * F.round(F.log(F.col(cnt).cast("double") / nd), 7)
+            ).alias("t"),
+        )
+        return terms.agg(
+            (
+                -F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(key, "t"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                )
+            ).alias(alias)
+        )
+
+    hx_row = entropy(amarg, "cx", "ai", "hx")
+    hy_row = entropy(bmarg, "cy", "bj", "hy")
+
+    one = (
+        tot.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(mi_row))
+        .crossJoin(F.broadcast(hx_row))
+        .crossJoin(F.broadcast(hy_row))
+    )
+    cn2 = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("double")
+    exp_idx = (F.col("sa").cast("double") * F.col("sb").cast("double")) / cn2
+    ari_num = F.col("sij").cast("double") - exp_idx
+    ari_den = (
+        (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0)
+        - exp_idx
+    )
+    ari = (
+        F.when(ari_den != 0, ari_num / ari_den)
+        .when(ari_num == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    hprod = F.col("hx") * F.col("hy")
+    nmi = (
+        F.when(hprod > 0, F.col("mi") / F.sqrt(hprod))
+        .when((F.col("hx") == 0) & (F.col("hy") == 0), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return one.select(
+        F.col("n").alias("n_nodes"),
+        F.round(ari, 6).alias("ari"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def compare_assignments_sql(x_sql: str, y_sql: str) -> str:
+    """Oracle for ``compare_assignments``: x_sql/y_sql each yield
+    (id, community) — nest two algorithm oracles to value-check an
+    algorithm-vs-algorithm comparison end-to-end."""
+    return f"""
+WITH xa AS (SELECT id, CAST(community AS BIGINT) AS cx FROM ({x_sql})),
+ya AS (SELECT id, CAST(community AS BIGINT) AS cy FROM ({y_sql})),
+j AS (SELECT xa.cx, ya.cy FROM xa JOIN ya ON ya.id = xa.id),
+cont AS (SELECT cx, cy, COUNT(*) AS nij FROM j GROUP BY cx, cy),
+amarg AS (SELECT cx, SUM(nij) AS ai FROM cont GROUP BY cx),
+bmarg AS (SELECT cy, SUM(nij) AS bj FROM cont GROUP BY cy),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+               CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sij FROM cont),
+sa AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sa FROM amarg),
+sb AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sb FROM bmarg),
+cells AS (SELECT c.cx, c.cy,
+                 (CAST(c.nij AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ROUND(ln((CAST(t.n AS DOUBLE) * CAST(c.nij AS DOUBLE))
+                            / (CAST(a.ai AS DOUBLE) * CAST(b.bj AS DOUBLE))), 7) AS t
+          FROM cont c JOIN amarg a USING (cx) JOIN bmarg b USING (cy)
+          CROSS JOIN tot t),
+mi AS (SELECT COALESCE(list_reduce(list(t ORDER BY cx, cy), (p, q) -> p + q), 0.0) AS mi
+       FROM cells),
+hx AS (SELECT -COALESCE(list_reduce(list(t ORDER BY cx), (p, q) -> p + q), 0.0) AS hx
+       FROM (SELECT a.cx,
+                    (CAST(a.ai AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * ROUND(ln(CAST(a.ai AS DOUBLE) / CAST(t.n AS DOUBLE)), 7) AS t
+             FROM amarg a CROSS JOIN tot t)),
+hy AS (SELECT -COALESCE(list_reduce(list(t ORDER BY cy), (p, q) -> p + q), 0.0) AS hy
+       FROM (SELECT b.cy,
+                    (CAST(b.bj AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * ROUND(ln(CAST(b.bj AS DOUBLE) / CAST(t.n AS DOUBLE)), 7) AS t
+             FROM bmarg b CROSS JOIN tot t))
+SELECT tot.n AS n_nodes,
+       ROUND(CASE
+         WHEN ((CAST(sa.sa AS DOUBLE) + CAST(sb.sb AS DOUBLE)) / 2.0
+               - (CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE))
+                 / CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE)) != 0
+         THEN (CAST(tot.sij AS DOUBLE)
+               - (CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE))
+                 / CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE))
+              / ((CAST(sa.sa AS DOUBLE) + CAST(sb.sb AS DOUBLE)) / 2.0
+                 - (CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE))
+                   / CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE))
+         WHEN (CAST(tot.sij AS DOUBLE)
+               - (CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE))
+                 / CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE)) = 0
+         THEN 1.0 ELSE 0.0 END, 6) AS ari,
+       ROUND(CASE WHEN hx.hx * hy.hy > 0 THEN mi.mi / sqrt(hx.hx * hy.hy)
+                  WHEN hx.hx = 0 AND hy.hy = 0 THEN 1.0
+                  ELSE 0.0 END, 6) AS nmi
+FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""

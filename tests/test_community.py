@@ -237,3 +237,67 @@ def test_conductance_python_replay_and_twin(spark):
     )
     twin = {r[0]: (r[1], r[2], r[3]) for r in duckdb.connect().execute(sql).fetchall()}
     assert got == twin
+
+
+def _asg(spark, mapping):
+    return spark.createDataFrame(
+        [(int(i), int(c)) for i, c in mapping.items()], "id long, community long"
+    )
+
+
+def test_compare_assignments_contracts(spark):
+    from linkgraph.community import compare_assignments
+
+    ids = range(12)
+    x = _asg(spark, {i: i % 3 for i in ids})
+    # identical up to relabeling: ARI = NMI = 1
+    y = _asg(spark, {i: (i % 3) + 100 for i in ids})
+    row = compare_assignments(x, y).first()
+    assert (row.n_nodes, row.ari, row.nmi) == (12, 1.0, 1.0)
+    # both one-block (trivial): degenerate contract -> 1.0 / 1.0
+    t1 = _asg(spark, {i: 0 for i in ids})
+    t2 = _asg(spark, {i: 5 for i in ids})
+    row = compare_assignments(t1, t2).first()
+    assert (row.ari, row.nmi) == (1.0, 1.0)
+    # one trivial vs a real split: NMI 0 (one zero entropy)
+    row = compare_assignments(t1, x).first()
+    assert row.nmi == 0.0
+
+
+def test_compare_assignments_python_replay(spark):
+    import math
+    import random as _random
+
+    import pytest
+
+    from linkgraph.community import compare_assignments
+
+    rng = _random.Random(59)
+    xm = {i: rng.randrange(4) for i in range(30)}
+    ym = {i: rng.randrange(3) for i in range(30)}
+    row = compare_assignments(_asg(spark, xm), _asg(spark, ym)).first()
+    # replay
+    n = 30
+    cont = {}
+    for i in range(n):
+        cont[(xm[i], ym[i])] = cont.get((xm[i], ym[i]), 0) + 1
+    a, b = {}, {}
+    for (cx, cy), c in cont.items():
+        a[cx] = a.get(cx, 0) + c
+        b[cy] = b.get(cy, 0) + c
+    comb2 = lambda c: c * (c - 1) // 2
+    sij = sum(comb2(c) for c in cont.values())
+    sa, sb = sum(map(comb2, a.values())), sum(map(comb2, b.values()))
+    cn2 = comb2(n)
+    exp = sa * sb / cn2
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    mi = sum(
+        (c / n) * round(math.log(n * c / (a[cx] * b[cy])), 7)
+        for (cx, cy), c in sorted(cont.items())
+    )
+    hx = -sum((c / n) * round(math.log(c / n), 7) for _, c in sorted(a.items()))
+    hy = -sum((c / n) * round(math.log(c / n), 7) for _, c in sorted(b.items()))
+    assert row.n_nodes == 30
+    assert row.ari == pytest.approx(round(ari, 6), abs=1e-9)
+    assert row.nmi == pytest.approx(round(mi / math.sqrt(hx * hy), 6), abs=1e-9)
+    assert 0.0 <= row.nmi <= 1.0 and -0.5 <= row.ari <= 1.0
