@@ -525,6 +525,24 @@ def _q_closeness_nation(spark, sf_dir):
     )
 
 
+def _q_landmark_est_nation(spark, sf_dir):
+    """Landmark distance sketch on the trade graph: BFS index from the
+    id%3==0 landmark set, min-plus upper bounds for every src<dst
+    query pair with src%5==0 (linkgraph/paths.py#landmark_index,
+    #landmark_estimate)."""
+    from linkgraph.paths import landmark_estimate, landmark_index
+    e = _trade_nation_edges(spark, sf_dir)
+    universe = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    lms = universe.filter(F.col("id") % 3 == 0)
+    idx = landmark_index(e, lms, direction="BOTH", max_hops=8)
+    a = universe.filter(F.col("id") % 5 == 0).select(F.col("id").alias("src"))
+    b = universe.select(F.col("id").alias("dst"))
+    pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    return landmark_estimate(idx, pairs)
+
+
 def _q_closeness_wf_nation(spark, sf_dir):
     """Wasserman-Faust improved closeness (the reference's `improved`
     flag): raw closeness scaled by the reachable fraction, comparable
@@ -1681,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_weighted_sampled_nation": _q_apsp_weighted_sampled_nation,
         "closeness_nation": _q_closeness_nation,
         "closeness_wf_nation": _q_closeness_wf_nation,
+        "landmark_est_nation": _q_landmark_est_nation,
         "closeness_sampled_nation": _q_closeness_sampled_nation,
         "harmonic_nation": _q_harmonic_nation,
         "dangalchev_nation": _q_dangalchev_nation,
@@ -2237,6 +2256,8 @@ ON s.id = n.id"""
 
 
 def _paths_oracles() -> dict[str, str]:
+    from linkgraph.paths import landmark_estimate_sql
+
     sssp_sql = f"""
 WITH RECURSIVE
 e AS ({COSUPPLIER_EDGES_SQL}),
@@ -2386,6 +2407,13 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         ),
         "closeness_nation": closeness_sql,
         "closeness_wf_nation": closeness_wf_sql,
+        "landmark_est_nation": landmark_estimate_sql(
+            TRADE_NATION_SQL,
+            "id % 3 = 0",
+            """SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+               ON a.id % 5 = 0 AND a.id < b.id""",
+            max_hops=8,
+        ),
         "closeness_sampled_nation": closeness_sampled_sql,
         "harmonic_nation": harmonic_sql,
         "dangalchev_nation": f"""

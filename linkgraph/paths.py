@@ -936,3 +936,105 @@ def all_shortest_paths_stream(
     return d.select(
         "source", F.col("id").alias("target"), F.col("dist").alias("distance")
     ).filter(F.col("source") != F.col("target"))
+
+
+def landmark_index(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    direction: str = "BOTH",
+    max_hops: int = 64,
+) -> DataFrame:
+    """Landmark (a.k.a. pivot / sketch) distance index: BFS hop
+    distances between every node and every landmark, in both travel
+    orientations (Potamias et al. 2009, CIKM — the standard
+    shortest-path-QUERY answer at scales where per-query BFS is
+    unaffordable).
+
+    Returns (landmark, id, d_to, d_from): d_to = dist(id -> landmark),
+    d_from = dist(landmark -> id) under ``direction`` (equal when
+    BOTH); rows exist only where at least one orientation reaches.
+
+    Scale shape: 2 MS-BFS sweeps (1 when undirected) keyed
+    (landmark, node) — |L| simultaneous sources per superstep, never
+    a per-landmark driver loop; the index is |V| x |L| rows, the
+    queryable artifact `landmark_estimate` joins against. Choose |L|
+    ~ tens for web-scale graphs (the paper's regime).
+    """
+    lm = landmarks.select("id").distinct()
+    fwd = ms_bfs_distances(
+        edges, sources=lm, direction=direction, max_hops=max_hops
+    ).select(F.col("source").alias("landmark"), "id", F.col("dist").alias("d_from"))
+    if direction.upper() == "BOTH":
+        return fwd.select("landmark", "id", F.col("d_from").alias("d_to"), "d_from")
+    rev = ms_bfs_distances(
+        edges, sources=lm, direction=_REVERSE[direction.upper()], max_hops=max_hops
+    ).select(F.col("source").alias("landmark"), "id", F.col("dist").alias("d_to"))
+    return fwd.join(rev, ["landmark", "id"], "full").select(
+        "landmark", "id", "d_to", "d_from"
+    )
+
+
+def landmark_estimate(index: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Distance UPPER BOUNDS for (src, dst) query pairs from a
+    `landmark_index`:  d_hat(s, t) = min over landmarks l of
+    d_to(s, l) + d_from(l, t)  — an admissible estimate (triangle
+    inequality; exact whenever some shortest s-t path crosses a
+    landmark). Pairs with no landmark reaching both sides emit no row.
+
+    Returns (src, dst, d_est, via) with `via` the smallest landmark
+    id attaining the bound (deterministic tie-break). Two hash joins
+    of the query table against the index keyed by node, then one
+    min-aggregate per pair — each query costs O(|L|) rows, NOT a BFS.
+    """
+    s_side = index.select(
+        F.col("id").alias("src"), "landmark", F.col("d_to").alias("ds")
+    ).filter(F.col("d_to").isNotNull())
+    t_side = index.select(
+        F.col("id").alias("dst"), "landmark", F.col("d_from").alias("dt")
+    ).filter(F.col("d_from").isNotNull())
+    joined = (
+        pairs.select("src", "dst")
+        .join(s_side, "src")
+        .join(t_side, ["dst", "landmark"])
+        .select("src", "dst", "landmark", (F.col("ds") + F.col("dt")).alias("d"))
+    )
+    return joined.groupBy("src", "dst").agg(
+        F.min("d").cast("long").alias("d_est"),
+        F.min_by("landmark", F.struct(F.col("d"), F.col("landmark")))
+        .cast("long")
+        .alias("via"),
+    )
+
+
+def landmark_estimate_sql(
+    edges_sql: str,
+    landmarks_where: str,
+    pairs_sql: str,
+    max_hops: int = 64,
+) -> str:
+    """Oracle for landmark_index + landmark_estimate over an
+    undirected (BOTH) graph: recursive BFS from the landmark set,
+    then the same min-plus join. ``landmarks_where`` filters the node
+    universe; ``pairs_sql`` yields (src, dst)."""
+    return f"""
+WITH RECURSIVE
+e AS ({edges_sql}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+lms AS (SELECT id FROM nodes WHERE {landmarks_where}),
+bfs(source, id, dist) AS (
+  SELECT id, id, 0 FROM lms
+  UNION
+  SELECT b.source, s.dst, b.dist + 1
+  FROM bfs b JOIN sym s ON s.src = b.id WHERE b.dist < {max_hops}
+),
+idx AS (SELECT source AS landmark, id, MIN(dist) AS d FROM bfs GROUP BY 1, 2),
+pairs AS ({pairs_sql}),
+joined AS (SELECT p.src, p.dst, si.landmark, si.d + ti.d AS d
+           FROM pairs p
+           JOIN idx si ON si.id = p.src
+           JOIN idx ti ON ti.id = p.dst AND ti.landmark = si.landmark)
+SELECT src, dst, CAST(MIN(d) AS BIGINT) AS d_est,
+       CAST(FIRST(landmark ORDER BY d, landmark) AS BIGINT) AS via
+FROM joined GROUP BY src, dst
+"""

@@ -538,3 +538,48 @@ def test_closeness_wf_disconnected(spark):
             edges, direction="BOTH", wf=True,
             sources=edges.select(F.col("src").alias("id")).limit(1),
         )
+
+
+def test_landmark_estimate_upper_bound_and_exactness(spark):
+    import random as _random
+
+    from linkgraph.paths import landmark_estimate, landmark_index
+
+    rng = _random.Random(61)
+    pairs_e = [(a, b) for a, b in {(rng.randrange(14), rng.randrange(14)) for _ in range(35)} if a != b]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs_e], "src long, dst long, weight double"
+    )
+    true_d = {
+        (r.source, r.id): r.dist
+        for r in ms_bfs_distances(e, direction="BOTH", max_hops=14).collect()
+    }
+    nodes = sorted({x for p in pairs_e for x in p})
+    lms = spark.createDataFrame([(n,) for n in nodes if n % 3 == 0], "id long")
+    idx = landmark_index(e, lms, direction="BOTH", max_hops=14)
+    qp = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "src long, dst long"
+    )
+    est = {(r.src, r.dst): (r.d_est, r.via) for r in landmark_estimate(idx, qp).collect()}
+    for (s, t), (d_est, via) in est.items():
+        assert d_est >= true_d[(s, t)], (s, t)          # admissible upper bound
+        assert true_d[(s, via)] + true_d[(via, t)] == d_est
+    # a landmark IS exact for pairs through it: query (l, x) pairs
+    for (s, t), (d_est, _) in est.items():
+        if s % 3 == 0 or t % 3 == 0:                    # endpoint is a landmark
+            assert d_est == true_d[(s, t)], (s, t)
+
+
+def test_landmark_index_directed_orientations(spark):
+    from linkgraph.paths import landmark_index
+
+    # directed chain 1 -> 2 -> 3; landmark {2}: d_to(1,2)=1 (1->2),
+    # d_from(2,3)=1 (2->3); 3 cannot reach 2 (d_to null), 2 cannot
+    # reach 1 (d_from null)
+    e = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double")
+    lms = spark.createDataFrame([(2,)], "id long")
+    idx = {r.id: (r.d_to, r.d_from) for r in
+           landmark_index(e, lms, direction="OUTGOING", max_hops=5).collect()}
+    assert idx[2] == (0, 0)
+    assert idx[1] == (1, None)
+    assert idx[3] == (None, 1)
