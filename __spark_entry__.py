@@ -306,6 +306,14 @@ def _q_kcore_purchase(spark, sf_dir):
     return k_core(purchase_edges(spark, sf_dir), k=25).members
 
 
+def _q_score_trade(spark, sf_dir):
+    """Weighted s-core (strength >= 2500) of the nation trade graph:
+    the weighted peel in the 6-decimal integer domain
+    (linkgraph/kcore.py#s_core)."""
+    from linkgraph.kcore import s_core
+    return s_core(_trade_nation_edges_w(spark, sf_dir), s=2500.0).members
+
+
 def _q_coreness_purchase(spark, sf_dir):
     """Core number of every purchase-graph node via h-index
     iteration (Lü et al. 2016)."""
@@ -1682,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_purchase": _q_degrees,
         "degree_weighted_cosupplier": _q_degree_weighted_cosupplier,
         "kcore_purchase": _q_kcore_purchase,
+        "score_trade_nation": _q_score_trade,
         "coreness_purchase": _q_coreness_purchase,
         "anf_purchase": _q_anf_purchase,
         "hyperball_harmonic_purchase": _q_hyperball_harmonic_purchase,
@@ -1903,7 +1912,7 @@ FROM labeled GROUP BY user_id, session_idx
 
 def oracle_sql() -> dict[str, str]:
     from linkgraph.anf import anf_sql, hyperball_harmonic_sql
-    from linkgraph.kcore import core_numbers_sql, k_core_sql
+    from linkgraph.kcore import core_numbers_sql, k_core_sql, s_core_sql
 
     return {
         "pagerank_purchase_5iter": _pagerank_sql(),
@@ -2019,6 +2028,7 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
         # Coreness: h-index recurrence unrolled 7 rounds (converges
         # in 4; the recurrence is a no-op at the fixpoint).
         "kcore_purchase": k_core_sql(PURCHASE_EDGES_SQL, k=25, n_rounds=5),
+        "score_trade_nation": s_core_sql(TRADE_NATION_W_SQL, s=2500.0, n_rounds=6),
         "coreness_purchase": core_numbers_sql(PURCHASE_EDGES_SQL, n_rounds=7),
         # HyperBall registers are deterministic integers from the
         # cross-engine hash, so the oracle replays the exact recurrence

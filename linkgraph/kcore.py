@@ -313,3 +313,142 @@ def core_numbers_sql(edges_sql: str, n_rounds: int = 8) -> str:
         ",\n".join(parts)
         + f"\nSELECT id, CAST(c AS BIGINT) AS coreness FROM c{n_rounds}"
     )
+
+
+def s_core(
+    edges: DataFrame,
+    s: float,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> KCoreResult:
+    """Weighted (s-)core decomposition (Eidsaa & Almaas 2013, PRE
+    88:062819): peel until every surviving node's STRENGTH — the sum
+    of surviving-edge weights — is >= ``s``. The weighted analog of
+    `k_core` for graphs where edge multiplicity carries the signal
+    (the co-occurrence-count graphs this engine is built around).
+
+    Returns (id, strength) for survivors, strength rounded to 6.
+    Exactness: weights enter the 6-decimal fixed-point integer domain
+    ONCE (ROUND(w * 1e6) as int64 — the weighted-similarity
+    contract), every per-round strength is an order-free INTEGER sum
+    compared against round(s * 1e6), and the float division back
+    happens once at the end. Weights are summed per unordered pair
+    after symmetrization (a directed pair with both orientations
+    contributes both weights to each endpoint's strength).
+
+    Same peel shape and resume contract as `k_core` (graph
+    fingerprint + recorded s6 validated on resume). Int64 holds while
+    a node's strength < ~9.2e12 weight units — beyond that cast the
+    sum to decimal(38, 0).
+    """
+    wcol = (
+        F.coalesce(F.col("weight"), F.lit(1.0))
+        if "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    w6 = F.round(wcol.cast("double") * F.lit(1_000_000.0), 0).cast("long")
+    s6 = int(round(s * 1_000_000))
+    e = (
+        edges.select("src", "dst", w6.alias("w6"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = pin_table(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w6")
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b"), "w6"))
+        .groupBy("a", "b")
+        .agg(F.sum("w6").alias("w6"))
+    )
+    graph_fp = (
+        int(
+            sym.agg(F.expr("bit_xor(xxhash64(a, b, w6))").alias("fp")).first()["fp"]
+            or 0
+        )
+        if checkpoint_dir
+        else None
+    )
+    loop = SuperstepLoop(
+        edges.sparkSession, checkpoint_dir, every=checkpoint_every,
+        name="score", context={"graph_fp": graph_fp, "s6": s6},
+    )
+    alive: DataFrame | None = None
+    prev_n = -1
+    start_round = 0
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp("s_core", loop.last_context.get("graph_fp"), graph_fp)
+            rec_s6 = loop.last_context.get("s6")
+            if rec_s6 is not None and int(rec_s6) != s6:
+                raise ValueError(
+                    f"s_core resume mismatch: checkpointed s6={rec_s6}, "
+                    f"requested {s6}; the survivor set is s-specific."
+                )
+            start_round, state = resumed
+            alive = pin_table(state.select("a", "st6"))
+            prev_n = int(loop.last_metrics.get("n_alive", alive.count()))
+    rounds = start_round
+    while rounds < max_iter:
+        if alive is None:
+            cur = sym
+        else:
+            keep = alive.select("a")
+            cur = (
+                sym.join(keep, "a")
+                .join(keep.select(F.col("a").alias("b")), "b")
+                .select("a", "b", "w6")
+            )
+        st = cur.groupBy("a").agg(F.sum("w6").alias("st6"))
+        nxt = pin_table(st.filter(F.col("st6") >= s6).select("a", "st6"))
+        n = nxt.count()
+        rounds += 1
+        release_state(alive)
+        alive = nxt
+        if checkpoint_dir and rounds % checkpoint_every == 0:
+            loop.advance(rounds, alive, metrics={"n_alive": n}, force_checkpoint=True)
+        if n == prev_n:
+            break
+        prev_n = n
+    members = attach_caches(
+        alive.select(
+            F.col("a").alias("id"),
+            F.round(F.col("st6").cast("double") / F.lit(1_000_000.0), 6).alias(
+                "strength"
+            ),
+        ),
+        [alive, sym],
+    )
+    return KCoreResult(members=members, rounds=rounds, _caches=[alive, sym])
+
+
+def s_core_sql(edges_sql: str, s: float, n_rounds: int = 6) -> str:
+    """Oracle for `s_core`: the weighted peel unrolled ``n_rounds``
+    times (idempotent past the fixpoint), all in the w6 integer
+    domain."""
+    s6 = int(round(s * 1_000_000))
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        """ed AS (SELECT DISTINCT src, dst,
+  CAST(ROUND(CAST(COALESCE(weight, 1.0) AS DOUBLE) * 1000000.0) AS BIGINT) AS w6
+  FROM e0 WHERE src <> dst)""",
+        """sym AS (SELECT a, b, SUM(w6) AS w6 FROM (
+  SELECT src AS a, dst AS b, w6 FROM ed
+  UNION ALL SELECT dst, src, w6 FROM ed) GROUP BY a, b)""",
+        f"""n1 AS MATERIALIZED (SELECT a AS id, SUM(w6) AS st6 FROM sym
+  GROUP BY a HAVING SUM(w6) >= {s6})""",
+    ]
+    # each round references the previous CTE twice: MATERIALIZED stops
+    # DuckDB's default inlining from re-expanding the chain 2^rounds x
+    for t in range(2, n_rounds + 1):
+        parts.append(
+            f"""n{t} AS MATERIALIZED (SELECT s.a AS id, SUM(s.w6) AS st6 FROM sym s
+  JOIN n{t - 1} p ON p.id = s.a JOIN n{t - 1} q ON q.id = s.b
+  GROUP BY s.a HAVING SUM(s.w6) >= {s6})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(CAST(st6 AS DOUBLE) / 1000000.0, 6) AS strength"
+        f" FROM n{n_rounds}"
+    )

@@ -129,3 +129,105 @@ def test_core_numbers_random_graph_oracle(spark):
     members = {r["id"] for r in kres.members.collect()}
     kres.release()
     assert members == {n for n, c in want.items() if c >= k}
+
+
+def test_s_core_textbook_peel(spark):
+    """Weighted triangle {1,2,3} with heavy edges plus a light
+    pendant: peeling at s=3.0 drops the pendant AND recomputes the
+    anchor's strength without it."""
+    from linkgraph.kcore import s_core
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 2.0), (1, 3, 2.0), (3, 4, 1.5)],
+        "src long, dst long, weight double",
+    )
+    res = s_core(e, s=3.0)
+    got = {r.id: r.strength for r in res.members.collect()}
+    res.release()
+    # pendant 4 (strength 1.5) peels; 3's strength drops 5.5 -> 4.0
+    assert got == {1: 4.0, 2: 4.0, 3: 4.0}
+    # s above the cascade point empties the core (total collapse)
+    res = s_core(e, s=4.5)
+    assert res.members.count() == 0
+    res.release()
+    # unweighted frame (no weight column): s_core == k_core on counts
+    e2 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    res = s_core(e2, s=3.0)
+    assert {r.id: r.strength for r in res.members.collect()} == {i: 3.0 for i in range(4)}
+    res.release()
+
+
+def test_s_core_python_replay_and_twin(spark):
+    import random as _random
+
+    import duckdb
+
+    from linkgraph.kcore import s_core, s_core_sql
+
+    rng = _random.Random(67)
+    tri = [
+        (a, b, float(rng.randint(1, 5)))
+        for a, b in {(rng.randrange(12), rng.randrange(12)) for _ in range(40)}
+        if a != b
+    ]
+    e = spark.createDataFrame(tri, "src long, dst long, weight double")
+    res = s_core(e, s=7.0)
+    got = {(r.id, r.strength) for r in res.members.collect()}
+    res.release()
+    # python replay of the peel
+    pair_w = {}
+    for a, b, w in tri:
+        key = (min(a, b), max(a, b))
+        # distinct (src,dst,w) triples then per-pair sums, both orientations
+        pair_w.setdefault(key, set()).add((a, b, w))
+    wsum = {k: sum(w for _, _, w in v) for k, v in pair_w.items()}
+    alive = {x for k in wsum for x in k}
+    while True:
+        st = {u: 0.0 for u in alive}
+        for (a, b), w in wsum.items():
+            if a in alive and b in alive:
+                st[a] += w
+                st[b] += w
+        nxt = {u for u in alive if st[u] >= 7.0}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {(u, round(st[u], 6)) for u in alive}
+    assert got == want
+    # DuckDB twin
+    vals = ", ".join(f"({a}, {b}, {w!r})" for a, b, w in tri)
+    sql = s_core_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)", 7.0, n_rounds=8)
+    twin = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == twin
+
+
+def test_s_core_resume_equals_uninterrupted(spark, tmp_path):
+    import random as _random
+
+    from linkgraph.kcore import s_core
+
+    rng = _random.Random(71)
+    tri = [
+        (a, b, float(rng.randint(1, 4)))
+        for a, b in {(rng.randrange(10), rng.randrange(10)) for _ in range(30)}
+        if a != b
+    ]
+    e = spark.createDataFrame(tri, "src long, dst long, weight double")
+    full = s_core(e, s=6.0)
+    want = {(r.id, r.strength) for r in full.members.collect()}
+    full.release()
+    ckpt = str(tmp_path / "score")
+    part = s_core(e, s=6.0, max_iter=1, checkpoint_dir=ckpt)
+    part.members.count()
+    part.release()
+    res = s_core(e, s=6.0, checkpoint_dir=ckpt, resume=True)
+    got = {(r.id, r.strength) for r in res.members.collect()}
+    res.release()
+    assert got == want
+    # resuming with a different s must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="s_core resume mismatch"):
+        s_core(e, s=9.0, checkpoint_dir=ckpt, resume=True)
