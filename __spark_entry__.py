@@ -533,6 +533,20 @@ def _q_closeness_nation(spark, sf_dir):
     )
 
 
+def _q_eccentricity_nation(spark, sf_dir):
+    """Exact hop eccentricity per nation (integer maxes; the exact
+    companion to the HyperBall estimate — linkgraph/paths.py)."""
+    from linkgraph.paths import eccentricity
+    return eccentricity(_trade_nation_edges(spark, sf_dir), direction="BOTH", max_hops=8)
+
+
+def _q_diameter_nation(spark, sf_dir):
+    """Graph diameter/radius + peripheral/central node counts from
+    the exact eccentricity table (linkgraph/paths.py)."""
+    from linkgraph.paths import graph_diameter
+    return graph_diameter(_trade_nation_edges(spark, sf_dir), direction="BOTH", max_hops=8)
+
+
 def _q_landmark_est_nation(spark, sf_dir):
     """Landmark distance sketch on the trade graph: BFS index from the
     id%3==0 landmark set, min-plus upper bounds for every src<dst
@@ -1709,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_nation": _q_closeness_nation,
         "closeness_wf_nation": _q_closeness_wf_nation,
         "landmark_est_nation": _q_landmark_est_nation,
+        "eccentricity_nation": _q_eccentricity_nation,
+        "diameter_nation": _q_diameter_nation,
         "closeness_sampled_nation": _q_closeness_sampled_nation,
         "harmonic_nation": _q_harmonic_nation,
         "dangalchev_nation": _q_dangalchev_nation,
@@ -2266,7 +2282,11 @@ ON s.id = n.id"""
 
 
 def _paths_oracles() -> dict[str, str]:
-    from linkgraph.paths import landmark_estimate_sql
+    from linkgraph.paths import (
+        eccentricity_sql,
+        graph_diameter_sql,
+        landmark_estimate_sql,
+    )
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -2424,6 +2444,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
                ON a.id % 5 = 0 AND a.id < b.id""",
             max_hops=8,
         ),
+        "eccentricity_nation": eccentricity_sql(TRADE_NATION_SQL, max_hops=8),
+        "diameter_nation": graph_diameter_sql(TRADE_NATION_SQL, max_hops=8),
         "closeness_sampled_nation": closeness_sampled_sql,
         "harmonic_nation": harmonic_sql,
         "dangalchev_nation": f"""

@@ -1038,3 +1038,91 @@ SELECT src, dst, CAST(MIN(d) AS BIGINT) AS d_est,
        CAST(FIRST(landmark ORDER BY d, landmark) AS BIGINT) AS via
 FROM joined GROUP BY src, dst
 """
+
+
+def eccentricity(
+    edges: DataFrame,
+    direction: str = "BOTH",
+    max_hops: int = 64,
+    exact_warn_nodes: int = 100_000,
+) -> DataFrame:
+    """Exact hop eccentricity per node: ecc(u) = max over reachable
+    v of dist(u, v) — the exact companion to the HyperBall
+    effective-diameter ESTIMATE (`linkgraph/anf.py`). All-sources
+    MS-BFS state is O(n * reached), so the betweenness
+    exact-mode warning gate applies; at scale use the sketch path.
+
+    Returns (id, ecc, reached) for every node with at least one
+    reachable peer (isolated nodes never enter the BFS universe).
+    Integer maxes/counts — the oracle needs no float tolerance.
+    """
+    d = ms_bfs_distances(edges, direction=direction, max_hops=max_hops)
+    n = d.select("source").distinct().count()
+    if n > exact_warn_nodes:
+        _warn_all_sources(n, "eccentricity")
+    return d.groupBy(F.col("source").alias("id")).agg(
+        F.max("dist").cast("long").alias("ecc"),
+        (F.count("*") - 1).cast("long").alias("reached"),
+    )
+
+
+def graph_diameter(
+    edges: DataFrame, direction: str = "BOTH", max_hops: int = 64
+) -> DataFrame:
+    """ONE row (diameter, radius, n_peripheral, n_central) from the
+    exact eccentricity table: diameter = max ecc, radius = min ecc
+    over nodes that reach anyone, plus the peripheral/central node
+    counts (ecc == diameter / ecc == radius). On a disconnected
+    graph these are per-component values folded by max/min — the
+    standard convention for the hop metric. Same O(n * reached)
+    exact-mode caveat as `eccentricity`."""
+    ecc = eccentricity(edges, direction=direction, max_hops=max_hops)
+    agg = ecc.agg(
+        F.max("ecc").alias("diameter"), F.min("ecc").alias("radius")
+    )
+    return (
+        ecc.crossJoin(F.broadcast(agg))
+        .agg(
+            F.first("diameter").alias("diameter"),
+            F.first("radius").alias("radius"),
+            F.sum(F.when(F.col("ecc") == F.col("diameter"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_peripheral"),
+            F.sum(F.when(F.col("ecc") == F.col("radius"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_central"),
+        )
+    )
+
+
+def eccentricity_sql(edges_sql: str, max_hops: int = 64) -> str:
+    """Oracle for `eccentricity` (BOTH direction)."""
+    return f"""
+WITH RECURSIVE
+e AS ({edges_sql}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+bfs(source, id, dist) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT b.source, s.dst, b.dist + 1
+  FROM bfs b JOIN sym s ON s.src = b.id WHERE b.dist < {max_hops}
+),
+best AS (SELECT source, id, MIN(dist) AS dist FROM bfs GROUP BY source, id)
+SELECT source AS id, CAST(MAX(dist) AS BIGINT) AS ecc,
+       CAST(COUNT(*) - 1 AS BIGINT) AS reached
+FROM best GROUP BY source
+"""
+
+
+def graph_diameter_sql(edges_sql: str, max_hops: int = 64) -> str:
+    """Oracle for `graph_diameter` (BOTH direction)."""
+    return f"""
+WITH ecc AS ({eccentricity_sql(edges_sql, max_hops)})
+SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius,
+       CAST(SUM(CASE WHEN ecc = (SELECT MAX(ecc) FROM ecc) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_peripheral,
+       CAST(SUM(CASE WHEN ecc = (SELECT MIN(ecc) FROM ecc) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_central
+FROM ecc
+"""

@@ -583,3 +583,27 @@ def test_landmark_index_directed_orientations(spark):
     assert idx[2] == (0, 0)
     assert idx[1] == (1, None)
     assert idx[3] == (None, 1)
+
+
+def test_eccentricity_and_diameter(spark):
+    # path a-b-c-d: ecc = 3,2,2,3; diameter 3, radius 2,
+    # peripheral {a,d}, central {b,c}
+    nodes, edges = edges_from_pairs(
+        spark, [("a", "b"), ("b", "c"), ("c", "d")]
+    )
+    from linkgraph.paths import eccentricity, graph_diameter
+
+    got = {
+        r["key"]: (r["ecc"], r["reached"])
+        for r in eccentricity(edges, direction="BOTH").join(nodes, "id").collect()
+    }
+    assert got == {"a": (3, 3), "b": (2, 3), "c": (2, 3), "d": (3, 3)}
+    row = graph_diameter(edges, direction="BOTH").first()
+    assert (row.diameter, row.radius, row.n_peripheral, row.n_central) == (3, 2, 2, 2)
+    # max_hops clamps the metric (hop-bounded contract)
+    row = graph_diameter(edges, direction="BOTH", max_hops=2).first()
+    assert (row.diameter, row.radius) == (2, 2)
+    # disconnected: per-component fold (K2 + isolated pair)
+    _, e2 = edges_from_pairs(spark, [("a", "b"), ("x", "y")])
+    row = graph_diameter(e2, direction="BOTH").first()
+    assert (row.diameter, row.radius, row.n_peripheral, row.n_central) == (1, 1, 4, 4)
