@@ -1632,6 +1632,14 @@ def _q_events_windowed_counts(spark, sf_dir):
     return windowed_counts(_events(spark, sf_dir), bucket="hour")
 
 
+def _q_events_anomalies(spark, sf_dir):
+    """Per-type windowed volume anomalies: z-scores over the
+    zero-filled hourly grid, integer moments, |z| >= 1.5 on the
+    ROUNDED value (linkgraph/pipeline/events.py#windowed_anomalies)."""
+    from linkgraph.pipeline.events import windowed_anomalies
+    return windowed_anomalies(_events(spark, sf_dir), bucket="hour", z_thresh=1.5)
+
+
 def _q_events_funnel(spark, sf_dir):
     from linkgraph.pipeline.events import funnel
     return funnel(_events(spark, sf_dir), steps=["view", "click", "purchase"])
@@ -1810,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
         "events_windowed_counts": _q_events_windowed_counts,
+        "events_anomalies": _q_events_anomalies,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_props_stats": _q_events_props_stats,
@@ -2579,6 +2588,7 @@ FROM v""",
 
 
 def _pipeline_oracles() -> dict[str, str]:
+    from linkgraph.pipeline.events import windowed_anomalies_sql
     from linkgraph.pipeline.dedup import (
         fuzzy_dup_pairs_sql,
         EXACT_DEDUP_SQL,
@@ -2729,6 +2739,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         # to BIGINT (DuckDB SUM(int) -> HUGEINT -> float64 in pandas).
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_session_stats": _EVENTS_SESSION_STATS_SQL,
+        "events_anomalies": windowed_anomalies_sql(bucket="hour", z_thresh=1.5),
         "events_windowed_counts": """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
        event_type,

@@ -81,6 +81,7 @@ from linkgraph.pipeline.events import (
     retention_cohorts,
     session_stats,
     sessionize,
+    windowed_anomalies,
     windowed_counts,
 )
 
@@ -103,6 +104,6 @@ __all__ = [
     "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",
     "encode_wav_pcm16", "decode_wav_pcm16", "encode_png", "decode_png",
-    "sessionize", "session_stats", "windowed_counts",
+    "sessionize", "session_stats", "windowed_counts", "windowed_anomalies",
     "funnel", "retention_cohorts", "props_stats",
 ]

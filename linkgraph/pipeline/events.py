@@ -38,6 +38,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "windowed_counts",
+    "windowed_anomalies",
     "funnel",
     "retention_cohorts",
     "props_stats",
@@ -355,3 +356,108 @@ def top_session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+_BUCKET_SEC = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def windowed_anomalies(
+    events: DataFrame,
+    bucket: str = "hour",
+    z_thresh: float = 3.0,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Volume-anomaly detection per event type: z-score each tumbling
+    window's count against that type's own history (EMPTY windows
+    count as 0 — a type that goes quiet is as anomalous as one that
+    spikes) and keep windows with |z| >= ``z_thresh``.
+
+    Returns (event_type, bucket_start, n, z) with z rounded to 6 and
+    the filter applied to the ROUNDED value (engine-stable boundary).
+    Exactness: the zero-filled grid makes every moment an INTEGER
+    (n_buckets, Σn, Σn²), sample variance is an exact integer ratio
+    (n_b·Σn² − (Σn)²) / (n_b·(n_b−1)), and z is one fixed double
+    tree. Types with n_buckets < 2 or zero variance emit nothing.
+
+    Scale shape: one (bucket, type) count shuffle (map-side
+    combinable), a |types|-row broadcast grid fan-out bounded by the
+    time range (NOT |events|), one |types|-row moment aggregate
+    joined back. (Σn)² overflows int64 past ~3e9 events per type —
+    cast the moment columns to decimal(38,0) there.
+    """
+    if bucket not in _BUCKET_SEC:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SEC)}, got {bucket!r}")
+    step = _BUCKET_SEC[bucket]
+    counts = events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).cast("long").alias("bucket_start"),
+        F.col(key_col).alias("event_type"),
+    ).agg(F.count("*").alias("n"))
+    bounds = counts.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(step))
+            ).alias("bucket_start"),
+        )
+    )
+    filled = grid.join(counts, ["event_type", "bucket_start"], "left").select(
+        "event_type", "bucket_start", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    mom = filled.groupBy("event_type").agg(
+        F.count("*").alias("nb"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    varnum = F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")
+    varden = F.col("nb") * (F.col("nb") - 1)
+    mean = F.col("s1").cast("double") / F.col("nb").cast("double")
+    std = F.sqrt(varnum.cast("double") / varden.cast("double"))
+    z = F.round((F.col("n").cast("double") - mean) / std, 6)
+    return (
+        filled.join(mom, "event_type")
+        .filter((F.col("nb") > 1) & (varnum > 0))
+        .select("event_type", "bucket_start", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= z_thresh)
+    )
+
+
+def windowed_anomalies_sql(
+    bucket: str = "hour", z_thresh: float = 3.0, table: str = "events"
+) -> str:
+    """Oracle for `windowed_anomalies` — identical zero-filled grid,
+    integer moments, and fixed z tree."""
+    if bucket not in _BUCKET_SEC:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SEC)}, got {bucket!r}")
+    step = _BUCKET_SEC[bucket]
+    return f"""
+WITH counts AS (
+  SELECT CAST(epoch(date_trunc('{bucket}', ts)) AS BIGINT) AS bucket_start,
+         event_type, COUNT(*) AS n
+  FROM {table} GROUP BY 1, 2),
+bounds AS (SELECT MIN(bucket_start) AS lo, MAX(bucket_start) AS hi FROM counts),
+grid AS (SELECT t.event_type,
+                UNNEST(generate_series(b.lo, b.hi, {step})) AS bucket_start
+         FROM (SELECT DISTINCT event_type FROM counts) t CROSS JOIN bounds b),
+filled AS (SELECT g.event_type, g.bucket_start,
+                  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN counts c
+             ON c.event_type = g.event_type AND c.bucket_start = g.bucket_start),
+mom AS (SELECT event_type, COUNT(*) AS nb, SUM(n) AS s1, SUM(n * n) AS s2
+        FROM filled GROUP BY event_type)
+SELECT f.event_type, f.bucket_start, f.n,
+       ROUND((CAST(f.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.nb AS DOUBLE))
+             / sqrt(CAST(m.nb * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                    / CAST(m.nb * (m.nb - 1) AS DOUBLE)), 6) AS z
+FROM filled f JOIN mom m ON m.event_type = f.event_type
+WHERE m.nb > 1 AND m.nb * m.s2 - m.s1 * m.s1 > 0
+  AND ABS(ROUND((CAST(f.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.nb AS DOUBLE))
+                / sqrt(CAST(m.nb * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                       / CAST(m.nb * (m.nb - 1) AS DOUBLE)), 6)) >= {z_thresh}
+"""

@@ -257,3 +257,46 @@ def test_top_session_paths_golden(spark):
     # max_len truncates
     got2 = [(r.path, r.n_sessions) for r in top_session_paths(e, k=5, max_len=1).collect()]
     assert got2 == [("view", 3)]
+
+
+def test_windowed_anomalies_spike_quiet_and_flat(spark):
+    from linkgraph.pipeline.events import windowed_anomalies
+
+    rows = []
+    eid = 0
+    # "spiky": hourly counts [1,1,1,1,6] -> mean 2, std sqrt(5);
+    # only hour 4 has |z| = 4/sqrt(5) = 1.788854 >= 1.5.
+    for h in range(4):
+        eid += 1
+        rows.append(_ev(eid, 1, 60.0 * h, "spiky"))
+    for i in range(6):
+        eid += 1
+        rows.append(_ev(eid, 1, 60.0 * 4 + i, "spiky"))
+    # "quiet": [5,5,5,5,0] -- the dark hour comes ONLY from the
+    # zero-filled grid (no row at hour 4); z = -4/sqrt(5).
+    for h in range(4):
+        for i in range(5):
+            eid += 1
+            rows.append(_ev(eid, 2, 60.0 * h + i, "quiet"))
+    # "flat": constant 2/hour across the full range -> zero variance,
+    # must emit nothing.
+    for h in range(5):
+        for i in range(2):
+            eid += 1
+            rows.append(_ev(eid, 3, 60.0 * h + i, "flat"))
+    e = spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    got = {
+        (r["event_type"], r["bucket_start"]): (r["n"], r["z"])
+        for r in windowed_anomalies(e, bucket="hour", z_thresh=1.5).collect()
+    }
+    h0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        ("spiky", h0 + 4 * 3600): (6, 1.788854),
+        ("quiet", h0 + 4 * 3600): (0, -1.788854),
+    }
+
+    # threshold just above the spike's |z| empties the result
+    assert windowed_anomalies(e, bucket="hour", z_thresh=1.8).count() == 0
+    with pytest.raises(ValueError):
+        windowed_anomalies(e, bucket="week")
