@@ -168,6 +168,16 @@ def _q_louvain_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.assignment
 
 
+def _q_infomap_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfoMap (algo.infoMap): 2 hash-gated map-equation sweeps on the
+    co-supplier graph. Value-exact twin: the ΔL expression is the SAME
+    SQL string in both engines with every ln rounded to 7
+    (linkgraph/infomap.py)."""
+    from linkgraph.infomap import infomap_local_move
+    res = infomap_local_move(cosupplier_edges(spark, sf_dir), rounds=2, sweep="hash")
+    return res.assignment
+
+
 def _q_louvain_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain phase-1 on the co-supplier graph: 2 fully synchronous
     sweeps (the simplest oracle target — the near-clique graph has no
@@ -226,6 +236,11 @@ def _louvain_purchase_sql() -> str:
 def _louvain_cosupplier_sql() -> str:
     from linkgraph.community import louvain_local_sql
     return louvain_local_sql(COSUPPLIER_EDGES_SQL, 2, sweep="sync")
+
+
+def _infomap_cosupplier_sql() -> str:
+    from linkgraph.infomap import infomap_sql
+    return infomap_sql(COSUPPLIER_EDGES_SQL, 2, sweep="hash")
 
 
 def _q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1702,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_lpa_louvain_cosupplier": _q_compare_lpa_louvain,
         "louvain_purchase_alt3": _q_louvain_purchase,
         "louvain_cosupplier_sync2": _q_louvain_cosupplier,
+        "infomap_cosupplier_2r": _q_infomap_cosupplier,
         "edge_support_cosupplier": _q_edge_support,
         "ktruss4_cosupplier": _q_ktruss4,
         "triangle_count_cosupplier": _q_triangle_count,
@@ -1977,6 +1993,7 @@ SELECT id, label FROM best WHERE rk = 1
         "compare_lpa_louvain_cosupplier": _compare_lpa_louvain_sql(),
         "louvain_purchase_alt3": _louvain_purchase_sql(),
         "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),
+        "infomap_cosupplier_2r": _infomap_cosupplier_sql(),
         "edge_support_cosupplier": _edge_support_sql(),
         "ktruss4_cosupplier": _ktruss4_sql(),
         "balanced_triads_cosupplier": f"""

@@ -79,6 +79,11 @@ from linkgraph.community import (
     louvain_local_move,
     modularity,
 )
+from linkgraph.infomap import (
+    InfomapResult,
+    infomap_local_move,
+    map_equation,
+)
 from linkgraph.articlerank import (
     ArticleRankResult,
     article_rank,
@@ -177,6 +182,9 @@ __all__ = [
     "community_stats",
     "louvain",
     "louvain_local_move",
+    "InfomapResult",
+    "infomap_local_move",
+    "map_equation",
     "LouvainResult",
     "edge_support",
     "k_truss",
