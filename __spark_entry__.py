@@ -531,6 +531,32 @@ def _jp_nation_sql() -> str:
     return jones_plassmann_sql(TRADE_NATION_SQL, 42, 25)
 
 
+def _q_bfs_trade_nation(spark, sf_dir):
+    """algo.bfs.stream: canonical level-order traversal (depth = hop
+    distance, id tie-break) of the trade graph from nation 0
+    (linkgraph/traversal.py)."""
+    from linkgraph.traversal import bfs_stream
+    return bfs_stream(_trade_nation_edges(spark, sf_dir), source=0)
+
+
+def _q_dfs_trade_nation(spark, sf_dir):
+    """algo.dfs.stream: deterministic smallest-id-first DFS preorder
+    from nation 0; the DuckDB twin replays the identical stack machine
+    as a single-row recursive CTE (linkgraph/traversal.py)."""
+    from linkgraph.traversal import dfs_stream
+    return dfs_stream(_trade_nation_edges(spark, sf_dir), source=0)
+
+
+def _bfs_nation_sql() -> str:
+    from linkgraph.traversal import bfs_sql
+    return bfs_sql(TRADE_NATION_SQL, source=0)
+
+
+def _dfs_nation_sql() -> str:
+    from linkgraph.traversal import dfs_sql
+    return dfs_sql(TRADE_NATION_SQL, source=0)
+
+
 def _q_apsp_nation(spark, sf_dir):
     from linkgraph import all_shortest_paths_stream
     return all_shortest_paths_stream(
@@ -1742,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_jp_nation": _q_jp_nation,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
+        "bfs_trade_nation": _q_bfs_trade_nation,
+        "dfs_trade_nation": _q_dfs_trade_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
         "apsp_weighted_sampled_nation": _q_apsp_weighted_sampled_nation,
         "closeness_nation": _q_closeness_nation,
@@ -2457,6 +2485,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
+        "bfs_trade_nation": _bfs_nation_sql(),
+        "dfs_trade_nation": _dfs_nation_sql(),
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),
         "apsp_weighted_sampled_nation": _apsp_weighted_sql(
             TRADE_NATION_W_SQL, source_pred="src % 3 = 0"

@@ -84,6 +84,10 @@ from linkgraph.infomap import (
     infomap_local_move,
     map_equation,
 )
+from linkgraph.traversal import (
+    bfs_stream,
+    dfs_stream,
+)
 from linkgraph.articlerank import (
     ArticleRankResult,
     article_rank,
@@ -185,6 +189,8 @@ __all__ = [
     "InfomapResult",
     "infomap_local_move",
     "map_equation",
+    "bfs_stream",
+    "dfs_stream",
     "LouvainResult",
     "edge_support",
     "k_truss",

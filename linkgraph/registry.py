@@ -26,6 +26,8 @@ PROCEDURES = {
     "harmonic_centrality": ("linkgraph.paths.harmonic_centrality", "algo.closeness.harmonic (lineage)", True),
     "shortest_path_pair": ("linkgraph.paths.shortest_path_pair", "algo.shortestPath (start/end pair)", True),
     "ms_bfs_distances": ("linkgraph.paths.ms_bfs_distances", "MultiSourceBFS (core util)", True),
+    "bfs_stream": ("linkgraph.traversal.bfs_stream", "algo.bfs.stream", True),
+    "dfs_stream": ("linkgraph.traversal.dfs_stream", "algo.dfs.stream", True),
     "minimum_spanning_forest": ("linkgraph.mst.minimum_spanning_forest", "algo.mst", False),
     "k_spanning_tree": ("linkgraph.mst.k_spanning_tree", "algo.spanningTree.kmin/.kmax", True),
     "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
