@@ -1391,6 +1391,13 @@ def _q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def _q_dup_structure(spark, sf_dir):
+    """Gopher structural repetition: duplicate line/paragraph count
+    and char-mass fractions, map-only (linkgraph/pipeline/text.py)."""
+    from linkgraph.pipeline.text import duplicate_structure_stats
+    return duplicate_structure_stats(_docs(spark, sf_dir))
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -1827,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_langid,
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
+        "text_dup_structure": _q_dup_structure,
         "text_vocab_topk": _q_vocab,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
@@ -2664,6 +2672,7 @@ def _pipeline_oracles() -> dict[str, str]:
         NORMALIZE_TEXT_SQL,
         QUALITY_SCORES_SQL,
         REPETITION_SCORES_SQL,
+        DUPLICATE_STRUCTURE_SQL,
         SOURCE_MIX_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
@@ -2731,6 +2740,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_language_id": LANGUAGE_ID_SQL,
         "text_fingerprints": fingerprints_sql(k=16),
         "text_repetition": REPETITION_SCORES_SQL,
+        "text_dup_structure": DUPLICATE_STRUCTURE_SQL,
         "text_vocab_topk": vocab_stats_sql(k=20),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,

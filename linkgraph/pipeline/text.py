@@ -282,6 +282,91 @@ FROM s
 """
 
 
+def duplicate_structure_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_paras, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, dup_para_char_frac) — the structural half of the
+    Gopher repetition rules (Rae et al. 2021 §A1.1; the n-gram half is
+    ``repetition_scores``): what fraction of a document's lines /
+    paragraphs are repeats of an earlier one, by count and by
+    character mass. Lines split on newline, paragraphs on a blank
+    line; empty segments dropped. A repeat is any occurrence beyond
+    the first, so dup_frac = (n − n_distinct)/n and char_frac =
+    (Σlen(all) − Σlen(distinct))/Σlen(all) — integer numerators, one
+    IEEE division, ROUND 6 (value-exact DuckDB twin).
+
+    Pure per-row JVM map (split/array_distinct/aggregate) — no
+    shuffle, no UDF; embarrassingly parallel at 100TB.
+    """
+    zero = F.lit(0).cast("long")
+
+    def clean_split(sep: str):
+        return F.filter(F.split(F.col("text"), sep), lambda x: x != F.lit(""))
+
+    def chars(arr):
+        return F.aggregate(arr, zero, lambda acc, x: acc + F.length(x))
+
+    def fracs(arr, prefix: str):
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        tot = chars(arr)
+        dup_c = tot - chars(F.array_distinct(arr))
+        return [
+            F.round(
+                F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias(f"dup_{prefix}_frac"),
+            F.round(
+                F.when(tot > 0, dup_c.cast("double") / tot.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    lines = clean_split("\n")
+    paras = clean_split("\n\n")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(paras).cast("long").alias("n_paras"),
+        *fracs(lines, "line"),
+        *fracs(paras, "para"),
+    )
+
+
+def _dup_fracs_sql(arr: str, prefix: str) -> str:
+    n = f"len({arr})"
+    nd = f"len(list_distinct({arr}))"
+    tot = f"list_sum(list_transform({arr}, x -> CAST(len(x) AS BIGINT)))"
+    dtot = (
+        f"list_sum(list_transform(list_distinct({arr}),"
+        f" x -> CAST(len(x) AS BIGINT)))"
+    )
+    return f"""
+       ROUND(CASE WHEN {n} > 0
+             THEN CAST({n} - {nd} AS DOUBLE) / CAST({n} AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_{prefix}_frac,
+       ROUND(CASE WHEN coalesce({tot}, 0) > 0
+             THEN CAST({tot} - {dtot} AS DOUBLE) / CAST({tot} AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_{prefix}_char_frac"""
+
+
+DUPLICATE_STRUCTURE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '')
+           AS paras
+  FROM documents)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(paras) AS BIGINT) AS n_paras,
+       {_dup_fracs_sql('lines', 'line')},
+       {_dup_fracs_sql('paras', 'para')}
+FROM t
+"""
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """(doc_id, norm_text, n_chars_norm): the canonicalization pass
     that runs BEFORE hashing/dedup so cosmetic variants collide —

@@ -1332,3 +1332,48 @@ def test_pmi_collocations_duckdb_twin(spark):
         map(tuple, con.execute(pmi_collocations_sql(top_k=10, min_count=2)).fetchall())
     )
     assert got == want
+
+
+def test_duplicate_structure_stats_golden(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import (
+        DUPLICATE_STRUCTURE_SQL,
+        duplicate_structure_stats,
+    )
+
+    docs = [
+        # 4 lines, "dup" repeated 3x -> dup_line_frac 0.5 (4-2)/4;
+        # chars: dup(3)*3 + unique(6) = 15 total, distinct 3+6=9 ->
+        # dup_char 6/15 = 0.4; paragraphs: "dup\ndup" + "dup\nunique"
+        # both distinct -> 0.0
+        (1, "dup\ndup\n\ndup\nunique"),
+        # identical paragraphs: 2 paras, 1 distinct -> 0.5 / 0.5;
+        # lines: a,b,a,b -> dup 0.5, chars 2/4 = 0.5
+        (2, "a\nb\n\na\nb"),
+        # no newlines at all: one line, one para, zero fracs
+        (3, "just one line"),
+        # empty text: everything 0
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in duplicate_structure_stats(df).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == 0.4
+    assert got[1]["n_paras"] == 2 and got[1]["dup_para_frac"] == 0.0
+    assert got[2]["dup_para_frac"] == 0.5
+    assert got[2]["dup_para_char_frac"] == 0.5
+    assert got[2]["dup_line_frac"] == 0.5
+    assert got[3] == {
+        "doc_id": 3, "n_lines": 1, "n_paras": 1, "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0, "dup_para_frac": 0.0,
+        "dup_para_char_frac": 0.0,
+    }
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = {r[0]: r for r in con.execute(DUPLICATE_STRUCTURE_SQL).fetchall()}
+    for did, row in got.items():
+        assert tuple(row.values()) == want[did], (did, row, want[did])
