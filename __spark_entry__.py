@@ -1391,6 +1391,14 @@ def _q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 page cleaning: terminal-punctuation line retention + page
+    gates (lorem ipsum / brace / min sentences), map-only
+    (linkgraph/pipeline/text.py)."""
+    from linkgraph.pipeline.text import c4_clean
+    return c4_clean(_docs(spark, sf_dir))
+
+
 def _q_dup_structure(spark, sf_dir):
     """Gopher structural repetition: duplicate line/paragraph count
     and char-mass fractions, map-only (linkgraph/pipeline/text.py)."""
@@ -1835,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
         "text_dup_structure": _q_dup_structure,
+        "text_c4_clean": _q_c4_clean,
         "text_vocab_topk": _q_vocab,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
@@ -2673,6 +2682,7 @@ def _pipeline_oracles() -> dict[str, str]:
         QUALITY_SCORES_SQL,
         REPETITION_SCORES_SQL,
         DUPLICATE_STRUCTURE_SQL,
+        c4_clean_sql,
         SOURCE_MIX_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
@@ -2741,6 +2751,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_fingerprints": fingerprints_sql(k=16),
         "text_repetition": REPETITION_SCORES_SQL,
         "text_dup_structure": DUPLICATE_STRUCTURE_SQL,
+        "text_c4_clean": c4_clean_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,

@@ -367,6 +367,85 @@ FROM t
 """
 
 
+def c4_clean(
+    docs: DataFrame,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2, public):
+    retain only lines that end in terminal punctuation (. ! ? "),
+    have >= ``min_words_per_line`` whitespace words, and don't mention
+    "javascript" (case-insensitive); then gate the page on >=
+    ``min_sentences`` sentence-final marks in the cleaned text, no
+    "lorem ipsum", and no curly brace (the code-page heuristic).
+
+    Returns (doc_id, clean_text, n_lines_kept, n_sentences, kept).
+    Lines are trimmed in the output; the three page gates test the
+    ORIGINAL text (a dropped line can still poison the page — C4's
+    published behavior). Pure per-row JVM map — split/filter/
+    regexp_extract_all, no shuffle, no UDF; the 100TB shape is a
+    single scan.
+    """
+
+    def keep(x):
+        xt = F.trim(x)
+        words = F.filter(F.split(xt, "\\s+"), lambda w: w != F.lit(""))
+        return (
+            (F.size(words) >= min_words_per_line)
+            & xt.substr(F.length(xt), F.lit(1)).isin(".", "!", "?", '"')
+            & ~F.lower(xt).contains("javascript")
+        )
+
+    kept_lines = F.transform(
+        F.filter(F.split(F.col("text"), "\n"), keep), lambda x: F.trim(x)
+    )
+    clean = F.array_join(kept_lines, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(kept_lines).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        (
+            (n_sent >= min_sentences)
+            & ~F.lower(F.col("text")).contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("kept"),
+    )
+
+
+def c4_clean_sql(min_words_per_line: int = 5, min_sentences: int = 3) -> str:
+    """DuckDB twin of ``c4_clean`` — same line predicate, same gates."""
+    keep = (
+        f"len(list_filter(regexp_split_to_array(trim(x), '\\s+'),"
+        f" w -> w <> '')) >= {min_words_per_line}"
+        " AND substr(trim(x), length(trim(x)), 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(trim(x)), 'javascript')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_transform(
+           list_filter(string_split(text, chr(10)), x -> {keep}),
+           x -> trim(x)) AS kept_lines
+  FROM documents),
+s AS (
+  -- array_to_string([]) is NULL in DuckDB, '' in Spark: coalesce
+  SELECT doc_id, text,
+         coalesce(array_to_string(kept_lines, chr(10)), '') AS clean_text,
+         CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+         CAST(len(regexp_extract_all(
+           coalesce(array_to_string(kept_lines, chr(10)), ''),
+           '[.!?]')) AS BIGINT) AS n_sentences
+  FROM t)
+SELECT doc_id, clean_text, n_lines_kept, n_sentences,
+       (n_sentences >= {min_sentences}
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS kept
+FROM s
+"""
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """(doc_id, norm_text, n_chars_norm): the canonicalization pass
     that runs BEFORE hashing/dedup so cosmetic variants collide —

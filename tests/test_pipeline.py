@@ -1377,3 +1377,46 @@ def test_duplicate_structure_stats_golden(spark):
     want = {r[0]: r for r in con.execute(DUPLICATE_STRUCTURE_SQL).fetchall()}
     for did, row in got.items():
         assert tuple(row.values()) == want[did], (did, row, want[did])
+
+
+def test_c4_clean_golden(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import c4_clean, c4_clean_sql
+
+    docs = [
+        # line 1 kept (5 words, terminal '.'); line 2 dropped (no
+        # terminal punct); line 3 dropped (<5 words); line 4 dropped
+        # (javascript); line 5 kept -> 3 sentence marks, page kept
+        (1, "one two three four five.\nsix seven eight nine ten\n"
+            "too short.\nplease enable javascript to view this page.\n"
+            "a b c d e? f."),
+        # three sentences, all lines qualify -> kept
+        (2, "alpha beta gamma delta eps.\nzeta eta theta iota kappa!\n"
+            'lambda mu nu xi omicron?'),
+        # lorem ipsum poisons the page even on a dropped line
+        (3, "alpha beta gamma delta eps.\nzeta eta theta iota kappa!\n"
+            "lambda mu nu xi omicron?\nlorem ipsum"),
+        # curly brace gate
+        (4, "alpha beta gamma delta eps.\nzeta eta theta iota kappa!\n"
+            "lambda mu nu xi { omicron?"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_clean(df).collect()}
+    assert got[1]["n_lines_kept"] == 2  # line 1 + the "a b c d e? f." line
+    assert got[1]["n_sentences"] == 3 and got[1]["kept"]
+    assert got[2]["kept"] and got[2]["n_lines_kept"] == 3
+    assert not got[3]["kept"] and got[3]["n_lines_kept"] == 3
+    assert not got[4]["kept"]
+    assert got[5] == {
+        "doc_id": 5, "clean_text": "", "n_lines_kept": 0,
+        "n_sentences": 0, "kept": False,
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = {r[0]: r for r in con.execute(c4_clean_sql()).fetchall()}
+    for did, row in got.items():
+        assert tuple(row.values()) == want[did], (did, row, want[did])
