@@ -81,6 +81,7 @@ from linkgraph.community import (
 )
 from linkgraph.infomap import (
     InfomapResult,
+    infomap,
     infomap_local_move,
     map_equation,
 )
@@ -187,6 +188,7 @@ __all__ = [
     "louvain",
     "louvain_local_move",
     "InfomapResult",
+    "infomap",
     "infomap_local_move",
     "map_equation",
     "bfs_stream",

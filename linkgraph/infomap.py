@@ -69,7 +69,13 @@ from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 
 _SWEEPS = {"sync": 1, "alternate": 2, "hash": 4}  # -> early-stop streak
 
-__all__ = ["InfomapResult", "infomap_local_move", "infomap_sql", "map_equation"]
+__all__ = [
+    "InfomapResult",
+    "infomap",
+    "infomap_local_move",
+    "infomap_sql",
+    "map_equation",
+]
 
 
 @dataclass
@@ -96,11 +102,15 @@ def _plp(x: str, two_m: int | str) -> str:
 
 
 def _delta_expr(two_m: int | str) -> str:
-    """ΔL(cand) over columns (c, cand, d, e_a, e_b, cut_a, cut_b,
-    sd_a, sd_b, q_tot) — ONE string parsed by both engines."""
+    """ΔL(cand) over columns (c, cand, d, dx, e_a, e_b, cut_a, cut_b,
+    sd_a, sd_b, q_tot) — ONE string parsed by both engines. ``d`` is
+    the FULL weighted degree (loops ×2 — the visit mass that moves
+    with the node); ``dx`` the EXTERNAL degree (loops excluded — the
+    only mass that can cross a module boundary). Loop-free graphs
+    have dx = d; the contracted levels of ``infomap`` don't."""
     p = lambda x: _plp(x, two_m)  # noqa: E731
-    cut_a2 = "(cut_a - d + 2 * e_a)"
-    cut_b2 = "(cut_b + d - 2 * e_b)"
+    cut_a2 = "(cut_a - dx + 2 * e_a)"
+    cut_b2 = "(cut_b + dx - 2 * e_b)"
     return (
         "CASE WHEN cand = c THEN 0.0 ELSE "
         f"{p('(q_tot + 2 * (e_a - e_b))')} - {p('q_tot')}"
@@ -115,7 +125,10 @@ def _delta_expr(two_m: int | str) -> str:
 def _module_tables(
     sym: DataFrame, deg: DataFrame, state: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(sd per module, cut per module, 1-row Q total) — all integers."""
+    """(sd per module, cut per module, 1-row Q total) — all integers.
+    ``cut`` is left-joined from the module list so a module whose
+    members have only self-loops (possible on contracted levels)
+    still carries cut = 0 instead of vanishing."""
     sd = (
         state.join(deg, "id")
         .groupBy(F.col("c").alias("m"))
@@ -123,7 +136,7 @@ def _module_tables(
     )
     node_state = state.select(F.col("id").alias("node"), F.col("c").alias("cm"))
     nbr_state = state.select(F.col("id").alias("nbr"), F.col("c").alias("cn"))
-    cut = (
+    cut_raw = (
         sym.join(node_state, "node")
         .join(nbr_state, "nbr")
         .groupBy(F.col("cm").alias("m"))
@@ -132,6 +145,9 @@ def _module_tables(
             .cast("long")
             .alias("cut")
         )
+    )
+    cut = sd.select("m").join(cut_raw, "m", "left").select(
+        "m", F.coalesce("cut", F.lit(0)).cast("long").alias("cut")
     )
     q = cut.agg(F.sum("cut").cast("long").alias("q_tot"))
     return sd, cut, q
@@ -167,13 +183,15 @@ def _movable_sql(round_no: int, sweep: str, id_expr: str) -> str:
 def _infomap_round(
     sym: DataFrame,
     deg: DataFrame,
+    degx: DataFrame,
     state: DataFrame,
     two_m: int,
     movable=None,
 ) -> DataFrame:
     """One synchronized map-equation sweep (see module docstring).
     Mirrors ``community._local_move_round``'s candidate machinery;
-    only the score differs."""
+    only the score differs. ``deg``: (id, d) full weighted degree,
+    ``degx``: (id, dx) external (loop-free) degree."""
     sd, cut, q = _module_tables(sym, deg, state)
     nbr_state = state.select(F.col("id").alias("nbr"), F.col("c").alias("cand"))
     nbrc = (
@@ -206,6 +224,7 @@ def _infomap_round(
         cand.withColumnRenamed("e", "e_b")
         .join(movers, "id")  # adds current module c
         .join(deg, "id")
+        .join(degx, "id")
         .join(e_cur, "id")
         .join(sd.select(F.col("m").alias("c"), F.col("sd").alias("sd_a")), "c")
         .join(cut.select(F.col("m").alias("c"), F.col("cut").alias("cut_a")), "c")
@@ -244,46 +263,9 @@ def infomap_local_move(
     hash gating is probabilistic coverage, so it waits longer)."""
     if sweep not in _SWEEPS:
         raise ValueError(f"bad sweep {sweep}")
-    und = pin_table(_und_long(edges))
-    sym = pin_table(
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
-        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
-        .repartition("nbr")
-        .sortWithinPartitions("nbr")
-    )
-    deg = pin_table(_degrees(und, None))
-    two_m = 2 * int(und.agg(F.sum("w")).first()[0] or 0)
-    if assignment is None:
-        state = deg.select("id", F.col("id").alias("c"))
-    else:
-        state = (
-            deg.select("id")
-            .join(assignment.select("id", F.col("module").cast("long").alias("c")), "id", "left")
-            .select("id", F.coalesce("c", F.col("id")).alias("c"))
-        )
-    state = pin_table(state)
     t0 = time.time()
-    ran = 0
-    zero_streak = 0
-    for r in range(1, rounds + 1):
-        new_state = pin_table(
-            _infomap_round(sym, deg, state, two_m, _movable(r, sweep))
-        )
-        n_moved = (
-            new_state.alias("new")
-            .join(state.alias("old"), "id")
-            .filter(F.col("new.c") != F.col("old.c"))
-            .count()
-        )
-        release_state(state)
-        state = new_state
-        ran = r
-        if n_moved == 0:
-            zero_streak += 1
-            if zero_streak >= _SWEEPS[sweep]:
-                break
-        else:
-            zero_streak = 0
+    und = pin_table(_und_long(edges))
+    state, ran, two_m, sym, deg = _run_sweep(und, None, rounds, sweep, assignment)
     codelength = _codelength(sym, deg, state, two_m)
     n_modules = state.select("c").distinct().count()
     # the inputs are consumed; only the final state backs the (lazy)
@@ -302,6 +284,188 @@ def infomap_local_move(
             "wall_sec": time.time() - t0,
         },
         _caches=[state],
+    )
+
+
+def _run_sweep(
+    und: DataFrame,
+    loops: DataFrame | None,
+    rounds: int,
+    sweep: str,
+    assignment: DataFrame | None = None,
+):
+    """Sweep to (early-stopped) fixpoint over a pinned (a,b,w) simple
+    view + optional (id,w) loops. Returns (state pinned, rounds_run,
+    two_m, sym pinned, deg pinned) — caller releases sym/deg/state."""
+    sym = pin_table(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
+        .repartition("nbr")
+        .sortWithinPartitions("nbr")
+    )
+    deg = pin_table(_degrees(und, loops))
+    two_m = 2 * int(und.agg(F.sum("w")).first()[0] or 0)
+    if loops is not None:
+        two_m += 2 * int(loops.agg(F.sum("w")).first()[0] or 0)
+        ext = _degrees(und, None).withColumnRenamed("d", "dx")
+        degx = pin_table(
+            deg.select("id")
+            .join(ext, "id", "left")
+            .select("id", F.coalesce("dx", F.lit(0)).cast("long").alias("dx"))
+        )
+    else:
+        degx = deg.select("id", F.col("d").alias("dx"))
+    if assignment is None:
+        state = deg.select("id", F.col("id").alias("c"))
+    else:
+        state = (
+            deg.select("id")
+            .join(
+                assignment.select("id", F.col("module").cast("long").alias("c")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("c", F.col("id")).alias("c"))
+        )
+    state = pin_table(state)
+    ran = 0
+    zero_streak = 0
+    for r in range(1, rounds + 1):
+        new_state = pin_table(
+            _infomap_round(sym, deg, degx, state, two_m, _movable(r, sweep))
+        )
+        n_moved = (
+            new_state.alias("new")
+            .join(state.alias("old"), "id")
+            .filter(F.col("new.c") != F.col("old.c"))
+            .count()
+        )
+        release_state(state)
+        state = new_state
+        ran = r
+        if n_moved == 0:
+            zero_streak += 1
+            if zero_streak >= _SWEEPS[sweep]:
+                break
+        else:
+            zero_streak = 0
+    if loops is not None:
+        release_state(degx)
+    return state, ran, two_m, sym, deg
+
+
+def infomap(
+    edges: DataFrame,
+    max_levels: int = 3,
+    rounds_per_level: int = 8,
+    sweep: str = "hash",
+) -> InfomapResult:
+    """Full multilevel InfoMap (the reference procedure's shape):
+    sweep to fixpoint, contract each module into a super-node
+    (cross-module weights sum; intra mass + prior loops become
+    self-loops — weights stay BIGINT at every level, so the sweep
+    algebra is as deterministic as level 1), repeat. Every level's
+    refined mapping is scored EXACTLY on the ORIGINAL graph and only
+    kept if the true two-level codelength improves — the same
+    best-cut guard as ``louvain`` (joint synchronized moves are
+    individually, not jointly, safe). Returns the original-node
+    assignment of the best-scoring level."""
+    if sweep not in _SWEEPS:
+        raise ValueError(f"bad sweep {sweep}")
+    t0 = time.time()
+    und0 = pin_table(_und_long(edges))
+    sym0 = pin_table(
+        und0.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
+        .unionByName(
+            und0.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+        )
+    )
+    deg0 = pin_table(_degrees(und0, None))
+    two_m0 = 2 * int(und0.agg(F.sum("w")).first()[0] or 0)
+    mapping = pin_table(deg0.select("id", F.col("id").alias("c")))
+    best_l = _codelength(sym0, deg0, mapping, two_m0)
+    und, loops = und0, None
+    levels = 0
+    rounds_run = 0
+    for _ in range(max_levels):
+        state, ran, _, sym, deg = _run_sweep(und, loops, rounds_per_level, sweep)
+        rounds_run += ran
+        refined = pin_table(
+            mapping.alias("m")
+            .join(state.alias("s"), F.col("m.c") == F.col("s.id"))
+            .select(F.col("m.id").alias("id"), F.col("s.c").alias("c"))
+        )
+        l_ref = _codelength(sym0, deg0, refined, two_m0)
+        n_modules = state.select("c").distinct().count()
+        n_nodes = state.count()
+        release_state(sym)
+        release_state(deg)
+        if l_ref >= best_l - 1e-12:
+            release_state(refined)
+            release_state(state)
+            break
+        best_l = l_ref
+        release_state(mapping)
+        mapping = refined
+        levels += 1
+        if n_modules == n_nodes:
+            release_state(state)
+            break
+        # contract: module graph with BIGINT weights
+        sa = state.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+        sb = state.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+        e2 = und.join(sa, "a").join(sb, "b")
+        und_next = pin_table(
+            e2.filter(F.col("ca") != F.col("cb"))
+            .groupBy(
+                F.least("ca", "cb").alias("a"), F.greatest("ca", "cb").alias("b")
+            )
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        intra = e2.filter(F.col("ca") == F.col("cb")).groupBy(
+            F.col("ca").alias("id")
+        ).agg(F.sum("w").cast("long").alias("w"))
+        if loops is not None:
+            prior = (
+                loops.alias("l")
+                .join(state.alias("s"), F.col("l.id") == F.col("s.id"))
+                .groupBy(F.col("s.c").alias("id"))
+                .agg(F.sum("l.w").cast("long").alias("w"))
+            )
+            intra = (
+                intra.unionByName(prior)
+                .groupBy("id")
+                .agg(F.sum("w").cast("long").alias("w"))
+            )
+        loops_next = pin_table(intra)
+        if loops is not None:
+            release_state(loops)
+        if und is not und0:
+            release_state(und)
+        und, loops = und_next, loops_next
+        release_state(state)
+    if und is not und0:
+        release_state(und)
+    if loops is not None:
+        release_state(loops)
+    n_final = mapping.select("c").distinct().count()
+    release_state(sym0)
+    release_state(und0)
+    release_state(deg0)
+    result = attach_caches(
+        mapping.select("id", F.col("c").alias("module")), [mapping]
+    )
+    return InfomapResult(
+        assignment=result,
+        rounds_run=rounds_run,
+        codelength=best_l,
+        stats={
+            "two_m": two_m0,
+            "levels": levels,
+            "n_modules": n_final,
+            "wall_sec": time.time() - t0,
+        },
+        _caches=[mapping],
     )
 
 
@@ -383,15 +547,17 @@ def infomap_sql(edges_sql: str, rounds: int, sweep: str = "sync") -> str:
         )
         parts.append(
             f"""cut{t} AS MATERIALIZED (
-  SELECT sa.c AS m, SUM(CASE WHEN sb.c <> sa.c THEN 1 ELSE 0 END) AS cut
-  FROM sym s JOIN s{p} sa ON sa.id = s.node JOIN s{p} sb ON sb.id = s.nbr
-  GROUP BY sa.c)"""
+  SELECT sd{t}.m, coalesce(cr.cut, 0) AS cut FROM sd{t} LEFT JOIN (
+    SELECT sa.c AS m, SUM(CASE WHEN sb.c <> sa.c THEN 1 ELSE 0 END) AS cut
+    FROM sym s JOIN s{p} sa ON sa.id = s.node JOIN s{p} sb ON sb.id = s.nbr
+    GROUP BY sa.c) cr ON cr.m = sd{t}.m)"""
         )
         parts.append(f"q{t} AS (SELECT SUM(cut) AS q_tot FROM cut{t})")
         parts.append(
             f"""sc{t} AS (SELECT b.id, b.cand, b.c,
   {_delta_expr('two_m')} AS delta
   FROM (SELECT cand{t}.id, cand{t}.cand, cand{t}.e AS e_b, s{p}.c, deg.d,
+               deg.d AS dx,
                ec.e_a, sda.sd AS sd_a, cta.cut AS cut_a,
                sdb.sd AS sd_b, ctb.cut AS cut_b, q{t}.q_tot, m2.two_m
         FROM cand{t}

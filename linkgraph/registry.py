@@ -31,7 +31,8 @@ PROCEDURES = {
     "minimum_spanning_forest": ("linkgraph.mst.minimum_spanning_forest", "algo.mst", False),
     "k_spanning_tree": ("linkgraph.mst.k_spanning_tree", "algo.spanningTree.kmin/.kmax", True),
     "betweenness_centrality": ("linkgraph.betweenness.betweenness_centrality", "algo.betweenness[.stream] (sampled: RA-Brandes lineage)", False),
-    "infomap": ("linkgraph.infomap.infomap_local_move", "algo.infoMap", True),
+    "infomap": ("linkgraph.infomap.infomap_local_move", "algo.infoMap (local-move sweep)", True),
+    "infomap_multilevel": ("linkgraph.infomap.infomap", "algo.infoMap", False),
     "k_core": ("linkgraph.kcore.k_core", "(engine extension: iterative peeling)", True),
     "core_numbers": ("linkgraph.kcore.core_numbers", "(engine extension: h-index coreness)", True),
     "anf": ("linkgraph.anf.anf", "(engine extension: HyperBall neighborhood function)", True),

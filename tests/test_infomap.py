@@ -79,3 +79,27 @@ def test_infomap_duckdb_twin(spark, cliques, sweep, rounds):
 def test_infomap_bad_sweep(spark, cliques):
     with pytest.raises(ValueError):
         infomap_local_move(cliques, sweep="zigzag")
+
+
+def test_infomap_multilevel_ring_of_cliques(spark):
+    from linkgraph.infomap import infomap
+
+    # three 4-cliques ring-connected by single bridges
+    edges = []
+    for base in (0, 10, 20):
+        nodes = [base + i for i in range(1, 5)]
+        edges += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    edges += [(4, 11), (14, 21), (24, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = infomap(e, max_levels=3, rounds_per_level=10)
+    got = {r["id"]: r["module"] for r in res.assignment.collect()}
+    assert res.stats["n_modules"] == 3
+    for base in (0, 10, 20):
+        assert len({got[base + i] for i in range(1, 5)}) == 1
+    # guard: the returned codelength equals the assignment's true L
+    truth = spark.createDataFrame(
+        [(i, b) for b in (0, 10, 20) for i in range(b + 1, b + 5)],
+        "id long, module long",
+    )
+    assert abs(map_equation(e, truth) - res.codelength) < 1e-9
+    res.release()
