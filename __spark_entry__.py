@@ -531,6 +531,14 @@ def _jp_nation_sql() -> str:
     return jones_plassmann_sql(TRADE_NATION_SQL, 42, 25)
 
 
+def _q_graphlets_nation(spark, sf_dir):
+    """3/4-node graphlet counts (wedges, triangles, 4-cycles,
+    4-cliques) on the trade graph — BIGINT-exact subgraph counts
+    (linkgraph/graphs.py#graphlet_counts)."""
+    from linkgraph.graphs import graphlet_counts
+    return graphlet_counts(_trade_nation_edges(spark, sf_dir))
+
+
 def _q_bfs_trade_nation(spark, sf_dir):
     """algo.bfs.stream: canonical level-order traversal (depth = hop
     distance, id tie-break) of the trade graph from nation 0
@@ -545,6 +553,11 @@ def _q_dfs_trade_nation(spark, sf_dir):
     as a single-row recursive CTE (linkgraph/traversal.py)."""
     from linkgraph.traversal import dfs_stream
     return dfs_stream(_trade_nation_edges(spark, sf_dir), source=0)
+
+
+def _graphlets_nation_sql() -> str:
+    from linkgraph.graphs import GRAPHLET_COUNTS_SQL_TEMPLATE
+    return GRAPHLET_COUNTS_SQL_TEMPLATE.format(edges=TRADE_NATION_SQL)
 
 
 def _bfs_nation_sql() -> str:
@@ -1784,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "bfs_trade_nation": _q_bfs_trade_nation,
+        "graphlets_trade_nation": _q_graphlets_nation,
         "dfs_trade_nation": _q_dfs_trade_nation,
         "apsp_weighted_nation": _q_apsp_weighted_nation,
         "apsp_weighted_sampled_nation": _q_apsp_weighted_sampled_nation,
@@ -2503,6 +2517,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
         "bfs_trade_nation": _bfs_nation_sql(),
+        "graphlets_trade_nation": _graphlets_nation_sql(),
         "dfs_trade_nation": _dfs_nation_sql(),
         "apsp_weighted_nation": _apsp_weighted_sql(TRADE_NATION_W_SQL),
         "apsp_weighted_sampled_nation": _apsp_weighted_sql(

@@ -54,6 +54,7 @@ from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_re
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
 from linkgraph.graphs import (
     degree_assortativity,
+    graphlet_counts,
     degree_centrality,
     degree_histogram,
     induced_subgraph,
@@ -168,6 +169,7 @@ __all__ = [
     "is_finite",
     "is_infinite",
     "degree_assortativity",
+    "graphlet_counts",
     "degree_centrality",
     "induced_subgraph",
     "sample_edges",

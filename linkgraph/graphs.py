@@ -480,3 +480,97 @@ SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_edges,
              ELSE 0.0 END, 6) AS reciprocity
 FROM pairs
 """
+
+
+def graphlet_counts(edges: DataFrame) -> DataFrame:
+    """Global 3/4-node graphlet counts over the undirected simple
+    view: one row (n_wedges, n_triangles, n_4cycles, n_4cliques).
+    Subgraph (not induced) counts — a chorded 4-cycle still counts.
+
+    Exactness: every count is a BIGINT aggregate —
+      wedges    = Σ_w d_w(d_w−1)/2,
+      triangles = id-oriented a<b<c two-hop join,
+      4-cycles  = Σ_{x<y} C(codeg(x,y), 2) / 2 (each C4 has exactly
+                  two opposite pairs, so the sum is even and the
+                  integer halving exact),
+      4-cliques = oriented triangles extended by a fourth node d>c
+                  adjacent to all three (each K4 counted once at its
+                  sorted orientation).
+    The DuckDB twin replays the identical joins.
+
+    Scale notes (100TB): wedges/codeg cost Σd² (the triangle-count
+    class — pair with hub_cap-style capping on power-law graphs);
+    the K4 join's cost is its OUTPUT size, which on dense graphs
+    grows as n⁴/24 — this is an honest enumeration, gate it on a
+    degree-histogram probe before running at scale. Σ C(λ,2) stays
+    in int64 to ~3e9 wedge pairs per endpoint pair; cast the λ
+    moments to decimal(38,0) beyond.
+    """
+    from linkgraph.triangles import _undirected_simple
+
+    und = _undirected_simple(edges)  # (a, b), a < b
+    sym = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = sym.groupBy("w").agg(F.count("*").cast("long").alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    tri = (
+        e1.join(und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .join(und.select(F.col("a"), F.col("b").alias("c")).withColumn("hit3", F.lit(1)), ["a", "c"])
+    )
+    n_tri = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    codeg = (
+        sym.select("w", "x")
+        .join(sym.select("w", F.col("x").alias("y")), "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("lam"))
+    )
+    c4 = codeg.agg(
+        F.coalesce(F.sum(F.expr("lam * (lam - 1) div 2")), F.lit(0)).alias("s")
+    ).select(F.expr("s div 2").cast("long").alias("n_4cycles"))
+    k4 = (
+        tri.select("a", "b", "c")
+        .join(und.select(F.col("a").alias("c"), F.col("b").alias("d")), "c")
+        .join(und.select(F.col("a").alias("b"), F.col("b").alias("d")), ["b", "d"])
+        .join(und.select("a", F.col("b").alias("d")), ["a", "d"])
+        .agg(F.count("*").cast("long").alias("n_4cliques"))
+    )
+    return (
+        wedges.crossJoin(n_tri).crossJoin(c4).crossJoin(k4).select(
+            F.coalesce("n_wedges", F.lit(0)).cast("long").alias("n_wedges"),
+            "n_triangles",
+            "n_4cycles",
+            "n_4cliques",
+        )
+    )
+
+
+GRAPHLET_COUNTS_SQL_TEMPLATE = """
+WITH eraw AS ({edges}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM eraw WHERE src <> dst),
+sym AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT w, COUNT(*) AS d FROM sym GROUP BY w),
+tri AS (SELECT e1.a, e1.b, e2.c
+        FROM und e1
+        JOIN (SELECT a AS b, b AS c FROM und) e2 USING (b)
+        JOIN (SELECT a, b AS c FROM und) e3 USING (a, c)),
+codeg AS (SELECT s1.x, s2.y, COUNT(*) AS lam
+          FROM sym s1 JOIN (SELECT w, x AS y FROM sym) s2 USING (w)
+          WHERE s1.x < s2.y GROUP BY s1.x, s2.y),
+k4 AS (SELECT COUNT(*) AS n
+       FROM tri
+       JOIN (SELECT a AS c, b AS d FROM und) f1 USING (c)
+       JOIN (SELECT a AS b, b AS d FROM und) f2 USING (b, d)
+       JOIN (SELECT a, b AS d FROM und) f3 USING (a, d))
+SELECT CAST(COALESCE((SELECT SUM(d * (d - 1)) FROM deg), 0) // 2 AS BIGINT)
+         AS n_wedges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST(COALESCE((SELECT SUM(lam * (lam - 1) // 2) FROM codeg), 0) // 2
+         AS BIGINT) AS n_4cycles,
+       CAST((SELECT n FROM k4) AS BIGINT) AS n_4cliques
+"""

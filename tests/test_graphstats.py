@@ -245,3 +245,29 @@ def test_reciprocity_duckdb_twin(spark):
     sql = RECIPROCITY_SQL_TEMPLATE.format(edges=f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
     want = duckdb.connect().execute(sql).fetchone()
     assert got == tuple(want)
+
+
+def test_graphlet_counts_golden(spark):
+    import duckdb
+
+    from linkgraph.graphs import GRAPHLET_COUNTS_SQL_TEMPLATE, graphlet_counts
+
+    # K4 on 1-4 (4 tri, 3 chorded C4s, 1 K4), a pure C4 ring 5-8,
+    # a pendant (wedge mass only), duplicate + reversed + loop edges
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (6, 7), (7, 8), (8, 5), (1, 9),
+             (2, 1), (3, 3), (1, 2)]
+    sql = ("SELECT * FROM (VALUES "
+           + ", ".join(f"({a}, {b})" for a, b in edges) + ") t(src, dst)")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = tuple(graphlet_counts(e).collect()[0])
+    assert got == (19, 4, 4, 1)
+    want = duckdb.sql(GRAPHLET_COUNTS_SQL_TEMPLATE.format(edges=sql)).fetchall()[0]
+    assert got == want
+
+
+def test_graphlet_counts_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    from linkgraph.graphs import graphlet_counts
+
+    assert tuple(graphlet_counts(e).collect()[0]) == (0, 0, 0, 0)
