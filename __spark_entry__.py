@@ -1412,6 +1412,14 @@ def _q_c4_clean(spark, sf_dir):
     return c4_clean(_docs(spark, sf_dir))
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher quality gates (word count / mean word length / symbol
+    ratio / bullet & ellipsis lines / alpha words / stopword hits),
+    map-only (linkgraph/pipeline/text.py#gopher_quality)."""
+    from linkgraph.pipeline.text import gopher_quality
+    return gopher_quality(_docs(spark, sf_dir))
+
+
 def _q_dup_structure(spark, sf_dir):
     """Gopher structural repetition: duplicate line/paragraph count
     and char-mass fractions, map-only (linkgraph/pipeline/text.py)."""
@@ -1858,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_dup_structure": _q_dup_structure,
         "text_c4_clean": _q_c4_clean,
+        "text_gopher_quality": _q_gopher_quality,
         "text_vocab_topk": _q_vocab,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
@@ -2698,6 +2707,7 @@ def _pipeline_oracles() -> dict[str, str]:
         REPETITION_SCORES_SQL,
         DUPLICATE_STRUCTURE_SQL,
         c4_clean_sql,
+        gopher_quality_sql,
         SOURCE_MIX_SQL,
         TOKEN_STATS_SQL,
         fingerprints_sql,
@@ -2767,6 +2777,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_repetition": REPETITION_SCORES_SQL,
         "text_dup_structure": DUPLICATE_STRUCTURE_SQL,
         "text_c4_clean": c4_clean_sql(),
+        "text_gopher_quality": gopher_quality_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,

@@ -51,6 +51,7 @@ from linkgraph.pipeline.text import (
     normalize_text,
     pmi_collocations,
     c4_clean,
+    gopher_quality,
     duplicate_structure_stats,
     repetition_scores,
     source_mix,
@@ -97,7 +98,7 @@ __all__ = [
     "corpus_shuffle", "pack_sequences", "chunk_documents",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
-    "repetition_scores", "duplicate_structure_stats", "c4_clean", "vocab_stats", "containment_pairs",
+    "repetition_scores", "duplicate_structure_stats", "c4_clean", "gopher_quality", "vocab_stats", "containment_pairs",
     "pmi_collocations",
     "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",

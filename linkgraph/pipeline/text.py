@@ -446,6 +446,146 @@ FROM s
 """
 
 
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality gates (Rae et al. 2021 §A1.1, the rule set
+    FineWeb re-uses): per-doc (n_words, mean_word_len,
+    symbol_word_ratio, bullet_frac, ellipsis_frac, alpha_word_frac,
+    n_stop_hits, kept). Words = non-empty whitespace tokens; symbols
+    = '#' plus '...'/'…' ellipses; bullet lines start with -, *, or
+    •; alpha words contain at least one ASCII letter; stop hits =
+    DISTINCT English stopwords present (the engine's standing list).
+    Every ratio is an integer pair divided once and ROUND 6 — the
+    DuckDB twin is value-exact. Pure per-row JVM map, shuffle-free.
+    """
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda w: w != F.lit(""))
+    nw = F.size(words)
+    nwd = F.greatest(nw, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
+    n_ell = (
+        (F.length("text") - F.length(F.replace("text", F.lit("...")))) / F.lit(3)
+        + F.length("text")
+        - F.length(F.replace("text", F.lit("…")))
+    ).cast("long")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(lines, lambda x: x.substr(1, 1).isin("-", "*", "•"))
+    )
+    ellip = F.size(
+        F.filter(
+            lines,
+            lambda x: x.substr(F.length(x) - 2, F.lit(3)).eqNullSafe("...")
+            | x.substr(F.length(x), F.lit(1)).eqNullSafe("…"),
+        )
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_hits = _stopword_hits("en")
+    mean_wl = F.round(word_chars.cast("double") / nwd, 6)
+    sym_ratio = F.round((n_hash + n_ell).cast("double") / nwd, 6)
+    bullet_frac = F.round(bullet.cast("double") / nl, 6)
+    ellipsis_frac = F.round(ellip.cast("double") / nl, 6)
+    alpha_frac = F.round(alpha.cast("double") / nwd, 6)
+    kept = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        kept.alias("kept"),
+    )
+
+
+def gopher_quality_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of ``gopher_quality`` — same integer pairs, same
+    single divisions, same thresholds on the ROUNDED values."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+           AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS nw,
+         CAST(greatest(len(words), 1) AS DOUBLE) AS nwd,
+         coalesce(list_sum(list_transform(words,
+                  x -> CAST(len(x) AS BIGINT))), 0) AS word_chars,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           + (length(text) - length(replace(text, '…', ''))) AS n_sym,
+         CAST(greatest(len(lines), 1) AS DOUBLE) AS nld,
+         len(list_filter(lines, x -> substr(x, 1, 1) IN ('-', '*', '•')))
+           AS n_bullet,
+         len(list_filter(lines, x -> substr(x, length(x) - 2, 3) = '...'
+                                   OR substr(x, length(x), 1) = '…'))
+           AS n_ellip,
+         len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+           AS n_alpha,
+         {_sw_sql('en')} AS stop_hits
+  FROM t)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       ROUND(CAST(word_chars AS DOUBLE) / nwd, 6) AS mean_word_len,
+       ROUND(CAST(n_sym AS DOUBLE) / nwd, 6) AS symbol_word_ratio,
+       ROUND(CAST(n_bullet AS DOUBLE) / nld, 6) AS bullet_frac,
+       ROUND(CAST(n_ellip AS DOUBLE) / nld, 6) AS ellipsis_frac,
+       ROUND(CAST(n_alpha AS DOUBLE) / nwd, 6) AS alpha_word_frac,
+       CAST(stop_hits AS BIGINT) AS n_stop_hits,
+       (nw >= {min_words} AND nw <= {max_words}
+        AND ROUND(CAST(word_chars AS DOUBLE) / nwd, 6) >= {min_mean_word_len}
+        AND ROUND(CAST(word_chars AS DOUBLE) / nwd, 6) <= {max_mean_word_len}
+        AND ROUND(CAST(n_sym AS DOUBLE) / nwd, 6) <= {max_symbol_word_ratio}
+        AND ROUND(CAST(n_bullet AS DOUBLE) / nld, 6) <= {max_bullet_frac}
+        AND ROUND(CAST(n_ellip AS DOUBLE) / nld, 6) <= {max_ellipsis_frac}
+        AND ROUND(CAST(n_alpha AS DOUBLE) / nwd, 6) >= {min_alpha_word_frac}
+        AND stop_hits >= {min_stop_hits}) AS kept
+FROM m
+"""
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """(doc_id, norm_text, n_chars_norm): the canonicalization pass
     that runs BEFORE hashing/dedup so cosmetic variants collide —

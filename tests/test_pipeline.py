@@ -1420,3 +1420,39 @@ def test_c4_clean_golden(spark):
     want = {r[0]: r for r in con.execute(c4_clean_sql()).fetchall()}
     for did, row in got.items():
         assert tuple(row.values()) == want[did], (did, row, want[did])
+
+
+def test_gopher_quality_golden(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import gopher_quality, gopher_quality_sql
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest where it finds "
+            "many other animals that live quietly near the old river "
+            "bank under tall trees with wide branches and soft leaves "
+            "covering the warm ground every single day of the year")
+    docs = [
+        (1, good),                                   # passes every gate
+        (2, "short text."),                          # < 50 words
+        (3, "- one\n- two\n- three\nplain line"),    # bullet_frac 0.75
+        (4, "a… line…\nanother…\nmore text here…"),  # ellipsis lines
+        (5, "# " * 60),                              # symbol ratio 1.0
+        (6, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[1]["kept"]
+    assert got[1]["n_words"] == 52 and got[1]["alpha_word_frac"] == 1.0
+    assert not got[2]["kept"]
+    assert got[3]["bullet_frac"] == 0.75
+    assert got[4]["ellipsis_frac"] == 1.0
+    assert got[5]["symbol_word_ratio"] == 1.0 and not got[5]["kept"]
+    assert got[6]["n_words"] == 0 and not got[6]["kept"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = {r[0]: r for r in con.execute(gopher_quality_sql()).fetchall()}
+    for did, row in got.items():
+        assert tuple(row.values()) == want[did], (did, row, want[did])
