@@ -168,6 +168,15 @@ def _q_louvain_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.assignment
 
 
+def _q_refine_louvain_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style refinement of the Louvain purchase assignment:
+    split communities into connected parts (canonical min-id labels;
+    linkgraph/community.py#refine_communities)."""
+    from linkgraph.community import louvain_local_move, refine_communities
+    res = louvain_local_move(purchase_edges(spark, sf_dir), rounds=3, sweep="alternate")
+    return refine_communities(purchase_edges(spark, sf_dir), res.assignment)
+
+
 def _q_infomap_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfoMap (algo.infoMap): 2 hash-gated map-equation sweeps on the
     co-supplier graph. Value-exact twin: the ΔL expression is the SAME
@@ -236,6 +245,13 @@ def _louvain_purchase_sql() -> str:
 def _louvain_cosupplier_sql() -> str:
     from linkgraph.community import louvain_local_sql
     return louvain_local_sql(COSUPPLIER_EDGES_SQL, 2, sweep="sync")
+
+
+def _refine_louvain_purchase_sql() -> str:
+    from linkgraph.community import louvain_local_sql, refine_communities_sql
+    return refine_communities_sql(
+        PURCHASE_EDGES_SQL, louvain_local_sql(PURCHASE_EDGES_SQL, 3, sweep="alternate")
+    )
 
 
 def _infomap_cosupplier_sql() -> str:
@@ -1780,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_purchase_alt3": _q_louvain_purchase,
         "louvain_cosupplier_sync2": _q_louvain_cosupplier,
         "infomap_cosupplier_2r": _q_infomap_cosupplier,
+        "refine_louvain_purchase": _q_refine_louvain_purchase,
         "edge_support_cosupplier": _q_edge_support,
         "ktruss4_cosupplier": _q_ktruss4,
         "triangle_count_cosupplier": _q_triangle_count,
@@ -2062,6 +2079,7 @@ SELECT id, label FROM best WHERE rk = 1
         "louvain_purchase_alt3": _louvain_purchase_sql(),
         "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),
         "infomap_cosupplier_2r": _infomap_cosupplier_sql(),
+        "refine_louvain_purchase": _refine_louvain_purchase_sql(),
         "edge_support_cosupplier": _edge_support_sql(),
         "ktruss4_cosupplier": _ktruss4_sql(),
         "balanced_triads_cosupplier": f"""

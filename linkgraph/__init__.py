@@ -79,6 +79,7 @@ from linkgraph.community import (
     louvain,
     louvain_local_move,
     modularity,
+    refine_communities,
 )
 from linkgraph.infomap import (
     InfomapResult,
@@ -189,6 +190,7 @@ __all__ = [
     "community_stats",
     "louvain",
     "louvain_local_move",
+    "refine_communities",
     "InfomapResult",
     "infomap",
     "infomap_local_move",

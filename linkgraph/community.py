@@ -846,3 +846,70 @@ SELECT tot.n AS n_nodes,
                   ELSE 0.0 END, 6) AS nmi
 FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
 """
+
+
+def refine_communities(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Leiden-style refinement (Traag, Waltman, van Eck 2019, public):
+    split every community into its CONNECTED parts. Louvain/LPA can
+    emit internally disconnected communities (the Leiden paper's core
+    defect report); refinement runs connected components on each
+    community's INDUCED subgraph and relabels each part canonically
+    (min member id). Nodes with no intra-community edge become
+    singletons.
+
+    Returns (id, community). Scale shape: one join to drop
+    inter-community edges, then the engine's frontier delta-iteration
+    WCC on the (strictly smaller) intra-edge table — community
+    boundaries need no extra keying because no edge crosses them.
+    """
+    from linkgraph.components import connected_components
+
+    asg = assignment.select(
+        "id", F.col("community").cast("long").alias("community")
+    )
+    sa = asg.select(F.col("id").alias("src"), F.col("community").alias("ca"))
+    sb = asg.select(F.col("id").alias("dst"), F.col("community").alias("cb"))
+    intra = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .join(sa, "src")
+        .join(sb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .select("src", "dst")
+    )
+    res = connected_components(intra)
+    out = (
+        asg.join(res.components, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("community"))
+    )
+    return out
+
+
+def refine_communities_sql(edges_sql: str, assignment_sql: str) -> str:
+    """Oracle: min-label reachability (recursive UNION) restricted to
+    intra-community edges; unreached nodes keep their own id."""
+    # rf-prefixed CTE names: assignment_sql is often itself a full
+    # WITH...SELECT (e.g. the unrolled Louvain oracle) whose CTE names
+    # would otherwise collide when nested as a subquery
+    return f"""
+WITH RECURSIVE
+rf_e AS ({edges_sql}),
+rf_asg AS (SELECT id, CAST(community AS BIGINT) AS community
+           FROM ({assignment_sql})),
+rf_intra AS (
+  SELECT rf_e.src, rf_e.dst FROM rf_e
+  JOIN rf_asg a ON a.id = rf_e.src
+  JOIN rf_asg b ON b.id = rf_e.dst
+  WHERE rf_e.src <> rf_e.dst AND a.community = b.community),
+rf_und AS (SELECT src, dst FROM rf_intra
+           UNION ALL SELECT dst, src FROM rf_intra),
+rf_nodes AS (SELECT DISTINCT src AS id FROM rf_und),
+rf_reach(id, comp) AS (
+  SELECT id, id FROM rf_nodes
+  UNION
+  SELECT u.dst, r.comp FROM rf_reach r JOIN rf_und u ON u.src = r.id
+),
+rf_cc AS (SELECT id, MIN(comp) AS comp FROM rf_reach GROUP BY id)
+SELECT rf_asg.id, COALESCE(rf_cc.comp, rf_asg.id) AS community
+FROM rf_asg LEFT JOIN rf_cc ON rf_cc.id = rf_asg.id
+"""

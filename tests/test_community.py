@@ -301,3 +301,31 @@ def test_compare_assignments_python_replay(spark):
     assert row.ari == pytest.approx(round(ari, 6), abs=1e-9)
     assert row.nmi == pytest.approx(round(mi / math.sqrt(hx * hy), 6), abs=1e-9)
     assert 0.0 <= row.nmi <= 1.0 and -0.5 <= row.ari <= 1.0
+
+
+def test_refine_communities_splits_disconnected(spark):
+    import duckdb
+
+    from linkgraph.community import refine_communities, refine_communities_sql
+
+    # community 100 = two disconnected triangles {1,2,3} and {7,8,9};
+    # community 200 = connected path {4,5,6}; node 10 isolated in 200
+    edges = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9),
+             (4, 5), (5, 6), (3, 4)]  # 3-4 crosses communities
+    asg = [(i, 100) for i in (1, 2, 3, 7, 8, 9)] + [
+        (i, 200) for i in (4, 5, 6, 10)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = spark.createDataFrame(asg, "id long, community long")
+    got = {r["id"]: r["community"] for r in refine_communities(e, a).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[7], got[8], got[9]} == {7}
+    assert {got[4], got[5], got[6]} == {4}
+    assert got[10] == 10  # no intra edge -> singleton
+
+    e_sql = ("SELECT * FROM (VALUES "
+             + ", ".join(f"({a_}, {b_})" for a_, b_ in edges) + ") t(src, dst)")
+    a_sql = ("SELECT * FROM (VALUES "
+             + ", ".join(f"({i}, {c})" for i, c in asg) + ") t(id, community)")
+    want = dict(duckdb.sql(refine_communities_sql(e_sql, a_sql)).fetchall())
+    assert got == want
