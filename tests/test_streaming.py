@@ -182,3 +182,35 @@ def test_stream_transitions_match_batch(spark, events_stream_dir, tmp_path):
     ev = spark.read.parquet(events_stream_dir)
     want = {(r.from_type, r.to_type): r.n for r in transition_matrix(ev).collect()}
     assert got == want
+
+
+def test_stateless_text_ops_stream_equals_batch(spark, tmp_path):
+    """The map-only corpus operators (gopher_quality, c4_clean,
+    duplicate_structure_stats) are stateless Catalyst plans, so the
+    SAME call works on readStream input — streamed results must equal
+    the batch run row-for-row."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.text import gopher_quality
+    from linkgraph.streaming import run_available_now
+
+    src = str(tmp_path / "docs_in")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_available_now(
+        gopher_quality(stream), "gq_stream_x", str(tmp_path / "ckpt")
+    )
+    streamed = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("SELECT * FROM gq_stream_x").collect()
+    }
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in gopher_quality(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch and len(batch) > 0

@@ -95,17 +95,29 @@ def test_triangle_result_release(spark):
     from linkgraph import triangle_count
     from linkgraph.ids import edges_from_pairs
 
+    def rdd_ids():
+        # id SETS, not counts: the ContextCleaner may unregister
+        # earlier tests' dropped caches at any moment, which made a
+        # count-based delta flaky in full-suite runs
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+
     spark.catalog.clearCache()
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    before = rdd_ids()
     _nodes, edges = edges_from_pairs(
         spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
     )
     res = triangle_count(edges)
     assert res.triangle_count == 1
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
+    created = rdd_ids() - before
+    assert created
     res.release()
     # the fixture's own persisted nodes frame may remain; engine caches gone
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before + 1
+    assert len(rdd_ids() & created) <= 1
     assert res.triangles.count() == 1
 
 
