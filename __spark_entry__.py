@@ -768,6 +768,71 @@ def _q_scc_returns(spark, sf_dir):
     return res.components.select("id", "scc")
 
 
+ORDERCHAIN_SQL = """
+WITH ord AS (
+  SELECT o_custkey, o_orderkey AS k,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+SELECT a.k AS src, b.k AS dst FROM ord a JOIN ord b
+  ON a.o_custkey = b.o_custkey
+ AND (b.rn = a.rn + 1 OR (a.rn = 1 AND b.rn > a.rn + 1))
+"""
+
+
+def _orderchain_edges(spark, sf_dir):
+    """Order-succession DAG: each customer's orders chained by date
+    (rn -> rn+1) plus star edges first-order -> every later order, so
+    levels exercise the multi-predecessor max (level(k) = rn(k)-1)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordr = o.select(
+        "o_custkey", F.col("o_orderkey").alias("k"), F.row_number().over(w).alias("rn")
+    )
+    a = ordr.select(F.col("o_custkey").alias("ck"), F.col("k").alias("src"),
+                    F.col("rn").alias("ra"))
+    b = ordr.select(F.col("o_custkey").alias("ck"), F.col("k").alias("dst"),
+                    F.col("rn").alias("rb"))
+    return (
+        a.join(b, "ck")
+        .filter(
+            (F.col("rb") == F.col("ra") + 1)
+            | ((F.col("ra") == 1) & (F.col("rb") > F.col("ra") + 1))
+        )
+        .select("src", "dst")
+    )
+
+
+def _q_topo_levels_orderchain(spark, sf_dir):
+    """Kahn-round topological levels over the order-succession DAG —
+    frontier-only max-relaxation, one algorithmic shuffle per round
+    (linkgraph/dag.py). Oracle: recursive longest-path CTE."""
+    from linkgraph.dag import topological_levels
+    res = topological_levels(_orderchain_edges(spark, sf_dir))
+    return res.levels.select("id", F.col("level").cast("long").alias("level"))
+
+
+def _q_condensation_returns(spark, sf_dir):
+    """SCC condensation of the returns digraph: distinct inter-component
+    edges, acyclic by construction (linkgraph/dag.py)."""
+    from linkgraph.dag import condensation
+    res = condensation(_returns_digraph(spark, sf_dir))
+    return res.comp_edges.select("src", "dst")
+
+
+def _q_condensation_levels_returns(spark, sf_dir):
+    """topological_levels composed over the condensation DAG — the
+    'build order with cycles collapsed' query (linkgraph/dag.py)."""
+    from linkgraph.dag import condensation, topological_levels
+    cond = condensation(_returns_digraph(spark, sf_dir))
+    res = topological_levels(cond.comp_edges)
+    return res.levels.select("id", F.col("level").cast("long").alias("level"))
+
+
 def _q_betweenness_nation(spark, sf_dir):
     """Exact Brandes over the (25-node) nation trade graph. Oracle:
     unrolled per-level sigma/delta DP in SQL (same two-pass Brandes
@@ -862,6 +927,32 @@ def _reciprocity_sql_wrapped() -> str:
 def _induced_sql_wrapped() -> str:
     from linkgraph.graphs import induced_subgraph_sql
     return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
+
+
+def _dup_spans_sql_wrapped() -> str:
+    from linkgraph.pipeline.dedup import duplicate_spans_sql
+    return duplicate_spans_sql(k=6)
+
+
+def _topo_orderchain_sql() -> str:
+    from linkgraph.dag import topological_levels_sql
+    sql = topological_levels_sql(ORDERCHAIN_SQL)
+    return sql.replace(
+        "MAX(level) AS level", "CAST(MAX(level) AS BIGINT) AS level"
+    )
+
+
+def _condensation_returns_sql() -> str:
+    from linkgraph.dag import condensation_sql
+    return condensation_sql(RETURNS_DIGRAPH_SQL)
+
+
+def _condensation_levels_returns_sql() -> str:
+    from linkgraph.dag import condensation_levels_sql
+    sql = condensation_levels_sql(RETURNS_DIGRAPH_SQL)
+    return sql.replace(
+        "MAX(level) AS level", "CAST(MAX(level) AS BIGINT) AS level"
+    )
 
 
 def _eigenvector_sql_wrapped() -> str:
@@ -1317,6 +1408,14 @@ def _q_exact_dedup(spark, sf_dir):
 def _q_jaccard_pairs(spark, sf_dir):
     from linkgraph.pipeline import jaccard_pairs
     return jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """ExactSubstr duplicated-span detection (Lee et al. 2022) at
+    window granularity k=6 — per-doc maximal token spans whose every
+    k-window repeats corpus-wide (linkgraph/pipeline/dedup.py)."""
+    from linkgraph.pipeline.dedup import duplicate_spans
+    return duplicate_spans(_docs(spark, sf_dir), k=6)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -1836,6 +1935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangalchev_nation": _q_dangalchev_nation,
         "harmonic_sampled_nation": _q_harmonic_sampled_nation,
         "scc_returns": _q_scc_returns,
+        "topo_levels_orderchain": _q_topo_levels_orderchain,
+        "condensation_returns": _q_condensation_returns,
+        "condensation_levels_returns": _q_condensation_levels_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
@@ -1865,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
         "dedup_exact": _q_exact_dedup,
+        "dup_spans_documents": _q_dup_spans,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_jaccard_df_capped": _q_jaccard_df_capped,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -2575,6 +2678,9 @@ FROM nodes nd LEFT JOIN (
 """,
         "harmonic_sampled_nation": harmonic_sampled_sql,
         "scc_returns": scc_sql,
+        "topo_levels_orderchain": _topo_orderchain_sql(),
+        "condensation_returns": _condensation_returns_sql(),
+        "condensation_levels_returns": _condensation_levels_returns_sql(),
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
@@ -2753,6 +2859,7 @@ def _pipeline_oracles() -> dict[str, str]:
 
     return {
         "dedup_exact": EXACT_DEDUP_SQL,
+        "dup_spans_documents": _dup_spans_sql_wrapped(),
         "dedup_jaccard_pairs": jaccard_pairs_sql(n=3, threshold=0.8),
         "dedup_jaccard_df_capped": jaccard_pairs_df_capped_sql(
             n=3, threshold=0.8, df_cap=50

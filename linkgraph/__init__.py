@@ -112,6 +112,12 @@ from linkgraph.truss import (
     k_truss,
 )
 from linkgraph.loader import GraphCatalog, LinkGraph
+from linkgraph.dag import (
+    CycleError,
+    condensation,
+    is_dag,
+    topological_levels,
+)
 
 __all__ = [
     "get_spark",
@@ -131,6 +137,10 @@ __all__ = [
     "TriangleResult",
     "strongly_connected_components",
     "SccResult",
+    "topological_levels",
+    "condensation",
+    "is_dag",
+    "CycleError",
     "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",

@@ -671,3 +671,112 @@ FROM cand JOIN {table} d1 ON d1.doc_id = doc1
 WHERE abs(len(d1.text) - len(d2.text)) <= {max_dist}
   AND levenshtein(d1.text, d2.text) <= {max_dist}
 """
+
+
+# -------------------------------------------------- duplicate token spans
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occ: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    arXiv:2107.06499): every k-token window whose exact token sequence
+    occurs at >= ``min_occ`` positions corpus-wide (suffix-array
+    semantics approximated at window granularity) is duplicated;
+    per-document runs of overlapping duplicated windows merge into
+    maximal spans.
+
+    Returns DataFrame(doc_id, span_start, span_end, n_windows) with
+    token-index bounds (end inclusive): the removal set a training
+    pipeline would cut, without mutating the text (compose with
+    substring surgery downstream).
+
+    Scale shape (100 TB): windows shuffle as 60-bit md5 hashes (never
+    window text); the occurrence count is one map-side-combinable
+    groupBy; the duplicated-window filter is a semi join on the hash;
+    span merging is a per-document window function over only the
+    duplicated positions (a tiny fraction of the corpus). Window
+    explosion is ~n_tokens rows per doc — the same fan as shingling,
+    bounded per partition by input split size.
+    """
+    toks = F.split(F.col(text_col), " ", -1)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" p -> array_join(slice(toks, p + 1, {k}), chr(31)))"
+            )
+        ).alias("p", "wtext"),
+    ).select("doc_id", "p", stable_hash64(F.col("wtext")).alias("h"))
+    common = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occ)
+        .select("h")
+    )
+    dup = wins.join(common, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    flagged = dup.withColumn(
+        "brk",
+        F.when(
+            F.lag("p").over(w).isNull() | (F.col("p") - F.lag("p").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicate_spans_sql(
+    k: int = 8, min_occ: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin: identical tokenization (literal single-space
+    split), window construction (1-based inclusive list slice), md5
+    window hash, occurrence gate, and gaps-and-islands merge."""
+    h = stable_hash64_sql("wtext")
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {table}
+  WHERE len(string_split(text, ' ')) >= {k}),
+w AS (
+  SELECT doc_id, g.p AS p,
+         array_to_string(toks[g.p + 1 : g.p + {k}], chr(31)) AS wtext
+  FROM t, UNNEST(generate_series(0, len(toks) - {k})) AS g(p)),
+hashed AS (SELECT doc_id, p, {h} AS h FROM w),
+common AS (SELECT h FROM (SELECT h, COUNT(*) AS occ FROM hashed GROUP BY h)
+           WHERE occ >= {min_occ}),
+dup AS (SELECT hashed.* FROM hashed SEMI JOIN common USING (h)),
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+isl AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {k} - 1 AS BIGINT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
