@@ -807,6 +807,39 @@ def _orderchain_edges(spark, sf_dir):
     )
 
 
+NATION_SUPPLIER_SQL = (
+    TRADE_NATION_SQL.strip()
+    + "\nUNION ALL\nSELECT s_nationkey AS src, 1000 + s_suppkey AS dst FROM supplier"
+)
+
+
+def _nation_supplier_edges(spark, sf_dir):
+    """Nation trade core (cycles) plus one leaf edge per supplier to
+    its nation — bridge/cut-vertex-rich by construction: every
+    supplier leaf edge is a bridge, every nation with suppliers is a
+    cut vertex, while the dense trade core has neither."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_nationkey").alias("src"),
+        (F.lit(1000) + F.col("s_suppkey")).alias("dst"),
+    )
+    return _trade_nation_edges(spark, sf_dir).union(s)
+
+
+def _q_bridges_nation_supplier(spark, sf_dir):
+    """Distributed bridges: spanning forest + Euler-tour list ranking
+    + XOR-tag subtree covering (linkgraph/bridges.py). Oracle: the
+    DEFINITION — per-edge-exclusion recursive reachability."""
+    from linkgraph.bridges import bridges
+    return bridges(_nation_supplier_edges(spark, sf_dir)).bridges
+
+
+def _q_articulation_nation_supplier(spark, sf_dir):
+    """Cut vertices (size-gated exact Tarjan — linkgraph/bridges.py).
+    Oracle: per-vertex-exclusion neighbor reachability."""
+    from linkgraph.bridges import articulation_points
+    return articulation_points(_nation_supplier_edges(spark, sf_dir))
+
+
 def _q_topo_levels_orderchain(spark, sf_dir):
     """Kahn-round topological levels over the order-succession DAG —
     frontier-only max-relaxation, one algorithmic shuffle per round
@@ -932,6 +965,16 @@ def _induced_sql_wrapped() -> str:
 def _dup_spans_sql_wrapped() -> str:
     from linkgraph.pipeline.dedup import duplicate_spans_sql
     return duplicate_spans_sql(k=6)
+
+
+def _bridges_sql_wrapped() -> str:
+    from linkgraph.bridges import bridges_sql
+    return bridges_sql(NATION_SUPPLIER_SQL)
+
+
+def _articulation_sql_wrapped() -> str:
+    from linkgraph.bridges import articulation_points_sql
+    return articulation_points_sql(NATION_SUPPLIER_SQL)
 
 
 def _topo_orderchain_sql() -> str:
@@ -1938,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_levels_orderchain": _q_topo_levels_orderchain,
         "condensation_returns": _q_condensation_returns,
         "condensation_levels_returns": _q_condensation_levels_returns,
+        "bridges_nation_supplier": _q_bridges_nation_supplier,
+        "articulation_nation_supplier": _q_articulation_nation_supplier,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
@@ -2681,6 +2726,8 @@ FROM nodes nd LEFT JOIN (
         "topo_levels_orderchain": _topo_orderchain_sql(),
         "condensation_returns": _condensation_returns_sql(),
         "condensation_levels_returns": _condensation_levels_returns_sql(),
+        "bridges_nation_supplier": _bridges_sql_wrapped(),
+        "articulation_nation_supplier": _articulation_sql_wrapped(),
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),

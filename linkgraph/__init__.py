@@ -118,6 +118,7 @@ from linkgraph.dag import (
     is_dag,
     topological_levels,
 )
+from linkgraph.bridges import articulation_points, bridges
 
 __all__ = [
     "get_spark",
@@ -141,6 +142,8 @@ __all__ = [
     "condensation",
     "is_dag",
     "CycleError",
+    "bridges",
+    "articulation_points",
     "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",

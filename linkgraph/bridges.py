@@ -1,0 +1,368 @@
+"""Bridges and articulation points of an undirected graph.
+
+Reference lineage: cut-edge/cut-vertex analysis is the classic
+companion of the connectivity procedures the reference family ships
+(unionFind / SCC — SURVEY.md §2.1/§2.2 anchors); single-node engines
+compute both with one Tarjan DFS. DFS does not distribute, so the
+bridge path here is the PRAM-style spanning-tree + Euler-tour
+reduction (Tarjan–Vishkin, SIAM J. Comput. 1985, re-expressed on
+DataFrames):
+
+1. spanning forest T (Borůvka — reuses linkgraph.mst);
+2. non-tree edges XOR a 64-bit deterministic tag (xxhash64 of the
+   canonical edge key) into BOTH endpoints;
+3. root every tree at its component's min node and lay out the Euler
+   tour: successor(u→v) = (v→w) with w the cyclically-next neighbor
+   of v after u in sorted tree adjacency — pure window functions;
+4. tour positions by pointer-doubling list ranking (O(log n)
+   self-joins, lineage-truncated via SuperstepLoop);
+5. per-component prefix-XOR over first-visit node tags (bit_xor
+   window); the subtree XOR of child c is then two prefix lookups.
+
+A tree edge (parent, c) is covered by exactly the non-tree edges with
+ONE endpoint in subtree(c) — for ANY spanning tree, those are the
+edges whose tree path uses (parent, c). Edges with both endpoints
+inside cancel (h XOR h = 0), so subtree-XOR == 0 ⟺ the covering set
+is empty ⟺ bridge, up to hash collision: a non-empty set XOR-ing to
+exactly 0 requires a 64-bit coincidence (P < m·2^-64 corpus-wide —
+the same determinism/one-sided-error budget the MinHash band gates
+document). Non-tree edges are never bridges.
+
+Every stage is a bounded number of shuffles on (comp, position) or
+arc keys — no per-edge recomputation, no driver collection — so the
+path holds at 10^12-edge scale. Articulation points additionally need
+subtree range-MIN/MAX (low/high values), which unlike XOR are not
+invertible prefix lookups; the full Tarjan–Vishkin auxiliary-graph
+construction is the scale path and is out of scope here, so
+``articulation_points`` ships the size-gated exact driver DFS with a
+clear error above the gate (the SCC local-Tarjan precedent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .checkpoint import SuperstepLoop
+from .components import connected_components
+from .mst import minimum_spanning_forest
+
+
+@dataclass
+class BridgesResult:
+    bridges: DataFrame  # (src, dst) canonical src < dst
+    tree_edges: int
+    nontree_edges: int
+    ranking_rounds: int
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResult:
+    """All bridges (cut edges) of the undirected simple graph induced
+    by ``edges`` (direction and multiplicity ignored), as canonical
+    (src < dst) pairs. See module docstring for the algorithm and its
+    one-sided 2^-64-per-edge hash-collision error bound."""
+    spark = edges.sparkSession
+    und = _canonical_undirected(edges).persist()
+
+    # 1. spanning forest + component roots (comp label IS the min node)
+    msf = minimum_spanning_forest(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                   F.lit(1.0).alias("weight"))
+    )
+    tree = msf.tree_edges.select("src", "dst").persist()
+    n_tree = tree.count()
+    comps = connected_components(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).components  # (id, comp)
+
+    # 2. non-tree tags: XOR of the edge hash into both endpoints
+    nontree = und.join(
+        tree, (und.a == tree.src) & (und.b == tree.dst), "left_anti"
+    )
+    n_nontree = nontree.count()
+    eh = F.xxhash64(F.concat_ws(":", F.col("a"), F.col("b"))).alias("h")
+    tags = (
+        nontree.select(F.col("a").alias("id"), eh)
+        .union(nontree.select(F.col("b").alias("id"), eh))
+        .groupBy("id")
+        .agg(F.expr("bit_xor(h)").alias("tag"))
+    )
+
+    if n_tree == 0:
+        und.unpersist()
+        tree.unpersist()
+        empty = spark.createDataFrame([], "src long, dst long")
+        return BridgesResult(empty, 0, n_nontree, 0)
+
+    # 3. Euler tour successor table over tree arcs
+    arcs = (
+        tree.select(F.col("src").alias("tail"), F.col("dst").alias("head"))
+        .union(tree.select(F.col("dst").alias("tail"), F.col("src").alias("head")))
+    )
+    wadj = Window.partitionBy("tail").orderBy("head")
+    adj = arcs.select(
+        "tail", "head",
+        (F.row_number().over(wadj) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("tail")).alias("deg"),
+    ).persist()
+    # successor of (u, v) = (v, next neighbor of v after u, cyclically)
+    rev = adj.select(
+        F.col("tail").alias("r_tail"), F.col("head").alias("r_head"),
+        F.col("idx").alias("r_idx"), F.col("deg").alias("r_deg"),
+    )
+    nxt = adj.select(
+        F.col("tail").alias("n_tail"), F.col("head").alias("n_head"),
+        F.col("idx").alias("n_idx"),
+    )
+    succ = (
+        adj.select("tail", "head")
+        .join(rev, (F.col("head") == F.col("r_tail")) & (F.col("tail") == F.col("r_head")))
+        .join(
+            nxt,
+            (F.col("n_tail") == F.col("head"))
+            & (F.col("n_idx") == (F.col("r_idx") + 1) % F.col("r_deg")),
+        )
+        .select(
+            F.col("tail").alias("u"), F.col("head").alias("v"),
+            F.col("head").alias("nu"), F.col("n_head").alias("nv"),
+        )
+    )
+    # break each component's circuit at the root's first out-arc
+    node_comp = comps.select(F.col("id").alias("tail"), "comp")
+    start = (
+        adj.join(node_comp, "tail")
+        .filter((F.col("tail") == F.col("comp")) & (F.col("idx") == 0))
+        .select(F.col("tail").alias("s_u"), F.col("head").alias("s_v"))
+    )
+    state = (
+        succ.join(
+            start, (succ.nu == start.s_u) & (succ.nv == start.s_v), "left"
+        )
+        .select(
+            "u", "v",
+            F.when(F.col("s_u").isNull(), F.col("nu")).alias("nu"),
+            F.when(F.col("s_u").isNull(), F.col("nv")).alias("nv"),
+            F.when(F.col("s_u").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("d"),
+        )
+    )
+
+    # 4. pointer-doubling list ranking: d = hops to the terminal arc
+    loop = SuperstepLoop(spark, checkpoint_dir=checkpoint_dir, name="euler_rank")
+    state = loop.advance(0, state)
+    rounds = 0
+    while True:
+        pending = state.filter(F.col("nu").isNotNull()).limit(1).count()
+        if pending == 0:
+            break
+        t = state.select(
+            F.col("u").alias("t_u"), F.col("v").alias("t_v"),
+            F.col("nu").alias("t_nu"), F.col("nv").alias("t_nv"),
+            F.col("d").alias("t_d"),
+        )
+        state = state.join(
+            t, (state.nu == t.t_u) & (state.nv == t.t_v), "left"
+        ).select(
+            "u", "v",
+            F.col("t_nu").alias("nu"), F.col("t_nv").alias("nv"),
+            (F.col("d") + F.coalesce("t_d", F.lit(0))).alias("d"),
+        )
+        rounds += 1
+        state = loop.advance(rounds, state, metrics={"round": rounds})
+
+    # 5. positions, first-visit tag layout, prefix XOR, interval test
+    arc_comp = state.join(
+        node_comp.withColumnRenamed("tail", "u"), "u"
+    )  # (u, v, d, comp)
+    tour_len = arc_comp.groupBy("comp").agg(F.count("*").alias("L"))
+    pos = (
+        arc_comp.join(tour_len, "comp")
+        .select("comp", "u", "v", (F.col("L") - 1 - F.col("d")).alias("p"))
+        .persist()
+    )
+    wfirst = Window.partitionBy("v").orderBy("p")
+    avals = (
+        pos.withColumn("rn", F.row_number().over(wfirst))
+        .join(tags.withColumnRenamed("id", "v"), "v", "left")
+        .select(
+            "comp", "p",
+            F.when(
+                (F.col("rn") == 1) & (F.col("v") != F.col("comp")),
+                F.coalesce("tag", F.lit(0)),
+            ).otherwise(F.lit(0)).alias("val"),
+        )
+    )
+    wpx = (
+        Window.partitionBy("comp").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = avals.select(
+        "comp", "p", F.expr("bit_xor(val)").over(wpx).alias("px")
+    ).persist()
+
+    fwd = pos.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                     F.col("comp"), F.col("p").alias("p_fwd"))
+    bwd = pos.select(F.col("v").alias("src"), F.col("u").alias("dst"),
+                     F.col("p").alias("p_bwd"))
+    spans = (
+        tree.join(fwd, ["src", "dst"])
+        .join(bwd, ["src", "dst"])
+        .select(
+            "src", "dst", "comp",
+            F.least("p_fwd", "p_bwd").alias("p1"),
+            F.greatest("p_fwd", "p_bwd").alias("p2"),
+        )
+    )
+    p_hi = prefix.select(F.col("comp"), F.col("p").alias("p2"),
+                         F.col("px").alias("px2"))
+    p_lo = prefix.select(F.col("comp"), (F.col("p") + 1).alias("p1"),
+                         F.col("px").alias("px1"))
+    out = (
+        spans.join(p_hi, ["comp", "p2"])
+        .join(p_lo, ["comp", "p1"], "left")
+        .filter(
+            F.col("px2").bitwiseXOR(F.coalesce("px1", F.lit(0))) == F.lit(0)
+        )
+        .select("src", "dst")
+    )
+    und.unpersist()
+    return BridgesResult(
+        bridges=out, tree_edges=n_tree, nontree_edges=n_nontree,
+        ranking_rounds=rounds,
+    )
+
+
+def articulation_points(
+    edges: DataFrame, local_threshold: int = 500_000
+) -> DataFrame:
+    """Cut vertices of the undirected simple graph, as DataFrame(id).
+
+    Size-gated exact path: the canonical edge list (never raw rows) is
+    collected below ``local_threshold`` edges and solved with an
+    iterative (explicit-stack) Tarjan DFS in the driver — the same
+    escape-hatch contract as SCC's local mode. Above the gate this
+    raises: cut VERTICES need subtree range-min/max (low values),
+    which the XOR-prefix trick used by :func:`bridges` cannot express;
+    the Tarjan–Vishkin auxiliary-graph construction is the documented
+    scale path.
+    """
+    spark = edges.sparkSession
+    und = _canonical_undirected(edges)
+    m = und.count()
+    if m > local_threshold:
+        raise ValueError(
+            f"articulation_points: {m} edges exceeds local_threshold="
+            f"{local_threshold}; distributed cut-vertex search "
+            "(Tarjan–Vishkin) is not implemented — raise the threshold "
+            "only if the canonical edge list fits in driver memory"
+        )
+    rows = und.collect()
+    adj: dict[int, list[int]] = {}
+    for r in rows:
+        adj.setdefault(r["a"], []).append(r["b"])
+        adj.setdefault(r["b"], []).append(r["a"])
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    cuts: set[int] = set()
+    timer = 0
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        # iterative DFS: stack of (node, parent, child-iterator index)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = timer
+        timer += 1
+        root_children = 0
+        while stack:
+            v, parent, i = stack[-1]
+            if i < len(adj[v]):
+                stack[-1] = (v, parent, i + 1)
+                w = adj[v][i]
+                if w == parent:
+                    continue
+                if w in disc:
+                    low[v] = min(low[v], disc[w])
+                else:
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    if v == root:
+                        root_children += 1
+                    stack.append((w, v, 0))
+            else:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                    if pv != root and low[v] >= disc[pv]:
+                        cuts.add(pv)
+        if root_children >= 2:
+            cuts.add(root)
+    return spark.createDataFrame(
+        [(int(c),) for c in sorted(cuts)], "id long"
+    )
+
+
+# ------------------------------------------------------------- SQL twins
+
+def bridges_sql(edges_sql: str) -> str:
+    """DuckDB oracle by DEFINITION, not by construction: edge (a, b)
+    is a bridge iff b is unreachable from a when that one edge is
+    excluded — one recursive reachability per candidate edge, all
+    carried in a single recursion keyed by the excluded edge. Exact
+    and implementation-independent (small graphs only: state is
+    O(m·n))."""
+    return f"""
+WITH RECURSIVE
+raw AS ({edges_sql}),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src != dst),
+arcs AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+reach(ea, eb, node) AS (
+  SELECT a, b, a FROM e
+  UNION
+  SELECT r.ea, r.eb, arcs.y
+  FROM reach r JOIN arcs ON arcs.x = r.node
+  WHERE NOT ((arcs.x = r.ea AND arcs.y = r.eb)
+          OR (arcs.x = r.eb AND arcs.y = r.ea))
+)
+SELECT e.a AS src, e.b AS dst
+FROM e LEFT JOIN reach r ON r.ea = e.a AND r.eb = e.b AND r.node = e.b
+WHERE r.node IS NULL
+"""
+
+
+def articulation_points_sql(edges_sql: str) -> str:
+    """DuckDB oracle by definition: v is a cut vertex iff, with v
+    excluded, some neighbor of v cannot reach v's smallest neighbor."""
+    return f"""
+WITH RECURSIVE
+raw AS ({edges_sql}),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src != dst),
+arcs AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+cand AS (SELECT DISTINCT x AS v FROM arcs),
+nbr AS (SELECT x AS v, y AS w FROM arcs),
+seed AS (SELECT v, MIN(w) AS w0 FROM nbr GROUP BY v),
+reach(v, node) AS (
+  SELECT v, w0 FROM seed
+  UNION
+  SELECT r.v, arcs.y FROM reach r JOIN arcs ON arcs.x = r.node
+  WHERE arcs.y != r.v AND arcs.x != r.v
+)
+SELECT DISTINCT n.v AS id
+FROM nbr n LEFT JOIN reach r ON r.v = n.v AND r.node = n.w
+WHERE r.node IS NULL
+ORDER BY 1
+"""
