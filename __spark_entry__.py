@@ -807,6 +807,57 @@ def _orderchain_edges(spark, sf_dir):
     )
 
 
+TEMPORAL_RETURNS_SQL = """
+SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst,
+       CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+UNION ALL
+SELECT DISTINCT 1000000 + l_suppkey AS src, o_custkey AS dst,
+       CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + 30 AS BIGINT) AS ts
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+"""
+
+
+def _temporal_returns_edges(spark, sf_dir):
+    """Timestamped digraph: customer -> supplier arcs dated by order
+    day (epoch anchored 1990-01-01), supplier -> customer return arcs
+    30 days later — multi-hop time-respecting journeys exist exactly
+    when a later purchase follows an earlier return."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01")).cast("long")
+    fwd = j.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        day.alias("ts"),
+    ).distinct()
+    bwd = (
+        j.filter(F.col("l_returnflag") == "R")
+        .select(
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("src"),
+            F.col("o_custkey").alias("dst"),
+            (day + F.lit(30)).alias("ts"),
+        )
+        .distinct()
+    )
+    return fwd.union(bwd)
+
+
+def _q_earliest_arrival_returns(spark, sf_dir):
+    """Temporal earliest-arrival from customer 0 over the dated
+    purchase/return digraph (linkgraph/temporal.py). Oracle: recursive
+    journey expansion with the time guard in the join."""
+    from linkgraph.temporal import earliest_arrival
+    res = earliest_arrival(_temporal_returns_edges(spark, sf_dir), source=0)
+    return res.arrivals.select("id", "arrival")
+
+
 NATION_SUPPLIER_SQL = (
     TRADE_NATION_SQL.strip()
     + "\nUNION ALL\nSELECT s_nationkey AS src, 1000 + s_suppkey AS dst FROM supplier"
@@ -965,6 +1016,11 @@ def _induced_sql_wrapped() -> str:
 def _dup_spans_sql_wrapped() -> str:
     from linkgraph.pipeline.dedup import duplicate_spans_sql
     return duplicate_spans_sql(k=6)
+
+
+def _earliest_arrival_sql_wrapped() -> str:
+    from linkgraph.temporal import earliest_arrival_sql
+    return earliest_arrival_sql(TEMPORAL_RETURNS_SQL, "0", start_ts=0)
 
 
 def _bridges_sql_wrapped() -> str:
@@ -1983,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_levels_returns": _q_condensation_levels_returns,
         "bridges_nation_supplier": _q_bridges_nation_supplier,
         "articulation_nation_supplier": _q_articulation_nation_supplier,
+        "earliest_arrival_returns": _q_earliest_arrival_returns,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
@@ -2728,6 +2785,7 @@ FROM nodes nd LEFT JOIN (
         "condensation_levels_returns": _condensation_levels_returns_sql(),
         "bridges_nation_supplier": _bridges_sql_wrapped(),
         "articulation_nation_supplier": _articulation_sql_wrapped(),
+        "earliest_arrival_returns": _earliest_arrival_sql_wrapped(),
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),

@@ -119,6 +119,7 @@ from linkgraph.dag import (
     topological_levels,
 )
 from linkgraph.bridges import articulation_points, bridges
+from linkgraph.temporal import earliest_arrival
 
 __all__ = [
     "get_spark",
@@ -144,6 +145,7 @@ __all__ = [
     "CycleError",
     "bridges",
     "articulation_points",
+    "earliest_arrival",
     "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",

@@ -1,0 +1,96 @@
+"""Temporal earliest-arrival paths (linkgraph/temporal.py)."""
+
+import pytest
+
+from linkgraph.temporal import earliest_arrival, earliest_arrival_sql
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, ts long")
+
+
+def test_time_respecting_only(spark):
+    # 0 -(t5)-> 1 -(t3)-> 2: the second edge departs BEFORE arrival at
+    # 1, so 2 is unreachable; 1 -(t7)-> 3 works
+    e = _edges(spark, [(0, 1, 5), (1, 2, 3), (1, 3, 7)])
+    res = earliest_arrival(e, source=0, start_ts=0)
+    got = {r.id: r.arrival for r in res.arrivals.collect()}
+    assert got == {0: 0, 1: 5, 3: 7}
+
+
+def test_earliest_not_fewest_hops(spark):
+    # direct edge at t10 vs two-hop journey arriving t4: earliest wins
+    e = _edges(spark, [(0, 3, 10), (0, 1, 1), (1, 3, 4)])
+    res = earliest_arrival(e, source=0)
+    got = {r.id: r.arrival for r in res.arrivals.collect()}
+    assert got[3] == 4
+
+
+def test_strict_requires_increasing_ts(spark):
+    e = _edges(spark, [(0, 1, 5), (1, 2, 5)])
+    non_strict = earliest_arrival(e, source=0)
+    assert {r.id: r.arrival for r in non_strict.arrivals.collect()}[2] == 5
+    strict = earliest_arrival(e, source=0, strict=True)
+    assert 2 not in {r.id for r in strict.arrivals.collect()}
+
+
+def test_start_ts_gates_departure(spark):
+    e = _edges(spark, [(0, 1, 5)])
+    assert earliest_arrival(e, source=0, start_ts=6).arrivals.count() == 1
+    assert earliest_arrival(e, source=0, start_ts=5).arrivals.count() == 2
+
+
+def test_later_round_can_improve_arrival(spark):
+    # long chain reaching node 4 at t4; a slow direct edge t9 first —
+    # the min lattice must settle to 4
+    e = _edges(
+        spark,
+        [(0, 4, 9), (0, 1, 1), (1, 2, 2), (2, 3, 3), (3, 4, 4)],
+    )
+    res = earliest_arrival(e, source=0)
+    assert {r.id: r.arrival for r in res.arrivals.collect()}[4] == 4
+
+
+def test_duckdb_twin_randomized(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(9)
+    rows = [
+        (rng.randrange(12), rng.randrange(12), rng.randrange(1, 20))
+        for _ in range(40)
+    ]
+    rows = [r for r in rows if r[0] != r[1]]
+    e = _edges(spark, rows)
+    got = {
+        (r.id, r.arrival)
+        for r in earliest_arrival(e, source=rows[0][0]).arrivals.collect()
+    }
+    con = duckdb.connect()
+    con.register("tedges", e.toPandas())
+    sql = earliest_arrival_sql(
+        "SELECT src, dst, ts FROM tedges", str(rows[0][0])
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_resume_matches_uninterrupted(spark, tmp_path):
+    e = _edges(
+        spark, [(0, 1, 1), (1, 2, 2), (2, 3, 3), (3, 4, 4), (4, 5, 5)]
+    )
+    want = {
+        (r.id, r.arrival)
+        for r in earliest_arrival(e, source=0).arrivals.collect()
+    }
+    ckpt = str(tmp_path / "ea")
+    partial = earliest_arrival(
+        e, source=0, max_rounds=2, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    assert partial.rounds == 2
+    res = earliest_arrival(
+        e, source=0, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+    )
+    got = {(r.id, r.arrival) for r in res.arrivals.collect()}
+    assert got == want
