@@ -926,6 +926,17 @@ def _q_betweenness_nation(spark, sf_dir):
     return res.scores.select("id", F.round("centrality", 6).alias("centrality"))
 
 
+def _q_edge_betweenness_nation(spark, sf_dir):
+    """Girvan-Newman edge betweenness over the nation trade graph
+    (linkgraph/betweenness.py edge_betweenness). Oracle: the node
+    oracle's unrolled DP extended with per-level arc credits."""
+    from linkgraph.betweenness import edge_betweenness
+    res = edge_betweenness(_trade_nation_edges(spark, sf_dir), direction="BOTH")
+    return res.scores.select(
+        "src", "dst", F.round("centrality", 6).alias("centrality")
+    )
+
+
 def _q_apsp_weighted_nation(spark, sf_dir):
     """Weighted APSP via the batched multi-source relax (one job per
     round for ALL sources). Oracle: directed min-plus doubling."""
@@ -2066,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_walks_cosupplier": _q_weighted_walks_cosupplier,
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
+        "edge_betweenness_nation": _q_edge_betweenness_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
         "dedup_exact": _q_exact_dedup,
@@ -2598,6 +2610,36 @@ ON s.id = n.id"""
     return "".join(parts)
 
 
+def _brandes_edge_sql(edge_sql: str, max_level: int = 8) -> str:
+    """Edge-betweenness twin of _brandes_sql: the same unrolled
+    forward sigma / backward delta DP, but each level additionally
+    emits per-arc credits sigma_v * (1 + delta_w) / sigma_w for arcs
+    between consecutive BFS levels; both orientations collapse onto
+    the canonical pair with the 0.5 undirected scale."""
+    base = _brandes_sql(edge_sql, max_level=max_level)
+    # keep everything up to (and excluding) the final alldel SELECT
+    head = base[: base.index(",\nalldel AS (")]
+    parts = [head]
+    for l in range(0, max_level):
+        parts.append(
+            f""",
+ed{l} AS MATERIALIZED (
+  SELECT g.source, g.id AS v, w.id AS w,
+         g.sigma * (1.0 + w.delta) / w.sigma AS c
+  FROM sig{l} g JOIN sym s ON s.src = g.id
+  JOIN del{l+1} w ON w.source = g.source AND w.id = s.dst)"""
+        )
+    alled = " UNION ALL ".join(f"SELECT * FROM ed{l}" for l in range(0, max_level))
+    parts.append(
+        f""",
+alled AS ({alled})
+SELECT LEAST(v, w) AS src, GREATEST(v, w) AS dst,
+       ROUND(0.5 * SUM(c), 6) AS centrality
+FROM alled GROUP BY 1, 2"""
+    )
+    return "".join(parts)
+
+
 def _paths_oracles() -> dict[str, str]:
     from linkgraph.paths import (
         eccentricity_sql,
@@ -2900,6 +2942,7 @@ SELECT id,
        (x IS NOT NULL AND isinf(x)) AS infinite
 FROM v""",
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
+        "edge_betweenness_nation": _brandes_edge_sql(TRADE_NATION_SQL),
         "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),
     }
 

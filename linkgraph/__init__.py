@@ -40,7 +40,12 @@ from linkgraph.mst import (
     MstResult,
     KSpanningResult,
 )
-from linkgraph.betweenness import betweenness_centrality, BetweennessResult
+from linkgraph.betweenness import (
+    betweenness_centrality,
+    edge_betweenness,
+    BetweennessResult,
+    EdgeBetweennessResult,
+)
 from linkgraph.kcore import k_core, core_numbers, KCoreResult, CorenessResult
 from linkgraph.anf import (
     anf,
@@ -171,6 +176,8 @@ __all__ = [
     "MstResult",
     "KSpanningResult",
     "betweenness_centrality",
+    "edge_betweenness",
+    "EdgeBetweennessResult",
     "k_core",
     "core_numbers",
     "KCoreResult",
