@@ -849,6 +849,27 @@ def _temporal_returns_edges(spark, sf_dir):
     return fwd.union(bwd)
 
 
+def _q_latest_departure_returns(spark, sf_dir):
+    """Backward temporal dual: latest departure reaching customer 0 by
+    day 5000 (linkgraph/temporal.py latest_departure)."""
+    from linkgraph.temporal import latest_departure
+    res = latest_departure(
+        _temporal_returns_edges(spark, sf_dir), target=0, deadline=5000
+    )
+    return res.arrivals.select("id", "departure")
+
+
+def _q_matching_cosupplier(spark, sf_dir):
+    """Deterministic greedy maximal matching over the co-supplier
+    graph (linkgraph/matching.py); the md5 edge priority makes the
+    parallel local-minimum rounds reproduce the sequential greedy
+    result, which the oracle unrolls round-by-round."""
+    from linkgraph.matching import maximal_matching
+    res = maximal_matching(cosupplier_edges(spark, sf_dir))
+    assert res.rounds <= 12, "oracle unrolls 12 rounds"
+    return res.matching
+
+
 def _q_earliest_arrival_returns(spark, sf_dir):
     """Temporal earliest-arrival from customer 0 over the dated
     purchase/return digraph (linkgraph/temporal.py). Oracle: recursive
@@ -1032,6 +1053,16 @@ def _dup_spans_sql_wrapped() -> str:
 def _earliest_arrival_sql_wrapped() -> str:
     from linkgraph.temporal import earliest_arrival_sql
     return earliest_arrival_sql(TEMPORAL_RETURNS_SQL, "0", start_ts=0)
+
+
+def _latest_departure_sql_wrapped() -> str:
+    from linkgraph.temporal import latest_departure_sql
+    return latest_departure_sql(TEMPORAL_RETURNS_SQL, "0", deadline=5000)
+
+
+def _matching_sql_wrapped() -> str:
+    from linkgraph.matching import maximal_matching_sql
+    return maximal_matching_sql(COSUPPLIER_EDGES_SQL, rounds=12)
 
 
 def _bridges_sql_wrapped() -> str:
@@ -2051,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges_nation_supplier": _q_bridges_nation_supplier,
         "articulation_nation_supplier": _q_articulation_nation_supplier,
         "earliest_arrival_returns": _q_earliest_arrival_returns,
+        "latest_departure_returns": _q_latest_departure_returns,
+        "matching_cosupplier": _q_matching_cosupplier,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
@@ -2828,6 +2861,8 @@ FROM nodes nd LEFT JOIN (
         "bridges_nation_supplier": _bridges_sql_wrapped(),
         "articulation_nation_supplier": _articulation_sql_wrapped(),
         "earliest_arrival_returns": _earliest_arrival_sql_wrapped(),
+        "latest_departure_returns": _latest_departure_sql_wrapped(),
+        "matching_cosupplier": _matching_sql_wrapped(),
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),

@@ -124,7 +124,8 @@ from linkgraph.dag import (
     topological_levels,
 )
 from linkgraph.bridges import articulation_points, bridges
-from linkgraph.temporal import earliest_arrival
+from linkgraph.temporal import earliest_arrival, latest_departure
+from linkgraph.matching import maximal_matching, MatchingResult
 
 __all__ = [
     "get_spark",
@@ -151,6 +152,9 @@ __all__ = [
     "bridges",
     "articulation_points",
     "earliest_arrival",
+    "latest_departure",
+    "maximal_matching",
+    "MatchingResult",
     "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",

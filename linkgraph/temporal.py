@@ -133,3 +133,94 @@ r(id, arr) AS (
 )
 SELECT id, MIN(arr) AS arrival FROM r GROUP BY id
 """
+
+
+def latest_departure(
+    edges: DataFrame,
+    target: int,
+    deadline: int,
+    strict: bool = False,
+    max_rounds: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> TemporalResult:
+    """Latest time each node can depart and still reach ``target`` by
+    ``deadline`` via a time-respecting journey — the backward dual of
+    :func:`earliest_arrival` (max lattice over reversed edges: an edge
+    (v, u, ts) is usable iff ts <= departure(u), and departing v at ts
+    is feasible). The target row carries ``deadline``. Returns only
+    nodes that can reach the target at all.
+    """
+    e = edges.select("src", "dst", F.col("ts").cast("long").alias("ts"))
+    spark = e.sparkSession
+
+    loop = SuperstepLoop(
+        spark, checkpoint_dir=checkpoint_dir, every=checkpoint_every,
+        name="latest_departure",
+    )
+    start_round = 0
+    state = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            start_round, state = resumed
+    if state is None:
+        state = spark.createDataFrame(
+            [(int(target), int(deadline), True)],
+            "id long, departure long, changed boolean",
+        )
+        state = loop.advance(0, state)
+
+    if max_rounds is None:
+        max_rounds = (
+            e.select("src").union(e.select("dst")).distinct().count()
+        )
+
+    guard = (F.col("ts") < F.col("departure")) if strict else (
+        F.col("ts") <= F.col("departure")
+    )
+    rounds = start_round
+    while rounds < max_rounds:
+        frontier = state.filter(F.col("changed")).select("id", "departure")
+        cand = (
+            frontier.join(e, (frontier.id == e.dst) & guard)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max("ts").alias("cand"))
+        )
+        merged = (
+            state.select("id", "departure")
+            .join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.greatest("departure", "cand").alias("departure"),
+                (
+                    F.col("departure").isNull()
+                    | (F.coalesce("cand", F.lit(-(2**62))) > F.col("departure"))
+                ).alias("changed"),
+            )
+        )
+        rounds += 1
+        state = loop.advance(rounds, merged, metrics={"round": rounds})
+        if state.filter(F.col("changed")).limit(1).count() == 0:
+            break
+
+    return TemporalResult(
+        arrivals=state.select("id", F.col("departure")), rounds=rounds
+    )
+
+
+def latest_departure_sql(
+    edges_sql: str, target_sql: str, deadline: int, strict: bool = False
+) -> str:
+    op = "<" if strict else "<="
+    return f"""
+WITH RECURSIVE
+e AS MATERIALIZED ({edges_sql}),
+r(id, dep) AS (
+  SELECT ({target_sql}), CAST({deadline} AS BIGINT)
+  UNION
+  SELECT e.src, e.ts FROM r JOIN e ON e.dst = r.id AND e.ts {op} r.dep
+)
+SELECT id, MAX(dep) AS departure FROM r GROUP BY id
+"""
