@@ -1045,6 +1045,11 @@ def _induced_sql_wrapped() -> str:
     return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
 
 
+def _cross_contamination_sql_wrapped() -> str:
+    from linkgraph.pipeline.dedup import cross_jaccard_sql
+    return cross_jaccard_sql("doc_id % 7 = 0", n=3, threshold=0.8)
+
+
 def _dup_spans_sql_wrapped() -> str:
     from linkgraph.pipeline.dedup import duplicate_spans_sql
     return duplicate_spans_sql(k=6)
@@ -1557,6 +1562,18 @@ def _q_dup_spans(spark, sf_dir):
     k-window repeats corpus-wide (linkgraph/pipeline/dedup.py)."""
     from linkgraph.pipeline.dedup import duplicate_spans
     return duplicate_spans(_docs(spark, sf_dir), k=6)
+
+
+def _q_cross_contamination(spark, sf_dir):
+    """Fuzzy train/eval contamination: MinHash-banded cross-corpus
+    near-dup pairs of documents vs the doc_id%7 benchmark slice
+    (linkgraph/pipeline/dedup.py cross_minhash_pairs). Oracle: brute
+    cross Jaccard (LSH miss probability ~1e-9 at these params)."""
+    from linkgraph.pipeline.dedup import cross_minhash_pairs
+    docs = _docs(spark, sf_dir)
+    return cross_minhash_pairs(
+        docs, docs.filter("doc_id % 7 = 0"), n=3, threshold=0.8
+    )
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -2115,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (documents / embeddings)
         "dedup_exact": _q_exact_dedup,
         "dup_spans_documents": _q_dup_spans,
+        "cross_contamination_minhash": _q_cross_contamination,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_jaccard_df_capped": _q_jaccard_df_capped,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -3043,6 +3061,7 @@ def _pipeline_oracles() -> dict[str, str]:
     return {
         "dedup_exact": EXACT_DEDUP_SQL,
         "dup_spans_documents": _dup_spans_sql_wrapped(),
+        "cross_contamination_minhash": _cross_contamination_sql_wrapped(),
         "dedup_jaccard_pairs": jaccard_pairs_sql(n=3, threshold=0.8),
         "dedup_jaccard_df_capped": jaccard_pairs_df_capped_sql(
             n=3, threshold=0.8, df_cap=50

@@ -780,3 +780,129 @@ SELECT doc_id,
        COUNT(*) AS n_windows
 FROM isl GROUP BY doc_id, island
 """
+
+
+# ----------------------------------------- cross-corpus fuzzy contamination
+
+def cross_minhash_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fuzzy train/eval contamination: every (doc_id, bench_id) pair
+    with word-n-gram Jaccard >= threshold, found via MinHash banding
+    across TWO corpora instead of a self-join — the near-duplicate
+    complement of curate.decontaminate's exact n-gram gate (a light
+    paraphrase or whitespace change defeats exact n-grams; it barely
+    moves Jaccard).
+
+    Scale shape: both corpora shingle once; band keys equi-join so the
+    training side never fans out beyond colliding buckets, and only
+    candidates reach the exact verification join. The benchmark side
+    is typically tiny — Catalyst broadcasts it on its own. Identity
+    rows (same id in both tables) are excluded.
+    """
+    r = num_hashes // bands
+
+    def _banded(sh: DataFrame, id_out: str) -> DataFrame:
+        sig = sh.groupBy("doc_id").agg(
+            *[
+                F.min(stable_hash64(F.col("shingle"), salt=i)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        band_structs = []
+        for b in range(bands):
+            cols = [F.col(f"h{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+                )
+            )
+        return sig.select(
+            F.col("doc_id").alias(id_out),
+            F.explode(F.array(*band_structs)).alias("bk"),
+        ).select(
+            id_out, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        ).persist()
+
+    sh_d = _word_shingles(docs, n).persist()
+    sh_b = _word_shingles(benchmark, n).persist()
+    bd = _banded(sh_d, "doc_id")
+    bb = _banded(sh_b, "bench_id")
+    cand = (
+        bd.join(bb, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    a = sh_d.select("doc_id", "shingle")
+    b2 = sh_b.select(F.col("doc_id").alias("bench_id"), "shingle")
+    inter = (
+        cand.join(a, "doc_id")
+        .join(b2, ["bench_id", "shingle"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("i"))
+    )
+    cd = sh_d.groupBy("doc_id").agg(F.count("*").alias("c1"))
+    cb = sh_b.groupBy("doc_id").agg(F.count("*").alias("c2")).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    out = (
+        inter.join(cd, "doc_id")
+        .join(cb, "bench_id")
+        .select(
+            "doc_id", "bench_id",
+            F.round(
+                F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return attach_caches(out, [sh_d, sh_b, bd, bb])
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Documents surviving the fuzzy contamination gate: anti-join on
+    :func:`cross_minhash_pairs` hits."""
+    hits = cross_minhash_pairs(
+        docs, benchmark, n=n, threshold=threshold, **lsh_kwargs
+    ).select("doc_id").distinct()
+    return docs.join(hits, "doc_id", "left_anti")
+
+
+def cross_jaccard_sql(
+    bench_where: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    """Brute-force cross-corpus oracle (the same role jaccard_pairs_sql
+    plays for the self-join LSH path: at 32 hashes / 8 bands a
+    >=0.8-similar pair misses with probability ~1e-9, so brute force
+    and LSH agree on the driver fixtures)."""
+    assert n == 3, "oracle SQL is written for n=3"
+    shingles = _shingles_sql(n).strip()
+    return f"""
+WITH
+sd AS MATERIALIZED ({shingles}),
+sb AS MATERIALIZED (
+  SELECT * FROM sd WHERE doc_id IN (SELECT doc_id FROM documents WHERE {bench_where})),
+inter AS (
+  SELECT sd.doc_id AS doc_id, sb.doc_id AS bench_id, COUNT(*) AS i
+  FROM sd JOIN sb ON sd.shingle = sb.shingle AND sd.doc_id != sb.doc_id
+  GROUP BY 1, 2),
+card AS (SELECT doc_id, COUNT(*) AS c FROM sd GROUP BY doc_id)
+SELECT i.doc_id, i.bench_id,
+       ROUND(CAST(i.i AS DOUBLE) / (cd.c + cb.c - i.i), 6) AS jaccard
+FROM inter i JOIN card cd ON cd.doc_id = i.doc_id
+             JOIN card cb ON cb.doc_id = i.bench_id
+WHERE CAST(i.i AS DOUBLE) / (cd.c + cb.c - i.i) >= {threshold}
+"""
