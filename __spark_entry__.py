@@ -1045,6 +1045,11 @@ def _induced_sql_wrapped() -> str:
     return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
 
 
+def _ngram_novelty_sql_wrapped() -> str:
+    from linkgraph.pipeline.text import ngram_novelty_sql
+    return ngram_novelty_sql(n=3)
+
+
 def _cross_contamination_sql_wrapped() -> str:
     from linkgraph.pipeline.dedup import cross_jaccard_sql
     return cross_jaccard_sql("doc_id % 7 = 0", n=3, threshold=0.8)
@@ -1666,6 +1671,13 @@ def _q_langid(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-doc fraction of corpus-unique word 3-grams
+    (linkgraph/pipeline/text.py ngram_novelty)."""
+    from linkgraph.pipeline.text import ngram_novelty
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 def _q_fingerprints(spark, sf_dir):
     from linkgraph.pipeline import fingerprints
     return fingerprints(_docs(spark, sf_dir), k=16)
@@ -2148,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": _q_quality,
         "text_language_id": _q_langid,
         "text_fingerprints": _q_fingerprints,
+        "text_ngram_novelty": _q_ngram_novelty,
         "text_repetition": _q_repetition,
         "text_dup_structure": _q_dup_structure,
         "text_c4_clean": _q_c4_clean,
@@ -3101,6 +3114,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_quality_scores": QUALITY_SCORES_SQL,
         "text_language_id": LANGUAGE_ID_SQL,
         "text_fingerprints": fingerprints_sql(k=16),
+        "text_ngram_novelty": _ngram_novelty_sql_wrapped(),
         "text_repetition": REPETITION_SCORES_SQL,
         "text_dup_structure": DUPLICATE_STRUCTURE_SQL,
         "text_c4_clean": c4_clean_sql(),

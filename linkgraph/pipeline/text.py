@@ -1416,3 +1416,47 @@ SELECT gram, count, pmi, CAST(rank AS BIGINT) AS rank FROM (
          ROW_NUMBER() OVER (ORDER BY pmi DESC, gram ASC) AS rank
   FROM scored) WHERE rank <= {top_k}
 """
+
+
+# --------------------------------------------------- n-gram novelty
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word
+    n-grams that occur in NO other document (corpus df == 1) — the
+    memorization-risk complement of the dedup operators: a low score
+    means the document is mostly assembled from corpus-repeated
+    phrasing even when no single near-duplicate exists.
+
+    Returns (doc_id, n_grams, novel_frac). Scale shape: one shingle
+    explode, one map-side-combinable df count on the shingle hash, one
+    semi-join-shaped aggregation back per doc — the exact_dedup
+    shuffle discipline (never raw shingle text beyond the first
+    groupBy key, which is itself bounded by n words).
+    """
+    from linkgraph.pipeline.dedup import _word_shingles
+
+    sh = _word_shingles(docs, n)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.avg((F.col("df") == 1).cast("double")), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    from linkgraph.pipeline.dedup import _shingles_sql
+
+    return f"""
+WITH sh AS MATERIALIZED ({_shingles_sql(n).strip()}),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT sh.doc_id, COUNT(*) AS n_grams,
+       ROUND(AVG(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+FROM sh JOIN df ON df.shingle = sh.shingle
+GROUP BY sh.doc_id
+"""

@@ -93,3 +93,28 @@ def test_duckdb_twin(spark):
         for r in con.execute(cross_jaccard_sql("doc_id % 4 = 0")).fetchall()
     }
     assert got == want
+
+
+# --------------------------------------------------- n-gram novelty
+
+def test_ngram_novelty_golden_and_twin(spark):
+    import duckdb
+
+    from linkgraph.pipeline.text import ngram_novelty, ngram_novelty_sql
+
+    rows = [
+        (0, "a b c d e"),          # 3-grams: abc bcd cde
+        (1, "a b c x y"),          # shares "a b c" with doc 0
+        (2, "p q r s"),            # all unique
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_id, r.n_grams, r.novel_frac)
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    want = {(0, 3, round(2 / 3, 6)), (1, 3, round(2 / 3, 6)), (2, 2, 1.0)}
+    assert got == want
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    twin = {tuple(r) for r in con.execute(ngram_novelty_sql(n=3)).fetchall()}
+    assert got == twin
