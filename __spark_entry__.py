@@ -1045,6 +1045,14 @@ def _induced_sql_wrapped() -> str:
     return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
 
 
+def _nodesim_lsh_sql_wrapped() -> str:
+    from linkgraph.similarity import node_similarity_lsh_sql
+    nbr = (
+        f"SELECT DISTINCT e.dst AS src, e.src AS nbr FROM ({PURCHASE_EDGES_SQL}) e"
+    )
+    return node_similarity_lsh_sql(nbr, bands=16, min_similarity=0.2)
+
+
 def _ngram_novelty_sql_wrapped() -> str:
     from linkgraph.pipeline.text import ngram_novelty_sql
     return ngram_novelty_sql(n=3)
@@ -1444,6 +1452,22 @@ def _q_linkpred_purchase(spark, sf_dir):
         method="adamic_adar",
         feature_cap=50,
         top_n=100,
+    )
+
+
+def _q_nodesim_lsh_suppliers(spark, sf_dir):
+    """MinHash-banded node similarity (the 100TB all-pairs path):
+    suppliers by shared customer base, 32 hashes / 16 bands, verified
+    pairs >= 0.2 (linkgraph/similarity.py node_similarity_lsh). The
+    oracle replicates the FULL deterministic LSH machinery in SQL —
+    signatures, band keys, candidate join, exact verify."""
+    from linkgraph.similarity import node_similarity_lsh
+    return node_similarity_lsh(
+        purchase_edges(spark, sf_dir),
+        metric="jaccard",
+        direction="INCOMING",
+        bands=16,
+        min_similarity=0.2,
     )
 
 
@@ -2129,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_coproject": _q_pagerank_coproject,
         "induced_subgraph_cosupplier": _q_induced_subgraph_cosupplier,
         "nodesim_suppliers_jaccard": _q_nodesim_suppliers,
+        "nodesim_lsh_suppliers": _q_nodesim_lsh_suppliers,
         "nodesim_pearson_cosupplier": _q_nodesim_pearson_cosupplier,
         "nodesim_euclidean_cosupplier": _q_nodesim_euclidean_cosupplier,
         "linkpred_purchase_topn": _q_linkpred_purchase,
@@ -2958,6 +2983,7 @@ ORDER BY score DESC, node1 ASC, node2 ASC LIMIT 100
 """,
         "nodesim_pearson_cosupplier": _weighted_nodesim_sql_wrapped("pearson"),
         "nodesim_euclidean_cosupplier": _weighted_nodesim_sql_wrapped("euclidean"),
+        "nodesim_lsh_suppliers": _nodesim_lsh_sql_wrapped(),
         "nodesim_suppliers_jaccard": f"""
 WITH e AS ({PURCHASE_EDGES_SQL}),
 nbr AS (SELECT DISTINCT e.dst AS src, e.src AS nbr FROM e),

@@ -68,6 +68,7 @@ from linkgraph.graphs import (
 from linkgraph.eigenvector import eigenvector_centrality, hits, katz_centrality
 from linkgraph.embeddings import fastrp_embeddings, fastrp_knn
 from linkgraph.similarity import (
+    node_similarity_lsh,
     bipartite_projection,
     link_prediction,
     node_similarity,
@@ -155,6 +156,7 @@ __all__ = [
     "latest_departure",
     "maximal_matching",
     "MatchingResult",
+    "node_similarity_lsh",
     "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",

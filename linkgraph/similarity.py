@@ -546,3 +546,157 @@ FROM j CROSS JOIN nn
 WHERE CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
   AND CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
 """
+
+
+# ------------------------------------------------- LSH-accelerated pairs
+
+def node_similarity_lsh(
+    edges: DataFrame,
+    metric: str = "jaccard",
+    direction: str = "OUTGOING",
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_similarity: float = 0.5,
+    degree_cutoff: int = 1,
+    feature_cap: int | None = None,
+) -> DataFrame:
+    """MinHash-banded node similarity — the 100TB path for all-pairs
+    neighbor-set similarity.
+
+    The exact :func:`node_similarity` shuffles one row per shared
+    neighbor (the co-neighbor join) — on a power-law graph a single
+    popular neighbor fans into millions of candidate pairs even after
+    ``feature_cap``. This variant banding-buckets the md5 MinHash
+    signature of each neighbor set (the dedup.minhash_lsh_pairs
+    machinery applied to adjacency): only band-colliding node pairs
+    are verified, with EXACT similarity on the full neighbor sets.
+
+    Output is recall-bounded by the standard banding curve (a pair
+    with Jaccard s collides with probability 1-(1-s^r)^b; at the
+    32/8 defaults >=0.8-similar pairs are found with probability
+    ~1-1e-9, dissimilar pairs almost never) and fully DETERMINISTIC —
+    signatures derive from the cross-engine md5 hash, so the DuckDB
+    twin reproduces the result row-for-row including which candidates
+    the bands surfaced. Verified pairs below ``min_similarity`` are
+    dropped.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    r = num_hashes // bands
+    nbr = _neighbor_table(edges, direction, feature_cap).persist()
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    if degree_cutoff > 1:
+        deg = deg.filter(F.col("deg") >= degree_cutoff)
+        nbr = nbr.join(deg.select("src"), "src")
+    feats = nbr.select("src", F.col("nbr").cast("string").alias("f"))
+    sig = feats.groupBy("src").agg(
+        *[
+            F.min(stable_hash64(F.col("f"), salt=i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+            )
+        )
+    banded = sig.select(
+        "src", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "src", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    ).persist()
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.src") < F.col("y.src"))
+        .select(F.col("x.src").alias("node1"), F.col("y.src").alias("node2"))
+        .distinct()
+    )
+    a = nbr.select(F.col("src").alias("node1"), "nbr")
+    b2 = nbr.select(F.col("src").alias("node2"), "nbr")
+    common = (
+        cand.join(a, "node1")
+        .join(b2, ["node2", "nbr"])
+        .groupBy("node1", "node2")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        common.join(
+            deg.select(F.col("src").alias("node1"), F.col("deg").alias("deg1")),
+            "node1",
+        )
+        .join(
+            deg.select(F.col("src").alias("node2"), F.col("deg").alias("deg2")),
+            "node2",
+        )
+        .select("node1", "node2", F.round(_sim_expr(metric), 6).alias("similarity"))
+        .filter(F.col("similarity") >= min_similarity)
+    )
+    from linkgraph.checkpoint import attach_caches
+
+    return attach_caches(scored, [nbr, banded])
+
+
+def node_similarity_lsh_sql(
+    nbr_sql: str,
+    metric: str = "jaccard",
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_similarity: float = 0.5,
+) -> str:
+    """DuckDB twin of the FULL LSH path (signatures, band keys,
+    candidate join, exact verify) — value-exact because every hash is
+    the cross-engine md5 derivation. ``nbr_sql`` must yield distinct
+    (src, nbr) rows matching the engine's direction contract."""
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN({stable_hash64_sql('CAST(nbr AS VARCHAR)', salt=i)}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT src, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)
+        )
+        + ") AS bkey FROM sig"
+        for b in range(bands)
+    )
+    if metric == "jaccard":
+        expr = "cm.common / (d1.deg + d2.deg - cm.common)"
+    elif metric == "overlap":
+        expr = "cm.common / LEAST(d1.deg, d2.deg)"
+    elif metric == "cosine":
+        expr = "cm.common / sqrt(d1.deg * d2.deg)"
+    else:
+        raise ValueError(metric)
+    return f"""
+WITH
+nbr AS MATERIALIZED ({nbr_sql}),
+deg AS (SELECT src, COUNT(*) AS deg FROM nbr GROUP BY src),
+sig AS MATERIALIZED (
+  SELECT src, {mins}
+  FROM nbr GROUP BY src),
+banded AS MATERIALIZED (
+{band_rows}),
+cand AS (
+  SELECT DISTINCT x.src AS node1, y.src AS node2
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.src < y.src),
+cm AS (
+  SELECT c.node1, c.node2, COUNT(*) AS common
+  FROM cand c JOIN nbr a ON a.src = c.node1
+              JOIN nbr b ON b.src = c.node2 AND b.nbr = a.nbr
+  GROUP BY 1, 2)
+SELECT cm.node1, cm.node2, ROUND({expr}, 6) AS similarity
+FROM cm JOIN deg d1 ON d1.src = cm.node1
+        JOIN deg d2 ON d2.src = cm.node2
+WHERE ROUND({expr}, 6) >= {min_similarity}
+"""
