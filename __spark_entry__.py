@@ -859,6 +859,16 @@ def _q_latest_departure_returns(spark, sf_dir):
     return res.arrivals.select("id", "departure")
 
 
+def _q_densest_purchase(spark, sf_dir):
+    """Densest subgraph by Bahmani parallel peeling, eps=0.5
+    (linkgraph/densest.py); oracle unrolls the identical rounds and
+    picks the first densest round's node set."""
+    from linkgraph.densest import densest_subgraph
+    res = densest_subgraph(purchase_edges(spark, sf_dir), eps=0.5)
+    assert res.rounds <= 16, "oracle unrolls 16 rounds"
+    return res.members
+
+
 def _q_matching_cosupplier(spark, sf_dir):
     """Deterministic greedy maximal matching over the co-supplier
     graph (linkgraph/matching.py); the md5 edge priority makes the
@@ -1076,6 +1086,11 @@ def _earliest_arrival_sql_wrapped() -> str:
 def _latest_departure_sql_wrapped() -> str:
     from linkgraph.temporal import latest_departure_sql
     return latest_departure_sql(TEMPORAL_RETURNS_SQL, "0", deadline=5000)
+
+
+def _densest_sql_wrapped() -> str:
+    from linkgraph.densest import densest_subgraph_sql
+    return densest_subgraph_sql(PURCHASE_EDGES_SQL, eps=0.5, rounds=16)
 
 
 def _matching_sql_wrapped() -> str:
@@ -2137,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "earliest_arrival_returns": _q_earliest_arrival_returns,
         "latest_departure_returns": _q_latest_departure_returns,
         "matching_cosupplier": _q_matching_cosupplier,
+        "densest_purchase": _q_densest_purchase,
         "mst_cosupplier": _q_mst_cosupplier,
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
@@ -2919,6 +2935,7 @@ FROM nodes nd LEFT JOIN (
         "earliest_arrival_returns": _earliest_arrival_sql_wrapped(),
         "latest_departure_returns": _latest_departure_sql_wrapped(),
         "matching_cosupplier": _matching_sql_wrapped(),
+        "densest_purchase": _densest_sql_wrapped(),
         "mst_cosupplier": _mst_minimax_sql(COSUPPLIER_EDGES_SQL),
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),

@@ -118,6 +118,7 @@ from linkgraph.truss import (
     k_truss,
 )
 from linkgraph.loader import GraphCatalog, LinkGraph
+from linkgraph.densest import densest_subgraph, DensestResult
 from linkgraph.dag import (
     CycleError,
     condensation,
@@ -157,6 +158,8 @@ __all__ = [
     "maximal_matching",
     "MatchingResult",
     "node_similarity_lsh",
+    "densest_subgraph",
+    "DensestResult",
     "shortest_path_pair",
     "sssp",
     "sssp_delta_stepping",
