@@ -45,7 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import SuperstepLoop
+from .checkpoint import SuperstepLoop, attach_caches
 from .components import connected_components
 from .mst import minimum_spanning_forest
 
@@ -238,6 +238,9 @@ def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResul
         .select("src", "dst")
     )
     und.unpersist()
+    # the returned lazy plan still reads these persisted intermediates;
+    # loop callers free them with release_caches(result.bridges)
+    out = attach_caches(out, [tree, adj, pos, prefix])
     return BridgesResult(
         bridges=out, tree_edges=n_tree, nontree_edges=n_nontree,
         ranking_rounds=rounds,

@@ -93,7 +93,9 @@ def densest_subgraph(
             )
 
     # replay the peel to the best round to materialize its node set:
-    # cheaper than caching every round's (possibly huge) survivor set
+    # cheaper than caching every round's (possibly huge) survivor set.
+    # The loop's final (empty) state is not part of the result plan.
+    loop.close()
     cur = und
     for _ in range(best_round):
         deg = (

@@ -100,8 +100,16 @@ def maximal_matching(
         matching = matched_parts[0]
         for p in matched_parts[1:]:
             matching = matching.union(p)
+        # own the result's blocks: the per-round sel caches hang off
+        # localCheckpointed loop states whose lineage cannot recompute,
+        # so the union is eagerly checkpointed BEFORE those are freed
+        matching = matching.localCheckpoint(eager=True)
+        for p in matched_parts:
+            p.unpersist()
     else:
         matching = spark.createDataFrame([], "a long, b long")
+    # the final (empty) loop state is not part of the result plan
+    loop.close()
     return MatchingResult(
         matching=matching.select(
             F.col("a").alias("src"), F.col("b").alias("dst")
