@@ -458,3 +458,34 @@ def test_degree_centrality_single_aggregate(spark):
     plan = _plan(degree_centrality(e, "BOTH", weighted=True))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nodesim_lsh_single_aggregation_no_cartesian(spark):
+    """The banded signature table is persisted before the self-join
+    (both sides InMemoryTableScans — the 32-min aggregation runs once
+    under any join strategy), band keys come from ONE explode (no
+    per-band Union), and no Cartesian product appears anywhere."""
+    from linkgraph.similarity import node_similarity_lsh
+
+    e = purchase_edges(spark, SF_DIR)
+    plan = _plan(
+        node_similarity_lsh(e, direction="INCOMING", bands=16, min_similarity=0.2)
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "Union" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_dup_spans_hash_only_shuffle(spark):
+    """duplicate_spans shuffles window hashes, never window text: the
+    occurrence-count exchange partitions on the 60-bit hash column and
+    the window-text column is projected away before any exchange."""
+    from linkgraph.pipeline.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_spans(docs, k=6))
+    # every hashpartitioning key is either the hash or doc-side keys —
+    # wtext must not appear as an exchange key
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "wtext" not in m.group(1), m.group(0)
+    assert "Cartesian" not in plan
