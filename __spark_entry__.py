@@ -849,6 +849,19 @@ def _temporal_returns_edges(spark, sf_dir):
     return fwd.union(bwd)
 
 
+def _q_earliest_arrival_weighted_returns(spark, sf_dir):
+    """Duration-aware journeys: shipping takes 7 days forward, 3 days
+    on returns — arrival = departure + duration
+    (linkgraph/temporal.py earliest_arrival dur_col)."""
+    from linkgraph.temporal import earliest_arrival
+    e = _temporal_returns_edges(spark, sf_dir).withColumn(
+        "dur",
+        F.when(F.col("src") < 1_000_000, F.lit(7)).otherwise(F.lit(3)).cast("long"),
+    )
+    res = earliest_arrival(e, source=0, dur_col="dur")
+    return res.arrivals.select("id", "arrival")
+
+
 def _q_latest_departure_returns(spark, sf_dir):
     """Backward temporal dual: latest departure reaching customer 0 by
     day 5000 (linkgraph/temporal.py latest_departure)."""
@@ -1081,6 +1094,15 @@ def _dup_spans_sql_wrapped() -> str:
 def _earliest_arrival_sql_wrapped() -> str:
     from linkgraph.temporal import earliest_arrival_sql
     return earliest_arrival_sql(TEMPORAL_RETURNS_SQL, "0", start_ts=0)
+
+
+def _earliest_arrival_weighted_sql_wrapped() -> str:
+    from linkgraph.temporal import earliest_arrival_sql
+    dur_edges = (
+        "SELECT src, dst, ts, CASE WHEN src < 1000000 THEN 7 ELSE 3 END AS dur"
+        f" FROM ({TEMPORAL_RETURNS_SQL}) t"
+    )
+    return earliest_arrival_sql(dur_edges, "0", start_ts=0, with_duration=True)
 
 
 def _latest_departure_sql_wrapped() -> str:
@@ -2150,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges_nation_supplier": _q_bridges_nation_supplier,
         "articulation_nation_supplier": _q_articulation_nation_supplier,
         "earliest_arrival_returns": _q_earliest_arrival_returns,
+        "earliest_arrival_weighted_returns": _q_earliest_arrival_weighted_returns,
         "latest_departure_returns": _q_latest_departure_returns,
         "matching_cosupplier": _q_matching_cosupplier,
         "densest_purchase": _q_densest_purchase,
@@ -2933,6 +2956,7 @@ FROM nodes nd LEFT JOIN (
         "bridges_nation_supplier": _bridges_sql_wrapped(),
         "articulation_nation_supplier": _articulation_sql_wrapped(),
         "earliest_arrival_returns": _earliest_arrival_sql_wrapped(),
+        "earliest_arrival_weighted_returns": _earliest_arrival_weighted_sql_wrapped(),
         "latest_departure_returns": _latest_departure_sql_wrapped(),
         "matching_cosupplier": _matching_sql_wrapped(),
         "densest_purchase": _densest_sql_wrapped(),

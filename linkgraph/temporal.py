@@ -42,6 +42,7 @@ def earliest_arrival(
     source: int,
     start_ts: int = 0,
     strict: bool = False,
+    dur_col: str | None = None,
     max_rounds: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
@@ -53,8 +54,15 @@ def earliest_arrival(
     ``edges`` must carry (src, dst, ts) with an integer/orderable
     ``ts``. Returns only reached nodes; the source row carries
     ``start_ts``. Resumable with the usual manifest contract.
+
+    ``dur_col`` names an optional travel-duration column: an edge
+    departing at ``ts`` then ARRIVES at ``ts + dur`` (the general
+    temporal-journey model; omitted = instantaneous edges).
     """
-    e = edges.select("src", "dst", F.col("ts").cast("long").alias("ts"))
+    cols = ["src", "dst", F.col("ts").cast("long").alias("ts")]
+    if dur_col is not None:
+        cols.append(F.col(dur_col).cast("long").alias("dur"))
+    e = edges.select(*cols)
     spark = e.sparkSession
 
     loop = SuperstepLoop(
@@ -87,10 +95,13 @@ def earliest_arrival(
     rounds = start_round
     while rounds < max_rounds:
         frontier = state.filter(F.col("changed")).select("id", "arrival")
+        arrive = (
+            (F.col("ts") + F.col("dur")) if dur_col is not None else F.col("ts")
+        )
         cand = (
             frontier.join(e, (frontier.id == e.src) & guard)
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("ts").alias("cand"))
+            .agg(F.min(arrive).alias("cand"))
         )
         merged = (
             state.select("id", "arrival")
@@ -117,19 +128,24 @@ def earliest_arrival(
 
 
 def earliest_arrival_sql(
-    edges_sql: str, source_sql: str, start_ts: int = 0, strict: bool = False
+    edges_sql: str,
+    source_sql: str,
+    start_ts: int = 0,
+    strict: bool = False,
+    with_duration: bool = False,
 ) -> str:
     """DuckDB oracle: recursive journey expansion with the time guard
     in the join; terminates because (id, ts) states are drawn from the
     finite edge set and UNION deduplicates."""
     op = ">" if strict else ">="
+    arrive = "e.ts + e.dur" if with_duration else "e.ts"
     return f"""
 WITH RECURSIVE
 e AS MATERIALIZED ({edges_sql}),
 r(id, arr) AS (
   SELECT ({source_sql}), CAST({start_ts} AS BIGINT)
   UNION
-  SELECT e.dst, e.ts FROM r JOIN e ON e.src = r.id AND e.ts {op} r.arr
+  SELECT e.dst, {arrive} FROM r JOIN e ON e.src = r.id AND e.ts {op} r.arr
 )
 SELECT id, MIN(arr) AS arrival FROM r GROUP BY id
 """

@@ -94,3 +94,40 @@ def test_resume_matches_uninterrupted(spark, tmp_path):
     )
     got = {(r.id, r.arrival) for r in res.arrivals.collect()}
     assert got == want
+
+
+def test_duration_aware_journeys(spark):
+    # 0 -(dep1,dur3)-> 1 arrives t4; edge 1->2 departing t3 is MISSED
+    # (arrival 4 > 3); departing t6 works, arriving 6+2=8
+    rows = [(0, 1, 1, 3), (1, 2, 3, 1), (1, 2, 6, 2)]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long, dur long")
+    res = earliest_arrival(e, source=0, dur_col="dur")
+    got = {r.id: r.arrival for r in res.arrivals.collect()}
+    assert got == {0: 0, 1: 4, 2: 8}
+
+
+def test_duration_duckdb_twin(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(41)
+    rows = [
+        (rng.randrange(10), rng.randrange(10), rng.randrange(1, 12),
+         rng.randrange(0, 5))
+        for _ in range(40)
+    ]
+    rows = [r for r in rows if r[0] != r[1]]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long, dur long")
+    got = {
+        (r.id, r.arrival)
+        for r in earliest_arrival(e, source=rows[0][0], dur_col="dur").arrivals.collect()
+    }
+    con = duckdb.connect()
+    con.register("wedges", e.toPandas())
+    sql = earliest_arrival_sql(
+        "SELECT src, dst, ts, dur FROM wedges", str(rows[0][0]),
+        with_duration=True,
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
