@@ -105,15 +105,23 @@ def topological_levels(
         .distinct()
     )
 
+    ctx = {"direction": direction}
     loop = SuperstepLoop(
         spark, checkpoint_dir=checkpoint_dir, every=checkpoint_every,
-        name="topo_levels",
+        name="topo_levels", context=ctx,
     )
     start_round = 0
     state = None
     if resume:
         resumed = loop.resume()
         if resumed is not None:
+            rec = loop.last_context.get("direction")
+            if rec is not None and rec != direction:
+                raise ValueError(
+                    f"topological_levels resume mismatch: checkpoint was "
+                    f"written with direction={rec!r}, this call passes "
+                    f"{direction!r}"
+                )
             start_round, state = resumed
 
     if state is None:

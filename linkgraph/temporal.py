@@ -65,15 +65,26 @@ def earliest_arrival(
     e = edges.select(*cols)
     spark = e.sparkSession
 
+    ctx = {
+        "source": int(source), "start_ts": int(start_ts),
+        "strict": bool(strict), "dur_col": dur_col,
+    }
     loop = SuperstepLoop(
         spark, checkpoint_dir=checkpoint_dir, every=checkpoint_every,
-        name="earliest_arrival",
+        name="earliest_arrival", context=ctx,
     )
     start_round = 0
     state = None
     if resume:
         resumed = loop.resume()
         if resumed is not None:
+            rec = {k: loop.last_context.get(k) for k in ctx}
+            if rec != ctx:
+                raise ValueError(
+                    f"earliest_arrival resume mismatch: checkpoint was "
+                    f"written with {rec}, this call passes {ctx}; resuming "
+                    "would merge arrivals of a different journey problem"
+                )
             start_round, state = resumed
     if state is None:
         state = spark.createDataFrame(
@@ -171,15 +182,25 @@ def latest_departure(
     e = edges.select("src", "dst", F.col("ts").cast("long").alias("ts"))
     spark = e.sparkSession
 
+    ctx = {
+        "target": int(target), "deadline": int(deadline),
+        "strict": bool(strict),
+    }
     loop = SuperstepLoop(
         spark, checkpoint_dir=checkpoint_dir, every=checkpoint_every,
-        name="latest_departure",
+        name="latest_departure", context=ctx,
     )
     start_round = 0
     state = None
     if resume:
         resumed = loop.resume()
         if resumed is not None:
+            rec = {k: loop.last_context.get(k) for k in ctx}
+            if rec != ctx:
+                raise ValueError(
+                    f"latest_departure resume mismatch: checkpoint was "
+                    f"written with {rec}, this call passes {ctx}"
+                )
             start_round, state = resumed
     if state is None:
         state = spark.createDataFrame(

@@ -131,3 +131,16 @@ def test_duration_duckdb_twin(spark):
     )
     want = {tuple(r) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_resume_rejects_changed_parameters(spark, tmp_path):
+    e = _edges(spark, [(0, 1, 1), (1, 2, 2), (2, 3, 3)])
+    ckpt = str(tmp_path / "ea2")
+    earliest_arrival(e, source=0, max_rounds=1,
+                     checkpoint_dir=ckpt, checkpoint_every=1)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        earliest_arrival(e, source=1, checkpoint_dir=ckpt,
+                         checkpoint_every=1, resume=True)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        earliest_arrival(e, source=0, strict=True, checkpoint_dir=ckpt,
+                         checkpoint_every=1, resume=True)
