@@ -981,6 +981,14 @@ def _q_edge_betweenness_nation(spark, sf_dir):
     )
 
 
+def _q_girvan_newman_nation(spark, sf_dir):
+    """One Girvan-Newman round on the nation trade graph: cut the 30
+    highest-betweenness edges, label the surviving components
+    (linkgraph/betweenness.py girvan_newman_split)."""
+    from linkgraph.betweenness import girvan_newman_split
+    return girvan_newman_split(_trade_nation_edges(spark, sf_dir), k=30)
+
+
 def _q_apsp_weighted_nation(spark, sf_dir):
     """Weighted APSP via the batched multi-source relax (one job per
     round for ALL sources). Oracle: directed min-plus doubling."""
@@ -2204,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "edge_betweenness_nation": _q_edge_betweenness_nation,
+        "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
         "dedup_exact": _q_exact_dedup,
@@ -2768,6 +2777,36 @@ FROM alled GROUP BY 1, 2"""
     return "".join(parts)
 
 
+def _girvan_newman_sql(edge_sql: str, k: int, max_level: int = 8) -> str:
+    """Girvan-Newman one-round twin: the edge-betweenness DP oracle,
+    the identical (centrality DESC, src, dst) top-k cut, then min-label
+    components by recursive reachability over the surviving edges —
+    isolated nodes keep their own id as the community label."""
+    eb = _brandes_edge_sql(edge_sql, max_level=max_level)
+    return f"""
+WITH RECURSIVE
+eb AS MATERIALIZED ({eb}),
+topk AS (SELECT src, dst FROM eb ORDER BY centrality DESC, src, dst LIMIT {k}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+        FROM ({edge_sql}) WHERE src != dst),
+uni AS (
+  -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB does not
+  -- dedup UNION between branches of a non-recursive CTE
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst FROM und)),
+rem AS (SELECT und.* FROM und ANTI JOIN topk USING (src, dst)),
+sym AS (SELECT src AS x, dst AS y FROM rem UNION ALL SELECT dst, src FROM rem),
+reach(a, b) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+  UNION
+  SELECT r.a, sym.y FROM reach r JOIN sym ON sym.x = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)
+SELECT u.id, COALESCE(c.comp, u.id) AS comp
+FROM uni u LEFT JOIN comp c ON c.id = u.id
+"""
+
+
 def _paths_oracles() -> dict[str, str]:
     from linkgraph.paths import (
         eccentricity_sql,
@@ -3076,6 +3115,7 @@ SELECT id,
 FROM v""",
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
         "edge_betweenness_nation": _brandes_edge_sql(TRADE_NATION_SQL),
+        "girvan_newman_nation": _girvan_newman_sql(TRADE_NATION_SQL, k=30),
         "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),
     }
 

@@ -43,6 +43,7 @@ from linkgraph.mst import (
 from linkgraph.betweenness import (
     betweenness_centrality,
     edge_betweenness,
+    girvan_newman_split,
     BetweennessResult,
     EdgeBetweennessResult,
 )
@@ -187,6 +188,7 @@ __all__ = [
     "betweenness_centrality",
     "edge_betweenness",
     "EdgeBetweennessResult",
+    "girvan_newman_split",
     "k_core",
     "core_numbers",
     "KCoreResult",

@@ -464,3 +464,48 @@ def edge_betweenness(
             "elapsed_s": round(time.time() - t0, 4),
         },
     )
+
+
+def girvan_newman_split(
+    edges: DataFrame,
+    k: int,
+    direction: str = "BOTH",
+    max_depth: int = 64,
+) -> DataFrame:
+    """One Girvan–Newman round: remove the ``k`` highest-betweenness
+    edges, return the resulting communities (Girvan & Newman, PNAS
+    2002 — the algorithm edge betweenness was invented for; the full
+    iterative variant recomputes betweenness after every removal,
+    which is inherently sequential, so the engine exposes the
+    one-shot split and callers iterate at whatever granularity their
+    budget allows).
+
+    Ties break deterministically on (centrality DESC, src, dst) over
+    the 6-decimal rounded scores — the cross-engine contract. Nodes
+    isolated by the removal become singleton communities. Returns
+    (id, comp) with min-id community labels.
+    """
+    from linkgraph.components import connected_components
+
+    eb = edge_betweenness(edges, direction=direction, max_depth=max_depth).scores
+    top = (
+        eb.select("src", "dst", F.round("centrality", 6).alias("c"))
+        .orderBy(F.col("c").desc(), "src", "dst")
+        .limit(k)
+        .select("src", "dst")
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    remaining = und.join(top, ["src", "dst"], "left_anti")
+    universe = und.select(F.col("src").alias("id")).union(
+        und.select(F.col("dst").alias("id"))
+    ).distinct()
+    comps = connected_components(remaining).components
+    return universe.join(comps, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
+    )

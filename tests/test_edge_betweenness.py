@@ -99,3 +99,27 @@ def test_directed_mode(spark):
     res = edge_betweenness(_edges(spark, [(0, 1), (1, 2)]), direction="OUTGOING")
     got = {(r.src, r.dst): r.centrality for r in res.scores.collect()}
     assert got == {(0, 1): 2.0, (1, 2): 2.0}
+
+
+def test_girvan_newman_splits_barbell(spark):
+    from linkgraph.betweenness import girvan_newman_split
+
+    # two triangles joined by one edge: cutting the top-1 edge (the
+    # bridge carries all cross pairs) splits into the two triangles
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    got = {
+        r.id: r.comp
+        for r in girvan_newman_split(_edges(spark, pairs), k=1).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_girvan_newman_isolates_become_singletons(spark):
+    from linkgraph.betweenness import girvan_newman_split
+
+    # path 0-1: cutting its only edge isolates both endpoints
+    got = {
+        r.id: r.comp
+        for r in girvan_newman_split(_edges(spark, [(0, 1)]), k=1).collect()
+    }
+    assert got == {0: 0, 1: 1}
