@@ -484,9 +484,19 @@ def girvan_newman_split(
     the 6-decimal rounded scores — the cross-engine contract. Nodes
     isolated by the removal become singleton communities. Returns
     (id, comp) with min-id community labels.
+
+    Girvan-Newman is defined on undirected graphs; only
+    direction="BOTH" is supported (directed scores live on arcs, not
+    on the canonical pairs the cut removes).
     """
     from linkgraph.components import connected_components
 
+    if direction.upper() != "BOTH":
+        raise ValueError(
+            "girvan_newman_split supports direction='BOTH' only — "
+            "directed edge-betweenness scores live on arcs, not on the "
+            "canonical undirected pairs the cut removes"
+        )
     eb = edge_betweenness(edges, direction=direction, max_depth=max_depth).scores
     top = (
         eb.select("src", "dst", F.round("centrality", 6).alias("c"))

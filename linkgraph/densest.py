@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpoint import SuperstepLoop
+from .checkpoint import SuperstepLoop, release_state
 
 
 @dataclass
@@ -97,6 +97,7 @@ def densest_subgraph(
     # The loop's final (empty) state is not part of the result plan.
     loop.close()
     cur = und
+    prev = None
     for _ in range(best_round):
         deg = (
             cur.select(F.col("a").alias("id"))
@@ -112,7 +113,13 @@ def densest_subgraph(
             cur.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
+            # truncate the replay lineage every round: without this the
+            # r-th round re-executes the whole peel prefix (O(r^2) scans)
+            .localCheckpoint(eager=True)
         )
+        if prev is not None:
+            release_state(prev)
+        prev = cur
     members = (
         cur.select(F.col("a").alias("id"))
         .union(cur.select(F.col("b").alias("id")))

@@ -43,11 +43,13 @@ def maximal_matching(
 ) -> MatchingResult:
     """Greedy maximal matching of the undirected simple graph.
 
-    Deterministic: priorities are the md5-derived 60-bit hash of the
-    canonical edge key (unique in practice; a collision only risks
-    selecting neither edge that round, never an invalid matching), so
-    repeated runs — and the DuckDB oracle — produce the same edge set.
-    Raises if ``max_rounds`` is exhausted with edges still active.
+    Deterministic: the priority is the md5-derived 60-bit hash of the
+    canonical edge key STRING-CONCATENATED with the key itself —
+    a provably total order (two edges never share a priority, so the
+    local-minimum selection can never pick two adjacent edges even
+    under a 2^-60 hash collision). Repeated runs — and the DuckDB
+    oracle — produce the same edge set. Raises if ``max_rounds`` is
+    exhausted with edges still active.
     """
     spark = edges.sparkSession
     active = (
@@ -56,7 +58,14 @@ def maximal_matching(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .withColumn("pr", stable_hash64(F.concat_ws(":", "a", "b")))
+        # hash first for uniformity, then the unique edge key as a
+        # lexicographic tie-break: a TOTAL order, collision-proof
+        .withColumn(
+            "pr",
+            F.concat_ws(
+                ":", stable_hash64(F.concat_ws(":", "a", "b")), "a", "b"
+            ),
+        )
     )
     loop = SuperstepLoop(spark, checkpoint_dir=checkpoint_dir, name="matching")
     active = loop.advance(0, active)
@@ -126,7 +135,8 @@ def maximal_matching_sql(edges_sql: str, rounds: int = 12) -> str:
     it); surviving active edges after the last round would mean a
     non-maximal result, so the final SELECT ignores them only after
     the engine has proven convergence at the same round count."""
-    pr = stable_hash64_sql("a || ':' || b")
+    h = stable_hash64_sql("a || ':' || b")
+    pr = f"CAST({h} AS VARCHAR) || ':' || a || ':' || b"
     parts = [
         f"""
 WITH

@@ -20,7 +20,10 @@ from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 from linkgraph.pipeline.dedup import (
     auto_simhash_params,
     containment_pairs,
+    cross_minhash_pairs,
+    duplicate_spans,
     exact_dedup,
+    fuzzy_decontaminate,
     near_dup_clusters,
     fuzzy_dup_pairs,
     jaccard_pairs,
@@ -43,6 +46,7 @@ from linkgraph.pipeline.curate import (
     stratified_sample,
 )
 from linkgraph.pipeline.text import (
+    ngram_novelty,
     token_stats,
     quality_scores,
     language_id,

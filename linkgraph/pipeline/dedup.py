@@ -875,10 +875,14 @@ def fuzzy_decontaminate(
 ) -> DataFrame:
     """Documents surviving the fuzzy contamination gate: anti-join on
     :func:`cross_minhash_pairs` hits."""
-    hits = cross_minhash_pairs(
+    pairs = cross_minhash_pairs(
         docs, benchmark, n=n, threshold=threshold, **lsh_kwargs
-    ).select("doc_id").distinct()
-    return docs.join(hits, "doc_id", "left_anti")
+    )
+    hits = pairs.select("doc_id").distinct()
+    out = docs.join(hits, "doc_id", "left_anti")
+    # re-attach the pair stage's persisted intermediates so callers
+    # can still free them through THIS result
+    return attach_caches(out, getattr(pairs, "_linkgraph_caches", []))
 
 
 def cross_jaccard_sql(

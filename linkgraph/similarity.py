@@ -585,7 +585,8 @@ def node_similarity_lsh(
     from linkgraph.pipeline.hashing import stable_hash64
 
     r = num_hashes // bands
-    nbr = _neighbor_table(edges, direction, feature_cap).persist()
+    nbr0 = _neighbor_table(edges, direction, feature_cap).persist()
+    nbr = nbr0
     deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
     if degree_cutoff > 1:
         deg = deg.filter(F.col("deg") >= degree_cutoff)
@@ -640,7 +641,8 @@ def node_similarity_lsh(
     )
     from linkgraph.checkpoint import attach_caches
 
-    return attach_caches(scored, [nbr, banded])
+    # nbr0 is the PERSISTED handle (nbr may be a derived filter view)
+    return attach_caches(scored, [nbr0, banded])
 
 
 def node_similarity_lsh_sql(

@@ -98,12 +98,18 @@ def test_derive_graph_release_frees_caches(spark):
 
     sc = spark.sparkContext
     spark.catalog.clearCache()
-    before = len(sc._jsc.getPersistentRDDs())
+    # compare RDD-id SETS, not counts: the async ContextCleaner may
+    # reclaim other tests' stale checkpoint blocks between calls,
+    # shrinking the total while OUR new caches (still referenced)
+    # cannot be collected
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     source = generate_source_table(spark, repos=4, files_per_repo=20, seed=7)
     g = derive_graph(source)
     n_edges = g[1].count()
-    assert len(sc._jsc.getPersistentRDDs()) > before
+    added = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert added, "derive_graph must persist its caches"
     g.release()
-    assert len(sc._jsc.getPersistentRDDs()) <= before
+    remaining = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert not (added & remaining), "release() must unpersist the caches"
     # frames recompute from source after release
     assert g[1].count() == n_edges
