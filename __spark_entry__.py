@@ -1089,6 +1089,25 @@ def _ngram_novelty_sql_wrapped() -> str:
     return ngram_novelty_sql(n=3)
 
 
+AHASH_AUG_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000,
+       substr(text, 1, 10) || 'X' || substr(text, 12)
+FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 64
+"""
+
+
+def _ahash_sql_wrapped() -> str:
+    from linkgraph.pipeline.multimodal import image_ahash_sql
+    return image_ahash_sql("documents")
+
+
+def _ahash_pairs_sql_wrapped() -> str:
+    from linkgraph.pipeline.multimodal import ahash_pairs_sql
+    return ahash_pairs_sql(3, table=f"({AHASH_AUG_SQL})")
+
+
 def _cross_contamination_sql_wrapped() -> str:
     from linkgraph.pipeline.dedup import cross_jaccard_sql
     return cross_jaccard_sql("doc_id % 7 = 0", n=3, threshold=0.8)
@@ -1636,6 +1655,50 @@ def _q_dup_spans(spark, sf_dir):
     k-window repeats corpus-wide (linkgraph/pipeline/dedup.py)."""
     from linkgraph.pipeline.dedup import duplicate_spans
     return duplicate_spans(_docs(spark, sf_dir), k=6)
+
+
+def _ahash_assets(spark, sf_dir, with_variants: bool):
+    """Asset table for perceptual hashing: payload = utf-8 text; with
+    variants, every 5th doc gains a same-length single-char-substituted
+    twin (id + 1e6) — a deterministic near-duplicate both engines
+    construct identically."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    if not with_variants:
+        return base
+    var = (
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.length("text") >= 64))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("asset_id"),
+            F.encode(
+                F.concat(
+                    F.substring("text", 1, 10), F.lit("X"), F.expr("substr(text, 12)")
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+    )
+    return base.union(var)
+
+
+def _q_multimodal_ahash(spark, sf_dir):
+    """64-bit perceptual average-hash per asset (fake locality-
+    preserving grid — linkgraph/pipeline/multimodal.py image_ahash;
+    the real PNG path is pytest-round-trip-tested)."""
+    from linkgraph.pipeline.multimodal import image_ahash
+    return image_ahash(_ahash_assets(spark, sf_dir, with_variants=False))
+
+
+def _q_multimodal_ahash_pairs(spark, sf_dir):
+    """Perceptual near-dup pairs: chunk-banded Hamming <= 3 join over
+    aHash strings, exercised on planted same-length variants
+    (multimodal.py ahash_pairs)."""
+    from linkgraph.pipeline.multimodal import ahash_pairs, image_ahash
+    h = image_ahash(_ahash_assets(spark, sf_dir, with_variants=True))
+    return ahash_pairs(h, max_hamming=3)
 
 
 def _q_cross_contamination(spark, sf_dir):
@@ -2218,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "dup_spans_documents": _q_dup_spans,
         "cross_contamination_minhash": _q_cross_contamination,
+        "multimodal_ahash": _q_multimodal_ahash,
+        "multimodal_ahash_pairs": _q_multimodal_ahash_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_jaccard_df_capped": _q_jaccard_df_capped,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -3182,6 +3247,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_exact": EXACT_DEDUP_SQL,
         "dup_spans_documents": _dup_spans_sql_wrapped(),
         "cross_contamination_minhash": _cross_contamination_sql_wrapped(),
+        "multimodal_ahash": _ahash_sql_wrapped(),
+        "multimodal_ahash_pairs": _ahash_pairs_sql_wrapped(),
         "dedup_jaccard_pairs": jaccard_pairs_sql(n=3, threshold=0.8),
         "dedup_jaccard_df_capped": jaccard_pairs_df_capped_sql(
             n=3, threshold=0.8, df_cap=50

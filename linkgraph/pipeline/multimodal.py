@@ -504,3 +504,161 @@ SELECT asset_id,
          AS frame_sig
 FROM s
 """
+
+
+# ------------------------------------------------- perceptual hashing
+
+def image_ahash(assets: DataFrame, real: bool = False) -> DataFrame:
+    """64-bit average-hash (aHash) per asset as a 64-char '0'/'1'
+    string — the classic perceptual image fingerprint: downsample to
+    an 8x8 grid, threshold each cell against the mean.
+
+    real=True decodes PNG payloads (decode_png) and takes true 8x8
+    block means — the perceptual path, pytest-round-trip-tested.
+    real=False (default, oracle-checkable) derives the "pixel" grid
+    by sampling 64 byte positions of the payload text and taking
+    ascii%16 — unlike a sha-derived stand-in this PRESERVES LOCALITY
+    (a small edit moves few sampled cells), so near-duplicate payloads
+    get near-equal hashes, which is the property the banding join
+    exploits. Thresholding is integer-exact (64*pix > sum(pix)):
+    no float mean crosses the engine boundary.
+    """
+    if real:
+        import pyspark.sql.types as T
+
+        out_schema = T.StructType([
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("bits", T.StringType()),
+        ])
+
+        def k_ahash(batches):
+            for pdf in batches:
+                ids, bits = [], []
+                for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    arr = decode_png(bytes(payload))
+                    if arr.ndim == 3:
+                        arr = arr.mean(axis=2)
+                    h, w = arr.shape
+                    ys = (np.arange(9) * h) // 8
+                    xs = (np.arange(9) * w) // 8
+                    cells = np.array([
+                        arr[ys[r]:max(ys[r + 1], ys[r] + 1),
+                            xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+                        for r in range(8) for c in range(8)
+                    ])
+                    b = cells > cells.mean()
+                    ids.append(int(aid))
+                    bits.append("".join("1" if x else "0" for x in b))
+                yield pd.DataFrame({"asset_id": ids, "bits": bits})
+
+        return assets.select("asset_id", "payload").mapInPandas(
+            k_ahash, schema=out_schema
+        )
+
+    # CHARACTER-based positions on both engines (payload decodes as
+    # utf-8; length()/substr() on the decoded string are char-based in
+    # Spark and DuckDB alike)
+    s = F.col("payload").cast("string")
+    pix = F.expr(
+        "transform(sequence(0, 63), i -> "
+        "ascii(substr(CAST(payload AS STRING), "
+        "1 + CAST(floor(i * length(CAST(payload AS STRING)) / 64) AS INT), 1)) % 16)"
+    )
+    return (
+        assets.filter(F.length(s) >= 64)
+        .select("asset_id", pix.alias("px"))
+        .select(
+            "asset_id",
+            F.expr(
+                "concat_ws('', transform(px, p -> "
+                "CASE WHEN 64 * p > aggregate(px, 0, (a, x) -> a + x) "
+                "THEN '1' ELSE '0' END))"
+            ).alias("bits"),
+        )
+    )
+
+
+def image_ahash_sql(table: str = "documents") -> str:
+    """DuckDB twin of the fake-path aHash over synth_assets(documents):
+    payload == utf-8 text, the same sampled ascii%16 grid and the same
+    integer threshold."""
+    return f"""
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         [ascii(substr(text, 1 + CAST(floor(i * length(text) / 64) AS INT), 1)) % 16
+          for i in range(0, 64)] AS px
+  FROM {table} WHERE length(text) >= 64)
+SELECT asset_id,
+       list_aggregate(
+         [CASE WHEN 64 * p > list_sum(px) THEN '1' ELSE '0' END for p in px],
+         'string_agg', '') AS bits
+FROM px
+"""
+
+
+def ahash_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "asset_id"
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over 64-bit aHash
+    strings: band the hash into 4 x 16-bit chunks (pigeonhole: any
+    pair within Hamming <= 3 shares at least one exact chunk), join on
+    chunk collisions, verify the exact distance — the simhash_pairs
+    machinery applied to perceptual image hashes. Returns
+    (a1, a2, hamming) with a1 < a2.
+    """
+    n_chunks = 4
+    assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
+    chunks = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.substring("bits", 1 + 16 * c, 16).alias("chunk"),
+            )
+            for c in range(n_chunks)
+        ])
+    )
+    banded = hashes.select(
+        F.col(id_col).alias("id"), "bits", chunks.alias("ck")
+    ).select("id", "bits", F.col("ck.c").alias("c"), F.col("ck.chunk").alias("chunk"))
+    x = banded.select(F.col("id").alias("a1"), F.col("bits").alias("b1"), "c", "chunk")
+    y = banded.select(F.col("id").alias("a2"), F.col("bits").alias("b2"), "c", "chunk")
+    cand = (
+        x.join(y, ["c", "chunk"])
+        .filter(F.col("a1") < F.col("a2"))
+        .select("a1", "a2", "b1", "b2")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(transform(sequence(1, 64), i -> "
+        "CASE WHEN substr(b1, i, 1) = substr(b2, i, 1) THEN 0 ELSE 1 END), "
+        "0, (a, x) -> a + x)"
+    )
+    return (
+        cand.select("a1", "a2", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ahash_pairs_sql(max_hamming: int = 3, table: str = "documents") -> str:
+    ah = image_ahash_sql(table).strip()
+    chunk_rows = "\n  UNION ALL\n".join(
+        f"  SELECT asset_id, bits, {c} AS c, substr(bits, {1 + 16 * c}, 16) AS chunk FROM h"
+        for c in range(4)
+    )
+    return f"""
+WITH h AS MATERIALIZED ({ah}),
+banded AS (
+{chunk_rows}),
+cand AS (
+  SELECT DISTINCT x.asset_id AS a1, y.asset_id AS a2,
+                  x.bits AS b1, y.bits AS b2
+  FROM banded x JOIN banded y
+    ON x.c = y.c AND x.chunk = y.chunk AND x.asset_id < y.asset_id),
+scored AS (
+  SELECT a1, a2,
+         CAST(list_sum([CASE WHEN substr(b1, i, 1) = substr(b2, i, 1)
+                             THEN 0 ELSE 1 END
+                        for i in range(1, 65)]) AS BIGINT) AS hamming
+  FROM cand)
+SELECT a1, a2, hamming FROM scored WHERE hamming <= {max_hamming}
+"""
