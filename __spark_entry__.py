@@ -1979,6 +1979,16 @@ def _q_jaccard_df_capped(spark, sf_dir):
     return jaccard_pairs_df_capped(_docs(spark, sf_dir), n=3, threshold=0.8, df_cap=50)
 
 
+def _q_jaccard_prefix(spark, sf_dir):
+    """Exact prefix-filtered similarity self-join (AllPairs/PPJoin
+    rule): candidates only from each doc's rarity-ordered
+    |x|-ceil(t|x|)+1 shingle prefix, exact verify on full sets. The
+    oracle is the BRUTE SQL — a green check proves the filter is
+    lossless on the corpus."""
+    from linkgraph.pipeline import jaccard_prefix_pairs
+    return jaccard_prefix_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN (deterministic rank-stride centroids) — unlike the
     hyperplane-LSH path this one is deterministic end-to-end, so it is
@@ -2285,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash_pairs": _q_multimodal_ahash_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_jaccard_df_capped": _q_jaccard_df_capped,
+        "dedup_jaccard_prefix": _q_jaccard_prefix,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_near_dup_clusters": _q_near_dup_clusters,
         "dedup_canonical_pick": _q_canonical_pick,
@@ -3253,6 +3264,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_jaccard_df_capped": jaccard_pairs_df_capped_sql(
             n=3, threshold=0.8, df_cap=50
         ),
+        # prefix filtering is lossless — its oracle IS the brute SQL
+        "dedup_jaccard_prefix": jaccard_pairs_sql(n=3, threshold=0.8),
         # LSH banding at 32 hashes / 8 bands has ~1e-9 miss probability
         # for the >=0.8-Jaccard pairs in this corpus, so the verified
         # LSH output equals the brute-force oracle (and the candidate

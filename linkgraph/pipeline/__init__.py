@@ -28,6 +28,8 @@ from linkgraph.pipeline.dedup import (
     fuzzy_dup_pairs,
     jaccard_pairs,
     jaccard_pairs_df_capped,
+    jaccard_prefix_pairs,
+    jaccard_prefix_pairs_sql,
     minhash_lsh_pairs,
     pick_canonical,
     simhash_table,
@@ -94,7 +96,8 @@ from linkgraph.pipeline.events import (
 
 __all__ = [
     "stable_hash64", "stable_hash64_sql",
-    "exact_dedup", "fuzzy_dup_pairs", "jaccard_pairs", "jaccard_pairs_df_capped", "minhash_lsh_pairs",
+    "exact_dedup", "fuzzy_dup_pairs", "jaccard_pairs", "jaccard_pairs_df_capped",
+    "jaccard_prefix_pairs", "jaccard_prefix_pairs_sql", "minhash_lsh_pairs",
     "simhash_table", "simhash_pairs", "near_dup_clusters", "pick_canonical",
     "semantic_dedup_pairs", "semantic_cluster_assign", "corpus_prep",
     "decontaminate", "bloom_decontaminate", "dsir_scores", "dsir_sample",

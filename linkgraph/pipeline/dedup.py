@@ -209,6 +209,106 @@ WHERE ROUND(i / (c1.c + c2.c - i), 6) >= {threshold}
 """
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (the
+    AllPairs / PPJoin candidate rule — Bayardo et al., WWW 2007;
+    Xiao et al., WWW 2008).
+
+    Same output contract as ``jaccard_pairs`` — EVERY pair with
+    word-n-gram Jaccard >= threshold, (d1, d2, jaccard), d1 < d2,
+    6-decimal rounding — so the companion oracle IS the brute-force
+    SQL: the driver check proves the prefix filter loses nothing.
+    Unlike ``jaccard_pairs_df_capped`` (which weakens the contract to
+    "shares a sub-cap shingle") this path is lossless at any corpus.
+
+    Candidate rule: order every document's shingle set by GLOBAL
+    rarity (document frequency asc, shingle asc — a total order) and
+    equi-join only each document's first ``|x| - ceil(t|x|) + 1``
+    shingles in that order. Guarantee: J(x,y) >= t implies
+    |x∩y| >= t·|x∪y| >= t·|x|, i.e. |x∩y| >= ceil(t|x|); if the two
+    prefixes were disjoint under a shared total order, the doc whose
+    prefix ends EARLIER in the order would have all shared shingles
+    among its last ceil(t|x|)-1 — fewer than the required overlap.
+    A size filter (t·|x| <= |y| <= |x|/t, forced by J >= t) prunes
+    candidates in the join itself. All threshold arithmetic runs in
+    the exact integer micro-domain (t as TH/1e6) so ceil() never
+    drifts a float ulp in either direction.
+
+    Scale shape (100TB): the equi-join touches ONLY prefix tokens,
+    and the rarity order makes those the lowest-df shingles in the
+    corpus — boilerplate shingles (license headers, "the end") sort
+    LAST and never generate candidates at realistic thresholds, which
+    is exactly the fan-out the brute join dies on. Cost: one df agg
+    (map-side combinable), one per-doc sort agg, a rare-token
+    equi-join, then exact verification over full shingle sets.
+    """
+    th_micro = int(round(threshold * 1_000_000))
+    sh = _word_shingles(docs, n).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("arr"),
+            F.count("*").alias("c"),
+        )
+    )
+    # required overlap ceil(t*c) and prefix length, exact in int64:
+    # ceil(t*c) = (c*TH + 1e6-1) div 1e6 for t = TH/1e6
+    required = F.expr(f"(c * {th_micro}L + 999999L) div 1000000L")
+    prefix_len = (F.col("c") - required + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        "c",
+        F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("s"),
+    ).select("doc_id", "c", F.col("s.shingle").alias("shingle"))
+    a = prefix.select(
+        F.col("doc_id").alias("d1"), F.col("c").alias("c1"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("d2"), F.col("c").alias("c2"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            # size filter: t*c1 <= c2 and t*c2 <= c1 (integer-exact)
+            & (F.col("c2") * 1_000_000 >= F.col("c1") * th_micro)
+            & (F.col("c1") * 1_000_000 >= F.col("c2") * th_micro)
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    # exact verification over FULL shingle sets (same as the brute path)
+    fa = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(fa, "d1")
+        .join(fb, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    return (
+        inter.join(card.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1")
+        .join(card.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_prefix_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """The prefix filter is lossless, so its oracle IS the brute
+    contract — passing the driver check against this SQL proves the
+    candidate rule misses nothing on the corpus."""
+    return jaccard_pairs_sql(n, threshold)
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def minhash_lsh_pairs(

@@ -415,6 +415,49 @@ def test_jaccard_df_capped_equals_uncapped(spark):
     assert brute == capped and len(brute) > 0
 
 
+def test_jaccard_prefix_equals_brute_sf_docs(spark):
+    """Prefix filtering (AllPairs/PPJoin rule) is LOSSLESS: identical
+    output to the brute shingle equi-join on the sf docs at a loose
+    and a tight threshold."""
+    from linkgraph.pipeline import jaccard_prefix_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for t in (0.5, 0.8):
+        brute = sorted(map(tuple, jaccard_pairs(docs, n=3, threshold=t).collect()))
+        pref = sorted(map(tuple, jaccard_prefix_pairs(docs, n=3, threshold=t).collect()))
+        assert brute == pref and len(brute) > 0
+
+
+def test_jaccard_prefix_randomized_and_boilerplate(spark):
+    """Randomized corpus sweep: near-dup pairs built by word-level
+    edits at varied rates, PLUS a shared boilerplate sentence glued to
+    every doc (the hyper-common-shingle case the df-capped contract
+    weakens on). Prefix filtering must equal brute exactly at every
+    threshold — including pairs whose overlap rides the ceil(t|x|)
+    boundary."""
+    import random
+
+    from linkgraph.pipeline import jaccard_prefix_pairs
+
+    rng = random.Random(41)
+    words = [f"w{i}" for i in range(60)]
+    boiler = "lorem ipsum dolor sit amet the end"
+    rows, did = [], 0
+    for base in range(12):
+        base_words = [rng.choice(words) for _ in range(rng.randint(6, 24))]
+        for variant in range(rng.randint(1, 3)):
+            w = list(base_words)
+            for _ in range(rng.randint(0, 3)):
+                w[rng.randrange(len(w))] = rng.choice(words)
+            rows.append((did, " ".join(w) + " " + boiler))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.85):
+        brute = sorted(map(tuple, jaccard_pairs(docs, n=3, threshold=t).collect()))
+        pref = sorted(map(tuple, jaccard_prefix_pairs(docs, n=3, threshold=t).collect()))
+        assert brute == pref, (t, len(brute), len(pref))
+
+
 def test_lsh_signature_paths_agree_at_high_dim(spark):
     """The generated-SQL signature and the Arrow matmul kernel assign
     identical buckets at dim 256 (the kernel is the production path
