@@ -1201,6 +1201,15 @@ def _fastrp_sql_wrapped() -> str:
                       weights=[1, 2], seed=42)
 
 
+def _feature_prop_sql_wrapped() -> str:
+    from linkgraph.embeddings import propagate_features_sql
+    from linkgraph.graphs import PURCHASE_NODE_FEATURES_SQL
+    return propagate_features_sql(
+        PURCHASE_EDGES_SQL, PURCHASE_NODE_FEATURES_SQL, dim=2, rounds=2,
+        exploded=True,
+    )
+
+
 def _fastrp_knn_sql_wrapped() -> str:
     from linkgraph.embeddings import fastrp_knn_sql
     return fastrp_knn_sql(PURCHASE_EDGES_SQL, query_mod=97, k=5, dim=8,
@@ -1459,6 +1468,23 @@ def _q_fastrp_purchase(spark, sf_dir):
 
     return fastrp_embeddings(
         purchase_edges(spark, sf_dir), dim=8, iterations=2, weights=[1, 2], seed=42
+    )
+
+
+def _q_feature_prop_purchase(spark, sf_dir):
+    """K-hop feature smoothing (SGC-style GNN preprocessing): 2 rounds
+    of closed-neighborhood means of [acctbal, nationkey] over the
+    undirected purchase graph — iterative float pass made value-exact
+    through the 6-decimal integer domain (linkgraph/embeddings.py)."""
+    from linkgraph.embeddings import propagate_features
+    from linkgraph.graphs import purchase_node_features
+
+    return propagate_features(
+        purchase_edges(spark, sf_dir),
+        purchase_node_features(spark, sf_dir),
+        dim=2,
+        rounds=2,
+        exploded=True,
     )
 
 
@@ -2261,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kspanning_cosupplier": _q_kspanning_cosupplier,
         "eigenvector_purchase": _q_eigenvector_purchase,
         "fastrp_purchase": _q_fastrp_purchase,
+        "feature_prop_purchase": _q_feature_prop_purchase,
         "fastrp_knn_purchase": _q_fastrp_knn_purchase,
         "katz_purchase": _q_katz_purchase,
         "hits_purchase": _q_hits_purchase,
@@ -3079,6 +3106,7 @@ FROM nodes nd LEFT JOIN (
         "kspanning_cosupplier": _kspanning_sql(COSUPPLIER_EDGES_SQL, k=4),
         "eigenvector_purchase": _eigenvector_sql_wrapped(),
         "fastrp_purchase": _fastrp_sql_wrapped(),
+        "feature_prop_purchase": _feature_prop_sql_wrapped(),
         "fastrp_knn_purchase": _fastrp_knn_sql_wrapped(),
         "katz_purchase": _katz_sql_wrapped(),
         "hits_purchase": _hits_sql_wrapped(),

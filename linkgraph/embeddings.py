@@ -54,7 +54,10 @@ from pyspark.sql import functions as F
 
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 
-__all__ = ["fastrp_embeddings", "fastrp_knn", "fastrp_sql", "fastrp_knn_sql"]
+__all__ = [
+    "fastrp_embeddings", "fastrp_knn", "fastrp_sql", "fastrp_knn_sql",
+    "propagate_features", "propagate_features_sql",
+]
 
 _DIRECTIONS = ("OUTGOING", "INCOMING", "BOTH")
 
@@ -353,3 +356,163 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= {k}
 """
+
+
+# --------------------------------------------- k-hop feature propagation
+
+def propagate_features(
+    edges: DataFrame,
+    features: DataFrame,
+    dim: int,
+    rounds: int = 2,
+    direction: str = "BOTH",
+    id_col: str = "id",
+    vec_col: str = "features",
+    exploded: bool = False,
+) -> DataFrame:
+    """K-hop neighborhood feature smoothing — the graph-native feature
+    engineering step GNN pipelines run before training (SGC, Wu et al.
+    ICML 2019: collapse k propagation layers into one precomputed
+    smoothing pass; also the "feature propagation" imputation shape of
+    Rossi et al. 2022).
+
+    Each round replaces every featured node's vector with the mean of
+    its CLOSED neighborhood (itself + feature-bearing neighbors):
+
+        h_{r+1}(i) = round6( (h_r(i) + sum_{j in N(i)} h_r(j))
+                             / (1 + |N_feat(i)|) )
+
+    Nodes without an input feature row don't contribute and aren't
+    imputed (documented contract — they stay absent); isolated nodes
+    keep their vector. Returns (id, features: array<double>) with
+    6-decimal components.
+
+    Cross-engine exactness of an ITERATIVE float pass (the FastRP /
+    kmeans move): components are quantized ONCE to 6-decimal fixed
+    point (ROUND(x*1e6) as int64 — half-away-from-zero on both
+    engines), every neighborhood sum is an int64 aggregate
+    (order-free, exact), and the mean re-rounds the exact-double
+    rational back into the integer domain, so round-r state is
+    bit-identical on Spark and DuckDB and the unrolled SQL twin
+    (``propagate_features_sql``) is value-exact.
+
+    Spark-first shape (100 TB): per round ONE ``groupBy(node)``
+    shuffle carrying ``dim`` map-side-combinable int64 SUMs plus a
+    count (the hub-safe FastRP layout — a power-law hub's neighborhood
+    collapses in partial aggregation before it can concentrate in one
+    task), then a co-keyed left join back onto the carried state. Sums
+    stay exact while deg * 1e6 * max|x| < 2^63 (~9e12 neighbor-units);
+    beyond that cast the sums to decimal(38,0).
+    """
+    d = direction.upper()
+    if d not in _DIRECTIONS:
+        raise ValueError(f"bad direction {direction}")
+    if rounds < 0 or dim < 1:
+        raise ValueError(f"rounds must be >= 0 and dim >= 1, got {rounds}, {dim}")
+    vcols = [f"v{k}" for k in range(dim)]
+    state = features.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.round(F.element_at(F.col(vec_col), k + 1) * 1_000_000, 0)
+            .cast("long")
+            .alias(vcols[k])
+            for k in range(dim)
+        ],
+    )
+    if d == "OUTGOING":
+        pairs = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    elif d == "INCOMING":
+        pairs = edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    else:
+        pairs = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).union(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+    for _ in range(rounds):
+        nbr = pairs.join(
+            state.select(F.col("id").alias("nbr"), *vcols), "nbr"
+        )
+        agg = nbr.groupBy(F.col("node").alias("id")).agg(
+            *[F.sum(c).alias(f"s_{c}") for c in vcols],
+            F.count("*").alias("cnt"),
+        )
+        state = state.join(agg, "id", "left").select(
+            "id",
+            *[
+                F.round(
+                    (F.col(c) + F.coalesce(F.col(f"s_{c}"), F.lit(0)))
+                    / (F.lit(1) + F.coalesce(F.col("cnt"), F.lit(0))),
+                    0,
+                )
+                .cast("long")
+                .alias(c)
+                for c in vcols
+            ],
+        )
+    if exploded:
+        # long format (id, d, value) — the FastRP oracle convention
+        # (sortable by the driver's value-hash compare)
+        return state.select(
+            "id",
+            F.posexplode(
+                F.array(*[(F.col(c) / 1_000_000).cast("double") for c in vcols])
+            ).alias("d", "value"),
+        )
+    return state.select(
+        "id",
+        F.array(*[(F.col(c) / 1_000_000).cast("double") for c in vcols]).alias(
+            "features"
+        ),
+    )
+
+
+def propagate_features_sql(
+    edge_sql: str,
+    features_sql: str,
+    dim: int,
+    rounds: int = 2,
+    direction: str = "BOTH",
+    exploded: bool = False,
+) -> str:
+    """Unrolled-round DuckDB twin of ``propagate_features`` —
+    value-exact (see the operator docstring's integer-domain
+    argument). ``features_sql`` must yield (id, f0..f{dim-1})."""
+    d = direction.upper()
+    vcols = [f"v{k}" for k in range(dim)]
+    quant = ", ".join(
+        f"CAST(ROUND(f{k} * 1000000, 0) AS BIGINT) AS v{k}" for k in range(dim)
+    )
+    if d == "OUTGOING":
+        und = f"SELECT src AS node, dst AS nbr FROM ({edge_sql})"
+    elif d == "INCOMING":
+        und = f"SELECT dst AS node, src AS nbr FROM ({edge_sql})"
+    else:
+        und = (
+            f"SELECT src AS node, dst AS nbr FROM ({edge_sql}) "
+            f"UNION ALL SELECT dst, src FROM ({edge_sql})"
+        )
+    ctes = [f"feat0 AS (SELECT id, {quant} FROM ({features_sql}))", f"und AS ({und})"]
+    for r in range(rounds):
+        sums = ", ".join(f"SUM(f.{c}) AS s_{c}" for c in vcols)
+        news = ", ".join(
+            f"CAST(ROUND((s.{c} + COALESCE(a.s_{c}, 0)) / (1 + COALESCE(a.cnt, 0)), 0) AS BIGINT) AS {c}"
+            for c in vcols
+        )
+        ctes.append(
+            f"agg{r + 1} AS (SELECT u.node AS id, {sums}, COUNT(*) AS cnt "
+            f"FROM und u JOIN feat{r} f ON f.id = u.nbr GROUP BY u.node)"
+        )
+        ctes.append(
+            f"feat{r + 1} AS (SELECT s.id, {news} "
+            f"FROM feat{r} s LEFT JOIN agg{r + 1} a ON a.id = s.id)"
+        )
+    if exploded:
+        body = " UNION ALL ".join(
+            f"SELECT id, {k} AS d, v{k} / 1000000.0 AS value FROM feat{rounds}"
+            for k in range(dim)
+        )
+        return "WITH " + ",\n".join(ctes) + "\n" + body
+    arr = ", ".join(f"{c} / 1000000.0" for c in vcols)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, [{arr}] AS features FROM feat{rounds}"
+    )

@@ -574,3 +574,36 @@ SELECT CAST(COALESCE((SELECT SUM(d * (d - 1)) FROM deg), 0) // 2 AS BIGINT)
          AS BIGINT) AS n_4cycles,
        CAST((SELECT n FROM k4) AS BIGINT) AS n_4cliques
 """
+
+
+def purchase_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, features: array<double>) for every purchase-graph node —
+    [acctbal, nationkey] from customer/supplier rows (suppliers in the
+    +1_000_000 id space). The real-attribute input for
+    ``linkgraph.embeddings.propagate_features``."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.array(
+            F.col("c_acctbal").cast("double"),
+            F.col("c_nationkey").cast("double"),
+        ).alias("features"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("s_suppkey")).alias("id"),
+        F.array(
+            F.col("s_acctbal").cast("double"),
+            F.col("s_nationkey").cast("double"),
+        ).alias("features"),
+    )
+    return c.unionAll(s)
+
+
+PURCHASE_NODE_FEATURES_SQL = """
+SELECT c_custkey AS id,
+       CAST(c_acctbal AS DOUBLE) AS f0, CAST(c_nationkey AS DOUBLE) AS f1
+FROM customer
+UNION ALL
+SELECT 1000000 + s_suppkey,
+       CAST(s_acctbal AS DOUBLE), CAST(s_nationkey AS DOUBLE)
+FROM supplier
+"""

@@ -159,3 +159,72 @@ def test_param_validation(spark):
         fastrp_embeddings(e, direction="SIDEWAYS")
     with pytest.raises(ValueError, match="query_mod"):
         fastrp_knn(e, query_mod=0)
+
+
+# --------------------------------------------- k-hop feature propagation
+
+def test_propagate_features_hand_computed(spark):
+    """Hand-derived 2-round closed-neighborhood means on a path graph
+    with a featureless node and a .5-tie rounding case (416666.67 ->
+    417; 458333.5 -> half-away 458334)."""
+    from linkgraph.embeddings import propagate_features
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    )
+    feats = spark.createDataFrame(
+        [(1, [1.0]), (2, [0.0]), (4, [0.25]), (5, [0.7])],
+        "id long, features array<double>",
+    )
+    out = {
+        r.id: r.features
+        for r in propagate_features(edges, feats, dim=1, rounds=2).collect()
+    }
+    # node 3 has no feature row: absent (not imputed); node 5 isolated:
+    # unchanged
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1] == [0.458334]   # (0.5 + 0.416667)/2 = .4583335 -> away
+    assert out[2] == [0.347222]   # (0.416667 + 0.625)/3 floor-rounds
+    assert out[4] == [0.270834]   # (0.125 + 0.416667)/2 tie -> away
+    assert out[5] == [0.7]
+
+
+def test_propagate_features_modes_and_twin(spark):
+    """Exploded output equals the array output; the unrolled DuckDB
+    twin is value-exact on a random graph with real-valued dim-3
+    features, all three directions."""
+    import duckdb
+
+    from linkgraph.embeddings import propagate_features, propagate_features_sql
+
+    rng = random.Random(13)
+    pairs = sorted({(rng.randrange(12), rng.randrange(12)) for _ in range(25)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    feats = [
+        (i, [round(rng.uniform(-5, 5), 3) for _ in range(3)]) for i in range(10)
+    ]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    fdf = spark.createDataFrame(feats, "id long, features array<double>")
+    evals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    edge_sql = f"SELECT * FROM (VALUES {evals}) AS t(src, dst)"
+    fvals = ", ".join(
+        f"({i}, {v[0]!r}, {v[1]!r}, {v[2]!r})" for i, v in feats
+    )
+    feat_sql = f"SELECT * FROM (VALUES {fvals}) AS t(id, f0, f1, f2)"
+    con = duckdb.connect()
+    for direction in ("BOTH", "OUTGOING", "INCOMING"):
+        arr = propagate_features(
+            edges, fdf, dim=3, rounds=2, direction=direction
+        ).collect()
+        expl = propagate_features(
+            edges, fdf, dim=3, rounds=2, direction=direction, exploded=True
+        ).collect()
+        from_arr = {(r.id, d, v) for r in arr for d, v in enumerate(r.features)}
+        from_expl = {(r.id, r.d, r.value) for r in expl}
+        assert from_arr == from_expl
+        sql = propagate_features_sql(
+            edge_sql, feat_sql, dim=3, rounds=2, direction=direction,
+            exploded=True,
+        )
+        want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+        assert from_expl == want, direction
