@@ -1210,6 +1210,11 @@ def _feature_prop_sql_wrapped() -> str:
     )
 
 
+def _kcenter_sql_wrapped() -> str:
+    from linkgraph.pipeline import kcenter_select_sql
+    return kcenter_select_sql(dim=64, k=8)
+
+
 def _fastrp_knn_sql_wrapped() -> str:
     from linkgraph.embeddings import fastrp_knn_sql
     return fastrp_knn_sql(PURCHASE_EDGES_SQL, query_mod=97, k=5, dim=8,
@@ -2025,6 +2030,15 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_kcenter(spark, sf_dir):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985, 2-approx covering radius) — diversity sampling over the
+    embeddings table; int64-quantized distances make the 8-step greedy
+    sequence value-exact cross-engine (pipeline/simsearch.py)."""
+    from linkgraph.pipeline import kcenter_select
+    return kcenter_select(_emb(spark, sf_dir), k=8)
+
+
 def _q_kmeans(spark, sf_dir):
     """Deterministic distributed k-means (rank-stride seeding + 2
     integer-exact Lloyd rounds): the one iterative FLOAT clustering
@@ -2368,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
         "sim_kmeans_assign": _q_kmeans,
+        "sim_kcenter_select": _q_kcenter,
         "sim_quantize_embeddings": _q_quantize_embeddings,
         "sim_pq_encode": _q_pq_encode,
         "multimodal_features": _q_multimodal_features,
@@ -3374,6 +3389,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
         "sim_kmeans_assign": kmeans_clusters_sql(dim=64, n_clusters=16, iters=2),
+        "sim_kcenter_select": _kcenter_sql_wrapped(),
         # int8 quantization: min/max are order-free, all arithmetic
         # explicitly double-promoted => exact
         "sim_quantize_embeddings": quantize_embeddings_sql(),

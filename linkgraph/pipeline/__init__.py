@@ -69,6 +69,8 @@ from linkgraph.pipeline.simsearch import (
     auto_n_clusters,
     auto_n_planes,
     cosine_topk,
+    kcenter_select,
+    kcenter_select_sql,
     kmeans_clusters,
     near_dup_pairs,
     near_dup_pairs_lsh,
@@ -110,6 +112,7 @@ __all__ = [
     "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",
+    "kcenter_select", "kcenter_select_sql",
     "kmeans_clusters",
     "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",

@@ -1078,3 +1078,124 @@ rk AS (SELECT vec_id, subspace, code, dist,
 SELECT vec_id, subspace, CAST(code AS BIGINT) AS code, dist
 FROM rk WHERE rn = 1
 """
+
+
+# --------------------------------------------- greedy k-center selection
+
+def _dist2_sql(a: str, b: str, dim: int, extract: str) -> str:
+    """Squared L2 between two int64-quantized vectors — pure int64
+    arithmetic, exact and order-free on both engines."""
+    terms = " + ".join(
+        f"({extract}({a}, {i}) - {extract}({b}, {i})) * "
+        f"({extract}({a}, {i}) - {extract}({b}, {i}))"
+        for i in range(1, dim + 1)
+    )
+    return f"(0 + {terms})"
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point selection (Gonzalez 1985) —
+    the diversity-sampling step of training-data curation (pick the k
+    most mutually-distant exemplars; a 2-approximation of the optimal
+    covering radius). Returns the selection sequence
+    (sel_order, vec_id, d2) where d2 is the point's squared L2
+    distance — in 1e-6-quantized integer units² — to the nearest
+    previously-selected center at the moment it was chosen (0 for the
+    seed, the min-id vector). Any drift anywhere in the distance field
+    reorders the sequence, so the oracle compare is strict.
+
+    Exactness: coordinates are quantized once (ROUND(x*1e6) int64);
+    every distance is an int64 sum of squared diffs — no float
+    accumulation anywhere, so Spark and the unrolled DuckDB twin agree
+    bit-for-bit, ties broken by (d2 DESC, id ASC).
+
+    Spark-first shape (100TB): the greedy is inherently sequential in
+    k — each round is ONE distributed TakeOrdered argmax over the
+    cached quantized table, then the 1-row winner (the only
+    driver-side material, the size-gated-collect pattern of mst/ivf)
+    is inlined as literals into the next round's min-distance update
+    (Θ(nk) total work, the algorithm's lower bound; everything stays
+    whole-stage codegen). Keep k modest (coreset sizes, <= a few
+    hundred) — beyond that, switch to the kmeans_clusters +
+    per-cluster quota_sample composition.
+
+    Degenerate input (k > number of DISTINCT points): once every
+    point coincides with a center the farthest distance is 0 and the
+    argmax deterministically re-picks the min-id point — duplicated
+    trailing selections, identical on both engines.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dim = _dim(emb, vec_col)
+    spark = emb.sparkSession
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).persist()
+
+    def _d2_lit(cvec: list[int]):
+        terms = " + ".join(
+            f"(element_at(qv, {i}) - {cvec[i - 1]}L) * "
+            f"(element_at(qv, {i}) - {cvec[i - 1]}L)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"(0L + {terms})")
+
+    seed = q.orderBy(F.asc("id")).first()
+    picks = [(0, seed["id"], 0)]
+    state = q.select("id", "qv", _d2_lit(list(seed["qv"])).alias("dmin")).persist()
+    pending = None
+    for r in range(1, k):
+        # the argmax materializes `state` off its cached parent; the
+        # grandparent's cache is only THEN safe to drop (releasing it
+        # sooner would force each round to recompute the whole select
+        # chain from q)
+        nxt = state.orderBy(F.desc("dmin"), F.asc("id")).first()
+        if pending is not None:
+            pending.unpersist()
+        picks.append((r, nxt["id"], nxt["dmin"]))
+        if r < k - 1:  # the final pick needs no distance update
+            pending = state
+            state = state.select(
+                "id", "qv", F.least("dmin", _d2_lit(list(nxt["qv"]))).alias("dmin")
+            ).persist()
+    state.unpersist()
+    q.unpersist()
+    return spark.createDataFrame(
+        picks, "sel_order long, vec_id long, d2 long"
+    )
+
+
+def kcenter_select_sql(dim: int, k: int = 8, table: str = "embeddings") -> str:
+    """Unrolled DuckDB twin of ``kcenter_select`` — identical int64
+    distance field, argmax, and tie-breaks per round."""
+    d2 = _dist2_sql("s.qv", "c.qv", dim, "list_extract")
+    ctes = [
+        (
+            "q AS (SELECT vec_id AS id, "
+            "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv "
+            f"FROM {table})"
+        ),
+        "c0 AS MATERIALIZED (SELECT id, qv FROM q ORDER BY id LIMIT 1)",
+        f"s0 AS MATERIALIZED (SELECT s.id, s.qv, {d2} AS dmin FROM q s, c0 c)",
+    ]
+    picks = ["SELECT CAST(0 AS BIGINT) AS sel_order, id AS vec_id, CAST(0 AS BIGINT) AS d2 FROM c0"]
+    for r in range(1, k):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT id, qv, dmin FROM s{r - 1} ORDER BY dmin DESC, id LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT s.id, s.qv, LEAST(s.dmin, {d2}) AS dmin "
+            f"FROM s{r - 1} s, c{r} c)"
+        )
+        picks.append(
+            f"SELECT CAST({r} AS BIGINT), id, CAST(dmin AS BIGINT) FROM c{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)

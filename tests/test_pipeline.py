@@ -1499,3 +1499,53 @@ def test_gopher_quality_golden(spark):
     want = {r[0]: r for r in con.execute(gopher_quality_sql()).fetchall()}
     for did, row in got.items():
         assert tuple(row.values()) == want[did], (did, row, want[did])
+
+
+def test_kcenter_hand_computed(spark):
+    """Dim-1 line fixture: greedy farthest-point picks the two cluster
+    extremes first (Gonzalez order), distances in micro^2 units."""
+    from linkgraph.pipeline import kcenter_select
+
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [20.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(map(tuple, kcenter_select(emb, k=3).collect()))
+    assert got == [
+        (0, 1, 0),
+        (1, 5, 400_000_000_000_000),   # (20e6)^2
+        (2, 3, 100_000_000_000_000),   # (10e6)^2 to nearest of {0, 20}
+    ]
+
+
+def test_kcenter_twin_and_degenerate(spark):
+    """Random dim-4 corpus: Spark sequence == unrolled DuckDB twin
+    bit-for-bit. Degenerate k > distinct points: the argmax
+    deterministically re-picks the min-id point (documented), same on
+    both engines."""
+    import random
+
+    import duckdb
+
+    from linkgraph.pipeline import kcenter_select, kcenter_select_sql
+
+    rng = random.Random(99)
+    rows = [
+        (i, [round(rng.uniform(-2, 2), 4) for _ in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, kcenter_select(emb, k=6).collect()))
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, [{v[0]!r}, {v[1]!r}, {v[2]!r}, {v[3]!r}]::FLOAT[])" for i, v in rows
+    )
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {vals}) t(vec_id, embedding)")
+    want = sorted(map(tuple, con.execute(kcenter_select_sql(dim=4, k=6)).fetchall()))
+    assert got == want
+
+    dup = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [0.5, 0.5]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    seq = sorted(map(tuple, kcenter_select(dup, k=3).collect()))
+    assert seq == [(0, 1, 0), (1, 1, 0), (2, 1, 0)]
