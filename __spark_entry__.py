@@ -1215,6 +1215,11 @@ def _kcenter_sql_wrapped() -> str:
     return kcenter_select_sql(dim=64, k=8)
 
 
+def _bpe_sql_wrapped() -> str:
+    from linkgraph.pipeline import bpe_learn_sql
+    return bpe_learn_sql(n_merges=8)
+
+
 def _fastrp_knn_sql_wrapped() -> str:
     from linkgraph.embeddings import fastrp_knn_sql
     return fastrp_knn_sql(PURCHASE_EDGES_SQL, query_mod=97, k=5, dim=8,
@@ -1875,6 +1880,16 @@ def _q_dup_structure(spark, sf_dir):
     return duplicate_structure_stats(_docs(spark, sf_dir))
 
 
+def _q_bpe(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich 2016): 8 merges over
+    the whitespace vocabulary; corpus touched once, per-round
+    pair census + 1-row argmax + shuffle-free JVM fold apply
+    (pipeline/text.py). The DuckDB twin replays the same greedy via
+    an island/parity window formulation."""
+    from linkgraph.pipeline import bpe_learn
+    return bpe_learn(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -2356,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": _q_c4_clean,
         "text_gopher_quality": _q_gopher_quality,
         "text_vocab_topk": _q_vocab,
+        "text_bpe_merges": _q_bpe,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
@@ -3350,6 +3366,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_c4_clean": c4_clean_sql(),
         "text_gopher_quality": gopher_quality_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
+        "text_bpe_merges": _bpe_sql_wrapped(),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),

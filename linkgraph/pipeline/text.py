@@ -1460,3 +1460,173 @@ SELECT sh.doc_id, COUNT(*) AS n_grams,
 FROM sh JOIN df ON df.shingle = sh.shingle
 GROUP BY sh.doc_id
 """
+
+
+# ---------------------------------------------------- BPE merge learning
+
+def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Distributed byte-pair-encoding merge learning (Sennrich et al.,
+    ACL 2016) — the tokenizer-training census step of an LLM data
+    pipeline, run over the corpus vocabulary.
+
+    Pre-tokenize on whitespace, keep the word-frequency vocabulary
+    (the ONLY state — corpus text never reappears after the first
+    census), split every word into characters plus a terminal '</w>'
+    marker symbol, then ``n_merges`` rounds of: count every adjacent
+    symbol pair weighted by word frequency (overlapping occurrences
+    count, Sennrich's get_stats), pick the max-count pair (ties:
+    lexicographic (lhs, rhs) — deterministic), and merge it greedily
+    left-to-right in every word (a merged occurrence consumes its
+    symbols, so of overlapping candidates ('a','a' in "a a a") only
+    the leftmost of each consecutive run merges — the reference
+    semantics). Returns (step, lhs, rhs, pair_count): the learned
+    merge table in order.
+
+    Exactness: counts are integers; the greedy application is
+    implemented as a shuffle-free ``aggregate`` fold over each word's
+    symbol array (accumulator = (emitted, pending) — pending merges
+    with the next symbol or is flushed), which the SQL twin
+    (``bpe_learn_sql``) reproduces exactly through an island/parity
+    window formulation: candidate positions at consecutive offsets
+    (only possible in same-symbol runs) merge at odd in-run ranks.
+    Both compute the identical merge table.
+
+    Scale shape (100TB): the corpus is touched ONCE (word census —
+    map-side-combinable groupBy); every round then runs on the
+    |vocab|-row state: one pair census (map-side combinable, keys are
+    symbol pairs), ONE 1-row argmax collect (the size-gated-collect
+    pattern), and a JVM-codegen fold per word — no per-round shuffle
+    of the vocabulary itself, no Python in the loop. Stops early when
+    no pair remains.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                F.array(F.lit("</w>")),
+            ).alias("syms"),
+        )
+        .persist()
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    state = vocab
+    pending = None
+    for step in range(n_merges):
+        adj = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(syms, 1, greatest(size(syms) - 1, 0))"),
+                    F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))"),
+                    lambda x, y: F.struct(x.alias("lhs"), y.alias("rhs")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            adj.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+            .first()
+        )
+        if pending is not None:
+            pending.unpersist()
+        if top is None:
+            break
+        a, b = top["lhs"], top["rhs"]
+        merges.append((step, a, b, top["c"]))
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        nul = F.lit(None).cast("string")
+        empty = F.expr("CAST(array() AS array<string>)")
+
+        def _flush(acc):
+            return F.when(
+                acc["pend"].isNull(), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+        folded = F.aggregate(
+            "syms",
+            F.struct(empty.alias("out"), nul.alias("pend")),
+            lambda acc, s: F.when(
+                (acc["pend"] == la) & (s == lb),
+                F.struct(
+                    F.concat(acc["out"], F.array(lab)).alias("out"),
+                    nul.alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(_flush(acc).alias("out"), s.alias("pend"))
+            ),
+            _flush,
+        )
+        pending = state
+        state = state.select("cnt", folded.alias("syms")).persist()
+    if pending is not None:
+        pending.unpersist()
+    state.unpersist()
+    if vocab is not state:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_learn_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """Unrolled DuckDB twin of ``bpe_learn``. Greedy application per
+    round: candidate positions (sym, next) = the chosen pair form
+    consecutive-offset islands only inside same-symbol runs; the fold
+    merges the 1st, 3rd, ... candidate of each island (odd in-island
+    rank) and consumes the following position."""
+    ctes = [
+        (
+            "v0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY word) AS wid, cnt, "
+            "list_concat(list_transform(range(1, length(word) + 1), "
+            "i -> substr(word, i, 1)), ['</w>']) AS syms "
+            "FROM (SELECT word, COUNT(*) AS cnt FROM ("
+            f"SELECT unnest(string_split(text, ' ')) AS word FROM {table}"
+            ") WHERE length(word) > 0 GROUP BY word))"
+        )
+    ]
+    picks = []
+    for r in range(n_merges):
+        p, n = f"v{r}", f"v{r + 1}"
+        # windows ONLY in layers above the unnest (evaluation order)
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT wid, cnt, sym, pos, "
+            "LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt FROM ("
+            "SELECT wid, cnt, unnest(syms) AS sym, "
+            f"unnest(generate_series(1, len(syms))) AS pos FROM {p}))"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT sym AS lhs, nxt AS rhs, SUM(cnt) AS c "
+            f"FROM e{r} WHERE nxt IS NOT NULL GROUP BY 1, 2 "
+            "ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        # candidate positions -> islands (consecutive offsets, i.e.
+        # same-symbol runs) -> odd in-island ranks merge
+        ctes.append(
+            f"g{r} AS MATERIALIZED (SELECT wid, pos FROM ("
+            "SELECT wid, pos, ROW_NUMBER() OVER ("
+            "PARTITION BY wid, pos - crk ORDER BY pos) AS irk FROM ("
+            "SELECT wid, pos, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS crk "
+            f"FROM e{r} JOIN m{r} ON sym = lhs AND nxt = rhs)) WHERE irk % 2 = 1)"
+        )
+        ctes.append(
+            f"{n} AS MATERIALIZED (SELECT e.wid AS wid, cnt, list("
+            "CASE WHEN g1.pos IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END "
+            "ORDER BY e.pos) AS syms "
+            f"FROM e{r} e "
+            f"LEFT JOIN g{r} g1 ON g1.wid = e.wid AND g1.pos = e.pos "
+            f"LEFT JOIN g{r} g2 ON g2.wid = e.wid AND g2.pos = e.pos - 1 "
+            "WHERE g2.pos IS NULL GROUP BY e.wid, cnt)"
+        )
+        picks.append(
+            f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)

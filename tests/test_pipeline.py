@@ -1549,3 +1549,93 @@ def test_kcenter_twin_and_degenerate(spark):
     )
     seq = sorted(map(tuple, kcenter_select(dup, k=3).collect()))
     assert seq == [(0, 1, 0), (1, 1, 0), (2, 1, 0)]
+
+
+def _ref_bpe(texts, k):
+    """Pure-python Sennrich reference: overlapping pair counts, greedy
+    left-to-right merge application, (count DESC, pair ASC) selection."""
+    import collections
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for step in range(k):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == mx)[0]
+        merges.append((step, a, b, mx))
+        new = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += c
+        vocab = new
+    return merges
+
+
+def test_bpe_learn_matches_reference_and_twin(spark):
+    """Spark fold == pure-python Sennrich reference == DuckDB
+    island/parity twin, on a corpus with same-symbol runs ('aaaa' —
+    the overlapping-candidate case where naive replace diverges)."""
+    import duckdb
+
+    from linkgraph.pipeline import bpe_learn, bpe_learn_sql
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "aaaa baa aab",
+        "low lower lowest low low",
+        "the the the",
+    ]
+    want = sorted(_ref_bpe(texts, 6))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in bpe_learn(docs, 6).collect())
+    assert got == want
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    duck = sorted(tuple(r) for r in con.execute(bpe_learn_sql(6)).fetchall())
+    assert duck == want
+
+
+def test_bpe_learn_randomized_vs_reference(spark):
+    """Randomized corpora (small alphabet to force heavy merging and
+    ties) against the pure-python reference."""
+    import random
+
+    from linkgraph.pipeline import bpe_learn
+
+    rng = random.Random(7)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        want = sorted(_ref_bpe(texts, 5))
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(tuple(r) for r in bpe_learn(docs, 5).collect())
+        assert got == want, (trial, texts)
