@@ -1215,6 +1215,11 @@ def _kcenter_sql_wrapped() -> str:
     return kcenter_select_sql(dim=64, k=8)
 
 
+def _bpe_census_sql_wrapped() -> str:
+    from linkgraph.pipeline import bpe_token_census_sql
+    return bpe_token_census_sql(n_merges=8)
+
+
 def _bpe_sql_wrapped() -> str:
     from linkgraph.pipeline import bpe_learn_sql
     return bpe_learn_sql(n_merges=8)
@@ -1890,6 +1895,14 @@ def _q_bpe(spark, sf_dir):
     return bpe_learn(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_bpe_census(spark, sf_dir):
+    """Subword-unit inventory after the 8 learned merges: per-token
+    corpus occurrence mass over the segmented vocabulary (the
+    tokenizer-coverage readout; pipeline/text.py)."""
+    from linkgraph.pipeline import bpe_token_census
+    return bpe_token_census(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -2372,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": _q_gopher_quality,
         "text_vocab_topk": _q_vocab,
         "text_bpe_merges": _q_bpe,
+        "text_bpe_census": _q_bpe_census,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
@@ -3367,6 +3381,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_gopher_quality": gopher_quality_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
         "text_bpe_merges": _bpe_sql_wrapped(),
+        "text_bpe_census": _bpe_census_sql_wrapped(),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),

@@ -50,6 +50,8 @@ from linkgraph.pipeline.curate import (
 from linkgraph.pipeline.text import (
     bpe_learn,
     bpe_learn_sql,
+    bpe_token_census,
+    bpe_token_census_sql,
     ngram_novelty,
     token_stats,
     quality_scores,
@@ -107,7 +109,7 @@ __all__ = [
     "decontaminate", "bloom_decontaminate", "dsir_scores", "dsir_sample",
     "stratified_sample", "quota_sample",
     "corpus_shuffle", "pack_sequences", "chunk_documents",
-    "bpe_learn", "bpe_learn_sql",
+    "bpe_learn", "bpe_learn_sql", "bpe_token_census", "bpe_token_census_sql",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
     "repetition_scores", "duplicate_structure_stats", "c4_clean", "gopher_quality", "vocab_stats", "containment_pairs",

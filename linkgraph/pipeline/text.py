@@ -1499,6 +1499,16 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     of the vocabulary itself, no Python in the loop. Stops early when
     no pair remains.
     """
+    merges, state = _bpe_run(docs, n_merges)
+    state.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges, "step long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_run(docs: DataFrame, n_merges: int):
+    """Shared BPE loop: returns (merge list, final PERSISTED vocab
+    state (cnt, syms)) — the caller owns the state's unpersist."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     vocab = (
@@ -1569,11 +1579,43 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         state = state.select("cnt", folded.alias("syms")).persist()
     if pending is not None:
         pending.unpersist()
-    state.unpersist()
     if vocab is not state:
         vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "step long, lhs string, rhs string, pair_count long"
+    return merges, state
+
+
+def bpe_token_census(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Token-frequency census of the corpus vocabulary AFTER
+    ``n_merges`` learned BPE merges — the "what does the tokenizer's
+    unit inventory look like" readout (subword list + how much corpus
+    mass each unit covers). Returns (token, n_occurrences) where
+    n_occurrences sums word frequency over every occurrence of the
+    token in the segmented vocabulary.
+
+    Same exactness and scale shape as ``bpe_learn`` (it IS the same
+    loop — one corpus census, then |vocab|-row rounds), plus one final
+    map-side-combinable explode-count.
+    """
+    _, state = _bpe_run(docs, n_merges)
+    out = (
+        state.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+    out = out.localCheckpoint()  # materialize before releasing the state
+    state.unpersist()
+    return out
+
+
+def bpe_token_census_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of ``bpe_token_census``: the ``bpe_learn_sql`` CTE
+    chain with a census over the final vocabulary state."""
+    chain = bpe_learn_sql(n_merges, table)
+    ctes = chain[: chain.rindex("\nSELECT CAST(0 AS BIGINT)")]
+    return (
+        ctes
+        + f"\nSELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences FROM ("
+        f"SELECT cnt, unnest(syms) AS token FROM v{n_merges}) GROUP BY token"
     )
 
 

@@ -1639,3 +1639,51 @@ def test_bpe_learn_randomized_vs_reference(spark):
         )
         got = sorted(tuple(r) for r in bpe_learn(docs, 5).collect())
         assert got == want, (trial, texts)
+
+
+def test_bpe_token_census_matches_reference(spark):
+    """Census after k merges == segmenting the reference-BPE vocab and
+    summing word frequencies per token; twin value-exact."""
+    import collections
+
+    import duckdb
+
+    from linkgraph.pipeline import bpe_token_census, bpe_token_census_sql
+
+    texts = ["the cat sat on the mat", "aaaa baa aab", "low lower lowest"]
+    # replay the reference merge application to get the final vocab
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(list(w) + ["</w>"])] += 1
+    for _, a, b, _c in _ref_bpe(texts, 5):
+        new = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += c
+        vocab = new
+    want_census = collections.Counter()
+    for syms, c in vocab.items():
+        for s in syms:
+            want_census[s] += c
+    want = sorted(want_census.items())
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, bpe_token_census(docs, 5).collect()))
+    assert got == want
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    duck = sorted(map(tuple, con.execute(bpe_token_census_sql(5)).fetchall()))
+    assert duck == want
