@@ -489,3 +489,89 @@ def test_dup_spans_hash_only_shuffle(spark):
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "wtext" not in m.group(1), m.group(0)
     assert "Cartesian" not in plan
+
+
+def test_jaccard_prefix_no_cartesian_and_hash_joins(spark):
+    """The prefix filter's candidate generation must be an equi-join
+    on the prefix shingle (never a cartesian), and the verification
+    joins stay hash/sort-merge equi-joins."""
+    from linkgraph.pipeline import jaccard_prefix_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(jaccard_prefix_pairs(docs, n=3, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_propagate_features_round_is_partial_aggregated(spark):
+    """The per-round neighbor combine must be a hash aggregate with a
+    map-side partial over the dim int64 sums (hub-safe), with no
+    Python anywhere in the plan."""
+    from linkgraph.embeddings import propagate_features
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    f = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 1.0]), (3, [2.0, 0.5])],
+        "id long, features array<double>",
+    )
+    plan = _plan(propagate_features(e, f, dim=2, rounds=2))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_round_stays_jvm_side(spark):
+    """BPE's pair census and greedy fold must be whole-JVM: no
+    row-at-a-time Python, no pandas kernels — and the pair census must
+    partial-aggregate map-side before its shuffle."""
+    from linkgraph.pipeline.text import _bpe_run
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the bat")], "doc_id long, text string"
+    )
+    merges, state = _bpe_run(docs, 2)
+    try:
+        plan = _plan(state)
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        adj = state.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, greatest(size(syms)-1, 0)),"
+                    " slice(syms, 2, greatest(size(syms)-1, 0)),"
+                    " (x, y) -> struct(x AS lhs, y AS rhs))"
+                )
+            ).alias("p"),
+        ).groupBy("p.lhs", "p.rhs").agg(F.sum("cnt").alias("c"))
+        census_plan = _plan(adj)
+        assert "partial" in census_plan.lower()
+        assert "BatchEvalPython" not in census_plan
+    finally:
+        state.unpersist()
+
+
+def test_kcenter_round_is_take_ordered(spark):
+    """Each k-center argmax must be a distributed TakeOrdered (map-side
+    partial top-1 heaps), never a global sort exchange; the distance
+    update is a pure map over the cached state."""
+    from linkgraph.pipeline.simsearch import _dim  # noqa: F401 (import check)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.5]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    state = q.select(
+        "id", "qv",
+        F.expr(
+            "(element_at(qv,1)-0L)*(element_at(qv,1)-0L) + (element_at(qv,2)-500000L)*(element_at(qv,2)-500000L)"
+        ).alias("dmin"),
+    )
+    plan = _plan(state.orderBy(F.desc("dmin"), F.asc("id")).limit(1))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
