@@ -1220,6 +1220,11 @@ def _bpe_census_sql_wrapped() -> str:
     return bpe_token_census_sql(n_merges=8)
 
 
+def _bpe_tokenize_sql_wrapped() -> str:
+    from linkgraph.pipeline import bpe_tokenize_sql
+    return bpe_tokenize_sql(n_merges=8)
+
+
 def _bpe_sql_wrapped() -> str:
     from linkgraph.pipeline import bpe_learn_sql
     return bpe_learn_sql(n_merges=8)
@@ -1903,6 +1908,14 @@ def _q_bpe_census(spark, sf_dir):
     return bpe_token_census(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_bpe_tokenize(spark, sf_dir):
+    """Per-document token census under the learned 8-merge BPE: the
+    vocabulary is segmented once, then one word-keyed join back onto
+    occurrences (pipeline/text.py)."""
+    from linkgraph.pipeline import bpe_tokenize
+    return bpe_tokenize(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -2386,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": _q_vocab,
         "text_bpe_merges": _q_bpe,
         "text_bpe_census": _q_bpe_census,
+        "text_bpe_tokenize": _q_bpe_tokenize,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
@@ -3382,6 +3396,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_vocab_topk": vocab_stats_sql(k=20),
         "text_bpe_merges": _bpe_sql_wrapped(),
         "text_bpe_census": _bpe_census_sql_wrapped(),
+        "text_bpe_tokenize": _bpe_tokenize_sql_wrapped(),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),

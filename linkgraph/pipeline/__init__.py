@@ -52,6 +52,8 @@ from linkgraph.pipeline.text import (
     bpe_learn_sql,
     bpe_token_census,
     bpe_token_census_sql,
+    bpe_tokenize,
+    bpe_tokenize_sql,
     ngram_novelty,
     token_stats,
     quality_scores,
@@ -109,7 +111,7 @@ __all__ = [
     "decontaminate", "bloom_decontaminate", "dsir_scores", "dsir_sample",
     "stratified_sample", "quota_sample",
     "corpus_shuffle", "pack_sequences", "chunk_documents",
-    "bpe_learn", "bpe_learn_sql", "bpe_token_census", "bpe_token_census_sql",
+    "bpe_learn", "bpe_learn_sql", "bpe_token_census", "bpe_token_census_sql", "bpe_tokenize", "bpe_tokenize_sql",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
     "repetition_scores", "duplicate_structure_stats", "c4_clean", "gopher_quality", "vocab_stats", "containment_pairs",

@@ -1672,3 +1672,63 @@ def bpe_learn_sql(n_merges: int = 8, table: str = "documents") -> str:
             f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m{r}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)
+
+
+def bpe_tokenize(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Per-document token census under the ``n_merges``-step learned
+    BPE — the "what does a document look like to the tokenizer"
+    readout and the unit count that drives packing/pricing. Returns
+    (doc_id, token, n) where n counts the token's occurrences in the
+    document after whitespace pre-tokenization and greedy merge
+    application.
+
+    The segmentation is computed ONCE on the |vocab|-row state (the
+    ``bpe_learn`` loop), then joined back onto the (doc_id, word)
+    occurrences — documents are never re-segmented row by row, so the
+    corpus-scale cost after the two censuses is a single word-keyed
+    hash join (the word table is the natural broadcast side when the
+    vocabulary fits).
+    """
+    _, state = _bpe_run(docs, n_merges)
+    # reconstruct each word from its symbols (strip the terminal
+    # marker) so the segmented vocab can key back onto occurrences
+    # the terminal '</w>' marker may have MERGED into the last token
+    # (e.g. 'at</w>'), so strip it from the concatenated string, not
+    # from the symbol array
+    seg = state.select(
+        F.expr(
+            "substring(array_join(syms, ''), 1, length(array_join(syms, '')) - 4)"
+        ).alias("word"),
+        F.explode("syms").alias("token"),
+    )
+    seg = seg.localCheckpoint()  # materialize before releasing the state
+    state.unpersist()
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def bpe_tokenize_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of ``bpe_tokenize`` (same CTE chain; the vocab
+    state keys back onto word occurrences by reconstructed word)."""
+    chain = bpe_learn_sql(n_merges, table)
+    ctes = chain[: chain.rindex("\nSELECT CAST(0 AS BIGINT)")]
+    return (
+        ctes
+        + f""",
+seg AS (SELECT substr(array_to_string(syms, ''), 1,
+                      length(array_to_string(syms, '')) - 4) AS word,
+               unnest(syms) AS token
+        FROM v{n_merges}),
+occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table})
+SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+FROM occ JOIN seg USING (word)
+WHERE length(occ.word) > 0
+GROUP BY doc_id, token"""
+    )

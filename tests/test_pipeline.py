@@ -1687,3 +1687,57 @@ def test_bpe_token_census_matches_reference(spark):
     )
     duck = sorted(map(tuple, con.execute(bpe_token_census_sql(5)).fetchall()))
     assert duck == want
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    """Per-doc token census == segmenting each word with the
+    reference merges (incl. tokens that absorbed the '</w>' marker);
+    twin value-exact; per-doc token mass conserved (sum of n == word
+    count + unmerged symbol surplus is NOT invariant, but total token
+    count per doc == sum over words of |segmentation|)."""
+    import collections
+
+    import duckdb
+
+    from linkgraph.pipeline import bpe_tokenize, bpe_tokenize_sql
+
+    texts = ["the cat sat on the mat", "aaaa baa aab", "low lower lowest"]
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(list(w) + ["</w>"])] += 1
+    cur = dict(vocab)
+    for _, a, b, _c in _ref_bpe(texts, 5):
+        new = {}
+        for syms, c in cur.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        cur = new
+    wordseg = {"".join(syms)[:-4]: syms for syms in cur}
+    ref = collections.Counter()
+    for d, t in enumerate(texts):
+        for w in t.split():
+            if w:
+                for s in wordseg[w]:
+                    ref[(d, s)] += 1
+    want = sorted((d, s, n) for (d, s), n in ref.items())
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, bpe_tokenize(docs, 5).collect()))
+    assert got == want
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    duck = sorted(map(tuple, con.execute(bpe_tokenize_sql(5)).fetchall()))
+    assert duck == want
