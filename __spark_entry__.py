@@ -1225,6 +1225,11 @@ def _bpe_tokenize_sql_wrapped() -> str:
     return bpe_tokenize_sql(n_merges=8)
 
 
+def _countmin_sql_wrapped() -> str:
+    from linkgraph.pipeline import countmin_estimate_sql
+    return countmin_estimate_sql(k=20, d=4, w=1024)
+
+
 def _bpe_sql_wrapped() -> str:
     from linkgraph.pipeline import bpe_learn_sql
     return bpe_learn_sql(n_merges=8)
@@ -1916,6 +1921,16 @@ def _q_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_countmin(spark, sf_dir):
+    """Count-min sketch estimates vs exact counts for the top-20
+    tokens (Cormode-Muthukrishnan 2005): d x w integer grid, min-of-d
+    upper bound — fixed-memory frequency stats; engine-exact because
+    the counters are order-free integer sums over md5 cells
+    (pipeline/text.py)."""
+    from linkgraph.pipeline import countmin_estimate
+    return countmin_estimate(_docs(spark, sf_dir), k=20, d=4, w=1024)
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -2400,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": _q_bpe,
         "text_bpe_census": _q_bpe_census,
         "text_bpe_tokenize": _q_bpe_tokenize,
+        "text_countmin_topk": _q_countmin,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
@@ -3397,6 +3413,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_bpe_merges": _bpe_sql_wrapped(),
         "text_bpe_census": _bpe_census_sql_wrapped(),
         "text_bpe_tokenize": _bpe_tokenize_sql_wrapped(),
+        "text_countmin_topk": _countmin_sql_wrapped(),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),

@@ -54,6 +54,10 @@ from linkgraph.pipeline.text import (
     bpe_token_census_sql,
     bpe_tokenize,
     bpe_tokenize_sql,
+    countmin_estimate,
+    countmin_estimate_sql,
+    countmin_sketch,
+    countmin_sketch_sql,
     ngram_novelty,
     token_stats,
     quality_scores,
@@ -112,6 +116,7 @@ __all__ = [
     "stratified_sample", "quota_sample",
     "corpus_shuffle", "pack_sequences", "chunk_documents",
     "bpe_learn", "bpe_learn_sql", "bpe_token_census", "bpe_token_census_sql", "bpe_tokenize", "bpe_tokenize_sql",
+    "countmin_sketch", "countmin_sketch_sql", "countmin_estimate", "countmin_estimate_sql",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
     "repetition_scores", "duplicate_structure_stats", "c4_clean", "gopher_quality", "vocab_stats", "containment_pairs",

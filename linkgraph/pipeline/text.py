@@ -1732,3 +1732,142 @@ FROM occ JOIN seg USING (word)
 WHERE length(occ.word) > 0
 GROUP BY doc_id, token"""
     )
+
+
+# ----------------------------------------------------- count-min sketch
+
+def countmin_sketch(
+    docs: DataFrame, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-min sketch of the corpus token-frequency distribution
+    (Cormode & Muthukrishnan 2005): a d x w grid of counters; token t
+    increments cell (r, h_r(t) mod w) for each of d independent
+    hashes. Any token's frequency is then upper-bounded by the MIN of
+    its d cells (``countmin_estimate``) with error <= 2N/w at
+    probability 1 - 2^-d — frequency stats in FIXED memory when the
+    vocabulary itself is too large to census.
+
+    Returns (sketch_row, sketch_col, n) — at most d*w rows regardless
+    of corpus size.
+
+    Exactness: counters are plain integer sums over md5-derived cells
+    — order-free and engine-identical, so the sketch (and every
+    estimate) is value-exact cross-engine, not just approximate-equal.
+
+    Scale shape (100TB): ONE map-side-combinable groupBy whose key
+    space is d*w cells — partial aggregation collapses each partition
+    to <= d*w rows before the (tiny) shuffle; no token ever shuffles
+    raw. The d cell indexes are computed in one generated JVM
+    expression per token (no joins, no Python).
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("sketch_row"),
+                F.pmod(stable_hash64(F.col("token"), salt=f"cm-{r}"), F.lit(w))
+                .cast("long")
+                .alias("sketch_col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(
+            F.col("c.sketch_row").alias("sketch_row"),
+            F.col("c.sketch_col").alias("sketch_col"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def countmin_sketch_sql(d: int = 4, w: int = 1024, table: str = "documents") -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS sketch_row, "
+        f"{stable_hash64_sql('token', salt=f'cm-{r}')} % {w} AS sketch_col "
+        "FROM toks"
+        for r in range(d)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM {table}
+), t2 AS (SELECT token FROM toks WHERE length(token) > 0),
+cells AS ({rows.replace("FROM toks", "FROM t2")})
+SELECT sketch_row, sketch_col, CAST(COUNT(*) AS BIGINT) AS n
+FROM cells GROUP BY 1, 2
+"""
+
+
+def countmin_estimate(
+    docs: DataFrame, k: int = 20, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-min frequency estimates for the corpus's exact top-k
+    tokens (by true count DESC, token ASC — deterministic): returns
+    (token, n_exact, n_est) with the sketch's min-of-d-cells
+    upper bound alongside the truth. The composition showcases the
+    guarantee (n_est >= n_exact always; equality unless the token
+    collides in all d rows).
+    """
+    sketch = countmin_sketch(docs, d=d, w=w)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(k)
+    )
+    probes = top.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("sketch_row"),
+                        F.pmod(
+                            stable_hash64(F.col("token"), salt=f"cm-{r}"),
+                            F.lit(w),
+                        )
+                        .cast("long")
+                        .alias("sketch_col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "n_exact", "c.sketch_row", "c.sketch_col")
+    return (
+        probes.join(F.broadcast(sketch), ["sketch_row", "sketch_col"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("n").alias("n_est"))
+    )
+
+
+def countmin_estimate_sql(
+    k: int = 20, d: int = 4, w: int = 1024, table: str = "documents"
+) -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT token, n_exact, {r} AS sketch_row, "
+        f"{stable_hash64_sql('token', salt=f'cm-{r}')} % {w} AS sketch_col "
+        "FROM top"
+        for r in range(d)
+    )
+    return f"""
+WITH sk AS MATERIALIZED ({countmin_sketch_sql(d, w, table)}),
+toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM {table}),
+top AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM toks WHERE length(token) > 0 GROUP BY token
+  ORDER BY n_exact DESC, token ASC LIMIT {k}),
+probes AS ({probes})
+SELECT token, n_exact, CAST(MIN(n) AS BIGINT) AS n_est
+FROM probes JOIN sk USING (sketch_row, sketch_col)
+GROUP BY token, n_exact
+"""

@@ -1741,3 +1741,48 @@ def test_bpe_tokenize_matches_reference(spark):
     )
     duck = sorted(map(tuple, con.execute(bpe_tokenize_sql(5)).fetchall()))
     assert duck == want
+
+
+def test_countmin_guarantee_and_twin(spark):
+    """Count-min: (a) sketch and estimates are value-exact vs the
+    DuckDB twin; (b) every estimate upper-bounds the true count; (c) a
+    deliberately tiny sketch (w=4) forces collisions and the
+    OVERestimates are still engine-identical; (d) total sketch mass
+    per row == total token count."""
+    import duckdb
+
+    from linkgraph.pipeline import (
+        countmin_estimate,
+        countmin_estimate_sql,
+        countmin_sketch,
+        countmin_sketch_sql,
+    )
+
+    texts = ["the cat sat on the mat the cat", "a b c a b a", "x y z the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    n_tokens = sum(len(t.split()) for t in texts)
+    for d, w in ((3, 16), (2, 4)):
+        sk = sorted(map(tuple, countmin_sketch(docs, d=d, w=w).collect()))
+        sk_duck = sorted(
+            map(tuple, con.execute(countmin_sketch_sql(d=d, w=w)).fetchall())
+        )
+        assert sk == sk_duck
+        # per-row mass conservation
+        for r in range(d):
+            assert sum(n for rr, _, n in sk if rr == r) == n_tokens
+        est = sorted(map(tuple, countmin_estimate(docs, k=8, d=d, w=w).collect()))
+        est_duck = sorted(
+            map(tuple, con.execute(countmin_estimate_sql(k=8, d=d, w=w)).fetchall())
+        )
+        assert est == est_duck
+        assert all(n_est >= n_exact for _, n_exact, n_est in est)
+    # w=4 must actually collide somewhere (the overestimate case)
+    est4 = countmin_estimate(docs, k=8, d=2, w=4).collect()
+    assert any(r.n_est > r.n_exact for r in est4)
