@@ -233,8 +233,13 @@ def jaccard_prefix_pairs(
     among its last ceil(t|x|)-1 — fewer than the required overlap.
     A size filter (t·|x| <= |y| <= |x|/t, forced by J >= t) prunes
     candidates in the join itself. All threshold arithmetic runs in
-    the exact integer micro-domain (t as TH/1e6) so ceil() never
-    drifts a float ulp in either direction.
+    the exact integer micro-domain so ceil() never drifts a float ulp
+    in either direction — and because the OUTPUT contract keeps pairs
+    by ROUND(J, 6) >= threshold (the brute contract), the candidate
+    rule uses the slightly lower effective bound
+    t_eff = (floor(t*1e6) - 1)/1e6: any pair whose ROUNDED Jaccard
+    passes has true J >= t - 5e-7 >= t_eff, so the lemma applies at
+    t_eff and no rounding-boundary pair can be lost.
 
     Scale shape (100TB): the equi-join touches ONLY prefix tokens,
     and the rarity order makes those the lowest-df shingles in the
@@ -244,7 +249,12 @@ def jaccard_prefix_pairs(
     (map-side combinable), one per-doc sort agg, a rare-token
     equi-join, then exact verification over full shingle sets.
     """
-    th_micro = int(round(threshold * 1_000_000))
+    import math
+
+    # candidate-rule threshold: one micro-unit BELOW floor(t*1e6) so
+    # the prefix lemma covers every pair the ROUNDED output filter can
+    # keep (true J may sit up to 5e-7 below t and still round in)
+    th_micro = max(1, math.floor(threshold * 1_000_000) - 1)
     sh = _word_shingles(docs, n).persist()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     per_doc = (

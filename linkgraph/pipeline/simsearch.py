@@ -1133,12 +1133,7 @@ def kcenter_select(
         raise ValueError(f"k must be >= 1, got {k}")
     dim = _dim(emb, vec_col)
     spark = emb.sparkSession
-    q = emb.select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
-        ).alias("qv"),
-    ).persist()
+    q = _kcenter_quantized(emb, id_col, vec_col).persist()
 
     def _d2_lit(cvec: list[int]):
         terms = " + ".join(
@@ -1157,7 +1152,7 @@ def kcenter_select(
         # grandparent's cache is only THEN safe to drop (releasing it
         # sooner would force each round to recompute the whole select
         # chain from q)
-        nxt = state.orderBy(F.desc("dmin"), F.asc("id")).first()
+        nxt = _kcenter_argmax(state).first()
         if pending is not None:
             pending.unpersist()
         picks.append((r, nxt["id"], nxt["dmin"]))
@@ -1173,9 +1168,27 @@ def kcenter_select(
     )
 
 
+def _kcenter_quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qv) — the 1e-6-quantized int64 vector table."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def _kcenter_argmax(state: DataFrame) -> DataFrame:
+    """The per-round farthest-point argmax (1 row): must plan as a
+    distributed TakeOrdered, never a global sort — plan-tested."""
+    return state.orderBy(F.desc("dmin"), F.asc("id")).limit(1)
+
+
 def kcenter_select_sql(dim: int, k: int = 8, table: str = "embeddings") -> str:
     """Unrolled DuckDB twin of ``kcenter_select`` — identical int64
     distance field, argmax, and tie-breaks per round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     d2 = _dist2_sql("s.qv", "c.qv", dim, "list_extract")
     ctes = [
         (

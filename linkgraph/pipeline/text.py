@@ -1506,9 +1506,13 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     )
 
 
-def _bpe_run(docs: DataFrame, n_merges: int):
+def _bpe_run(docs: DataFrame, n_merges: int, materialize_final: bool = False):
     """Shared BPE loop: returns (merge list, final PERSISTED vocab
-    state (cnt, syms)) — the caller owns the state's unpersist."""
+    state (cnt, syms)) — the caller owns the state's unpersist.
+    Callers that READ the final state must pass materialize_final=True
+    so it is cached BEFORE its parents' caches are released (otherwise
+    their first action would recompute the whole merge chain — and the
+    corpus census — from scratch)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     vocab = (
@@ -1525,7 +1529,6 @@ def _bpe_run(docs: DataFrame, n_merges: int):
         )
         .persist()
     )
-    spark = docs.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     state = vocab
     pending = None
@@ -1577,6 +1580,8 @@ def _bpe_run(docs: DataFrame, n_merges: int):
         )
         pending = state
         state = state.select("cnt", folded.alias("syms")).persist()
+    if materialize_final:
+        state.count()  # cache the final fold before releasing parents
     if pending is not None:
         pending.unpersist()
     if vocab is not state:
@@ -1596,7 +1601,7 @@ def bpe_token_census(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     loop — one corpus census, then |vocab|-row rounds), plus one final
     map-side-combinable explode-count.
     """
-    _, state = _bpe_run(docs, n_merges)
+    _, state = _bpe_run(docs, n_merges, materialize_final=True)
     out = (
         state.select("cnt", F.explode("syms").alias("token"))
         .groupBy("token")
@@ -1610,8 +1615,7 @@ def bpe_token_census(docs: DataFrame, n_merges: int = 8) -> DataFrame:
 def bpe_token_census_sql(n_merges: int = 8, table: str = "documents") -> str:
     """DuckDB twin of ``bpe_token_census``: the ``bpe_learn_sql`` CTE
     chain with a census over the final vocabulary state."""
-    chain = bpe_learn_sql(n_merges, table)
-    ctes = chain[: chain.rindex("\nSELECT CAST(0 AS BIGINT)")]
+    ctes, _picks = _bpe_sql_parts(n_merges, table)
     return (
         ctes
         + f"\nSELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences FROM ("
@@ -1625,6 +1629,14 @@ def bpe_learn_sql(n_merges: int = 8, table: str = "documents") -> str:
     consecutive-offset islands only inside same-symbol runs; the fold
     merges the 1st, 3rd, ... candidate of each island (odd in-island
     rank) and consumes the following position."""
+    ctes, picks = _bpe_sql_parts(n_merges, table)
+    return ctes + "\n" + "\nUNION ALL ".join(picks)
+
+
+def _bpe_sql_parts(n_merges: int, table: str) -> tuple[str, list[str]]:
+    """Shared CTE chain + per-step pick selects for the BPE twins
+    (the census/tokenize twins reuse the chain with their own final
+    SELECT instead of splicing generated SQL text)."""
     ctes = [
         (
             "v0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY word) AS wid, cnt, "
@@ -1671,7 +1683,7 @@ def bpe_learn_sql(n_merges: int = 8, table: str = "documents") -> str:
         picks.append(
             f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m{r}"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)
+    return "WITH " + ",\n".join(ctes), picks
 
 
 def bpe_tokenize(docs: DataFrame, n_merges: int = 8) -> DataFrame:
@@ -1689,7 +1701,7 @@ def bpe_tokenize(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     hash join (the word table is the natural broadcast side when the
     vocabulary fits).
     """
-    _, state = _bpe_run(docs, n_merges)
+    _, state = _bpe_run(docs, n_merges, materialize_final=True)
     # reconstruct each word from its symbols (strip the terminal
     # marker) so the segmented vocab can key back onto occurrences
     # the terminal '</w>' marker may have MERGED into the last token
@@ -1717,8 +1729,7 @@ def bpe_tokenize(docs: DataFrame, n_merges: int = 8) -> DataFrame:
 def bpe_tokenize_sql(n_merges: int = 8, table: str = "documents") -> str:
     """DuckDB twin of ``bpe_tokenize`` (same CTE chain; the vocab
     state keys back onto word occurrences by reconstructed word)."""
-    chain = bpe_learn_sql(n_merges, table)
-    ctes = chain[: chain.rindex("\nSELECT CAST(0 AS BIGINT)")]
+    ctes, _picks = _bpe_sql_parts(n_merges, table)
     return (
         ctes
         + f""",
@@ -1765,7 +1776,21 @@ def countmin_sketch(
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("token")
     ).filter(F.length("token") > 0)
-    cells = F.array(
+    return (
+        toks.select(F.explode(_cm_cells(d, w)).alias("c"))
+        .groupBy(
+            F.col("c.sketch_row").alias("sketch_row"),
+            F.col("c.sketch_col").alias("sketch_col"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _cm_cells(d: int, w: int):
+    """The d (sketch_row, sketch_col) probe cells of a token — ONE
+    expression shared by sketch build and estimate probe (a salt or
+    layout change can never desynchronize the two sides)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(r).cast("long").alias("sketch_row"),
@@ -1776,28 +1801,20 @@ def countmin_sketch(
             for r in range(d)
         ]
     )
-    return (
-        toks.select(F.explode(cells).alias("c"))
-        .groupBy(
-            F.col("c.sketch_row").alias("sketch_row"),
-            F.col("c.sketch_col").alias("sketch_col"),
-        )
-        .agg(F.count("*").alias("n"))
-    )
 
 
 def countmin_sketch_sql(d: int = 4, w: int = 1024, table: str = "documents") -> str:
     rows = " UNION ALL ".join(
         f"SELECT {r} AS sketch_row, "
         f"{stable_hash64_sql('token', salt=f'cm-{r}')} % {w} AS sketch_col "
-        "FROM toks"
+        "FROM t2"
         for r in range(d)
     )
     return f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM {table}
 ), t2 AS (SELECT token FROM toks WHERE length(token) > 0),
-cells AS ({rows.replace("FROM toks", "FROM t2")})
+cells AS ({rows})
 SELECT sketch_row, sketch_col, CAST(COUNT(*) AS BIGINT) AS n
 FROM cells GROUP BY 1, 2
 """
@@ -1824,24 +1841,7 @@ def countmin_estimate(
         .limit(k)
     )
     probes = top.select(
-        "token",
-        "n_exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("sketch_row"),
-                        F.pmod(
-                            stable_hash64(F.col("token"), salt=f"cm-{r}"),
-                            F.lit(w),
-                        )
-                        .cast("long")
-                        .alias("sketch_col"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("c"),
+        "token", "n_exact", F.explode(_cm_cells(d, w)).alias("c")
     ).select("token", "n_exact", "c.sketch_row", "c.sketch_col")
     return (
         probes.join(F.broadcast(sketch), ["sketch_row", "sketch_col"])

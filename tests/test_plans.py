@@ -553,25 +553,25 @@ def test_bpe_round_stays_jvm_side(spark):
 def test_kcenter_round_is_take_ordered(spark):
     """Each k-center argmax must be a distributed TakeOrdered (map-side
     partial top-1 heaps), never a global sort exchange; the distance
-    update is a pure map over the cached state."""
-    from linkgraph.pipeline.simsearch import _dim  # noqa: F401 (import check)
+    update is a pure map over the cached state. Exercises the
+    PRODUCTION helpers the operator loop calls (_kcenter_quantized /
+    _kcenter_argmax), not a reconstruction."""
+    from linkgraph.pipeline.simsearch import (
+        _dist2_sql,
+        _kcenter_argmax,
+        _kcenter_quantized,
+    )
 
     emb = spark.createDataFrame(
         [(i, [float(i), 0.5]) for i in range(6)],
         "vec_id long, embedding array<float>",
     )
-    q = emb.select(
-        F.col("vec_id").alias("id"),
-        F.expr(
-            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
-        ).alias("qv"),
-    )
-    state = q.select(
-        "id", "qv",
-        F.expr(
-            "(element_at(qv,1)-0L)*(element_at(qv,1)-0L) + (element_at(qv,2)-500000L)*(element_at(qv,2)-500000L)"
-        ).alias("dmin"),
-    )
-    plan = _plan(state.orderBy(F.desc("dmin"), F.asc("id")).limit(1))
+    q = _kcenter_quantized(emb, "vec_id", "embedding")
+    qplan = _plan(q)
+    assert "BatchEvalPython" not in qplan and "MapInPandas" not in qplan
+    state = q.crossJoin(
+        F.broadcast(q.limit(1).select(F.col("qv").alias("cqv")))
+    ).select("id", "qv", F.expr(_dist2_sql("qv", "cqv", 2, "element_at")).alias("dmin"))
+    plan = _plan(_kcenter_argmax(state))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
