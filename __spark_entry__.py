@@ -1225,6 +1225,11 @@ def _bpe_tokenize_sql_wrapped() -> str:
     return bpe_tokenize_sql(n_merges=8)
 
 
+def _hll_sql_wrapped() -> str:
+    from linkgraph.pipeline import hll_distinct_sql
+    return hll_distinct_sql(by="lang", b=9)
+
+
 def _countmin_sql_wrapped() -> str:
     from linkgraph.pipeline import countmin_estimate_sql
     return countmin_estimate_sql(k=20, d=4, w=1024)
@@ -1931,6 +1936,16 @@ def _q_countmin(spark, sf_dir):
     return countmin_estimate(_docs(spark, sf_dir), k=20, d=4, w=1024)
 
 
+def _q_hll(spark, sf_dir):
+    """HyperLogLog distinct tokens per language next to the exact
+    truth (Flajolet 2007): integer-only registers (trailing-zero rho,
+    clamped dyadic harmonic sum in int64) make the ESTIMATE itself
+    engine-exact, small-range linear-counting branch included
+    (pipeline/text.py)."""
+    from linkgraph.pipeline import hll_distinct
+    return hll_distinct(_docs(spark, sf_dir), by="lang", b=9)
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -2416,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_census": _q_bpe_census,
         "text_bpe_tokenize": _q_bpe_tokenize,
         "text_countmin_topk": _q_countmin,
+        "text_hll_distinct": _q_hll,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
@@ -3414,6 +3430,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_bpe_census": _bpe_census_sql_wrapped(),
         "text_bpe_tokenize": _bpe_tokenize_sql_wrapped(),
         "text_countmin_topk": _countmin_sql_wrapped(),
+        "text_hll_distinct": _hll_sql_wrapped(),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),

@@ -1871,3 +1871,120 @@ SELECT token, n_exact, CAST(MIN(n) AS BIGINT) AS n_est
 FROM probes JOIN sk USING (sketch_row, sketch_col)
 GROUP BY token, n_exact
 """
+
+
+# ------------------------------------------------- HyperLogLog distinct
+
+_HLL_RHO_MAX = 40  # register clamp: keeps the dyadic sum exact in int64
+
+
+def _hll_rho_sql(h: str) -> str:
+    """rho(h) = (trailing zeros of the 60-bit hash) + 1, clamped to
+    _HLL_RHO_MAX — pure integer ops (lowest set bit via h & -h, then a
+    generated power-of-two CASE), identical on both engines."""
+    lsb = f"(({h}) & -({h}))"
+    whens = " ".join(
+        f"WHEN {1 << t}{'' if t < 31 else ''} THEN {min(t + 1, _HLL_RHO_MAX)}"
+        for t in range(60)
+    )
+    # h == 0 (never: md5-derived 60-bit value 0 has probability 2^-60)
+    # falls through to the clamp
+    return f"(CASE {lsb} {whens} ELSE {_HLL_RHO_MAX} END)"
+
+
+def hll_distinct(docs: DataFrame, by: str = "lang", b: int = 9) -> DataFrame:
+    """HyperLogLog distinct-token count per group (Flajolet et al.
+    2007) next to the exact truth: returns (grp, n_exact, n_est) —
+    the fixed-memory cardinality sketch for when the per-group
+    vocabulary is too large to census (2^b int registers per group vs
+    the full distinct set).
+
+    Engine-exact, not just approximate-equal: bucket = low b bits of
+    the 60-bit md5 hash, rho = trailing zeros of the remaining bits +
+    1 CLAMPED at 40, registers combine by MAX (order-free), and the
+    harmonic sum is computed as the INTEGER sum of 2^(40-rho) (every
+    term an exact dyadic; <= 2^49 for b <= 9, no float accumulation),
+    so the raw estimate alpha*m^2*2^40/sum — including the
+    small-range linear-counting branch, driven by integer zeros — is
+    one exact-input float expression rounded to 6 decimals. The clamp
+    changes nothing observable below ~2^40 distinct values.
+
+    Scale shape (100TB): one map-side-combinable (grp, bucket) MAX
+    aggregate (token duplicates collapse in the partials — HLL is
+    insertion-count-insensitive), then a |groups|x2^b-row combine.
+    The exact side (for the comparison contract) is the only
+    vocabulary-sized aggregate; drop it when using the sketch alone.
+    """
+    if not 4 <= b <= 14:
+        raise ValueError(f"b must be in [4, 14], got {b}")
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # the standard large-m constant
+    toks = (
+        docs.select(F.col(by).alias("grp"), F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    h = stable_hash64(F.col("token"), salt="hll")
+    keyed = toks.select(
+        "grp",
+        F.pmod(h, F.lit(m)).alias("bucket"),
+        F.expr(_hll_rho_sql(f"(({stable_hash64_sql_spark('token', 'hll')}) div {m})")).alias("rho"),
+    )
+    regs = keyed.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    sums = regs.groupBy("grp").agg(
+        F.sum(F.expr(f"CAST(POW(2, {_HLL_RHO_MAX} - rho) AS BIGINT)")).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    est_raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(1 << _HLL_RHO_MAX))
+        / (F.col("s") + (F.lit(m) - F.col("nonzero")) * F.lit(float(1 << _HLL_RHO_MAX)))
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.round(
+        F.when((est_raw <= 2.5 * m) & (zeros > 0), F.round(linear, 7)).otherwise(est_raw),
+        6,
+    )
+    return (
+        exact.join(sums, "grp")
+        .select("grp", "n_exact", est.alias("n_est"))
+    )
+
+
+def stable_hash64_sql_spark(col: str, salt) -> str:
+    """The stable_hash64 expression as a Spark SQL string (for
+    embedding inside generated integer expressions)."""
+    return f"CAST(conv(substring(md5(concat({col}, '#{salt}')), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hll_distinct_sql(by: str = "lang", b: int = 9, table: str = "documents") -> str:
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = stable_hash64_sql("token", salt="hll")
+    rho = _hll_rho_sql(f"(({h}) // {m})")
+    big = float(1 << _HLL_RHO_MAX)
+    return f"""
+WITH toks AS (
+  SELECT {by} AS grp, unnest(string_split(text, ' ')) AS token FROM {table}
+), t2 AS (SELECT grp, token FROM toks WHERE length(token) > 0),
+regs AS (
+  SELECT grp, ({h}) % {m} AS bucket, MAX({rho}) AS rho
+  FROM t2 GROUP BY 1, 2),
+sums AS (
+  SELECT grp, CAST(SUM(CAST(POW(2, {_HLL_RHO_MAX} - rho) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS nonzero
+  FROM regs GROUP BY grp),
+exact AS (SELECT grp, COUNT(DISTINCT token) AS n_exact FROM t2 GROUP BY grp)
+SELECT e.grp AS grp, CAST(e.n_exact AS BIGINT) AS n_exact,
+       ROUND(CASE WHEN (CAST({alpha!r} AS DOUBLE) * CAST({float(m)} AS DOUBLE)
+                        * CAST({float(m)} AS DOUBLE) * CAST({big} AS DOUBLE)
+                   / (s + ({m} - nonzero) * CAST({big} AS DOUBLE))) <= CAST({2.5 * m} AS DOUBLE)
+                  AND ({m} - nonzero) > 0
+             THEN ROUND(CAST({float(m)} AS DOUBLE) * LN(CAST({float(m)} AS DOUBLE) / ({m} - nonzero)), 7)
+             ELSE CAST({alpha!r} AS DOUBLE) * CAST({float(m)} AS DOUBLE)
+                  * CAST({float(m)} AS DOUBLE) * CAST({big} AS DOUBLE)
+                  / (s + ({m} - nonzero) * CAST({big} AS DOUBLE)) END, 6) AS n_est
+FROM exact e JOIN sums USING (grp)
+"""

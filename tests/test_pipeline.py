@@ -1786,3 +1786,45 @@ def test_countmin_guarantee_and_twin(spark):
     # w=4 must actually collide somewhere (the overestimate case)
     est4 = countmin_estimate(docs, k=8, d=2, w=4).collect()
     assert any(r.n_est > r.n_exact for r in est4)
+
+
+def test_hll_distinct_accuracy_and_twin(spark):
+    """HLL per-group distinct: (a) engine-exact vs the DuckDB twin on
+    synthetic groups spanning the linear-counting AND raw-estimate
+    branches; (b) relative error within 5x the theoretical standard
+    error 1.04/sqrt(m); (c) insertion-count insensitivity (duplicating
+    every doc leaves estimates unchanged)."""
+    import math
+
+    import duckdb
+
+    from linkgraph.pipeline import hll_distinct, hll_distinct_sql
+
+    # group 'small': 40 distinct tokens (linear counting at b=9);
+    # group 'big': 5000 distinct tokens (raw estimate branch)
+    rows = []
+    small = " ".join(f"s{i}" for i in range(40))
+    rows.append((0, "small", small))
+    big_toks = [f"b{i}" for i in range(5000)]
+    for d in range(10):
+        rows.append((d + 1, "big", " ".join(big_toks[d * 500 : (d + 1) * 500])))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(map(tuple, hll_distinct(docs, by="lang", b=9).collect()))
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{g}', '{t}')" for i, g, t in rows)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, lang, text)"
+    )
+    want = sorted(map(tuple, con.execute(hll_distinct_sql(by="lang", b=9)).fetchall()))
+    assert got == want
+    se = 1.04 / math.sqrt(512)
+    for _, n_exact, n_est in got:
+        assert abs(n_est - n_exact) / n_exact < 5 * se, (n_exact, n_est)
+    # duplicate the corpus: distinct counts (and registers) unchanged
+    dup = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "lang", "text")
+    )
+    got_dup = sorted(
+        (g, e) for g, _x, e in map(tuple, hll_distinct(dup, by="lang", b=9).collect())
+    )
+    assert got_dup == sorted((g, e) for g, _x, e in got)
