@@ -185,6 +185,37 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_countmin_sketch(
+    docs: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming count-min sketch — the incremental half of
+    linkgraph.pipeline.text.countmin_sketch: the d x w counter grid
+    accumulates as documents arrive (counters are order-free integer
+    sums, so the running sketch after draining any prefix of the
+    stream equals the batch sketch of that prefix — batch-equal
+    pytest-pinned).
+
+    State is the d*w cells (fixed memory at ANY arrival rate — the
+    whole point of sketching a stream); emit in complete/update mode.
+    """
+    from linkgraph.pipeline.text import _cm_cells
+
+    toks = docs.select(
+        F.explode(F.split(text_col, " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.select(F.explode(_cm_cells(d, w)).alias("c"))
+        .groupBy(
+            F.col("c.sketch_row").alias("sketch_row"),
+            F.col("c.sketch_col").alias("sketch_col"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 
@@ -249,9 +280,10 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
 
 
 def _is_agg_without_watermark_output(df: DataFrame) -> bool:
-    # degree counts (plain streaming agg) need complete mode; windowed
-    # aggs with watermark and sessionize emit append-mode finals
-    return "outdeg" in df.columns
+    # degree counts and the count-min grid (plain streaming aggs with
+    # no watermark) need complete mode; windowed aggs with watermark
+    # and sessionize emit append-mode finals
+    return "outdeg" in df.columns or "sketch_row" in df.columns
 
 
 def stream_transitions(

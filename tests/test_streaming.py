@@ -214,3 +214,27 @@ def test_stateless_text_ops_stream_equals_batch(spark, tmp_path):
         for r in gopher_quality(spark.read.parquet(src)).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """Draining the doc stream through the streaming count-min yields
+    exactly the batch sketch of the same corpus (counters are
+    order-free integer sums — the running sketch is always the batch
+    sketch of the drained prefix)."""
+    from linkgraph.pipeline.text import countmin_sketch
+    from linkgraph.streaming import run_available_now, streaming_countmin_sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "cm_in")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = streaming_countmin_sketch(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        d=3,
+        w=64,
+    )
+    run_available_now(stream, "cm_stream", str(tmp_path / "ckpt_cm"))
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM cm_stream").collect())
+    )
+    want = sorted(map(tuple, countmin_sketch(docs, d=3, w=64).collect()))
+    assert got == want and len(got) > 0
