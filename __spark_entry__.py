@@ -1225,6 +1225,11 @@ def _bpe_tokenize_sql_wrapped() -> str:
     return bpe_tokenize_sql(n_merges=8)
 
 
+def _length_quantiles_sql_wrapped() -> str:
+    from linkgraph.pipeline import length_quantiles_sql
+    return length_quantiles_sql()
+
+
 def _hll_sql_wrapped() -> str:
     from linkgraph.pipeline import hll_distinct_sql
     return hll_distinct_sql(by="lang", b=9)
@@ -1946,6 +1951,14 @@ def _q_hll(spark, sf_dir):
     return hll_distinct(_docs(spark, sf_dir), by="lang", b=9)
 
 
+def _q_length_quantiles(spark, sf_dir):
+    """Per-language length percentiles: exact order statistic next to
+    the <=32-counter log2-histogram sketch's upper bound — thresholds
+    in the exact integer micro-domain (pipeline/text.py)."""
+    from linkgraph.pipeline import length_quantiles
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def _q_vocab(spark, sf_dir):
     """Corpus-level top-k token vocabulary profile."""
     from linkgraph.pipeline import vocab_stats
@@ -2432,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokenize": _q_bpe_tokenize,
         "text_countmin_topk": _q_countmin,
         "text_hll_distinct": _q_hll,
+        "text_length_quantiles": _q_length_quantiles,
         "text_normalize": _q_normalize,
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
@@ -3431,6 +3445,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_bpe_tokenize": _bpe_tokenize_sql_wrapped(),
         "text_countmin_topk": _countmin_sql_wrapped(),
         "text_hll_distinct": _hll_sql_wrapped(),
+        "text_length_quantiles": _length_quantiles_sql_wrapped(),
         "text_normalize": NORMALIZE_TEXT_SQL,
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),

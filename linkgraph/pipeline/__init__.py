@@ -60,6 +60,8 @@ from linkgraph.pipeline.text import (
     countmin_sketch_sql,
     hll_distinct,
     hll_distinct_sql,
+    length_quantiles,
+    length_quantiles_sql,
     ngram_novelty,
     token_stats,
     quality_scores,
@@ -119,7 +121,7 @@ __all__ = [
     "corpus_shuffle", "pack_sequences", "chunk_documents",
     "bpe_learn", "bpe_learn_sql", "bpe_token_census", "bpe_token_census_sql", "bpe_tokenize", "bpe_tokenize_sql",
     "countmin_sketch", "countmin_sketch_sql", "countmin_estimate", "countmin_estimate_sql",
-    "hll_distinct", "hll_distinct_sql",
+    "hll_distinct", "hll_distinct_sql", "length_quantiles", "length_quantiles_sql",
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
     "repetition_scores", "duplicate_structure_stats", "c4_clean", "gopher_quality", "vocab_stats", "containment_pairs",

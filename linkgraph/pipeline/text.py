@@ -1988,3 +1988,119 @@ SELECT e.grp AS grp, CAST(e.n_exact AS BIGINT) AS n_exact,
                   / (s + ({m} - nonzero) * CAST({big} AS DOUBLE)) END, 6) AS n_est
 FROM exact e JOIN sums USING (grp)
 """
+
+
+# ------------------------------------------------ length quantile sketch
+
+def _log2_bucket_sql(x: str, max_bits: int = 31) -> str:
+    """floor(log2(x+1)) via a generated integer CASE — engine-exact."""
+    whens = " ".join(
+        f"WHEN ({x}) < {1 << (b + 1)} THEN {b}" for b in range(max_bits)
+    )
+    return f"(CASE {whens} ELSE {max_bits} END)"
+
+
+def length_quantiles(
+    docs: DataFrame,
+    by: str = "lang",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group document-length percentiles two ways: the EXACT
+    order-statistic next to a log2-bucket histogram sketch's upper
+    bound — the fixed-memory quantile shape for 100TB (the histogram
+    is <= 32 int64 counters per group however big the group; the
+    exact side exists for the comparison contract and is the only
+    length-cardinality-sized aggregate).
+
+    Quantile definition (both paths, both engines): the q-quantile is
+    the smallest value v with #(len <= v) >= ceil(q * n), the
+    threshold computed in the exact integer micro-domain
+    ((n * round(q*1e6) + 999999) div 1e6 — float q*n can misround at
+    exact-integer crossings). The sketch reports its bucket's upper
+    bound 2^(b+1) - 1, so sketch >= exact and sketch < 2*exact + 2 by
+    construction (pytest-pinned).
+
+    Returns (grp, q, exact_len, sketch_hi).
+    """
+    lens = docs.select(
+        F.col(by).alias("grp"), F.length("text").cast("long").alias("x")
+    )
+    per_len = lens.groupBy("grp", "x").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("grp").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_len.select(
+        "grp", "x", F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("n"),
+    )
+    hist = lens.select("grp", F.expr(_log2_bucket_sql("x")).alias("b")).groupBy(
+        "grp", "b"
+    ).agg(F.count("*").alias("c"))
+    hcum = hist.select(
+        "grp", "b", F.sum("c").over(
+            Window.partitionBy("grp").orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("n"),
+    )
+    outs = []
+    for q in qs:
+        qk = int(round(q * 1_000_000))
+        thr = F.expr(f"(n * {qk}L + 999999L) div 1000000L")
+        exact = (
+            cum.filter(F.col("cum") >= thr)
+            .groupBy("grp")
+            .agg(F.min("x").alias("exact_len"))
+        )
+        sk = (
+            hcum.filter(F.col("cum") >= thr)
+            .groupBy("grp")
+            .agg(F.min("b").alias("b"))
+            .select("grp", (F.pow(F.lit(2.0), F.col("b") + 1).cast("long") - 1).alias("sketch_hi"))
+        )
+        outs.append(
+            exact.join(sk, "grp").select(
+                "grp", F.lit(q).alias("q"), "exact_len", "sketch_hi"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def length_quantiles_sql(
+    by: str = "lang",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    table: str = "documents",
+) -> str:
+    bucket = _log2_bucket_sql("x")
+    picks = []
+    for q in qs:
+        qk = int(round(q * 1_000_000))
+        picks.append(f"""
+SELECT c.grp AS grp, CAST({q!r} AS DOUBLE) AS q,
+       MIN(c.x) AS exact_len, s.sketch_hi
+FROM cum c
+JOIN (SELECT grp, CAST(POW(2, MIN(b) + 1) AS BIGINT) - 1 AS sketch_hi
+      FROM hcum WHERE cum >= (n * {qk} + 999999) // 1000000
+      GROUP BY grp) s ON s.grp = c.grp
+WHERE c.cum >= (c.n * {qk} + 999999) // 1000000
+GROUP BY c.grp, s.sketch_hi""")
+    return f"""
+WITH lens AS (SELECT {by} AS grp, CAST(length(text) AS BIGINT) AS x FROM {table}),
+per_len AS (SELECT grp, x, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+cum AS (SELECT grp, x,
+               SUM(c) OVER (PARTITION BY grp ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY grp) AS n
+        FROM per_len),
+hist AS (SELECT grp, {bucket} AS b, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+hcum AS (SELECT grp, b,
+                SUM(c) OVER (PARTITION BY grp ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                SUM(c) OVER (PARTITION BY grp) AS n
+         FROM hist)
+{" UNION ALL ".join(picks)}
+"""

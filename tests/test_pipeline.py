@@ -1828,3 +1828,32 @@ def test_hll_distinct_accuracy_and_twin(spark):
         (g, e) for g, _x, e in map(tuple, hll_distinct(dup, by="lang", b=9).collect())
     )
     assert got_dup == sorted((g, e) for g, _x, e in got)
+
+
+def test_length_quantiles_exactness_and_bounds(spark):
+    """Exact quantile == the numpy 'inverted_cdf'-style order statistic
+    (smallest v with #(<=v) >= ceil(q*n)) on a constructed group;
+    sketch bound exact <= sketch < 2*exact + 2; twin value-exact —
+    including an n where q*n is an exact integer (the float-misround
+    trap the micro-domain threshold exists for)."""
+    import duckdb
+
+    from linkgraph.pipeline import length_quantiles, length_quantiles_sql
+
+    # 200 docs of lengths 1..200 (q*n integral at q=0.5: threshold
+    # must be exactly 100, not 101)
+    rows = [(i, "g", "x" * (i + 1)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(map(tuple, length_quantiles(docs).collect()))
+    assert got[0] == ("g", 0.5, 100, 127)   # ceil(.5*200)=100 -> len 100
+    assert got[1] == ("g", 0.9, 180, 255)
+    assert got[2] == ("g", 0.99, 198, 255)
+    for _, _, e, s in got:
+        assert e <= s < 2 * e + 2
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{g}', '{t}')" for i, g, t in rows)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, lang, text)"
+    )
+    want = sorted(map(tuple, con.execute(length_quantiles_sql()).fetchall()))
+    assert got == want
