@@ -1056,6 +1056,14 @@ def _q_kspanning_cosupplier(spark, sf_dir):
     return res.assignment.select("id", "cluster")
 
 
+def _attr_assortativity_sql_wrapped() -> str:
+    from linkgraph.graphs import COSUPPLIER_EDGES_SQL, attr_assortativity_sql
+    return attr_assortativity_sql(
+        COSUPPLIER_EDGES_SQL,
+        "SELECT s_suppkey AS id, s_nationkey AS label FROM supplier",
+    )
+
+
 def _assortativity_sql_wrapped() -> str:
     from linkgraph.graphs import DEGREE_ASSORTATIVITY_SQL_TEMPLATE
     return DEGREE_ASSORTATIVITY_SQL_TEMPLATE.format(edges=PURCHASE_EDGES_SQL)
@@ -1416,6 +1424,18 @@ def _q_assortativity_purchase(spark, sf_dir):
     Pearson ratio is floating point."""
     from linkgraph.graphs import degree_assortativity
     return degree_assortativity(purchase_edges(spark, sf_dir))
+
+
+def _q_attr_assortativity(spark, sf_dir):
+    """Categorical attribute assortativity (Newman 2003): do
+    co-suppliers mix within or across nations? Integer mixing-matrix
+    moments, one float ratio (linkgraph/graphs.py)."""
+    from linkgraph.graphs import attr_assortativity, cosupplier_edges
+
+    labels = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("label")
+    )
+    return attr_assortativity(cosupplier_edges(spark, sf_dir), labels)
 
 
 def _q_induced_subgraph_cosupplier(spark, sf_dir):
@@ -2392,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_purchase": _q_salsa_purchase,
         "coproject_cosupplier": _q_coproject_cosupplier,
         "assortativity_purchase": _q_assortativity_purchase,
+        "attr_assortativity_cosupplier": _q_attr_assortativity,
         "richclub_cosupplier": _q_richclub_cosupplier,
         "reciprocity_trade_nation": _q_reciprocity_trade,
         "transitivity_cosupplier": _q_transitivity_cosupplier,
@@ -3217,6 +3238,7 @@ FROM nodes nd LEFT JOIN (
         "hits_purchase": _hits_sql_wrapped(),
         "salsa_purchase": _salsa_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
+        "attr_assortativity_cosupplier": _attr_assortativity_sql_wrapped(),
         "richclub_cosupplier": _richclub_sql_wrapped(),
         "reciprocity_trade_nation": _reciprocity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(

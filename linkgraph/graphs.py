@@ -607,3 +607,75 @@ SELECT 1000000 + s_suppkey,
        CAST(s_acctbal AS DOUBLE), CAST(s_nationkey AS DOUBLE)
 FROM supplier
 """
+
+
+def attr_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Categorical attribute assortativity (Newman 2003, Phys. Rev. E
+    67:026126 eq. 2): over the oriented endpoint pairs of the
+    symmetrized graph, r = (Tr e − Σᵢ aᵢbᵢ) / (1 − Σᵢ aᵢbᵢ) with e the
+    label mixing matrix — +1 = perfectly assortative mixing, 0 =
+    random, negative = disassortative. ``labels`` is (id, label).
+
+    One row: (n_endpoints, n_same_label, assortativity rounded 6).
+    EXACT cross-engine: with integer counts m2 = |oriented pairs|,
+    same = Σᵢ m2·e_ii and sᵢ = the per-label endpoint marginal (the
+    symmetric graph has aᵢ = bᵢ), r = (same·m2 − Σsᵢ²) / (m2² − Σsᵢ²)
+    — every moment an order-free INTEGER sum, only the final ratio
+    floats. Edges whose endpoints lack a label row are excluded
+    (inner joins — documented contract).
+
+    Scale: two hash joins on the node key + two map-side-combinable
+    aggregates (per-label marginal is |labels|-bounded). Integer
+    moments need m2² < 2^63 (m2 ≈ 3e9 oriented pairs) — beyond that,
+    cast the moment columns to decimal(38,0).
+    """
+    e = edges.select("src", "dst")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    lab = labels.select(F.col("id"), F.col("label"))
+    paired = (
+        sym.join(lab.select(F.col("id").alias("src"), F.col("label").alias("lx")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("ly")), "dst")
+    )
+    marg = paired.groupBy("lx").agg(F.count("*").alias("s"))
+    sums = marg.agg(
+        F.sum("s").alias("m2"), F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    same = paired.filter(F.col("lx") == F.col("ly")).agg(
+        F.count("*").alias("same")
+    )
+    j = sums.crossJoin(same)
+    num = F.col("same") * F.col("m2") - F.col("ss")
+    den = F.col("m2") * F.col("m2") - F.col("ss")
+    return j.select(
+        F.col("m2").alias("n_endpoints"),
+        F.col("same").alias("n_same_label"),
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def attr_assortativity_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin of ``attr_assortativity`` (same integer moments)."""
+    return f"""
+WITH e AS ({edges_sql}),
+sym AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+lab AS ({labels_sql}),
+paired AS (
+  SELECT lx.label AS lx, ly.label AS ly
+  FROM sym JOIN lab lx ON lx.id = sym.src JOIN lab ly ON ly.id = sym.dst),
+marg AS (SELECT lx, COUNT(*) AS s FROM paired GROUP BY lx),
+sums AS (SELECT CAST(SUM(s) AS BIGINT) AS m2, CAST(SUM(s * s) AS BIGINT) AS ss FROM marg),
+sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS same FROM paired WHERE lx = ly)
+SELECT m2 AS n_endpoints, same AS n_same_label,
+       ROUND(CASE WHEN m2 * m2 - ss != 0
+             THEN CAST(same * m2 - ss AS DOUBLE) / CAST(m2 * m2 - ss AS DOUBLE)
+             ELSE 0.0 END, 6) AS assortativity
+FROM sums, sm
+"""

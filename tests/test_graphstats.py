@@ -271,3 +271,54 @@ def test_graphlet_counts_empty(spark):
     from linkgraph.graphs import graphlet_counts
 
     assert tuple(graphlet_counts(e).collect()[0]) == (0, 0, 0, 0)
+
+
+def test_attr_assortativity_extremes_and_twin(spark):
+    """Newman categorical assortativity: +1 on label-pure components,
+    -1 on a 2-label bipartite graph, 0 convention when a single label
+    makes the coefficient undefined; DuckDB twin value-exact on a
+    mixed fixture."""
+    import duckdb
+
+    from linkgraph.graphs import attr_assortativity, attr_assortativity_sql
+
+    def run(pairs, labels):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        l = spark.createDataFrame(labels, "id long, label long")
+        return attr_assortativity(e, l).collect()[0]
+
+    # two same-label triangles -> perfectly assortative
+    r = run(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)],
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)],
+    )
+    assert r["assortativity"] == 1.0
+    # complete bipartite across two labels -> perfectly disassortative
+    r = run(
+        [(1, 4), (1, 5), (2, 4), (2, 5), (3, 4), (3, 5)],
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)],
+    )
+    assert r["assortativity"] == -1.0
+    # single label: undefined -> 0 by convention
+    r = run([(1, 2), (2, 3)], [(1, 7), (2, 7), (3, 7)])
+    assert r["assortativity"] == 0.0
+
+    # mixed random fixture: twin value-exact
+    import random
+
+    rng = random.Random(3)
+    pairs = sorted({(rng.randrange(10), rng.randrange(10)) for _ in range(20)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    labels = [(i, i % 3) for i in range(10)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    l = spark.createDataFrame(labels, "id long, label long")
+    got = sorted(map(tuple, attr_assortativity(e, l).collect()))
+    con = duckdb.connect()
+    ev = ", ".join(f"({a}, {b})" for a, b in pairs)
+    lv = ", ".join(f"({i}, {g})" for i, g in labels)
+    sql = attr_assortativity_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src, dst)",
+        f"SELECT * FROM (VALUES {lv}) t(id, label)",
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
