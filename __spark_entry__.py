@@ -134,6 +134,17 @@ def _q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_stats(e, asg)
 
 
+def _q_contract_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community contraction of the 2-iteration LPA assignment: the
+    multilevel building block as a public operator — super-edges with
+    micro-integer-exact weights (linkgraph/community.py#contract_graph)."""
+    from linkgraph.community import contract_graph
+    e = cosupplier_edges(spark, sf_dir)
+    res = label_propagation(e, direction="BOTH", max_iter=2)
+    asg = res.labels.select("id", F.col("label").alias("community"))
+    return contract_graph(e, asg)
+
+
 def _q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance of the same 2-iteration LPA
     assignment — integer cut/volume counts, exact final ratio
@@ -222,6 +233,12 @@ def _modularity_lpa_sql() -> str:
     from linkgraph.community import community_stats_sql
     asg = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
     return community_stats_sql(COSUPPLIER_EDGES_SQL, asg)
+
+
+def _contract_lpa_sql() -> str:
+    from linkgraph.community import contract_graph_sql
+    asg = f"SELECT id, label AS community FROM ({_LPA2_SQL})"
+    return contract_graph_sql(COSUPPLIER_EDGES_SQL, asg)
 
 
 def _conductance_lpa_sql() -> str:
@@ -2347,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_hub_cosupplier_2iter": _q_labelprop_hub,
         "modularity_lpa_cosupplier": _q_modularity_lpa,
         "conductance_lpa_cosupplier": _q_conductance_lpa,
+        "contract_lpa_cosupplier": _q_contract_lpa,
         "compare_lpa_louvain_cosupplier": _q_compare_lpa_louvain,
         "louvain_purchase_alt3": _q_louvain_purchase,
         "louvain_cosupplier_sync2": _q_louvain_cosupplier,
@@ -2658,6 +2676,7 @@ SELECT id, label FROM best WHERE rk = 1
         "labelprop_hub_cosupplier_2iter": _LPA2_SQL,
         "modularity_lpa_cosupplier": _modularity_lpa_sql(),
         "conductance_lpa_cosupplier": _conductance_lpa_sql(),
+        "contract_lpa_cosupplier": _contract_lpa_sql(),
         "compare_lpa_louvain_cosupplier": _compare_lpa_louvain_sql(),
         "louvain_purchase_alt3": _louvain_purchase_sql(),
         "louvain_cosupplier_sync2": _louvain_cosupplier_sql(),

@@ -913,3 +913,61 @@ rf_cc AS (SELECT id, MIN(comp) AS comp FROM rf_reach GROUP BY id)
 SELECT rf_asg.id, COALESCE(rf_cc.comp, rf_asg.id) AS community
 FROM rf_asg LEFT JOIN rf_cc ON rf_cc.id = rf_asg.id
 """
+
+
+def contract_graph(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Community contraction as a PUBLIC operator (the multilevel
+    building block infomap/louvain use internally): collapse the graph
+    onto an assignment (id, community) — super-edge (c1, c2) with
+    c1 <= c2 carries the total weight and edge count between the two
+    communities; c1 == c2 rows are the intra-community mass
+    (self-loops). Returns (src, dst, weight, n_edges).
+
+    Weight exactness: weights are summed in the 6-decimal integer
+    micro-domain (ROUND(w*1e6) int64 — order-free) and divided back
+    once, so the contracted weights are value-exact cross-engine even
+    for fractional inputs (a raw float SUM's last ulp depends on
+    partitioning). Missing weight column = 1.0 per edge.
+
+    Scale: two node-key hash joins against the (broadcastable)
+    assignment + ONE map-side-combinable groupBy on the super-edge key
+    — |communities|²-bounded output however large the input.
+    """
+    w = (
+        F.coalesce(F.col("weight"), F.lit(1.0))
+        if "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    a = assignment.select("id", "community")
+    j = (
+        edges.select("src", "dst", F.round(w * 1_000_000, 0).cast("long").alias("wmic"))
+        .join(a.select(F.col("id").alias("src"), F.col("community").alias("cs")), "src")
+        .join(a.select(F.col("id").alias("dst"), F.col("community").alias("cd")), "dst")
+    )
+    return (
+        j.groupBy(
+            F.least("cs", "cd").alias("src"), F.greatest("cs", "cd").alias("dst")
+        )
+        .agg(
+            (F.sum("wmic") / 1_000_000).cast("double").alias("weight"),
+            F.count("*").alias("n_edges"),
+        )
+    )
+
+
+def contract_graph_sql(edges_sql: str, assignment_sql: str) -> str:
+    """DuckDB twin of ``contract_graph`` (same integer-micro weight
+    sums; assumes the edge SQL exposes a weight column — pass a
+    SELECT adding ``1.0 AS weight`` otherwise)."""
+    return f"""
+WITH e AS ({edges_sql}),
+a AS ({assignment_sql}),
+j AS (
+  SELECT LEAST(s.community, d.community) AS src,
+         GREATEST(s.community, d.community) AS dst,
+         CAST(ROUND(COALESCE(e.weight, 1.0) * 1000000, 0) AS BIGINT) AS wmic
+  FROM e JOIN a s ON s.id = e.src JOIN a d ON d.id = e.dst)
+SELECT src, dst, CAST(CAST(SUM(wmic) AS BIGINT) / 1000000 AS DOUBLE) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM j GROUP BY src, dst
+"""

@@ -329,3 +329,40 @@ def test_refine_communities_splits_disconnected(spark):
              + ", ".join(f"({i}, {c})" for i, c in asg) + ") t(id, community)")
     want = dict(duckdb.sql(refine_communities_sql(e_sql, a_sql)).fetchall())
     assert got == want
+
+
+def test_contract_graph_hand_and_twin(spark):
+    """Contraction of a two-community fixture: intra mass becomes
+    self-loops, inter mass one canonical super-edge; fractional
+    weights sum exactly through the micro domain; twin value-exact."""
+    import duckdb
+
+    from linkgraph.community import contract_graph, contract_graph_sql
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.5), (2, 3, 1.5), (3, 1, 1.0),   # community 10
+            (4, 5, 2.25),                             # community 20
+            (1, 4, 0.1), (2, 5, 0.2),                 # across
+        ],
+        "src long, dst long, weight double",
+    )
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)], "id long, community long"
+    )
+    got = sorted(map(tuple, contract_graph(edges, asg).collect()))
+    assert got == [
+        (10, 10, 3.0, 3),      # 0.5 + 1.5 + 1.0
+        (10, 20, 0.3, 2),      # 0.1 + 0.2 (exact through micro ints)
+        (20, 20, 2.25, 1),
+    ]
+    con = duckdb.connect()
+    ev = ", ".join(f"({a}, {b}, {w})" for a, b, w in
+                   [(1, 2, 0.5), (2, 3, 1.5), (3, 1, 1.0), (4, 5, 2.25), (1, 4, 0.1), (2, 5, 0.2)])
+    av = ", ".join(f"({i}, {c})" for i, c in [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)])
+    sql = contract_graph_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src, dst, weight)",
+        f"SELECT * FROM (VALUES {av}) t(id, community)",
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
