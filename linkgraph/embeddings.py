@@ -409,6 +409,12 @@ def propagate_features(
         raise ValueError(f"bad direction {direction}")
     if rounds < 0 or dim < 1:
         raise ValueError(f"rounds must be >= 0 and dim >= 1, got {rounds}, {dim}")
+    first = features.select(F.size(vec_col).alias("d")).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"features column {vec_col!r} has dim {first['d']}, expected {dim}"
+            " — a mismatched dim would silently propagate nulls"
+        )
     vcols = [f"v{k}" for k in range(dim)]
     state = features.select(
         F.col(id_col).alias("id"),

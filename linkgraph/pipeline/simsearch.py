@@ -50,7 +50,12 @@ def cosine_expr_duckdb(a: str, b: str, dim: int) -> str:
 
 
 def _dim(emb: DataFrame, col: str) -> int:
-    return emb.select(F.size(col).alias("d")).first()["d"]
+    row = emb.select(F.size(col).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dim: table has no rows (column {col!r})"
+        )
+    return row["d"]
 
 
 def cosine_topk(

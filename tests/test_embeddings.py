@@ -228,3 +228,12 @@ def test_propagate_features_modes_and_twin(spark):
         )
         want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
         assert from_expl == want, direction
+
+
+def test_propagate_features_dim_mismatch_raises(spark):
+    from linkgraph.embeddings import propagate_features
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    f = spark.createDataFrame([(1, [1.0, 2.0])], "id long, features array<double>")
+    with pytest.raises(ValueError, match="dim 2, expected 3"):
+        propagate_features(e, f, dim=3, rounds=1)

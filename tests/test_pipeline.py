@@ -1857,3 +1857,13 @@ def test_length_quantiles_exactness_and_bounds(spark):
     )
     want = sorted(map(tuple, con.execute(length_quantiles_sql()).fetchall()))
     assert got == want
+
+
+def test_dim_inference_on_empty_table_raises(spark):
+    from linkgraph.pipeline import kcenter_select
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rows"):
+        kcenter_select(empty, k=2)
