@@ -1464,7 +1464,13 @@ GROUP BY sh.doc_id
 
 # ---------------------------------------------------- BPE merge learning
 
-def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 8,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
     """Distributed byte-pair-encoding merge learning (Sennrich et al.,
     ACL 2016) — the tokenizer-training census step of an LLM data
     pipeline, run over the corpus vocabulary.
@@ -1499,40 +1505,88 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     of the vocabulary itself, no Python in the loop. Stops early when
     no pair remains.
     """
-    merges, state = _bpe_run(docs, n_merges)
+    merges, state = _bpe_run(
+        docs, n_merges, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
     state.unpersist()
     return docs.sparkSession.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_count long"
     )
 
 
-def _bpe_run(docs: DataFrame, n_merges: int, materialize_final: bool = False):
-    """Shared BPE loop: returns (merge list, final PERSISTED vocab
-    state (cnt, syms)) — the caller owns the state's unpersist.
-    Callers that READ the final state must pass materialize_final=True
-    so it is cached BEFORE its parents' caches are released (otherwise
-    their first action would recompute the whole merge chain — and the
-    corpus census — from scratch)."""
+def _bpe_run(
+    docs: DataFrame,
+    n_merges: int,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+):
+    """Shared BPE loop: returns (merge list, final MATERIALIZED vocab
+    state (cnt, syms)) — the caller owns the state's release. Every
+    superstep is pinned eagerly (SuperstepLoop), so the corpus census
+    runs exactly once and callers can release parents freely.
+
+    Resumability (the realistic-scale story: a 32k-merge tokenizer
+    training is the longest loop in this repo): with ``checkpoint_dir``
+    every ``checkpoint_every``-th merge writes the vocab state AND the
+    cumulative merge table (manifest metrics) durably; ``resume=True``
+    re-enters at the last durable merge — including to EXTEND a
+    finished run to a larger ``n_merges``. The manifest context
+    records a vocabulary fingerprint (bit_xor of per-word xxhash64 +
+    word count); resuming against a different corpus raises instead of
+    silently merging mismatched vocabularies.
+    """
+    import json as _json
+
+    from linkgraph.checkpoint import SuperstepLoop
+
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    vocab = (
+    spark = docs.sparkSession
+    census = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .select(
+    )
+    context = {}
+    if checkpoint_dir:
+        fp = census.agg(
+            F.expr("bit_xor(xxhash64(word))").alias("fp"),
+            F.count("*").alias("n_words"),
+        ).first()
+        context = {"vocab_fp": fp["fp"], "n_words": fp["n_words"]}
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="bpe",
+        context=context, max_steps=n_merges,
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    start = 0
+    state = None
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            start, state = resumed
+            if loop.last_context and context and loop.last_context != context:
+                raise ValueError(
+                    "bpe resume mismatch: the corpus vocabulary differs from "
+                    f"the checkpointed one ({loop.last_context} != {context})"
+                )
+            merges = [tuple(x) for x in _json.loads(loop.last_metrics["merges_json"])]
+    if state is None:
+        vocab = census.select(
             "cnt",
             F.concat(
                 F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
                 F.array(F.lit("</w>")),
             ).alias("syms"),
         )
-        .persist()
-    )
-    merges: list[tuple[int, str, str, int]] = []
-    state = vocab
-    pending = None
-    for step in range(n_merges):
+        state = loop.advance(
+            0, vocab, force_checkpoint=bool(checkpoint_dir),
+            metrics={"merges_json": "[]"},
+        )
+    for step in range(start, n_merges):
         adj = state.select(
             "cnt",
             F.explode(
@@ -1549,8 +1603,6 @@ def _bpe_run(docs: DataFrame, n_merges: int, materialize_final: bool = False):
             .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
             .first()
         )
-        if pending is not None:
-            pending.unpersist()
         if top is None:
             break
         a, b = top["lhs"], top["rhs"]
@@ -1578,14 +1630,12 @@ def _bpe_run(docs: DataFrame, n_merges: int, materialize_final: bool = False):
             ),
             _flush,
         )
-        pending = state
-        state = state.select("cnt", folded.alias("syms")).persist()
-    if materialize_final:
-        state.count()  # cache the final fold before releasing parents
-    if pending is not None:
-        pending.unpersist()
-    if vocab is not state:
-        vocab.unpersist()
+        merges_json = _json.dumps(merges)
+        state = loop.advance(
+            step + 1,
+            state.select("cnt", folded.alias("syms")),
+            metrics={"merges_json": merges_json},
+        )
     return merges, state
 
 
@@ -1601,7 +1651,7 @@ def bpe_token_census(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     loop — one corpus census, then |vocab|-row rounds), plus one final
     map-side-combinable explode-count.
     """
-    _, state = _bpe_run(docs, n_merges, materialize_final=True)
+    _, state = _bpe_run(docs, n_merges)
     out = (
         state.select("cnt", F.explode("syms").alias("token"))
         .groupBy("token")
@@ -1701,7 +1751,7 @@ def bpe_tokenize(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     hash join (the word table is the natural broadcast side when the
     vocabulary fits).
     """
-    _, state = _bpe_run(docs, n_merges, materialize_final=True)
+    _, state = _bpe_run(docs, n_merges)
     # reconstruct each word from its symbols (strip the terminal
     # marker) so the segmented vocab can key back onto occurrences
     # the terminal '</w>' marker may have MERGED into the last token

@@ -1867,3 +1867,35 @@ def test_dim_inference_on_empty_table_raises(spark):
 
     with _pytest.raises(ValueError, match="no rows"):
         kcenter_select(empty, k=2)
+
+
+def test_bpe_resume_equals_uninterrupted(spark, tmp_path):
+    """Run 3 merges durably, then resume=True to extend to 6: the
+    merge table equals the uninterrupted 6-merge run (tokenizer
+    training re-enters at the last durable merge). Resuming against a
+    DIFFERENT corpus raises on the vocabulary fingerprint."""
+    import pytest as _pytest
+
+    from linkgraph.pipeline import bpe_learn
+
+    texts = ["the cat sat on the mat", "the bat and the cat chat",
+             "low lower lowest low low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ckpt = str(tmp_path / "bpe_ckpt")
+    part = bpe_learn(docs, 3, checkpoint_dir=ckpt, checkpoint_every=1)
+    assert part.count() == 3
+    resumed = sorted(
+        map(tuple, bpe_learn(
+            docs, 6, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        ).collect())
+    )
+    full = sorted(map(tuple, bpe_learn(docs, 6).collect()))
+    assert resumed == full
+
+    other = spark.createDataFrame(
+        [(0, "completely different words here")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        bpe_learn(other, 6, checkpoint_dir=ckpt, resume=True)
