@@ -1103,6 +1103,9 @@ def kcenter_select(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """Greedy k-center / farthest-point selection (Gonzalez 1985) —
     the diversity-sampling step of training-data curation (pick the k
@@ -1133,12 +1136,33 @@ def kcenter_select(
     point coincides with a center the farthest distance is 0 and the
     argmax deterministically re-picks the min-id point — duplicated
     trailing selections, identical on both engines.
+
+    Resumable (each round scans the full corpus — at coreset k this
+    is a long-running selection): with ``checkpoint_dir`` every
+    ``checkpoint_every``-th round writes the distance field AND the
+    cumulative pick sequence durably; ``resume=True`` re-enters at the
+    last durable round (including to EXTEND k), guarded by a corpus
+    fingerprint (bit_xor of per-id xxhash64 + row count).
     """
+    import json as _json
+
+    from linkgraph.checkpoint import SuperstepLoop
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     dim = _dim(emb, vec_col)
     spark = emb.sparkSession
     q = _kcenter_quantized(emb, id_col, vec_col).persist()
+    context = {}
+    if checkpoint_dir:
+        fp = q.agg(
+            F.expr("bit_xor(xxhash64(id))").alias("fp"), F.count("*").alias("n")
+        ).first()
+        context = {"corpus_fp": fp["fp"], "n_vectors": fp["n"]}
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="kcenter",
+        context=context, max_steps=k,
+    )
 
     def _d2_lit(cvec: list[int]):
         terms = " + ".join(
@@ -1148,24 +1172,41 @@ def kcenter_select(
         )
         return F.expr(f"(0L + {terms})")
 
-    seed = q.orderBy(F.asc("id")).first()
-    picks = [(0, seed["id"], 0)]
-    state = q.select("id", "qv", _d2_lit(list(seed["qv"])).alias("dmin")).persist()
-    pending = None
-    for r in range(1, k):
-        # the argmax materializes `state` off its cached parent; the
-        # grandparent's cache is only THEN safe to drop (releasing it
-        # sooner would force each round to recompute the whole select
-        # chain from q)
+    picks: list[tuple[int, int, int]] = []
+    start = 0
+    state = None
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            start, state = resumed
+            if loop.last_context and context and loop.last_context != context:
+                raise ValueError(
+                    "kcenter resume mismatch: the embedding corpus differs "
+                    f"from the checkpointed one ({loop.last_context} != {context})"
+                )
+            picks = [tuple(x) for x in _json.loads(loop.last_metrics["picks_json"])]
+    if state is None:
+        seed = q.orderBy(F.asc("id")).first()
+        picks = [(0, seed["id"], 0)]
+        state = loop.advance(
+            0,
+            q.select("id", "qv", _d2_lit(list(seed["qv"])).alias("dmin")),
+            force_checkpoint=bool(checkpoint_dir),
+            metrics={"picks_json": _json.dumps(picks)},
+        )
+    for r in range(start + 1, k):
         nxt = _kcenter_argmax(state).first()
-        if pending is not None:
-            pending.unpersist()
         picks.append((r, nxt["id"], nxt["dmin"]))
-        if r < k - 1:  # the final pick needs no distance update
-            pending = state
-            state = state.select(
+        # advance EVERY round (incl. the last): the durable state must
+        # carry this pick's distance update or a resumed EXTENSION of k
+        # would select against stale distances
+        state = loop.advance(
+            r,
+            state.select(
                 "id", "qv", F.least("dmin", _d2_lit(list(nxt["qv"]))).alias("dmin")
-            ).persist()
+            ),
+            metrics={"picks_json": _json.dumps(picks)},
+        )
     state.unpersist()
     q.unpersist()
     return spark.createDataFrame(

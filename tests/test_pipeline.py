@@ -1899,3 +1899,34 @@ def test_bpe_resume_equals_uninterrupted(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="resume mismatch"):
         bpe_learn(other, 6, checkpoint_dir=ckpt, resume=True)
+
+
+def test_kcenter_resume_equals_uninterrupted(spark, tmp_path):
+    """k-center: run k=3 durably, resume to extend to k=6 — selection
+    sequence equals the uninterrupted k=6 run (the durable state
+    carries every pick's distance update); corpus mismatch raises."""
+    import random
+
+    import pytest as _pytest
+
+    from linkgraph.pipeline import kcenter_select
+
+    rng = random.Random(5)
+    rows = [
+        (i, [round(rng.uniform(-3, 3), 3) for _ in range(4)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ckpt = str(tmp_path / "kc_ckpt")
+    part = kcenter_select(emb, k=3, checkpoint_dir=ckpt, checkpoint_every=1)
+    assert part.count() == 3
+    resumed = sorted(map(tuple, kcenter_select(
+        emb, k=6, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+    ).collect()))
+    full = sorted(map(tuple, kcenter_select(emb, k=6).collect()))
+    assert resumed == full
+
+    other = spark.createDataFrame(
+        [(i + 500, v) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        kcenter_select(other, k=6, checkpoint_dir=ckpt, resume=True)
