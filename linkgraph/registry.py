@@ -52,6 +52,16 @@ PROCEDURES = {
     "ann_ivf_topk": ("linkgraph.pipeline.simsearch.ann_ivf_topk", "(pipeline extension)", True),
     "near_dup_pairs": ("linkgraph.pipeline.simsearch.near_dup_pairs", "(pipeline extension)", True),
     "near_dup_pairs_lsh": ("linkgraph.pipeline.simsearch.near_dup_pairs_lsh", "(pipeline extension)", True),
+    "jaccard_prefix_pairs": ("linkgraph.pipeline.dedup.jaccard_prefix_pairs", "(pipeline extension: exact AllPairs/PPJoin)", True),
+    "kcenter_select": ("linkgraph.pipeline.simsearch.kcenter_select", "(pipeline extension: Gonzalez coreset)", True),
+    "bpe_learn": ("linkgraph.pipeline.text.bpe_learn", "(pipeline extension: tokenizer training)", True),
+    "bpe_tokenize": ("linkgraph.pipeline.text.bpe_tokenize", "(pipeline extension)", True),
+    "countmin_sketch": ("linkgraph.pipeline.text.countmin_sketch", "(pipeline extension)", True),
+    "hll_distinct": ("linkgraph.pipeline.text.hll_distinct", "(pipeline extension)", True),
+    "length_quantiles": ("linkgraph.pipeline.text.length_quantiles", "(pipeline extension)", True),
+    "propagate_features": ("linkgraph.embeddings.propagate_features", "(engine extension: SGC feature smoothing)", True),
+    "attr_assortativity": ("linkgraph.graphs.attr_assortativity", "(engine extension: Newman 2003 mixing)", True),
+    "contract_graph": ("linkgraph.community.contract_graph", "(engine extension: multilevel contraction)", True),
     "asset_features": ("linkgraph.pipeline.multimodal.asset_features", "(pipeline extension)", True),
     "decode_media": ("linkgraph.pipeline.multimodal.decode_media", "(pipeline extension)", False),
 }
