@@ -575,3 +575,27 @@ def test_kcenter_round_is_take_ordered(spark):
     plan = _plan(_kcenter_argmax(state))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_contract_and_assortativity_plan_shape(spark):
+    """Contraction and attribute assortativity: equi-joins only (no
+    cartesian/nested-loop on the data path) and map-side partial
+    aggregation on the super-key / marginal groupBys. (Assortativity's
+    final 1-row x 1-row crossJoin of two scalar aggregates is the
+    broadcast-scalar pattern, not a data-path product.)"""
+    from linkgraph.community import contract_graph
+    from linkgraph.graphs import attr_assortativity
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0)], "src long, dst long, weight double"
+    )
+    asg = spark.createDataFrame([(1, 10), (2, 10), (3, 20)], "id long, community long")
+    plan = _plan(contract_graph(e, asg))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    lab = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], "id long, label long")
+    plan2 = _plan(attr_assortativity(e, lab))
+    assert "partial" in plan2.lower()
+    # the data-path label joins must be equi joins; the only permitted
+    # nested-loop product is the final 1-row x 1-row scalar combine
+    assert plan2.count("CartesianProduct") + plan2.count("BroadcastNestedLoopJoin") <= 1
