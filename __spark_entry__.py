@@ -987,6 +987,15 @@ def _q_betweenness_nation(spark, sf_dir):
     return res.scores.select("id", F.round("centrality", 6).alias("centrality"))
 
 
+def _q_simrank_nation(spark, sf_dir):
+    """Truncated SimRank (4 iterations, C=4/5) over the directed
+    nation trade graph (linkgraph/simrank.py). Integer micro-domain
+    rounding per round makes the DuckDB unrolled-CTE twin hash-exact."""
+    from linkgraph.simrank import simrank
+    res = simrank(_trade_nation_edges(spark, sf_dir), direction="OUTGOING", iterations=4)
+    return res.pairs
+
+
 def _q_edge_betweenness_nation(spark, sf_dir):
     """Girvan-Newman edge betweenness over the nation trade graph
     (linkgraph/betweenness.py edge_betweenness). Oracle: the node
@@ -2449,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_guards_orders": _q_numeric_guards_orders,
         "betweenness_nation": _q_betweenness_nation,
         "edge_betweenness_nation": _q_edge_betweenness_nation,
+        "simrank_trade_nation": _q_simrank_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3061,6 +3071,7 @@ def _paths_oracles() -> dict[str, str]:
         graph_diameter_sql,
         landmark_estimate_sql,
     )
+    from linkgraph.simrank import simrank_sql
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3364,6 +3375,9 @@ SELECT id,
        (x IS NOT NULL AND isinf(x)) AS infinite
 FROM v""",
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
+        "simrank_trade_nation": simrank_sql(
+            TRADE_NATION_SQL, direction="OUTGOING", iterations=4
+        ),
         "edge_betweenness_nation": _brandes_edge_sql(TRADE_NATION_SQL),
         "girvan_newman_nation": _girvan_newman_sql(TRADE_NATION_SQL, k=30),
         "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),

@@ -48,6 +48,7 @@ from linkgraph.betweenness import (
     EdgeBetweennessResult,
 )
 from linkgraph.kcore import k_core, core_numbers, KCoreResult, CorenessResult
+from linkgraph.simrank import simrank, simrank_sql, SimRankResult
 from linkgraph.anf import (
     anf,
     AnfResult,
@@ -148,6 +149,9 @@ __all__ = [
     "TriangleResult",
     "strongly_connected_components",
     "SccResult",
+    "simrank",
+    "simrank_sql",
+    "SimRankResult",
     "topological_levels",
     "condensation",
     "is_dag",

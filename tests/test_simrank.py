@@ -1,0 +1,165 @@
+"""SimRank tests: hand goldens (bipartite co-citation, triangle),
+an independent pure-Python micro-domain oracle on random directed
+graphs, the DuckDB unrolled-CTE twin, input hygiene, and resume."""
+
+import random
+
+import pytest
+
+from linkgraph.simrank import simrank, simrank_sql
+
+# classic co-citation shape: 1 and 2 both point at 3 and 4
+COCITE = [(1, 3), (2, 3), (1, 4), (2, 4)]
+TRIANGLE = [(1, 2), (2, 3), (3, 1)]
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _values_sql(pairs):
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    return f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+
+
+def _collect_pairs(res):
+    got = {(r["node1"], r["node2"]): r["score"] for r in res.pairs.collect()}
+    res.release()
+    return got
+
+
+def test_simrank_golden_cocited_pair(spark):
+    # I(3) = I(4) = {1, 2}; s1(3,4) = C/4 * (s0(1,1) + s0(2,2)) = C/2 = 0.4
+    # and it is already the fixpoint (1 and 2 have no in-neighbors).
+    for iters in (1, 3):
+        got = _collect_pairs(simrank(_edges(spark, COCITE), iterations=iters))
+        assert got == {(3, 4): 0.4}
+
+
+def test_simrank_golden_triangle_both(spark):
+    # undirected triangle: every pair shares neighborhoods {2,3} vs {1,3};
+    # s1 = C/4 * 1e6 = 0.2 for all pairs, s2 = C/4 * (3 * 0.2e6 + 1e6) = 0.32
+    got1 = _collect_pairs(
+        simrank(_edges(spark, TRIANGLE), direction="BOTH", iterations=1)
+    )
+    assert got1 == {(1, 2): 0.2, (1, 3): 0.2, (2, 3): 0.2}
+    got2 = _collect_pairs(
+        simrank(_edges(spark, TRIANGLE), direction="BOTH", iterations=2)
+    )
+    assert got2 == {(1, 2): 0.32, (1, 3): 0.32, (2, 3): 0.32}
+
+
+def test_simrank_ignores_self_loops_and_duplicate_edges(spark):
+    noisy = COCITE + [(1, 3), (3, 3), (2, 4)]
+    clean = _collect_pairs(simrank(_edges(spark, COCITE), iterations=2))
+    dirty = _collect_pairs(simrank(_edges(spark, noisy), iterations=2))
+    assert clean == dirty
+
+
+def _brute_simrank_micro(pairs, direction, iterations, c_num=4, c_den=5):
+    """Independent oracle: dict-based truncated SimRank in the same
+    integer micro-domain with the same round-half-up contract."""
+    ine = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        if direction in ("OUTGOING", "BOTH"):
+            ine.setdefault(b, set()).add(a)
+        if direction in ("INCOMING", "BOTH"):
+            ine.setdefault(a, set()).add(b)
+    nodes = sorted({n for p in pairs for n in p})
+    s = {(n, n): 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        nxt = {(n, n): 1_000_000 for n in nodes}
+        for a in nodes:
+            for b in nodes:
+                if a == b or a not in ine or b not in ine:
+                    continue
+                num = sum(s.get((i, j), 0) for i in ine[a] for j in ine[b])
+                da, db = len(ine[a]), len(ine[b])
+                v = (2 * c_num * num + c_den * da * db) // (2 * c_den * da * db)
+                if v >= 1:
+                    nxt[(a, b)] = v
+        s = nxt
+    return {
+        (a, b): round(v / 1_000_000.0, 6)
+        for (a, b), v in s.items()
+        if a < b and v >= 1
+    }
+
+
+@pytest.mark.parametrize("direction", ["OUTGOING", "INCOMING", "BOTH"])
+def test_simrank_random_vs_brute(spark, direction):
+    rng = random.Random(17)
+    pairs = list({(rng.randrange(12), rng.randrange(12)) for _ in range(28)})
+    got = _collect_pairs(
+        simrank(_edges(spark, pairs), direction=direction, iterations=3)
+    )
+    assert got == _brute_simrank_micro(pairs, direction, 3)
+
+
+def test_simrank_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(23)
+    pairs = list({(rng.randrange(10), rng.randrange(10)) for _ in range(24)})
+    got = _collect_pairs(simrank(_edges(spark, pairs), iterations=3))
+    rows = duckdb.connect().execute(
+        simrank_sql(_values_sql(pairs), iterations=3)
+    ).fetchall()
+    want = {(a, b): s for a, b, s in rows}
+    assert got == want
+
+
+def test_simrank_resume_equals_uninterrupted(spark, tmp_path):
+    pairs = COCITE + TRIANGLE + [(4, 5), (5, 1), (2, 5)]
+    full = _collect_pairs(
+        simrank(_edges(spark, pairs), direction="BOTH", iterations=4)
+    )
+    ckpt = str(tmp_path / "sr")
+    # run 2 rounds durably, then resume to 4
+    partial = simrank(
+        _edges(spark, pairs), direction="BOTH", iterations=2,
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    partial.pairs.count()
+    partial.release()
+    resumed = _collect_pairs(
+        simrank(
+            _edges(spark, pairs), direction="BOTH", iterations=4,
+            checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
+        )
+    )
+    assert resumed == full
+
+
+def test_simrank_resume_rejects_changed_graph_or_params(spark, tmp_path):
+    ckpt = str(tmp_path / "sr2")
+    first = simrank(
+        _edges(spark, COCITE), iterations=2,
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    first.pairs.count()
+    first.release()
+    with pytest.raises(ValueError, match="resume mismatch"):
+        simrank(
+            _edges(spark, COCITE + [(4, 1)]), iterations=3,
+            checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
+        )
+    with pytest.raises(ValueError, match="resume mismatch"):
+        simrank(
+            _edges(spark, COCITE), iterations=3, c_num=1, c_den=2,
+            checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
+        )
+
+
+def test_simrank_validates_arguments_and_warns_on_size(spark):
+    e = _edges(spark, COCITE)
+    with pytest.raises(ValueError, match="direction"):
+        simrank(e, direction="SIDEWAYS")
+    with pytest.raises(ValueError, match="c_num"):
+        simrank(e, c_num=5, c_den=5)
+    with pytest.warns(UserWarning, match="O\\(n\\^2\\)"):
+        simrank(e, iterations=1, exact_warn_nodes=2).release()
