@@ -996,6 +996,18 @@ def _q_simrank_nation(spark, sf_dir):
     return res.pairs
 
 
+def _q_localcom_trade_nation(spark, sf_dir):
+    """ACL-style local community around nation 0: integer micro-domain
+    personalized PageRank + minimum-conductance sweep cut
+    (linkgraph/localcom.py). Value-exact twin: the identical unrolled
+    PPR rounds and window sweep in DuckDB."""
+    from linkgraph.localcom import local_community_sweep
+    res = local_community_sweep(
+        _trade_nation_edges(spark, sf_dir), seed_node=0, iterations=6
+    )
+    return res.members
+
+
 def _q_edge_betweenness_nation(spark, sf_dir):
     """Girvan-Newman edge betweenness over the nation trade graph
     (linkgraph/betweenness.py edge_betweenness). Oracle: the node
@@ -2459,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_nation": _q_betweenness_nation,
         "edge_betweenness_nation": _q_edge_betweenness_nation,
         "simrank_trade_nation": _q_simrank_nation,
+        "localcom_trade_nation": _q_localcom_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3072,6 +3085,7 @@ def _paths_oracles() -> dict[str, str]:
         landmark_estimate_sql,
     )
     from linkgraph.simrank import simrank_sql
+    from linkgraph.localcom import local_community_sweep_sql
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3377,6 +3391,9 @@ FROM v""",
         "betweenness_nation": _brandes_sql(TRADE_NATION_SQL),
         "simrank_trade_nation": simrank_sql(
             TRADE_NATION_SQL, direction="OUTGOING", iterations=4
+        ),
+        "localcom_trade_nation": local_community_sweep_sql(
+            TRADE_NATION_SQL, seed_node=0, iterations=6
         ),
         "edge_betweenness_nation": _brandes_edge_sql(TRADE_NATION_SQL),
         "girvan_newman_nation": _girvan_newman_sql(TRADE_NATION_SQL, k=30),

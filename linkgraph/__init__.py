@@ -49,6 +49,11 @@ from linkgraph.betweenness import (
 )
 from linkgraph.kcore import k_core, core_numbers, KCoreResult, CorenessResult
 from linkgraph.simrank import simrank, simrank_sql, SimRankResult
+from linkgraph.localcom import (
+    local_community_sweep,
+    local_community_sweep_sql,
+    LocalCommunityResult,
+)
 from linkgraph.anf import (
     anf,
     AnfResult,
@@ -152,6 +157,9 @@ __all__ = [
     "simrank",
     "simrank_sql",
     "SimRankResult",
+    "local_community_sweep",
+    "local_community_sweep_sql",
+    "LocalCommunityResult",
     "topological_levels",
     "condensation",
     "is_dag",
