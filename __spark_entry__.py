@@ -1008,6 +1008,16 @@ def _q_localcom_trade_nation(spark, sf_dir):
     return res.members
 
 
+def _q_percolation_trade_nation(spark, sf_dir):
+    """Triangle (k=3) clique-percolation communities over the nation
+    trade graph (linkgraph/percolation.py): overlapping memberships,
+    community = min 'a|b|c' triangle key. Oracle: id-ordered triangle
+    enumeration + unrolled bipartite min-label propagation."""
+    from linkgraph.percolation import clique_percolation
+    res = clique_percolation(_trade_nation_edges(spark, sf_dir))
+    return res.memberships
+
+
 def _q_edge_betweenness_nation(spark, sf_dir):
     """Girvan-Newman edge betweenness over the nation trade graph
     (linkgraph/betweenness.py edge_betweenness). Oracle: the node
@@ -2472,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_nation": _q_edge_betweenness_nation,
         "simrank_trade_nation": _q_simrank_nation,
         "localcom_trade_nation": _q_localcom_trade_nation,
+        "percolation_trade_nation": _q_percolation_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3086,6 +3097,7 @@ def _paths_oracles() -> dict[str, str]:
     )
     from linkgraph.simrank import simrank_sql
     from linkgraph.localcom import local_community_sweep_sql
+    from linkgraph.percolation import clique_percolation_sql
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3395,6 +3407,7 @@ FROM v""",
         "localcom_trade_nation": local_community_sweep_sql(
             TRADE_NATION_SQL, seed_node=0, iterations=6
         ),
+        "percolation_trade_nation": clique_percolation_sql(TRADE_NATION_SQL),
         "edge_betweenness_nation": _brandes_edge_sql(TRADE_NATION_SQL),
         "girvan_newman_nation": _girvan_newman_sql(TRADE_NATION_SQL, k=30),
         "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),

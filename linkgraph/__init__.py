@@ -54,6 +54,11 @@ from linkgraph.localcom import (
     local_community_sweep_sql,
     LocalCommunityResult,
 )
+from linkgraph.percolation import (
+    clique_percolation,
+    clique_percolation_sql,
+    PercolationResult,
+)
 from linkgraph.anf import (
     anf,
     AnfResult,
@@ -160,6 +165,9 @@ __all__ = [
     "local_community_sweep",
     "local_community_sweep_sql",
     "LocalCommunityResult",
+    "clique_percolation",
+    "clique_percolation_sql",
+    "PercolationResult",
     "topological_levels",
     "condensation",
     "is_dag",
