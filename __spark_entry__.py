@@ -1018,6 +1018,19 @@ def _q_percolation_trade_nation(spark, sf_dir):
     return res.memberships
 
 
+def _q_influence_trade_nation(spark, sf_dir):
+    """RIS/IMM influence maximization on the nation trade graph
+    (linkgraph/influence.py): 24 deterministic hash-derived IC worlds
+    at p=1/4, reverse-reachable sets, greedy 3-seed max coverage.
+    Oracle: identical worlds + unrolled reachability + greedy SQL."""
+    from linkgraph.influence import influence_maximization
+    res = influence_maximization(
+        _trade_nation_edges(spark, sf_dir), k=3, n_samples=24,
+        p_num=1, p_den=4, max_hops=8,
+    )
+    return res.seeds
+
+
 def _q_edge_betweenness_nation(spark, sf_dir):
     """Girvan-Newman edge betweenness over the nation trade graph
     (linkgraph/betweenness.py edge_betweenness). Oracle: the node
@@ -2483,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_trade_nation": _q_simrank_nation,
         "localcom_trade_nation": _q_localcom_trade_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
+        "influence_trade_nation": _q_influence_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3098,6 +3112,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.simrank import simrank_sql
     from linkgraph.localcom import local_community_sweep_sql
     from linkgraph.percolation import clique_percolation_sql
+    from linkgraph.influence import influence_maximization_sql
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3408,6 +3423,9 @@ FROM v""",
             TRADE_NATION_SQL, seed_node=0, iterations=6
         ),
         "percolation_trade_nation": clique_percolation_sql(TRADE_NATION_SQL),
+        "influence_trade_nation": influence_maximization_sql(
+            TRADE_NATION_SQL, k=3, n_samples=24, p_num=1, p_den=4, max_hops=8
+        ),
         "edge_betweenness_nation": _brandes_edge_sql(TRADE_NATION_SQL),
         "girvan_newman_nation": _girvan_newman_sql(TRADE_NATION_SQL, k=30),
         "wcc_sqlproj_nation": _wcc_reach_sql(TRADE_NATION_SQL),

@@ -59,6 +59,11 @@ from linkgraph.percolation import (
     clique_percolation_sql,
     PercolationResult,
 )
+from linkgraph.influence import (
+    influence_maximization,
+    influence_maximization_sql,
+    InfluenceResult,
+)
 from linkgraph.anf import (
     anf,
     AnfResult,
@@ -168,6 +173,9 @@ __all__ = [
     "clique_percolation",
     "clique_percolation_sql",
     "PercolationResult",
+    "influence_maximization",
+    "influence_maximization_sql",
+    "InfluenceResult",
     "topological_levels",
     "condensation",
     "is_dag",
