@@ -1031,6 +1031,15 @@ def _q_influence_trade_nation(spark, sf_dir):
     return res.seeds
 
 
+def _q_onion_trade_nation(spark, sf_dir):
+    """Onion decomposition of the nation trade graph
+    (linkgraph/kcore.py onion_layers): simultaneous peel layers +
+    core numbers, pure integer degrees. Oracle: the peel unrolled."""
+    from linkgraph.kcore import onion_layers
+    res = onion_layers(_trade_nation_edges(spark, sf_dir))
+    return res.coreness
+
+
 def _q_edge_betweenness_nation(spark, sf_dir):
     """Girvan-Newman edge betweenness over the nation trade graph
     (linkgraph/betweenness.py edge_betweenness). Oracle: the node
@@ -2497,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "localcom_trade_nation": _q_localcom_trade_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
+        "onion_trade_nation": _q_onion_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -2687,7 +2697,12 @@ FROM labeled GROUP BY user_id, session_idx
 
 def oracle_sql() -> dict[str, str]:
     from linkgraph.anf import anf_sql, hyperball_harmonic_sql
-    from linkgraph.kcore import core_numbers_sql, k_core_sql, s_core_sql
+    from linkgraph.kcore import (
+        core_numbers_sql,
+        k_core_sql,
+        onion_layers_sql,
+        s_core_sql,
+    )
 
     return {
         "pagerank_purchase_5iter": _pagerank_sql(),
@@ -2808,6 +2823,9 @@ FROM deg d LEFT JOIN cnt c ON c.id = d.id
         "kcore_purchase": k_core_sql(PURCHASE_EDGES_SQL, k=25, n_rounds=5),
         "score_trade_nation": s_core_sql(TRADE_NATION_W_SQL, s=2500.0, n_rounds=6),
         "coreness_purchase": core_numbers_sql(PURCHASE_EDGES_SQL, n_rounds=7),
+        # onion peel: measured depth 5 on the nation graph; extra
+        # rounds peel the empty set (idempotent)
+        "onion_trade_nation": onion_layers_sql(TRADE_NATION_SQL, n_rounds=10),
         # HyperBall registers are deterministic integers from the
         # cross-engine hash, so the oracle replays the exact recurrence
         # and estimator (unrolled; max-merge is idempotent past

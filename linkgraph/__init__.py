@@ -47,7 +47,13 @@ from linkgraph.betweenness import (
     BetweennessResult,
     EdgeBetweennessResult,
 )
-from linkgraph.kcore import k_core, core_numbers, KCoreResult, CorenessResult
+from linkgraph.kcore import (
+    k_core,
+    core_numbers,
+    onion_layers,
+    KCoreResult,
+    CorenessResult,
+)
 from linkgraph.simrank import simrank, simrank_sql, SimRankResult
 from linkgraph.localcom import (
     local_community_sweep,
@@ -173,6 +179,7 @@ __all__ = [
     "clique_percolation",
     "clique_percolation_sql",
     "PercolationResult",
+    "onion_layers",
     "influence_maximization",
     "influence_maximization_sql",
     "InfluenceResult",

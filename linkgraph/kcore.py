@@ -315,6 +315,165 @@ def core_numbers_sql(edges_sql: str, n_rounds: int = 8) -> str:
     )
 
 
+def onion_layers(
+    edges: DataFrame,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> CorenessResult:
+    """Onion decomposition (Hébert-Dufresne, Grochow, Allard, Sci.
+    Rep. 6:31708, 2016 — public result): the k-core peel refined into
+    LAYERS. Per round, every node whose current degree is <= the
+    active core threshold k is removed SIMULTANEOUSLY — that batch is
+    one layer; k rises to the surviving minimum degree whenever the
+    current core is clean. Each node gets (layer, coreness): layer is
+    the onion depth (how central the node is WITHIN its core — the
+    refinement the paper shows separates tree-like from dense cores),
+    coreness is the standard core number (k at removal — equality
+    with `core_numbers` is the cross-check in tests).
+
+    Returns a `CorenessResult` whose frame is (id, layer, coreness).
+
+    Determinism: the peel is simultaneous (no tie-breaking) and all
+    quantities are integer degrees — the DuckDB twin
+    (`onion_layers_sql`) is hash-exact.
+
+    Scale notes (100TB): same per-round shape as `k_core` (two
+    survivor semi-joins + one degree aggregation over the pinned
+    symmetric table, plus one 2-scalar aggregate for the threshold);
+    rounds = layer count, which is O(peeling depth) — tens on
+    power-law graphs, O(n) only on adversarial chains (bounded by
+    max_iter). State (the survivor node set) only shrinks. resume:
+    with a ``checkpoint_dir``, continues from the last durable
+    (remaining ∪ assigned) frame, graph-fingerprint validated."""
+    sym = pin_table(_sym_simple(edges))
+    graph_fp = _graph_fp(sym) if checkpoint_dir else None
+    loop = SuperstepLoop(
+        edges.sparkSession, checkpoint_dir, every=checkpoint_every,
+        name="onion", context={"graph_fp": graph_fp},
+    )
+    spark = edges.sparkSession
+    # state: (id, layer, coreness) with layer NULL = still alive
+    alive = pin_table(
+        sym.select(F.col("a").alias("id")).distinct()
+    )
+    done: DataFrame | None = None
+    k = 0
+    rounds = 0
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "onion_layers", loop.last_context.get("graph_fp"), graph_fp
+            )
+            rounds, state = resumed
+            release_state(alive)
+            alive = pin_table(
+                state.filter(F.col("layer").isNull()).select("id")
+            )
+            done = pin_table(
+                state.filter(F.col("layer").isNotNull())
+                .select("id", "layer", "coreness")
+            )
+            k = int(loop.last_metrics["k"])
+    n_alive = alive.count()
+    while n_alive > 0 and rounds < max_iter:
+        keep_a = alive.select(F.col("id").alias("a"))
+        keep_b = alive.select(F.col("id").alias("b"))
+        deg = (
+            alive.join(
+                sym.join(keep_a, "a").join(keep_b, "b")
+                .groupBy("a").agg(F.count("*").cast("long").alias("d"))
+                .withColumnRenamed("a", "id"),
+                "id", "left",
+            )
+            .select("id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+        )
+        deg = pin_table(deg)
+        min_d = deg.agg(F.min("d")).first()[0]
+        k = max(k, int(min_d))
+        rounds += 1
+        peel = deg.filter(F.col("d") <= k).select(
+            "id",
+            F.lit(rounds).cast("long").alias("layer"),
+            F.lit(k).cast("long").alias("coreness"),
+        )
+        done = peel if done is None else done.unionByName(peel)
+        nxt_alive = alive.join(
+            deg.filter(F.col("d") <= k).select("id"), "id", "left_anti"
+        )
+        # one durable state per round: assigned rows + alive sentinel
+        state = done.unionByName(
+            nxt_alive.select(
+                "id",
+                F.lit(None).cast("long").alias("layer"),
+                F.lit(None).cast("long").alias("coreness"),
+            )
+        )
+        state = loop.advance(rounds, state, metrics={"k": k})
+        done = state.filter(F.col("layer").isNotNull()).select(
+            "id", "layer", "coreness"
+        )
+        release_state(alive)
+        release_state(deg)
+        alive = pin_table(state.filter(F.col("layer").isNull()).select("id"))
+        n_alive = alive.count()
+    out = done if done is not None else spark.createDataFrame(
+        [], "id long, layer long, coreness long"
+    )
+    final = pin_table(out)
+    release_state(alive)
+    release_state(sym)
+    return CorenessResult(
+        coreness=final.select("id", "layer", "coreness"),
+        rounds=rounds,
+        stats={"layers": rounds, "max_coreness": k},
+        _caches=[final],
+    )
+
+
+def onion_layers_sql(edges_sql: str, n_rounds: int = 24) -> str:
+    """Oracle for `onion_layers`: the simultaneous peel unrolled
+    ``n_rounds`` times (rounds past exhaustion peel the empty set).
+    The core threshold k threads through rounds as a 1-row CTE:
+    k_t = GREATEST(k_{t-1}, COALESCE(MIN(deg), k_{t-1}))."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)",
+        "k0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT n.id, COALESCE(c.d, 0) AS d
+  FROM a{t - 1} n LEFT JOIN (
+    SELECT s.a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym s
+    JOIN a{t - 1} p ON p.id = s.a JOIN a{t - 1} q ON q.id = s.b
+    GROUP BY s.a) c ON c.id = n.id)"""
+        )
+        parts.append(
+            f"""k{t} AS (SELECT GREATEST(k.k, COALESCE(m.md, k.k)) AS k
+  FROM k{t - 1} k CROSS JOIN (SELECT MIN(d) AS md FROM d{t}) m)"""
+        )
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT d.id, CAST({t} AS BIGINT) AS layer, k.k AS coreness
+  FROM d{t} d CROSS JOIN k{t} k WHERE d.d <= k.k)"""
+        )
+        parts.append(
+            f"""a{t} AS MATERIALIZED (SELECT id FROM a{t - 1}
+  WHERE id NOT IN (SELECT id FROM p{t}))"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT id, layer, coreness FROM p{t}" for t in range(1, n_rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
 def s_core(
     edges: DataFrame,
     s: float,
