@@ -1031,6 +1031,15 @@ def _q_influence_trade_nation(spark, sf_dir):
     return res.seeds
 
 
+def _q_sparsify_cosupplier(spark, sf_dir):
+    """Local-degree sparsifier over the weighted co-supplier graph
+    (linkgraph/graphs.py sparsify_local_degree): each node keeps its
+    ceil(sqrt(d)) strongest edges, an edge survives if either endpoint
+    keeps it. One window shuffle; integer w6 rank; isqrt-exact bound."""
+    from linkgraph.graphs import cosupplier_edges, sparsify_local_degree
+    return sparsify_local_degree(cosupplier_edges(spark, sf_dir))
+
+
 def _q_onion_trade_nation(spark, sf_dir):
     """Onion decomposition of the nation trade graph
     (linkgraph/kcore.py onion_layers): simultaneous peel layers +
@@ -2507,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
+        "sparsify_cosupplier": _q_sparsify_cosupplier,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3131,6 +3141,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.localcom import local_community_sweep_sql
     from linkgraph.percolation import clique_percolation_sql
     from linkgraph.influence import influence_maximization_sql
+    from linkgraph.graphs import sparsify_local_degree_sql
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3328,6 +3339,7 @@ FROM nodes nd LEFT JOIN (
         "salsa_purchase": _salsa_sql_wrapped(),
         "assortativity_purchase": _assortativity_sql_wrapped(),
         "attr_assortativity_cosupplier": _attr_assortativity_sql_wrapped(),
+        "sparsify_cosupplier": sparsify_local_degree_sql(COSUPPLIER_EDGES_SQL),
         "richclub_cosupplier": _richclub_sql_wrapped(),
         "reciprocity_trade_nation": _reciprocity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(

@@ -82,6 +82,7 @@ from linkgraph.io import edges_from_sql, iceberg_available, read_table, write_re
 from linkgraph.checkpoint import TerminatedError, TerminationFlag
 from linkgraph.graphs import (
     degree_assortativity,
+    sparsify_local_degree,
     graphlet_counts,
     degree_centrality,
     degree_histogram,
@@ -242,6 +243,7 @@ __all__ = [
     "degree_centrality",
     "induced_subgraph",
     "sample_edges",
+    "sparsify_local_degree",
     "eigenvector_centrality",
     "katz_centrality",
     "fastrp_embeddings",

@@ -1,0 +1,96 @@
+"""Local-degree sparsifier tests: hand golden, either-endpoint-keeps
+semantics, connectivity floor, python brute oracle, DuckDB twin."""
+
+import math
+import random
+
+from linkgraph.graphs import sparsify_local_degree, sparsify_local_degree_sql
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def _values_sql(rows):
+    vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _brute(rows, min_keep=1):
+    w6m = {}
+    seen = set()
+    for a, b, w in rows:
+        if a == b or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        k = (min(a, b), max(a, b))
+        w6m[k] = w6m.get(k, 0) + int(round(w * 1e6))
+    adj = {}
+    for (a, b), w6 in w6m.items():
+        adj.setdefault(a, []).append((b, w6))
+        adj.setdefault(b, []).append((a, w6))
+    kept = set()
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        budget = max(min_keep, math.isqrt(d) + (0 if math.isqrt(d) ** 2 == d else 1))
+        for b, _ in sorted(nbrs, key=lambda x: (-x[1], x[0]))[:budget]:
+            kept.add((min(n, b), max(n, b)))
+    return sorted((a, b, round(w6m[(a, b)] / 1e6, 6)) for a, b in kept)
+
+
+def test_star_keeps_everything_via_leaves(spark):
+    rows = [(0, i, float(i)) for i in range(1, 8)]
+    got = _collect(sparsify_local_degree(_edges(spark, rows)))
+    assert got == [(0, i, float(i)) for i in range(1, 8)]
+
+
+def test_hand_golden_hub_prunes(spark):
+    # node 0 has degree 4 -> keeps ceil(sqrt(4)) = 2 strongest; the
+    # weakest edges survive only if the leaf side keeps them (it does,
+    # leaves have degree 1) — so prune requires leaves of degree > 1
+    rows = [(0, 1, 9.0), (0, 2, 8.0), (0, 3, 2.0), (0, 4, 1.0),
+            (3, 4, 5.0), (3, 5, 6.0), (4, 5, 7.0)]
+    got = _collect(sparsify_local_degree(_edges(spark, rows)))
+    assert got == _brute(rows)
+    # 0's weak edges to 3 and 4: 3 keeps {5:6, 4:5} (degree 3, budget
+    # 2), 4 keeps {5:7, 3:5} — so (0,3) and (0,4) are pruned
+    kept_pairs = {(a, b) for a, b, _ in got}
+    assert (0, 3) not in kept_pairs and (0, 4) not in kept_pairs
+    assert (0, 1) in kept_pairs and (0, 2) in kept_pairs
+
+
+def test_every_node_keeps_at_least_one(spark):
+    rng = random.Random(5)
+    rows = [(a, b, float(rng.randrange(1, 20)))
+            for a, b in {(rng.randrange(16), rng.randrange(16))
+                         for _ in range(60)} if a != b]
+    got = _collect(sparsify_local_degree(_edges(spark, rows)))
+    nodes_in = {n for a, b, _ in rows for n in (a, b)}
+    nodes_out = {n for a, b, _ in got for n in (a, b)}
+    assert nodes_out == nodes_in
+    assert got == _brute(rows)
+
+
+def test_unweighted_ties_by_id(spark):
+    rows = [(0, 5, 1.0), (0, 3, 1.0), (0, 7, 1.0), (0, 1, 1.0),
+            (3, 5, 1.0), (5, 7, 1.0), (1, 3, 1.0), (1, 7, 1.0)]
+    got = _collect(sparsify_local_degree(_edges(spark, rows)))
+    assert got == _brute(rows)
+
+
+def test_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(23)
+    rows = [(a, b, float(rng.randrange(1, 15)))
+            for a, b in {(rng.randrange(13), rng.randrange(13))
+                         for _ in range(44)} if a != b]
+    got = _collect(sparsify_local_degree(_edges(spark, rows)))
+    duck = duckdb.connect().execute(
+        sparsify_local_degree_sql(_values_sql(rows))
+    ).fetchall()
+    assert got == sorted(duck)
