@@ -2222,6 +2222,16 @@ def _q_kcenter(spark, sf_dir):
     return kcenter_select(_emb(spark, sf_dir), k=8)
 
 
+def _q_embed_covariance(spark, sf_dir):
+    """Sample covariance of the embedding corpus in LONG (i, j, cov)
+    form — the PCA/whitening front door: one corpus pass, d(d+1)/2
+    JVM-generated per-row products into one map-combined aggregate
+    (pipeline/simsearch.py embedding_covariance). Exact: x6 integer
+    moments, DECIMAL numerator, shared double-division tail."""
+    from linkgraph.pipeline import embedding_covariance
+    return embedding_covariance(_emb(spark, sf_dir))
+
+
 def _q_kmeans(spark, sf_dir):
     """Deterministic distributed k-means (rank-stride seeding + 2
     integer-exact Lloyd rounds): the one iterative FLOAT clustering
@@ -2580,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": _q_ann_ivf,
         "sim_kmeans_assign": _q_kmeans,
         "sim_kcenter_select": _q_kcenter,
+        "sim_embed_covariance": _q_embed_covariance,
         "sim_quantize_embeddings": _q_quantize_embeddings,
         "sim_pq_encode": _q_pq_encode,
         "multimodal_features": _q_multimodal_features,
@@ -3480,6 +3491,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from linkgraph.pipeline.simsearch import (
         ann_ivf_topk_sql,
         ann_lsh_topk_sql,
+        embedding_covariance_sql,
         kmeans_clusters_sql,
         cosine_topk_sql,
         near_dup_pairs_sql,
@@ -3619,6 +3631,9 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
         "sim_kmeans_assign": kmeans_clusters_sql(dim=64, n_clusters=16, iters=2),
         "sim_kcenter_select": _kcenter_sql_wrapped(),
+        # covariance: x6 integer moments + DECIMAL(38,0) numerator,
+        # one shared double-division sequence => exact at 9 decimals
+        "sim_embed_covariance": embedding_covariance_sql(dim=64),
         # int8 quantization: min/max are order-free, all arithmetic
         # explicitly double-promoted => exact
         "sim_quantize_embeddings": quantize_embeddings_sql(),

@@ -85,6 +85,9 @@ from linkgraph.pipeline.simsearch import (
     cosine_topk,
     kcenter_select,
     kcenter_select_sql,
+    embedding_covariance,
+    embedding_covariance_sql,
+    pca_project,
     kmeans_clusters,
     near_dup_pairs,
     near_dup_pairs_lsh,
@@ -130,6 +133,7 @@ __all__ = [
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",
     "ann_ivf_topk", "ann_lsh_topk", "auto_n_clusters", "auto_n_planes",
     "kcenter_select", "kcenter_select_sql",
+    "embedding_covariance", "embedding_covariance_sql", "pca_project",
     "kmeans_clusters",
     "auto_simhash_params",
     "synth_assets", "asset_features", "decode_media",

@@ -1258,3 +1258,183 @@ def kcenter_select_sql(dim: int, k: int = 8, table: str = "embeddings") -> str:
             f"SELECT CAST({r} AS BIGINT), id, CAST(dmin AS BIGINT) FROM c{r}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)
+
+
+def embedding_covariance(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column, LONG format
+    (i, j, cov) with 1-based dims and i <= j (arrays are unsortable in
+    the oracle comparator — the fastrp/propagate_features contract).
+
+    The PCA/whitening front door for embedding curation: feed the
+    matrix to `pca_project` (driver-side eigendecomposition — d x d is
+    tiny even when n is 10^12).
+
+    Cross-engine exactness: components quantize ONCE to x6 =
+    ROUND(v * 1e6) BIGINT; Σx_i, Σx_i·x_j are integer sums;
+    cov = (n·Σxy − Σx·Σy) / (n(n−1)) de-scaled by 1e12, computed as
+    DECIMAL(38,0) numerator then ONE double division sequence
+    (/(n(n-1)) then /1e12, 9-decimal round) — identical IEEE ops in
+    DuckDB (`embedding_covariance_sql`).
+
+    Scale notes (100TB): the d(d+1)/2 per-row products are generated
+    JVM-side by one nested transform over the array (no join, no
+    UDF) and fall into ONE map-side-combined groupBy(i, j) — the
+    shuffle moves exactly d(d+1)/2 partial-sum rows per task, not
+    per document. Marginals ride the diagonal of the same aggregate
+    (j = i pairs), so ONE pass over the corpus total."""
+    dim = _dim(emb, vec_col)
+    x6 = F.expr(
+        f"transform({vec_col}, v -> "
+        "CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    pairs = (
+        emb.select(x6.alias("x6"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(x6, (xi, i) -> "
+                        "transform(slice(x6, i + 1, size(x6) - i), "
+                        "(xj, jr) -> struct(CAST(i + 1 AS BIGINT) AS i, "
+                        "CAST(i + 1 + jr AS BIGINT) AS j, xi * xj AS p, "
+                        "xi AS xi)))"
+                    )
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p", "t.xi")
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum("p").alias("sp"),
+        # Σx_i rides along: each (i, j) group holds one xi per row, but
+        # only the diagonal group (j = i) is a clean per-dim marginal
+        F.sum(F.when(F.col("j") == F.col("i"), F.col("xi"))).alias("sxd"),
+    )
+    n = emb.count()
+    if n < 2:
+        raise ValueError(f"covariance needs >= 2 rows, got {n}")
+    marg = sums.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("sxd").alias("sx")
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.lit(n).cast(dec) * F.col("sp").cast(dec)
+        - F.col("sx_i").cast(dec) * F.col("sx_j").cast(dec)
+    )
+    return (
+        sums.join(F.broadcast(marg.select(F.col("d").alias("i"),
+                                          F.col("sx").alias("sx_i"))), "i")
+        .join(F.broadcast(marg.select(F.col("d").alias("j"),
+                                      F.col("sx").alias("sx_j"))), "j")
+        .select(
+            "i", "j",
+            F.round(
+                num.cast("double")
+                / F.lit(int(n) * (int(n) - 1)).cast("double")
+                / F.lit(1_000_000_000_000.0),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+def embedding_covariance_sql(dim: int, table: str = "embeddings") -> str:
+    """DuckDB twin of `embedding_covariance` (1-based list indexing;
+    HUGEINT sums cast through DECIMAL(38,0))."""
+    return f"""
+WITH x AS (
+  SELECT list_transform(embedding,
+         v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS x6
+  FROM {table}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+idx AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, {dim})),
+pairs AS (
+  SELECT d1.i AS i, d2.i AS j,
+         CAST(SUM(x.x6[d1.i] * x.x6[d2.i]) AS DECIMAL(38,0)) AS sp
+  FROM x, idx d1, idx d2 WHERE d2.i >= d1.i
+  GROUP BY d1.i, d2.i),
+marg AS (
+  SELECT d1.i AS d, CAST(SUM(x.x6[d1.i]) AS DECIMAL(38,0)) AS sx
+  FROM x, idx d1 GROUP BY d1.i)
+SELECT p.i, p.j,
+       ROUND(CAST(CAST(n.n AS DECIMAL(38,0)) * p.sp - mi.sx * mj.sx AS DOUBLE)
+             / CAST(n.n * (n.n - 1) AS DOUBLE)
+             / 1000000000000.0, 9) AS cov
+FROM pairs p
+JOIN marg mi ON mi.d = p.i
+JOIN marg mj ON mj.d = p.j
+CROSS JOIN n
+"""
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components.
+
+    Covariance comes from `embedding_covariance` (one distributed
+    pass); the d x d eigendecomposition runs DRIVER-SIDE via numpy
+    (d is the embedding width — tiny regardless of corpus size), with
+    a deterministic sign fix (largest-|.| loading made positive,
+    min-index tie-break). The projection itself is a JVM-side
+    expression over the centered vector — component weights are
+    inlined literals (the LSH-planes pattern), no UDF.
+
+    Returns LONG format (vec_id, component, value) with component in
+    [1, k] and value rounded to 6. Library operator: the eigvec step
+    is numpy's LAPACK — deterministic for a fixed input but not
+    SQL-reproducible, so correctness is pytest-gated (vs numpy PCA,
+    orthonormality, explained-variance ordering) rather than
+    DuckDB-oracled."""
+    import numpy as np
+
+    dim = _dim(emb, vec_col)
+    if not (1 <= k <= dim):
+        raise ValueError(f"k must be in [1, {dim}]: got {k}")
+    cov_rows = embedding_covariance(emb, id_col=id_col, vec_col=vec_col).collect()
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(-vals, kind="stable")[:k]
+    comps = []
+    for c in order:
+        v = vecs[:, c]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+    # per-dim means for centering, from the exact x6 sums
+    n = emb.count()
+    mean_expr = F.expr(
+        f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    )
+    sums = (
+        emb.select(F.posexplode(mean_expr).alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    mean = np.zeros(dim)
+    for r in sums:
+        mean[r["d"]] = r["s"] / n
+    projs = []
+    for ci, v in enumerate(comps, start=1):
+        terms = " + ".join(
+            f"(CAST({vec_col}[{d}] AS DOUBLE) - ({mean[d]!r})) * ({v[d]!r})"
+            for d in range(dim)
+        )
+        projs.append(
+            F.round(F.expr(terms), 6).alias(f"c{ci}")
+        )
+    wide = emb.select(F.col(id_col).alias("vec_id"), *projs)
+    stack = ", ".join(f"CAST({ci} AS BIGINT), c{ci}" for ci in range(1, k + 1))
+    return wide.selectExpr(
+        "vec_id", f"stack({k}, {stack}) AS (component, value)"
+    )
