@@ -1040,6 +1040,17 @@ def _q_sparsify_cosupplier(spark, sf_dir):
     return sparsify_local_degree(cosupplier_edges(spark, sf_dir))
 
 
+def _q_ppr_batch_trade_nation(spark, sf_dir):
+    """Batch personalized PageRank — per-seed PPR matrix rows for
+    seeds {0, 5, 10} over the directed trade graph, all seeds in one
+    (seed, node)-keyed frontier (linkgraph/localcom.py ppr_batch)."""
+    from linkgraph.localcom import ppr_batch
+    return ppr_batch(
+        _trade_nation_edges(spark, sf_dir), [0, 5, 10],
+        iterations=6, direction="OUTGOING",
+    )
+
+
 def _q_onion_trade_nation(spark, sf_dir):
     """Onion decomposition of the nation trade graph
     (linkgraph/kcore.py onion_layers): simultaneous peel layers +
@@ -2527,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
         "sparsify_cosupplier": _q_sparsify_cosupplier,
+        "ppr_batch_trade_nation": _q_ppr_batch_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3149,7 +3161,7 @@ def _paths_oracles() -> dict[str, str]:
         landmark_estimate_sql,
     )
     from linkgraph.simrank import simrank_sql
-    from linkgraph.localcom import local_community_sweep_sql
+    from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.percolation import clique_percolation_sql
     from linkgraph.influence import influence_maximization_sql
     from linkgraph.graphs import sparsify_local_degree_sql
@@ -3464,6 +3476,9 @@ FROM v""",
             TRADE_NATION_SQL, seed_node=0, iterations=6
         ),
         "percolation_trade_nation": clique_percolation_sql(TRADE_NATION_SQL),
+        "ppr_batch_trade_nation": ppr_batch_sql(
+            TRADE_NATION_SQL, [0, 5, 10], iterations=6, direction="OUTGOING"
+        ),
         "influence_trade_nation": influence_maximization_sql(
             TRADE_NATION_SQL, k=3, n_samples=24, p_num=1, p_den=4, max_hops=8
         ),

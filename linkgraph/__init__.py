@@ -58,6 +58,8 @@ from linkgraph.simrank import simrank, simrank_sql, SimRankResult
 from linkgraph.localcom import (
     local_community_sweep,
     local_community_sweep_sql,
+    ppr_batch,
+    ppr_batch_sql,
     LocalCommunityResult,
 )
 from linkgraph.percolation import (
@@ -177,6 +179,8 @@ __all__ = [
     "local_community_sweep",
     "local_community_sweep_sql",
     "LocalCommunityResult",
+    "ppr_batch",
+    "ppr_batch_sql",
     "clique_percolation",
     "clique_percolation_sql",
     "PercolationResult",

@@ -263,6 +263,185 @@ def local_community_sweep(
     )
 
 
+def ppr_batch(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 6,
+    a_num: int = 3,
+    a_den: int = 20,
+    direction: str = "BOTH",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> DataFrame:
+    """Personalized-PageRank rows for a SEED SET — the batch analog of
+    `local_community_sweep`'s diffusion, one PPR vector per seed in a
+    single job (the reference's personalized pageRank distributes ONE
+    teleport over sourceNodes; this returns the per-seed matrix rows —
+    the standard seed-similarity / feature primitive).
+
+    Same truncated integer micro-domain recurrence, keyed (seed,
+    node): per round ONE join of the state against the pinned
+    adjacency and ONE groupBy(seed, node) sum — all seeds advance
+    together exactly like MultiSourceBFS batches sources. Mass that
+    rounds to 0 stays un-propagated, so per-seed state is the seed's
+    diffusion ball, and the batch shuffle volume is the sum of ball
+    sizes, not seeds x |V|.
+
+    direction: OUTGOING pushes along src->dst (out-degree shares),
+    INCOMING along dst->src, BOTH over the symmetrized simple view.
+
+    Returns (seed, id, score) with score = p/1e6 rounded 6, p > 0.
+    Value-exact DuckDB twin: `ppr_batch_sql`."""
+    if direction not in _PPR_DIRECTIONS:
+        raise ValueError(f"direction must be one of {_PPR_DIRECTIONS}")
+    if a_den <= 0 or not (0 < a_num < a_den):
+        raise ValueError(
+            f"alpha must be a rational in (0, 1): got {a_num}/{a_den}"
+        )
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list of node ids")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("seeds must be distinct")
+    spark = edges.sparkSession
+    adj = pin_table(_directed_view(edges, direction))
+    deg = pin_table(
+        adj.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+        .select(F.col("a").alias("node"), "d")
+    )
+    missing = (
+        spark.createDataFrame([(int(s),) for s in seeds], "node long")
+        .join(deg, "node", "left_anti")
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"{missing} seed(s) have no out-edges under direction="
+            f"{direction}; their PPR mass cannot diffuse. Drop them or "
+            "change direction."
+        )
+    fp = _graph_fp_directed(adj) if checkpoint_dir else None
+    params = {
+        "seeds": sorted(int(s) for s in seeds), "a_num": a_num,
+        "a_den": a_den, "direction": direction,
+    }
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every,
+        name="pprbatch", max_steps=iterations,
+        context={"graph_fp": fp, "params": params},
+    )
+    restart = (2 * 1_000_000 * a_num + a_den) // (2 * a_den)
+    fresh = spark.createDataFrame(
+        [(int(s), int(s), restart) for s in seeds], "seed long, node long, v long"
+    )
+    state = spark.createDataFrame(
+        [(int(s), int(s), 1_000_000) for s in seeds], "seed long, node long, p long"
+    )
+    start = 0
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp("ppr_batch", loop.last_context.get("graph_fp"), fp)
+            rec = loop.last_context.get("params")
+            if rec is not None and rec != params:
+                raise ValueError(
+                    "ppr_batch resume mismatch: checkpointed params "
+                    f"{rec!r} != requested {params!r}."
+                )
+            start, state = resumed
+            state = state.select("seed", "node", "p")
+    push = f"(2 * p * {a_den - a_num} + {a_den} * d) DIV (2 * {a_den} * d)"
+    for it in range(start + 1, iterations + 1):
+        pushed = (
+            state.join(deg, "node")
+            .join(adj.withColumnRenamed("a", "node"), "node")
+            .select("seed", F.col("b").alias("node"), F.expr(push).alias("v"))
+        )
+        nxt = (
+            pushed.unionByName(fresh)
+            .groupBy("seed", "node")
+            .agg(F.sum("v").cast("long").alias("p"))
+            .filter(F.col("p") > 0)
+        )
+        state = loop.advance(it, nxt, metrics={"iteration": it})
+    out = state.select(
+        "seed", F.col("node").alias("id"),
+        F.round(F.col("p") / 1_000_000.0, 6).alias("score"),
+    )
+    release_state(adj)
+    release_state(deg)
+    return out
+
+
+_PPR_DIRECTIONS = ("OUTGOING", "INCOMING", "BOTH")
+
+
+def _directed_view(edges: DataFrame, direction: str) -> DataFrame:
+    """(a, b) adjacency under the requested direction, simple view."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if direction == "OUTGOING":
+        return e.select(F.col("src").alias("a"), F.col("dst").alias("b")).distinct()
+    if direction == "INCOMING":
+        return e.select(F.col("dst").alias("a"), F.col("src").alias("b")).distinct()
+    return _sym_simple(edges)
+
+
+def _graph_fp_directed(adj: DataFrame) -> int:
+    return int(
+        adj.agg(F.expr("bit_xor(xxhash64(a, b))").alias("fp")).first()["fp"] or 0
+    )
+
+
+def ppr_batch_sql(
+    edges_sql: str,
+    seeds: list[int],
+    iterations: int = 6,
+    a_num: int = 3,
+    a_den: int = 20,
+    direction: str = "BOTH",
+) -> str:
+    """DuckDB twin of `ppr_batch`: identical integer micro-domain
+    rounds unrolled, seeded from a VALUES list."""
+    restart = (2 * 1_000_000 * a_num + a_den) // (2 * a_den)
+    if direction == "OUTGOING":
+        view = "SELECT DISTINCT src AS a, dst AS b FROM e WHERE src <> dst"
+    elif direction == "INCOMING":
+        view = "SELECT DISTINCT dst AS a, src AS b FROM e WHERE src <> dst"
+    else:
+        view = (
+            "SELECT DISTINCT a, b FROM ("
+            "SELECT src AS a, dst AS b FROM e WHERE src <> dst "
+            "UNION ALL SELECT dst, src FROM e WHERE src <> dst)"
+        )
+    seed_vals = ", ".join(f"({int(s)})" for s in seeds)
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        f"adj AS MATERIALIZED ({view})",
+        "deg AS MATERIALIZED (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM adj GROUP BY a)",
+        f"sd AS (SELECT CAST(s AS BIGINT) AS seed FROM (VALUES {seed_vals}) v(s))",
+        "p0 AS (SELECT seed, seed AS node, CAST(1000000 AS BIGINT) AS p FROM sd)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT seed, node, CAST(SUM(v) AS BIGINT) AS p FROM (
+    SELECT p.seed, s.b AS node,
+           (2 * p.p * {a_den - a_num} + {a_den} * d.d)
+             // (2 * {a_den} * d.d) AS v
+    FROM p{t - 1} p JOIN deg d ON d.node = p.node
+    JOIN adj s ON s.a = p.node
+    UNION ALL SELECT seed, seed, {restart} FROM sd)
+  GROUP BY seed, node HAVING SUM(v) > 0)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT seed, node AS id, ROUND(CAST(p AS DOUBLE) / 1000000.0, 6) AS score
+FROM p{iterations}"""
+    )
+
+
 def local_community_sweep_sql(
     edges_sql: str,
     seed_node: int,

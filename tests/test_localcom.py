@@ -177,3 +177,108 @@ def test_resume_rejects_changed_graph_or_params(spark, tmp_path):
             _edges(spark, BARBELL), seed_node=1, iterations=3,
             checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
         )
+
+
+# ---- ppr_batch ------------------------------------------------------
+
+from linkgraph.localcom import ppr_batch, ppr_batch_sql  # noqa: E402
+
+
+def _brute_ppr(pairs, seed, iterations, a_num=3, a_den=20, direction="BOTH"):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        if direction in ("OUTGOING", "BOTH"):
+            adj.setdefault(a, set()).add(b)
+        if direction in ("INCOMING", "BOTH"):
+            adj.setdefault(b, set()).add(a)
+    restart = (2 * 1_000_000 * a_num + a_den) // (2 * a_den)
+    p = {seed: 1_000_000}
+    for _ in range(iterations):
+        nxt = {seed: restart}
+        for node, mass in p.items():
+            nbrs = adj[node]
+            d = len(nbrs)
+            v = (2 * mass * (a_den - a_num) + a_den * d) // (2 * a_den * d)
+            for b in nbrs:
+                nxt[b] = nxt.get(b, 0) + v
+        p = {k: v for k, v in nxt.items() if v > 0}
+    return p
+
+
+@pytest.mark.parametrize("direction", ["BOTH", "OUTGOING", "INCOMING"])
+def test_ppr_batch_vs_brute(spark, direction):
+    rng = random.Random(53)
+    pairs = [p for p in {(rng.randrange(12), rng.randrange(12))
+                         for _ in range(40)} if p[0] != p[1]]
+    srcs = sorted({a for a, _ in pairs})[:2]
+    dsts = sorted({b for _, b in pairs})[:2]
+    seeds = srcs if direction != "INCOMING" else dsts
+    got = sorted(
+        tuple(r)
+        for r in ppr_batch(
+            _edges(spark, pairs), seeds, iterations=4, direction=direction
+        ).collect()
+    )
+    want = sorted(
+        (s, n, round(v / 1_000_000.0, 6))
+        for s in seeds
+        for n, v in _brute_ppr(pairs, s, 4, direction=direction).items()
+    )
+    assert got == want
+
+
+def test_ppr_batch_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(61)
+    pairs = [p for p in {(rng.randrange(11), rng.randrange(11))
+                         for _ in range(34)} if p[0] != p[1]]
+    seeds = sorted({a for a, _ in pairs})[:3]
+    got = sorted(
+        tuple(r)
+        for r in ppr_batch(_edges(spark, pairs), seeds, iterations=5).collect()
+    )
+    duck = duckdb.connect().execute(
+        ppr_batch_sql(_values_sql(pairs), seeds, iterations=5)
+    ).fetchall()
+    assert got == sorted(duck)
+
+
+def test_ppr_batch_validates(spark):
+    e = _edges(spark, BARBELL)
+    with pytest.raises(ValueError, match="non-empty"):
+        ppr_batch(e, [])
+    with pytest.raises(ValueError, match="distinct"):
+        ppr_batch(e, [0, 0])
+    with pytest.raises(ValueError, match="no out-edges"):
+        ppr_batch(e, [0, 99])
+    with pytest.raises(ValueError, match="direction"):
+        ppr_batch(e, [0], direction="SIDEWAYS")
+
+
+def test_ppr_batch_resume_equals_uninterrupted(spark, tmp_path):
+    pairs = BARBELL + [(2, 6), (6, 7)]
+    full = sorted(
+        tuple(r)
+        for r in ppr_batch(_edges(spark, pairs), [0, 4], iterations=6).collect()
+    )
+    ckpt = str(tmp_path / "pb")
+    ppr_batch(
+        _edges(spark, pairs), [0, 4], iterations=3,
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    ).count()
+    resumed = sorted(
+        tuple(r)
+        for r in ppr_batch(
+            _edges(spark, pairs), [0, 4], iterations=6,
+            checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
+        ).collect()
+    )
+    assert resumed == full
+    with pytest.raises(ValueError, match="resume mismatch"):
+        ppr_batch(
+            _edges(spark, pairs), [0, 1], iterations=6,
+            checkpoint_dir=ckpt, checkpoint_every=1, resume=True,
+        )
