@@ -1051,6 +1051,19 @@ def _q_ppr_batch_trade_nation(spark, sf_dir):
     )
 
 
+def _q_steiner_trade_nation(spark, sf_dir):
+    """KMB Steiner 2-approx backbone over the weighted trade graph
+    (linkgraph/mst.py steiner_backbone): batched terminal relax →
+    metric closure → canonical-Kruskal MST. Integer-valued weights
+    make every path sum exact; ties resolved by the (w, src, dst)
+    total order on both engines."""
+    from linkgraph.mst import steiner_backbone
+    res = steiner_backbone(
+        _trade_nation_edges_w(spark, sf_dir), [0, 3, 7, 12, 18], max_hops=6
+    )
+    return res.backbone
+
+
 def _q_onion_trade_nation(spark, sf_dir):
     """Onion decomposition of the nation trade graph
     (linkgraph/kcore.py onion_layers): simultaneous peel layers +
@@ -2539,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_trade_nation": _q_onion_trade_nation,
         "sparsify_cosupplier": _q_sparsify_cosupplier,
         "ppr_batch_trade_nation": _q_ppr_batch_trade_nation,
+        "steiner_trade_nation": _q_steiner_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
         "wcc_sqlproj_nation": _q_wcc_sqlproj_nation,
         # training-data pipeline (documents / embeddings)
@@ -3162,6 +3176,7 @@ def _paths_oracles() -> dict[str, str]:
     )
     from linkgraph.simrank import simrank_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
+    from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
     from linkgraph.influence import influence_maximization_sql
     from linkgraph.graphs import sparsify_local_degree_sql
@@ -3478,6 +3493,9 @@ FROM v""",
         "percolation_trade_nation": clique_percolation_sql(TRADE_NATION_SQL),
         "ppr_batch_trade_nation": ppr_batch_sql(
             TRADE_NATION_SQL, [0, 5, 10], iterations=6, direction="OUTGOING"
+        ),
+        "steiner_trade_nation": steiner_backbone_sql(
+            TRADE_NATION_W_SQL, [0, 3, 7, 12, 18], max_hops=6
         ),
         "influence_trade_nation": influence_maximization_sql(
             TRADE_NATION_SQL, k=3, n_samples=24, p_num=1, p_den=4, max_hops=8

@@ -37,8 +37,11 @@ from linkgraph.mst import (
     minimum_spanning_forest,
     minimum_spanning_tree,
     k_spanning_tree,
+    steiner_backbone,
+    steiner_backbone_sql,
     MstResult,
     KSpanningResult,
+    SteinerResult,
 )
 from linkgraph.betweenness import (
     betweenness_centrality,
@@ -225,6 +228,9 @@ __all__ = [
     "k_spanning_tree",
     "MstResult",
     "KSpanningResult",
+    "steiner_backbone",
+    "steiner_backbone_sql",
+    "SteinerResult",
     "betweenness_centrality",
     "edge_betweenness",
     "EdgeBetweennessResult",
