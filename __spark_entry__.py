@@ -996,6 +996,19 @@ def _q_simrank_nation(spark, sf_dir):
     return res.pairs
 
 
+def _q_simrank_sampled_nation(spark, sf_dir):
+    """Monte-Carlo single-source SimRank (Fogaras-Rácz meeting-time
+    estimator) from nation 0 — the big-graph scale path beside the
+    exact truncated fixpoint (linkgraph/simrank.py simrank_sampled):
+    hash-argmin reverse walks, first-meeting C^tau weights, half-up
+    integer mean. Twin composes the walks oracle with the same SQL."""
+    from linkgraph.simrank import simrank_sampled
+    return simrank_sampled(
+        _trade_nation_edges(spark, sf_dir), 0,
+        walk_length=4, walks_per_node=8, direction="BOTH",
+    )
+
+
 def _q_localcom_trade_nation(spark, sf_dir):
     """ACL-style local community around nation 0: integer micro-domain
     personalized PageRank + minimum-conductance sweep cut
@@ -2547,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_nation": _q_edge_betweenness_nation,
         "simrank_trade_nation": _q_simrank_nation,
         "localcom_trade_nation": _q_localcom_trade_nation,
+        "simrank_sampled_trade_nation": _q_simrank_sampled_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
@@ -3174,7 +3188,7 @@ def _paths_oracles() -> dict[str, str]:
         graph_diameter_sql,
         landmark_estimate_sql,
     )
-    from linkgraph.simrank import simrank_sql
+    from linkgraph.simrank import simrank_sampled_sql, simrank_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
@@ -3489,6 +3503,10 @@ FROM v""",
         ),
         "localcom_trade_nation": local_community_sweep_sql(
             TRADE_NATION_SQL, seed_node=0, iterations=6
+        ),
+        "simrank_sampled_trade_nation": simrank_sampled_sql(
+            TRADE_NATION_SQL, 0, walk_length=4, walks_per_node=8,
+            direction="BOTH",
         ),
         "percolation_trade_nation": clique_percolation_sql(TRADE_NATION_SQL),
         "ppr_batch_trade_nation": ppr_batch_sql(

@@ -57,7 +57,13 @@ from linkgraph.kcore import (
     KCoreResult,
     CorenessResult,
 )
-from linkgraph.simrank import simrank, simrank_sql, SimRankResult
+from linkgraph.simrank import (
+    simrank,
+    simrank_sampled,
+    simrank_sampled_sql,
+    simrank_sql,
+    SimRankResult,
+)
 from linkgraph.localcom import (
     local_community_sweep,
     local_community_sweep_sql,
@@ -178,6 +184,8 @@ __all__ = [
     "SccResult",
     "simrank",
     "simrank_sql",
+    "simrank_sampled",
+    "simrank_sampled_sql",
     "SimRankResult",
     "local_community_sweep",
     "local_community_sweep_sql",

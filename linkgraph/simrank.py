@@ -270,3 +270,133 @@ SELECT a AS node1, b AS node2,
        ROUND(CAST(s AS DOUBLE) / 1000000.0, 6) AS score
 FROM s{iterations} WHERE a < b"""
     )
+
+
+def simrank_sampled(
+    edges: DataFrame,
+    query_node: int,
+    walk_length: int = 5,
+    walks_per_node: int = 8,
+    c_num: int = 4,
+    c_den: int = 5,
+    seed: int = 0,
+    direction: str = "OUTGOING",
+) -> DataFrame:
+    """Single-source SimRank by reverse-walk meeting times — the
+    published big-graph path (Fogaras-Rácz WWW'05 Monte Carlo SimRank;
+    Kusumoto et al. SIGMOD'14 — public results) the exact `simrank`
+    docstring points to. s(q, v) = E[C^tau] where tau is the FIRST
+    time the reverse walks from q and v occupy the same node at the
+    same step; the estimator truncates at ``walk_length`` (biased low,
+    exactly like the truncated fixpoint) and averages
+    ``walks_per_node`` paired samples.
+
+    Determinism (the cross-engine contract): walks are the engine's
+    `linkgraph.walks.random_walks` hash-argmin walks — per-start
+    keyed streams, so paired walks are independent until they meet,
+    which is precisely the estimator's requirement — and the C^tau
+    weights are half-up integer micro-domain values, so the DuckDB
+    twin (`simrank_sampled_sql`) reproduces the estimate hash-exact.
+    A dead-ended walk (node with no in-neighbors) never meets:
+    contribution 0, matching s = 0 on empty in-neighborhoods.
+
+    Returns (node, score) for nodes whose walks met q's at least
+    once. Scale notes (100TB): state is (start, walk_no) rows — one
+    hash-argmin aggregate per step for ALL starts (the walks module's
+    batching); the meeting probe is one join of the walk table
+    against the query node's R·L rows (broadcast). Per-query cost
+    after the walk table is materialized: one broadcast join — amortize
+    many query nodes over one walk table."""
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}")
+    if not (0 < c_num < c_den):
+        raise ValueError(f"C must be a rational in (0, 1): {c_num}/{c_den}")
+    if walk_length < 1 or walks_per_node < 1:
+        raise ValueError(
+            f"walk_length and walks_per_node must be >= 1: "
+            f"{walk_length}, {walks_per_node}"
+        )
+    from linkgraph.walks import random_walks
+
+    # SimRank looks at IN-neighbors under OUTGOING semantics: reverse
+    # the walk direction relative to the requested edge direction
+    walk_dir = {"OUTGOING": "INCOMING", "INCOMING": "OUTGOING",
+                "BOTH": "BOTH"}[direction]
+    walks = random_walks(
+        edges, walk_length, walks_per_node=walks_per_node, seed=seed,
+        direction=walk_dir,
+    )
+    wq = (
+        walks.filter(F.col("start") == int(query_node))
+        .select("walk_no", "step", "node")
+    )
+    meets = (
+        walks.filter(F.col("start") != int(query_node))
+        .join(F.broadcast(wq), ["walk_no", "step", "node"])
+        .groupBy("start", "walk_no")
+        .agg(F.min("step").alias("tau"))
+    )
+    # C^tau in the integer micro-domain, tau in [1, walk_length]
+    cases = " ".join(
+        f"WHEN tau = {t} THEN "
+        f"{(2 * 1_000_000 * c_num ** t + c_den ** t) // (2 * c_den ** t)}"
+        for t in range(1, walk_length + 1)
+    )
+    vt = F.expr(f"CASE {cases} END").cast("long")
+    r = int(walks_per_node)
+    return (
+        meets.select(F.col("start").alias("node"), vt.alias("v"))
+        .groupBy("node")
+        .agg(F.sum("v").alias("sv"))
+        .select(
+            "node",
+            F.round(
+                F.expr(f"(2 * sv + {r}) DIV (2 * {r})") / 1_000_000.0, 6
+            ).alias("score"),
+        )
+    )
+
+
+def simrank_sampled_sql(
+    edge_sql: str,
+    query_node: int,
+    walk_length: int = 5,
+    walks_per_node: int = 8,
+    c_num: int = 4,
+    c_den: int = 5,
+    seed: int = 0,
+    direction: str = "OUTGOING",
+) -> str:
+    """DuckDB twin of `simrank_sampled`: the walks oracle
+    (`random_walks_sql` — identical hash-argmin steps) composed with
+    the same meeting / C^tau / half-up mean arithmetic."""
+    from linkgraph.walks import random_walks_sql
+
+    walk_dir = {"OUTGOING": "INCOMING", "INCOMING": "OUTGOING",
+                "BOTH": "BOTH"}[direction]
+    walks = random_walks_sql(
+        edge_sql, walk_length, walks_per_node=walks_per_node, seed=seed,
+        direction=walk_dir,
+    )
+    cases = " ".join(
+        f"WHEN tau = {t} THEN "
+        f"{(2 * 1_000_000 * c_num ** t + c_den ** t) // (2 * c_den ** t)}"
+        for t in range(1, walk_length + 1)
+    )
+    r = int(walks_per_node)
+    return f"""
+WITH walks AS ({walks}),
+wq AS (SELECT walk_no, step, node FROM walks WHERE start = {int(query_node)}),
+meets AS (
+  SELECT w.start, w.walk_no, MIN(w.step) AS tau
+  FROM walks w JOIN wq ON wq.walk_no = w.walk_no
+   AND wq.step = w.step AND wq.node = w.node
+  WHERE w.start <> {int(query_node)}
+  GROUP BY w.start, w.walk_no),
+vals AS (SELECT start AS node,
+  CAST(CASE {cases} END AS BIGINT) AS v FROM meets)
+SELECT node,
+       ROUND(CAST((2 * SUM(v) + {r}) // (2 * {r}) AS DOUBLE)
+             / 1000000.0, 6) AS score
+FROM vals GROUP BY node
+"""

@@ -163,3 +163,122 @@ def test_simrank_validates_arguments_and_warns_on_size(spark):
         simrank(e, c_num=5, c_den=5)
     with pytest.warns(UserWarning, match="O\\(n\\^2\\)"):
         simrank(e, iterations=1, exact_warn_nodes=2).release()
+
+
+# ---- simrank_sampled ------------------------------------------------
+
+import hashlib
+
+from linkgraph.simrank import simrank_sampled, simrank_sampled_sql
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _brute_sampled(pairs, q, walk_length, walks_per_node, c_num=4, c_den=5,
+                   seed=0, direction="OUTGOING"):
+    """Independent oracle: hash-argmin reverse walks + first meeting."""
+    walk_dir = {"OUTGOING": "INCOMING", "INCOMING": "OUTGOING",
+                "BOTH": "BOTH"}[direction]
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        if walk_dir in ("OUTGOING", "BOTH"):
+            adj.setdefault(a, set()).add(b)
+        if walk_dir in ("INCOMING", "BOTH"):
+            adj.setdefault(b, set()).add(a)
+    nodes = sorted({n for p in pairs for n in p})
+
+    def walk(start, wno):
+        pos = [start]
+        cur = start
+        for t in range(1, walk_length + 1):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (
+                _h60(f"{start}|{wno}|{t}|{d}#{seed}"), d))
+            pos.append(cur)
+        return pos
+
+    qwalks = [walk(q, r) for r in range(walks_per_node)]
+    out = {}
+    for v in nodes:
+        if v == q:
+            continue
+        sv = 0
+        for r in range(walks_per_node):
+            vw = walk(v, r)
+            tau = None
+            for t in range(1, min(len(vw), len(qwalks[r]))):
+                if vw[t] == qwalks[r][t]:
+                    tau = t
+                    break
+            if tau is not None:
+                sv += (2 * 1_000_000 * c_num ** tau + c_den ** tau) // (
+                    2 * c_den ** tau)
+        if sv > 0:
+            r_ = walks_per_node
+            out[v] = round(((2 * sv + r_) // (2 * r_)) / 1_000_000.0, 6)
+    return sorted(out.items())
+
+
+@pytest.mark.parametrize("direction", ["OUTGOING", "INCOMING", "BOTH"])
+def test_sampled_vs_brute(spark, direction):
+    rng = random.Random(71)
+    pairs = [p for p in {(rng.randrange(10), rng.randrange(10))
+                         for _ in range(32)} if p[0] != p[1]]
+    got = sorted(
+        tuple(r) for r in simrank_sampled(
+            _edges(spark, pairs), 1, walk_length=4, walks_per_node=5,
+            direction=direction,
+        ).collect()
+    )
+    assert got == _brute_sampled(pairs, 1, 4, 5, direction=direction)
+
+
+def test_sampled_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(83)
+    pairs = [p for p in {(rng.randrange(9), rng.randrange(9))
+                         for _ in range(26)} if p[0] != p[1]]
+    got = sorted(
+        tuple(r) for r in simrank_sampled(
+            _edges(spark, pairs), 2, walk_length=5, walks_per_node=6,
+            direction="BOTH",
+        ).collect()
+    )
+    duck = duckdb.connect().execute(
+        simrank_sampled_sql(
+            _values_sql(pairs), 2, walk_length=5, walks_per_node=6,
+            direction="BOTH",
+        )
+    ).fetchall()
+    assert got == sorted(duck)
+
+
+def test_sampled_cocite_tracks_exact(spark):
+    # exact fixpoint: s(3, 4) = 0.4. With enough paired walks the
+    # estimate approaches C * P(meet at t=1) = 0.8 * 0.5 = 0.4
+    got = dict(
+        (r["node"], r["score"]) for r in simrank_sampled(
+            _edges(spark, COCITE), 3, walk_length=3, walks_per_node=64,
+        ).collect()
+    )
+    assert 4 in got
+    assert abs(got[4] - 0.4) < 0.15  # Monte-Carlo tolerance at R=64
+    # dead-end starts (1, 2 have no in-edges) never meet
+    assert 1 not in got and 2 not in got
+
+
+def test_sampled_validates(spark):
+    e = _edges(spark, COCITE)
+    with pytest.raises(ValueError, match="direction"):
+        simrank_sampled(e, 3, direction="X")
+    with pytest.raises(ValueError, match="rational"):
+        simrank_sampled(e, 3, c_num=5, c_den=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        simrank_sampled(e, 3, walk_length=0)
