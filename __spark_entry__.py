@@ -1009,6 +1009,20 @@ def _q_simrank_sampled_nation(spark, sf_dir):
     )
 
 
+def _q_labelspread_trade_nation(spark, sf_dir):
+    """Semi-supervised label spreading (Zhu-Ghahramani harmonic
+    clamped mean) from 3 seeded nations over the trade graph
+    (linkgraph/labelprop.py seeded_label_spread): integer micro-domain
+    rounds, argmax (p DESC, label ASC)."""
+    from linkgraph.labelprop import seeded_label_spread
+    seeds = spark.createDataFrame(
+        [(0, 0), (12, 1), (24, 2)], "id long, label long"
+    )
+    return seeded_label_spread(
+        _trade_nation_edges(spark, sf_dir), seeds, iterations=4
+    )
+
+
 def _q_localcom_trade_nation(spark, sf_dir):
     """ACL-style local community around nation 0: integer micro-domain
     personalized PageRank + minimum-conductance sweep cut
@@ -2561,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_trade_nation": _q_simrank_nation,
         "localcom_trade_nation": _q_localcom_trade_nation,
         "simrank_sampled_trade_nation": _q_simrank_sampled_nation,
+        "labelspread_trade_nation": _q_labelspread_trade_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
@@ -3189,6 +3204,7 @@ def _paths_oracles() -> dict[str, str]:
         landmark_estimate_sql,
     )
     from linkgraph.simrank import simrank_sampled_sql, simrank_sql
+    from linkgraph.labelprop import seeded_label_spread_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
@@ -3507,6 +3523,11 @@ FROM v""",
         "simrank_sampled_trade_nation": simrank_sampled_sql(
             TRADE_NATION_SQL, 0, walk_length=4, walks_per_node=8,
             direction="BOTH",
+        ),
+        "labelspread_trade_nation": seeded_label_spread_sql(
+            TRADE_NATION_SQL,
+            "SELECT * FROM (VALUES (0, 0), (12, 1), (24, 2)) s(id, label)",
+            iterations=4,
         ),
         "percolation_trade_nation": clique_percolation_sql(TRADE_NATION_SQL),
         "ppr_batch_trade_nation": ppr_batch_sql(

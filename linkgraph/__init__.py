@@ -17,7 +17,12 @@ from linkgraph.session import get_spark
 from linkgraph.ids import dense_ids, edges_from_pairs
 from linkgraph.pagerank import pagerank, PageRankResult
 from linkgraph.components import connected_components, canonical_components, ComponentsResult
-from linkgraph.labelprop import label_propagation, LabelPropagationResult
+from linkgraph.labelprop import (
+    label_propagation,
+    seeded_label_spread,
+    seeded_label_spread_sql,
+    LabelPropagationResult,
+)
 from linkgraph.triangles import balanced_triads, triangle_count, TriangleResult
 from linkgraph.csr import pagerank_csr, triangle_count_csr
 from linkgraph.scc import strongly_connected_components, SccResult
@@ -175,6 +180,8 @@ __all__ = [
     "canonical_components",
     "ComponentsResult",
     "label_propagation",
+    "seeded_label_spread",
+    "seeded_label_spread_sql",
     "LabelPropagationResult",
     "triangle_count",
     "balanced_triads",

@@ -246,3 +246,168 @@ def label_propagation(
         release_state(pairs_hot)
     release_state(init)
     return LabelPropagationResult(labels=labels, iterations=it, converged=converged, stats=stats)
+
+
+def seeded_label_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> DataFrame:
+    """Semi-supervised node classification by label spreading — the
+    Zhu-Ghahramani-Lafferty harmonic-function recipe (ICML'03, public
+    result): seed nodes are CLAMPED to their label with mass 1;
+    every other node iteratively takes the mean of its neighbors' label
+    masses; after ``iterations`` rounds each touched node is assigned
+    its argmax label (min label on ties). The engine's community LPA
+    (`label_propagation`) hard-assigns by vote; this is its soft,
+    seeded classification companion — the standard "propagate the few
+    human labels over the co-occurrence graph" pipeline step.
+
+    seeds: DataFrame (id, label) — label is a LONG class id; one row
+    per seed (duplicate seed ids raise).
+
+    Cross-engine exactness: masses live in the integer micro-domain;
+    the neighborhood mean is ONE half-up division
+    ``(2·Σp + d) DIV (2d)`` per (node, label); ties argmax by
+    (p DESC, label ASC). The DuckDB twin (`seeded_label_spread_sql`)
+    is hash-exact.
+
+    Returns (id, label, score): the argmax label and its mass/1e6
+    (seeds report their clamped label at 1.0).
+
+    Scale notes (100TB): state is (node, label, p) over TOUCHED nodes
+    x observed labels only — mass that rounds to 0 is dropped, so the
+    state grows with the label frontier, not |V| x |labels|. Per
+    round: one state-vs-pinned-sym join + one groupBy(node, label)
+    sum + the seed re-clamp anti-join (seed rows are a broadcast).
+    Rounds bound the propagation radius: at 5 rounds only nodes
+    within 5 hops of a seed are classified — the truncation IS the
+    semantics, as in the PPR operators. SuperstepLoop resume with
+    graph + seed fingerprints."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: got {iterations}")
+    from linkgraph.kcore import _check_resume_fp, _graph_fp, _sym_simple
+
+    spark = edges.sparkSession
+    sym = pin_table(_sym_simple(edges))
+    deg = pin_table(
+        sym.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+        .select(F.col("a").alias("node"), "d")
+    )
+    sd = pin_table(
+        seeds.select(F.col("id").cast("long").alias("node"),
+                     F.col("label").cast("long").alias("label"))
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty")
+    if sd.select("node").distinct().count() != n_seeds:
+        raise ValueError("duplicate seed ids: one label per seed node")
+    clamp = sd.select("node", "label", F.lit(1_000_000).cast("long").alias("p"))
+    fp = None
+    seed_fp = None
+    if checkpoint_dir:
+        fp = _graph_fp(sym)
+        seed_fp = int(
+            sd.agg(F.expr("bit_xor(xxhash64(node, label))").alias("f"))
+            .first()["f"] or 0
+        )
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every,
+        name="labelspread", max_steps=iterations,
+        context={"graph_fp": fp, "seed_fp": seed_fp},
+    )
+    state = clamp
+    start = 0
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "seeded_label_spread", loop.last_context.get("graph_fp"), fp
+            )
+            rec = loop.last_context.get("seed_fp")
+            if rec is not None and int(rec) != seed_fp:
+                raise ValueError(
+                    "seeded_label_spread resume mismatch: the seed set "
+                    f"differs from the checkpointed run ({rec} != {seed_fp})."
+                )
+            start, state = resumed
+            state = state.select("node", "label", "p")
+    seed_nodes = sd.select("node")
+    for it in range(start + 1, iterations + 1):
+        summed = (
+            state.withColumnRenamed("node", "b")
+            .join(sym, "b")
+            .select(F.col("a").alias("node"), "label", "p")
+            .groupBy("node", "label")
+            .agg(F.sum("p").alias("sp"))
+        )
+        spread = (
+            summed.join(deg, "node")
+            .select(
+                "node", "label",
+                F.expr("(2 * sp + d) DIV (2 * d)").cast("long").alias("p"),
+            )
+            .filter(F.col("p") > 0)
+            .join(F.broadcast(seed_nodes), "node", "left_anti")
+        )
+        state = loop.advance(it, spread.unionByName(clamp),
+                             metrics={"iteration": it})
+    w = F.expr(
+        "max_by(struct(p, label), struct(p, -label))"
+    )
+    out = (
+        state.groupBy("node")
+        .agg(w.alias("m"))
+        .select(
+            F.col("node").alias("id"),
+            F.col("m.label").alias("label"),
+            F.round(F.col("m.p") / 1_000_000.0, 6).alias("score"),
+        )
+    )
+    return out
+
+
+def seeded_label_spread_sql(
+    edges_sql: str, seeds_sql: str, iterations: int = 5
+) -> str:
+    """DuckDB twin of `seeded_label_spread`: identical clamped
+    half-up mean rounds unrolled, argmax by (p DESC, label ASC)."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        "deg AS MATERIALIZED (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM sym GROUP BY a)",
+        f"""sd AS MATERIALIZED (SELECT CAST(id AS BIGINT) AS node,
+  CAST(label AS BIGINT) AS label FROM ({seeds_sql}))""",
+        "s0 AS MATERIALIZED (SELECT node, label,"
+        " CAST(1000000 AS BIGINT) AS p FROM sd)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT node, label, p FROM (
+    SELECT m.node, m.label,
+           CAST((2 * m.sp + d.d) // (2 * d.d) AS BIGINT) AS p
+    FROM (SELECT sym.a AS node, p.label, SUM(p.p) AS sp
+          FROM s{t - 1} p JOIN sym ON sym.b = p.node
+          GROUP BY sym.a, p.label) m
+    JOIN deg d ON d.node = m.node)
+  WHERE p > 0 AND node NOT IN (SELECT node FROM sd)
+  UNION ALL
+  SELECT node, label, CAST(1000000 AS BIGINT) AS p FROM sd)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node AS id, label, ROUND(CAST(p AS DOUBLE) / 1000000.0, 6) AS score
+FROM (SELECT node, label, p,
+      ROW_NUMBER() OVER (PARTITION BY node ORDER BY p DESC, label ASC) AS rn
+      FROM s{iterations})
+WHERE rn = 1"""
+    )
