@@ -910,6 +910,15 @@ def _q_matching_cosupplier(spark, sf_dir):
     return res.matching
 
 
+def _q_temporal_pr_returns(spark, sf_dir):
+    """Windowed temporal PageRank over the dated purchase/return
+    digraph (linkgraph/temporal.py temporal_pagerank): influence flows
+    only forward in time through 8 equal windows; beta-decayed carry,
+    half-up integer pushes."""
+    from linkgraph.temporal import temporal_pagerank
+    return temporal_pagerank(_temporal_returns_edges(spark, sf_dir), n_windows=8)
+
+
 def _q_earliest_arrival_returns(spark, sf_dir):
     """Temporal earliest-arrival from customer 0 over the dated
     purchase/return digraph (linkgraph/temporal.py). Oracle: recursive
@@ -2538,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges_nation_supplier": _q_bridges_nation_supplier,
         "articulation_nation_supplier": _q_articulation_nation_supplier,
         "earliest_arrival_returns": _q_earliest_arrival_returns,
+        "temporal_pr_returns": _q_temporal_pr_returns,
         "earliest_arrival_weighted_returns": _q_earliest_arrival_weighted_returns,
         "latest_departure_returns": _q_latest_departure_returns,
         "matching_cosupplier": _q_matching_cosupplier,
@@ -3205,6 +3215,7 @@ def _paths_oracles() -> dict[str, str]:
     )
     from linkgraph.simrank import simrank_sampled_sql, simrank_sql
     from linkgraph.labelprop import seeded_label_spread_sql
+    from linkgraph.temporal import temporal_pagerank_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
@@ -3392,6 +3403,9 @@ FROM nodes nd LEFT JOIN (
         "bridges_nation_supplier": _bridges_sql_wrapped(),
         "articulation_nation_supplier": _articulation_sql_wrapped(),
         "earliest_arrival_returns": _earliest_arrival_sql_wrapped(),
+        "temporal_pr_returns": temporal_pagerank_sql(
+            TEMPORAL_RETURNS_SQL, n_windows=8
+        ),
         "earliest_arrival_weighted_returns": _earliest_arrival_weighted_sql_wrapped(),
         "latest_departure_returns": _latest_departure_sql_wrapped(),
         "matching_cosupplier": _matching_sql_wrapped(),

@@ -166,7 +166,12 @@ from linkgraph.dag import (
     topological_levels,
 )
 from linkgraph.bridges import articulation_points, bridges
-from linkgraph.temporal import earliest_arrival, latest_departure
+from linkgraph.temporal import (
+    earliest_arrival,
+    latest_departure,
+    temporal_pagerank,
+    temporal_pagerank_sql,
+)
 from linkgraph.matching import maximal_matching, MatchingResult
 
 __all__ = [
@@ -214,6 +219,8 @@ __all__ = [
     "articulation_points",
     "earliest_arrival",
     "latest_departure",
+    "temporal_pagerank",
+    "temporal_pagerank_sql",
     "maximal_matching",
     "MatchingResult",
     "node_similarity_lsh",

@@ -261,3 +261,195 @@ r(id, dep) AS (
 )
 SELECT id, MAX(dep) AS departure FROM r GROUP BY id
 """
+
+
+def temporal_pagerank(
+    edges: DataFrame,
+    n_windows: int = 8,
+    b_num: int = 4,
+    b_den: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> DataFrame:
+    """Windowed temporal PageRank — a per-window discretization of
+    Rozenshtein-Gionis temporal PageRank (ECML-PKDD 2016, public
+    result): influence flows only FORWARD in time. The timestamp range
+    is split into ``n_windows`` equal buckets processed in order; in
+    window w every node with out-edges there sends its current mass
+    (a fresh unit injection + the beta-decayed carry accumulated from
+    earlier windows) equally over its window-w out-edges; receivers
+    add the arrivals to their carry AND to their running rank. A
+    static graph replayed in one window degenerates to one damped
+    PageRank push — the time ordering is exactly what the static
+    procedure cannot see (a follower gained BEFORE a node became
+    popular transmits influence; one gained after does not).
+
+    Cross-engine exactness: beta is the rational ``b_num/b_den``;
+    mass is integer micro-domain; the per-edge share is ONE half-up
+    division ``(2·m + den·d) DIV (2·den·d)`` with the decay folded
+    into the numerator — the DuckDB twin (`temporal_pagerank_sql`)
+    is hash-exact. Window ids are pure integer arithmetic
+    ``(ts - min)·W div (max - min + 1)``.
+
+    Returns (id, rank) — accumulated received influence / 1e6,
+    rounded 6; nodes that never receive are absent.
+
+    Scale notes (100TB): W driver rounds (a knob, not data-driven);
+    per round one degree aggregate + one push join + one
+    groupBy(node) over the WINDOW's edges only (partition-prune the
+    bucket column at the source for a 1/W scan per round); carry
+    state is one row per ever-active node. SuperstepLoop resume at
+    window granularity with a graph fingerprint."""
+    if n_windows < 1:
+        raise ValueError(f"n_windows must be >= 1: got {n_windows}")
+    if not (0 < b_num <= b_den):
+        raise ValueError(f"beta must be rational in (0, 1]: {b_num}/{b_den}")
+    from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
+    from linkgraph.kcore import _check_resume_fp
+
+    spark = edges.sparkSession
+    e = pin_table(
+        edges.select("src", "dst", F.col("ts").cast("long").alias("ts"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if bounds["lo"] is None:
+        release_state(e)
+        return spark.createDataFrame([], "id long, rank double")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    w = int(n_windows)
+    eb = pin_table(
+        e.select(
+            "src", "dst",
+            F.expr(f"CAST(((ts - {lo}) * {w}) DIV {span} AS BIGINT)")
+            .alias("win"),
+        )
+    )
+    fp = (
+        int(eb.agg(F.expr("bit_xor(xxhash64(src, dst, win))").alias("f"))
+            .first()["f"] or 0)
+        if checkpoint_dir else None
+    )
+    params = {"n_windows": w, "b_num": b_num, "b_den": b_den}
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every,
+        name="temporalpr", max_steps=w,
+        context={"graph_fp": fp, "params": params},
+    )
+    # state: (node, carry, rank) micro ints
+    state = spark.createDataFrame([], "node long, carry long, rank long")
+    start = 0
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "temporal_pagerank", loop.last_context.get("graph_fp"), fp
+            )
+            rec = loop.last_context.get("params")
+            if rec is not None and rec != params:
+                raise ValueError(
+                    "temporal_pagerank resume mismatch: checkpointed "
+                    f"params {rec!r} != requested {params!r}."
+                )
+            start, state = resumed
+            state = state.select("node", "carry", "rank")
+    for win in range(start, w):
+        ew = eb.filter(F.col("win") == win).select("src", "dst")
+        deg = ew.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+        # sender mass: fresh injection + decayed carry, divided per edge
+        # share = half_up(b_num*(1e6*b_den + b_num*carry_scaled...)):
+        # m = 1e6 + beta*carry -> share = half_up(m / d) with
+        # m in micro units: beta*carry = half_up(b_num*carry/b_den)
+        senders = (
+            deg.join(
+                state.select(F.col("node").alias("src"), "carry"),
+                "src", "left",
+            )
+            .select(
+                "src", "d",
+                (F.lit(1_000_000)
+                 + F.expr(f"(2 * {b_num} * coalesce(carry, 0) + {b_den}) "
+                          f"DIV (2 * {b_den})")).alias("m"),
+            )
+        )
+        recv = (
+            ew.join(senders, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(2 * m + d) DIV (2 * d)").cast("long").alias("v"),
+            )
+            .groupBy("node")
+            .agg(F.sum("v").alias("got"))
+        )
+        nxt = (
+            state.join(recv, "node", "full")
+            .select(
+                "node",
+                (F.coalesce(F.col("carry"), F.lit(0))
+                 + F.coalesce(F.col("got"), F.lit(0))).cast("long")
+                .alias("carry"),
+                (F.coalesce(F.col("rank"), F.lit(0))
+                 + F.coalesce(F.col("got"), F.lit(0))).cast("long")
+                .alias("rank"),
+            )
+        )
+        state = loop.advance(win + 1, nxt, metrics={"window": win + 1})
+    out = (
+        state.filter(F.col("rank") > 0)
+        .select(
+            F.col("node").alias("id"),
+            F.round(F.col("rank") / 1_000_000.0, 6).alias("rank"),
+        )
+    )
+    release_state(e)
+    release_state(eb)
+    return out
+
+
+def temporal_pagerank_sql(
+    edges_sql: str, n_windows: int = 8, b_num: int = 4, b_den: int = 5
+) -> str:
+    """DuckDB twin of `temporal_pagerank`: identical window bucketing
+    and per-window half-up pushes, unrolled."""
+    w = int(n_windows)
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """ed AS MATERIALIZED (SELECT DISTINCT src, dst,
+  CAST(ts AS BIGINT) AS ts FROM e WHERE src <> dst)""",
+        "bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM ed)",
+        f"""eb AS MATERIALIZED (SELECT src, dst,
+  CAST(((ed.ts - b.lo) * {w}) // (b.hi - b.lo + 1) AS BIGINT) AS win
+  FROM ed CROSS JOIN bounds b)""",
+        "s0 AS (SELECT CAST(NULL AS BIGINT) AS node,"
+        " CAST(0 AS BIGINT) AS carry, CAST(0 AS BIGINT) AS rank WHERE FALSE)",
+    ]
+    for t in range(w):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT ew.dst AS node, CAST(SUM((2 * s.m + s.d) // (2 * s.d)) AS BIGINT) AS got
+  FROM (SELECT src, dst FROM eb WHERE win = {t}) ew
+  JOIN (
+    SELECT d.src, d.d,
+           1000000 + (2 * {b_num} * COALESCE(p.carry, 0) + {b_den})
+             // (2 * {b_den}) AS m
+    FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+          FROM eb WHERE win = {t} GROUP BY src) d
+    LEFT JOIN s{t} p ON p.node = d.src) s ON s.src = ew.src
+  GROUP BY ew.dst)"""
+        )
+        parts.append(
+            f"""s{t + 1} AS MATERIALIZED (
+  SELECT COALESCE(p.node, r.node) AS node,
+         CAST(COALESCE(p.carry, 0) + COALESCE(r.got, 0) AS BIGINT) AS carry,
+         CAST(COALESCE(p.rank, 0) + COALESCE(r.got, 0) AS BIGINT) AS rank
+  FROM s{t} p FULL OUTER JOIN r{t} r ON r.node = p.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node AS id, ROUND(CAST(rank AS DOUBLE) / 1000000.0, 6) AS rank
+FROM s{w} WHERE rank > 0"""
+    )
