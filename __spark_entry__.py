@@ -1933,6 +1933,14 @@ def _q_cross_contamination(spark, sf_dir):
     )
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap audit (linkgraph/pipeline/dedup.py
+    source_overlap): per source-pair intersection / Jaccard /
+    containment over 60-bit gram hashes — raw text never shuffles."""
+    from linkgraph.pipeline.dedup import source_overlap
+    return source_overlap(_docs(spark, sf_dir))
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from linkgraph.pipeline import minhash_lsh_pairs
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
@@ -2598,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "dup_spans_documents": _q_dup_spans,
         "cross_contamination_minhash": _q_cross_contamination,
+        "source_overlap_documents": _q_source_overlap,
         "multimodal_ahash": _q_multimodal_ahash,
         "multimodal_ahash_pairs": _q_multimodal_ahash_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
@@ -3571,6 +3580,7 @@ def _pipeline_oracles() -> dict[str, str]:
         pick_canonical_sql,
         simhash_pairs_sql,
         simhash_table_sql,
+        source_overlap_sql,
     )
     from linkgraph.pipeline.multimodal import asset_features_sql, video_frames_sql
     from linkgraph.pipeline.prep import corpus_prep_sql
@@ -3622,6 +3632,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_exact": EXACT_DEDUP_SQL,
         "dup_spans_documents": _dup_spans_sql_wrapped(),
         "cross_contamination_minhash": _cross_contamination_sql_wrapped(),
+        "source_overlap_documents": source_overlap_sql(),
         "multimodal_ahash": _ahash_sql_wrapped(),
         "multimodal_ahash_pairs": _ahash_pairs_sql_wrapped(),
         "dedup_jaccard_pairs": jaccard_pairs_sql(n=3, threshold=0.8),

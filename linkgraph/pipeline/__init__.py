@@ -21,6 +21,8 @@ from linkgraph.pipeline.dedup import (
     auto_simhash_params,
     containment_pairs,
     cross_minhash_pairs,
+    source_overlap,
+    source_overlap_sql,
     duplicate_spans,
     exact_dedup,
     fuzzy_decontaminate,

@@ -1020,3 +1020,84 @@ FROM inter i JOIN card cd ON cd.doc_id = i.doc_id
              JOIN card cb ON cb.doc_id = i.bench_id
 WHERE CAST(i.i AS DOUBLE) / (cd.c + cb.c - i.i) >= {threshold}
 """
+
+
+# ------------------------------------------- cross-source overlap
+
+def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Pairwise n-gram overlap between corpus SOURCES — the
+    "which feeds leak into which" audit a training-data pipeline runs
+    before mixing: per source the distinct word n-gram set, per source
+    pair the intersection size, Jaccard, and containment
+    (inter / min set size — the asymmetric-subset detector).
+
+    Returns (source_a, source_b, inter, jaccard, containment) for
+    pairs with inter > 0, source_a < source_b, floats rounded 6.
+
+    Scale notes (100TB): shingles are hashed to 60-bit keys
+    IMMEDIATELY (raw text never shuffles — the exact_dedup
+    discipline; the twin hashes identically so the comparison is
+    value-exact including any collision); one distinct over
+    (source, gram-hash), one gram-keyed self-join whose per-gram
+    fan-out is bounded by #sources²/2 (sources are few by
+    construction), one pair aggregate. Set sizes broadcast back."""
+    sh = _word_shingles(docs, n)
+    src = docs.select("doc_id", "source")
+    sg = (
+        sh.join(src, "doc_id")
+        .select("source", stable_hash64(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("za"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("zb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("za") + F.col("zb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("inter").cast("double")
+                / F.least("za", "zb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+def source_overlap_sql(n: int = 3) -> str:
+    """DuckDB twin of `source_overlap` (same 60-bit gram hashes)."""
+    h = stable_hash64_sql("shingle")
+    return f"""
+WITH sh AS MATERIALIZED ({_shingles_sql(n).strip()}),
+sg AS MATERIALIZED (
+  SELECT DISTINCT d.source, {h} AS g
+  FROM sh JOIN documents d USING (doc_id)),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.source_a, i.source_b, i.inter,
+       ROUND(CAST(i.inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard,
+       ROUND(CAST(i.inter AS DOUBLE)
+             / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""

@@ -118,3 +118,68 @@ def test_ngram_novelty_golden_and_twin(spark):
     con.register("documents", docs.toPandas())
     twin = {tuple(r) for r in con.execute(ngram_novelty_sql(n=3)).fetchall()}
     assert got == twin
+
+
+# ---- source_overlap -------------------------------------------------
+
+from linkgraph.pipeline.dedup import source_overlap, source_overlap_sql
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_source_overlap_golden(spark):
+    rows = [
+        ("A", "the quick brown fox jumps"),     # grams: 3
+        ("B", "the quick brown fox sleeps"),    # shares 2 of 3 with A
+        ("C", "entirely different words here"), # disjoint
+    ]
+    got = {(r["source_a"], r["source_b"]): (r["inter"], r["jaccard"],
+                                            r["containment"])
+           for r in source_overlap(_docs_src(spark, rows)).collect()}
+    # A: {the quick brown, quick brown fox, brown fox jumps}
+    # B: {the quick brown, quick brown fox, brown fox sleeps}
+    assert got == {("A", "B"): (2, round(2 / 4, 6), round(2 / 3, 6))}
+
+
+def test_source_overlap_containment_subset(spark):
+    rows = [
+        ("big", "a b c d e f g h"),
+        ("sub", "a b c d e"),  # every gram of sub is in big
+    ]
+    got = {(r["source_a"], r["source_b"]): r["containment"]
+           for r in source_overlap(_docs_src(spark, rows)).collect()}
+    assert got[("big", "sub")] == 1.0
+
+
+def test_source_overlap_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (f"s{rng.randrange(4)}",
+         " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 14))))
+        for _ in range(30)
+    ]
+    docs = _docs_src(spark, rows)
+    got = sorted(tuple(r) for r in source_overlap(docs).collect())
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(rows)),
+             "text": [t for _, t in rows],
+             "lang": "en",
+             "source": [s for s, _ in rows],
+             "n_chars": [len(t) for _, t in rows]}
+        ),
+    )
+    duck = sorted(con.execute(source_overlap_sql()).fetchall())
+    assert got == duck
