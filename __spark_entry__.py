@@ -1032,6 +1032,16 @@ def _q_labelspread_trade_nation(spark, sf_dir):
     )
 
 
+def _q_girth_trade_nation(spark, sf_dir):
+    """Itai-Rodeh branch-tracked BFS girth witnesses per source over
+    the nation trade graph (linkgraph/girth.py): min over sources is
+    the girth g or g+1 (odd g exact). Oracle: same first-arrival
+    min-branch BFS unrolled + witness probe."""
+    from linkgraph.girth import girth
+    res = girth(_trade_nation_edges(spark, sf_dir), max_hops=4)
+    return res.witnesses
+
+
 def _q_localcom_trade_nation(spark, sf_dir):
     """ACL-style local community around nation 0: integer micro-domain
     personalized PageRank + minimum-conductance sweep cut
@@ -2594,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "localcom_trade_nation": _q_localcom_trade_nation,
         "simrank_sampled_trade_nation": _q_simrank_sampled_nation,
         "labelspread_trade_nation": _q_labelspread_trade_nation,
+        "girth_trade_nation": _q_girth_trade_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
@@ -3225,6 +3236,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.simrank import simrank_sampled_sql, simrank_sql
     from linkgraph.labelprop import seeded_label_spread_sql
     from linkgraph.temporal import temporal_pagerank_sql
+    from linkgraph.girth import girth_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
@@ -3547,6 +3559,7 @@ FROM v""",
             TRADE_NATION_SQL, 0, walk_length=4, walks_per_node=8,
             direction="BOTH",
         ),
+        "girth_trade_nation": girth_sql(TRADE_NATION_SQL, max_hops=4),
         "labelspread_trade_nation": seeded_label_spread_sql(
             TRADE_NATION_SQL,
             "SELECT * FROM (VALUES (0, 0), (12, 1), (24, 2)) s(id, label)",

@@ -166,6 +166,7 @@ from linkgraph.dag import (
     topological_levels,
 )
 from linkgraph.bridges import articulation_points, bridges
+from linkgraph.girth import girth, girth_sql, GirthResult
 from linkgraph.temporal import (
     earliest_arrival,
     latest_departure,
@@ -217,6 +218,9 @@ __all__ = [
     "CycleError",
     "bridges",
     "articulation_points",
+    "girth",
+    "girth_sql",
+    "GirthResult",
     "earliest_arrival",
     "latest_departure",
     "temporal_pagerank",
