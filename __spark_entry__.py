@@ -2142,6 +2142,14 @@ def _q_vocab(spark, sf_dir):
     return vocab_stats(_docs(spark, sf_dir), k=20)
 
 
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf's-law ln-ln regression over the top-500 token frequencies
+    (linkgraph/pipeline/text.py zipf_fit): rounded-ln integer moments,
+    DECIMAL(38,0) squares, closed-form slope/intercept/r2."""
+    from linkgraph.pipeline.text import zipf_fit
+    return zipf_fit(_docs(spark, sf_dir), top_ranks=500)
+
+
 def _q_normalize(spark, sf_dir):
     """Pre-dedup text canonicalization (lowercase, control strip,
     whitespace collapse)."""
@@ -2642,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": _q_c4_clean,
         "text_gopher_quality": _q_gopher_quality,
         "text_vocab_topk": _q_vocab,
+        "text_zipf_fit": _q_zipf_fit,
         "text_bpe_merges": _q_bpe,
         "text_bpe_census": _q_bpe_census,
         "text_bpe_tokenize": _q_bpe_tokenize,
@@ -3627,6 +3636,7 @@ def _pipeline_oracles() -> dict[str, str]:
         winnow_fingerprints_sql,
         tfidf_topk_sql,
         vocab_stats_sql,
+        zipf_fit_sql,
     )
     from linkgraph.pipeline.curate import (
         chunk_documents_sql,
@@ -3695,6 +3705,8 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_c4_clean": c4_clean_sql(),
         "text_gopher_quality": gopher_quality_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
+        # rounded-ln integer regression moments => exact at 6 decimals
+        "text_zipf_fit": zipf_fit_sql(top_ranks=500),
         "text_bpe_merges": _bpe_sql_wrapped(),
         "text_bpe_census": _bpe_census_sql_wrapped(),
         "text_bpe_tokenize": _bpe_tokenize_sql_wrapped(),

@@ -78,6 +78,8 @@ from linkgraph.pipeline.text import (
     repetition_scores,
     source_mix,
     vocab_stats,
+    zipf_fit,
+    zipf_fit_sql,
 )
 from linkgraph.pipeline.simsearch import (
     ann_ivf_topk,
@@ -130,6 +132,7 @@ __all__ = [
     "token_stats", "quality_scores", "language_id", "fingerprints",
     "winnow_fingerprints",
     "repetition_scores", "duplicate_structure_stats", "c4_clean", "gopher_quality", "vocab_stats", "containment_pairs",
+    "zipf_fit", "zipf_fit_sql",
     "pmi_collocations",
     "normalize_text", "source_mix",
     "cosine_topk", "near_dup_pairs", "near_dup_pairs_lsh",

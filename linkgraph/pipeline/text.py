@@ -2154,3 +2154,107 @@ hcum AS (SELECT grp, b,
          FROM hist)
 {" UNION ALL ".join(picks)}
 """
+
+
+def zipf_fit(docs: DataFrame, top_ranks: int = 1000) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares regression
+    of ln(freq) on ln(rank) over the ``top_ranks`` most frequent
+    whitespace tokens — slope ≈ -1 is the classic Zipf signature; the
+    deviation and r² are the standard corpus-health probe (a slope far
+    from -1 or a poor fit flags boilerplate-heavy or templated feeds).
+
+    Returns ONE row (n_ranks, slope, intercept, r2), floats rounded 6.
+
+    Cross-engine exactness: ln(rank) and ln(cnt) are ROUND(ln(x), 7)
+    (the rounded-ln discipline removing Java-vs-libm 1-ulp drift) then
+    scaled to 1e7-integer x7/y7; every regression moment is an
+    order-free INTEGER sum (squares through DECIMAL(38,0)); the
+    closed-form slope/intercept/r² are shared-shape double divisions.
+    DuckDB twin: `zipf_fit_sql`.
+
+    Scale shape (100TB): the vocab_stats shuffle (one token groupBy,
+    map-side combined) + a TakeOrdered of top_ranks rows; the
+    regression runs over those <= top_ranks rows."""
+    if top_ranks < 2:
+        raise ValueError(f"top_ranks must be >= 2: got {top_ranks}")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = tok.orderBy(F.desc("cnt"), F.asc("token")).limit(top_ranks)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.expr("CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e7) AS BIGINT)")
+        .alias("x7"),
+        F.expr("CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e7) AS BIGINT)")
+        .alias("y7"),
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x7").cast(dec).alias("sx"),
+        F.sum("y7").cast(dec).alias("sy"),
+        F.sum(F.col("x7").cast(dec) * F.col("x7").cast(dec)).alias("sxx"),
+        F.sum(F.col("x7").cast(dec) * F.col("y7").cast(dec)).alias("sxy"),
+        F.sum(F.col("y7").cast(dec) * F.col("y7").cast(dec)).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / F.lit(1e7)
+    r2 = (cov * cov) / (varx * vary)
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def zipf_fit_sql(top_ranks: int = 1000) -> str:
+    """DuckDB twin of `zipf_fit` (same rounded-ln integer moments and
+    division shapes)."""
+    return f"""
+WITH tok AS (
+  SELECT t AS token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE len(t) > 0 GROUP BY t),
+top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        FROM (SELECT * FROM tok ORDER BY cnt DESC, token ASC
+              LIMIT {int(top_ranks)})),
+pts AS (SELECT
+  CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e7) AS BIGINT) AS x7,
+  CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e7) AS BIGINT) AS y7 FROM top),
+m AS (SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x7) AS DECIMAL(38,0)) AS sx,
+  CAST(SUM(y7) AS DECIMAL(38,0)) AS sy,
+  CAST(SUM(CAST(x7 AS DECIMAL(38,0)) * CAST(x7 AS DECIMAL(38,0)))
+       AS DECIMAL(38,0)) AS sxx,
+  CAST(SUM(CAST(x7 AS DECIMAL(38,0)) * CAST(y7 AS DECIMAL(38,0)))
+       AS DECIMAL(38,0)) AS sxy,
+  CAST(SUM(CAST(y7 AS DECIMAL(38,0)) * CAST(y7 AS DECIMAL(38,0)))
+       AS DECIMAL(38,0)) AS syy
+  FROM pts)
+SELECT n AS n_ranks,
+  ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+        / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 6)
+    AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+            / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) / 1e7, 6) AS intercept,
+  ROUND((CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         * CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE))
+        / (CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+           * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 6)
+    AS r2
+FROM m
+"""

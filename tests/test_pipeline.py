@@ -1930,3 +1930,69 @@ def test_kcenter_resume_equals_uninterrupted(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="resume mismatch"):
         kcenter_select(other, k=6, checkpoint_dir=ckpt, resume=True)
+
+
+# ---- zipf_fit -------------------------------------------------------
+
+from linkgraph.pipeline.text import zipf_fit, zipf_fit_sql
+
+
+def _zipf_docs(spark, counts):
+    """One doc whose tokens realize exact per-token counts."""
+    words = []
+    for i, c in enumerate(counts):
+        words += [f"w{i:03d}"] * c
+    return spark.createDataFrame(
+        [(0, " ".join(words), "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_zipf_fit_perfect_law(spark):
+    # counts = 840 / rank exactly -> ln-ln slope -1, r2 ~ 1
+    counts = [840 // r for r in range(1, 9)]
+    row = zipf_fit(_zipf_docs(spark, counts), top_ranks=8).collect()[0]
+    assert row["n_ranks"] == 8
+    assert abs(row["slope"] + 1.0) < 0.01
+    assert row["r2"] > 0.999
+
+
+def test_zipf_fit_vs_numpy(spark):
+    import numpy as np
+
+    counts = [97, 55, 31, 22, 13, 9, 5, 3, 2]
+    row = zipf_fit(_zipf_docs(spark, counts), top_ranks=20).collect()[0]
+    x = np.round(np.log(np.arange(1, len(counts) + 1)), 7)
+    y = np.round(np.log(np.array(sorted(counts, reverse=True))), 7)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row["slope"] == pytest.approx(slope, abs=1e-4)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-4)
+    assert row["r2"] == pytest.approx(r * r, abs=1e-4)
+
+
+def test_zipf_fit_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(10, 60)))
+             for _ in range(25)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [tuple(r) for r in zipf_fit(docs, top_ranks=30).collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    duck = con.execute(zipf_fit_sql(top_ranks=30)).fetchall()
+    assert got == duck
+
+
+def test_zipf_fit_validates(spark):
+    with pytest.raises(ValueError, match="top_ranks"):
+        zipf_fit(_zipf_docs(spark, [3, 2]), top_ranks=1)
