@@ -280,10 +280,14 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
 
 
 def _is_agg_without_watermark_output(df: DataFrame) -> bool:
-    # degree counts and the count-min grid (plain streaming aggs with
-    # no watermark) need complete mode; windowed aggs with watermark
-    # and sessionize emit append-mode finals
-    return "outdeg" in df.columns or "sketch_row" in df.columns
+    # degree counts, the count-min grid, and the HLL register grid
+    # (plain streaming aggs with no watermark) need complete mode;
+    # windowed aggs with watermark and sessionize emit append finals
+    return (
+        "outdeg" in df.columns
+        or "sketch_row" in df.columns
+        or "rho" in df.columns
+    )
 
 
 def stream_transitions(
@@ -347,3 +351,69 @@ def stream_transitions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_hll_registers(
+    docs: DataFrame, by: str = "lang", b: int = 9, text_col: str = "text"
+) -> DataFrame:
+    """Streaming HyperLogLog registers — the incremental half of
+    linkgraph.pipeline.text.hll_distinct: the (group, bucket) -> max
+    rho register grid accumulates as documents arrive. Registers
+    combine by MAX (order-free and duplicate-insensitive), so the
+    running grid after draining ANY prefix of the stream equals the
+    batch grid of that prefix — batch-equal pytest-pinned, and the
+    estimate derived by `hll_estimate_from_registers` equals the
+    batch `hll_distinct` n_est exactly.
+
+    State is |groups| x 2^b integer cells — fixed memory at any
+    arrival rate; emit in complete/update mode."""
+    from linkgraph.pipeline.text import (
+        _hll_rho_sql,
+        stable_hash64_sql_spark,
+    )
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    if not 4 <= b <= 14:
+        raise ValueError(f"b must be in [4, 14], got {b}")
+    m = 1 << b
+    toks = docs.select(
+        F.col(by).alias("grp"),
+        F.explode(F.split(text_col, " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    h = stable_hash64(F.col("token"), salt="hll")
+    keyed = toks.select(
+        "grp",
+        F.pmod(h, F.lit(m)).alias("bucket"),
+        F.expr(
+            _hll_rho_sql(f"(({stable_hash64_sql_spark('token', 'hll')}) div {m})")
+        ).alias("rho"),
+    )
+    return keyed.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 9) -> DataFrame:
+    """Batch finisher for `streaming_hll_registers`: (grp, n_est) with
+    the exact arithmetic of hll_distinct (dyadic integer harmonic sum,
+    linear-counting branch, 6-decimal round)."""
+    from linkgraph.pipeline.text import _HLL_RHO_MAX
+
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sums = regs.groupBy("grp").agg(
+        F.sum(F.expr(f"CAST(POW(2, {_HLL_RHO_MAX} - rho) AS BIGINT)")).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    est_raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+        * F.lit(float(1 << _HLL_RHO_MAX))
+        / (F.col("s") + (F.lit(m) - F.col("nonzero"))
+           * F.lit(float(1 << _HLL_RHO_MAX)))
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.round(
+        F.when((est_raw <= 2.5 * m) & (zeros > 0), F.round(linear, 7))
+        .otherwise(est_raw),
+        6,
+    )
+    return sums.select("grp", est.alias("n_est"))

@@ -238,3 +238,46 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, countmin_sketch(docs, d=3, w=64).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Draining the doc stream through the streaming HLL registers
+    yields exactly the batch registers, and the derived estimate
+    equals batch hll_distinct's n_est (MAX registers are order-free
+    and duplicate-insensitive)."""
+    from linkgraph.pipeline.text import hll_distinct
+    from linkgraph.streaming import (
+        hll_estimate_from_registers,
+        run_available_now,
+        streaming_hll_registers,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "hll_in")
+    docs.select("doc_id", "text", "lang").write.parquet(src)
+    stream = streaming_hll_registers(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        by="lang",
+        b=6,
+    )
+    run_available_now(stream, "hll_stream", str(tmp_path / "ckpt_hll"))
+    regs = spark.sql("SELECT * FROM hll_stream")
+    got = sorted(
+        map(tuple, hll_estimate_from_registers(regs, b=6).collect())
+    )
+    want = sorted(
+        (r["grp"], r["n_est"]) for r in hll_distinct(docs, by="lang", b=6).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_hll_validates(spark):
+    from linkgraph.streaming import streaming_hll_registers
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="b must be"):
+        streaming_hll_registers(docs, b=2)
