@@ -1077,6 +1077,14 @@ def _q_influence_trade_nation(spark, sf_dir):
     return res.seeds
 
 
+def _q_configmodel_trade_nation(spark, sf_dir):
+    """Degree-preserving configuration-model rewiring of the nation
+    trade graph (linkgraph/graphs.py configuration_model): hash-ordered
+    stub pairing, exact degree sequence, deterministic seed."""
+    from linkgraph.graphs import configuration_model
+    return configuration_model(_trade_nation_edges(spark, sf_dir), seed=11)
+
+
 def _q_sparsify_cosupplier(spark, sf_dir):
     """Local-degree sparsifier over the weighted co-supplier graph
     (linkgraph/graphs.py sparsify_local_degree): each node keeps its
@@ -2617,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
         "sparsify_cosupplier": _q_sparsify_cosupplier,
+        "configmodel_trade_nation": _q_configmodel_trade_nation,
         "ppr_batch_trade_nation": _q_ppr_batch_trade_nation,
         "steiner_trade_nation": _q_steiner_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
@@ -3250,7 +3259,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
     from linkgraph.influence import influence_maximization_sql
-    from linkgraph.graphs import sparsify_local_degree_sql
+    from linkgraph.graphs import configuration_model_sql, sparsify_local_degree_sql
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3452,6 +3461,9 @@ FROM nodes nd LEFT JOIN (
         "assortativity_purchase": _assortativity_sql_wrapped(),
         "attr_assortativity_cosupplier": _attr_assortativity_sql_wrapped(),
         "sparsify_cosupplier": sparsify_local_degree_sql(COSUPPLIER_EDGES_SQL),
+        "configmodel_trade_nation": configuration_model_sql(
+            TRADE_NATION_SQL, seed=11
+        ),
         "richclub_cosupplier": _richclub_sql_wrapped(),
         "reciprocity_trade_nation": _reciprocity_sql_wrapped(),
         "pagerank_coproject": _pagerank_sql(

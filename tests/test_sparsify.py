@@ -94,3 +94,60 @@ def test_duckdb_twin(spark):
         sparsify_local_degree_sql(_values_sql(rows))
     ).fetchall()
     assert got == sorted(duck)
+
+
+# ---- configuration_model --------------------------------------------
+
+import collections
+
+import pytest
+
+from linkgraph.graphs import configuration_model, configuration_model_sql
+
+
+def _deg(rows):
+    d = collections.Counter()
+    for a, b in rows:
+        d[a] += 1
+        d[b] += 1
+    return d
+
+
+def test_configmodel_preserves_degrees(spark):
+    rng = random.Random(11)
+    pairs = [p for p in {(rng.randrange(14), rng.randrange(14))
+                         for _ in range(44)} if p[0] != p[1]]
+    e = _edges(spark, [(a, b, 1.0) for a, b in pairs])
+    got = [(r["a"], r["b"]) for r in configuration_model(e, seed=5).collect()]
+    und = {tuple(sorted(p)) for p in pairs}
+    assert _deg(got) == _deg(und)
+    assert all(a <= b for a, b in got)
+
+
+def test_configmodel_seed_changes_pairing_not_degrees(spark):
+    rng = random.Random(2)
+    pairs = [p for p in {(rng.randrange(12), rng.randrange(12))
+                         for _ in range(40)} if p[0] != p[1]]
+    e = _edges(spark, [(a, b, 1.0) for a, b in pairs])
+    g1 = sorted((r["a"], r["b"]) for r in configuration_model(e, seed=1).collect())
+    g2 = sorted((r["a"], r["b"]) for r in configuration_model(e, seed=2).collect())
+    assert _deg(g1) == _deg(g2)
+    assert g1 != g2  # different worlds
+    # same seed is reproducible
+    g1b = sorted((r["a"], r["b"]) for r in configuration_model(e, seed=1).collect())
+    assert g1 == g1b
+
+
+def test_configmodel_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(29)
+    pairs = [p for p in {(rng.randrange(11), rng.randrange(11))
+                         for _ in range(34)} if p[0] != p[1]]
+    rows = [(a, b, 1.0) for a, b in pairs]
+    got = sorted(tuple(r)
+                 for r in configuration_model(_edges(spark, rows), seed=9).collect())
+    duck = duckdb.connect().execute(
+        configuration_model_sql(_values_sql(rows), seed=9)
+    ).fetchall()
+    assert got == sorted(duck)
