@@ -1085,6 +1085,16 @@ def _q_configmodel_trade_nation(spark, sf_dir):
     return configuration_model(_trade_nation_edges(spark, sf_dir), seed=11)
 
 
+def _q_robustness_trade_nation(spark, sf_dir):
+    """Targeted-attack robustness profile of the trade graph
+    (linkgraph/graphs.py robustness_curve): remove hub prefixes,
+    track the giant component — Albert-Jeong-Barabási attack curve."""
+    from linkgraph.graphs import robustness_curve
+    return robustness_curve(
+        _trade_nation_edges(spark, sf_dir), steps=4, frac_per_step=0.12
+    )
+
+
 def _q_sparsify_cosupplier(spark, sf_dir):
     """Local-degree sparsifier over the weighted co-supplier graph
     (linkgraph/graphs.py sparsify_local_degree): each node keeps its
@@ -2626,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_trade_nation": _q_onion_trade_nation,
         "sparsify_cosupplier": _q_sparsify_cosupplier,
         "configmodel_trade_nation": _q_configmodel_trade_nation,
+        "robustness_trade_nation": _q_robustness_trade_nation,
         "ppr_batch_trade_nation": _q_ppr_batch_trade_nation,
         "steiner_trade_nation": _q_steiner_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
@@ -3259,7 +3270,11 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
     from linkgraph.influence import influence_maximization_sql
-    from linkgraph.graphs import configuration_model_sql, sparsify_local_degree_sql
+    from linkgraph.graphs import (
+        configuration_model_sql,
+        robustness_curve_sql,
+        sparsify_local_degree_sql,
+    )
 
     sssp_sql = f"""
 WITH RECURSIVE
@@ -3463,6 +3478,9 @@ FROM nodes nd LEFT JOIN (
         "sparsify_cosupplier": sparsify_local_degree_sql(COSUPPLIER_EDGES_SQL),
         "configmodel_trade_nation": configuration_model_sql(
             TRADE_NATION_SQL, seed=11
+        ),
+        "robustness_trade_nation": robustness_curve_sql(
+            TRADE_NATION_SQL, steps=4, frac_per_step=0.12
         ),
         "richclub_cosupplier": _richclub_sql_wrapped(),
         "reciprocity_trade_nation": _reciprocity_sql_wrapped(),

@@ -100,6 +100,7 @@ from linkgraph.graphs import (
     degree_assortativity,
     sparsify_local_degree,
     configuration_model,
+    robustness_curve,
     graphlet_counts,
     degree_centrality,
     degree_histogram,
@@ -282,6 +283,7 @@ __all__ = [
     "sample_edges",
     "sparsify_local_degree",
     "configuration_model",
+    "robustness_curve",
     "eigenvector_centrality",
     "katz_centrality",
     "fastrp_embeddings",

@@ -853,3 +853,145 @@ ranked AS (SELECT node,
   FROM stubs)
 SELECT MIN(node) AS a, MAX(node) AS b FROM ranked GROUP BY pair_id
 """
+
+
+def robustness_curve(
+    edges: DataFrame,
+    steps: int = 4,
+    frac_per_step: float = 0.1,
+    strategy: str = "degree",
+    seed: int = 0,
+) -> DataFrame:
+    """Targeted-attack / random-failure robustness profile (Albert,
+    Jeong, Barabási, Nature 406, 2000 — public result): remove a
+    growing prefix of nodes and track the giant connected component.
+    ``strategy="degree"`` removes hubs first (targeted attack — the
+    profile that collapses fast on power-law graphs);
+    ``strategy="hash"`` removes in md5 order (the deterministic stand-
+    in for uniform random failure — the profile scale-free graphs
+    survive). The gap between the two curves IS the classic
+    robustness-vs-fragility signature.
+
+    Per step s (0..steps): remove the first ceil(s · frac · n) nodes
+    of the strategy order (degree DESC, id ASC — or hash ASC, id ASC),
+    then giant = the largest component of the induced subgraph.
+    Returns (step, removed, giant_size).
+
+    Cross-engine exactness: the removal order is a strict total order
+    on integers, component sizes are integers; the DuckDB twin
+    (`robustness_curve_sql`) is hash-exact. Removal counts use
+    ceil(k)/1e6 integer arithmetic (the threshold contract).
+
+    Scale notes (100TB): the strategy rank is computed ONCE (degree
+    aggregate + one global rank window — same zipWithIndex disclosure
+    as configuration_model); each step is one induced semi-join +
+    one connected-components run (delta iteration) — steps is a small
+    knob, and the per-step graph only shrinks."""
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1: got {steps}")
+    if not (0.0 < frac_per_step < 1.0):
+        raise ValueError(f"frac_per_step must be in (0,1): {frac_per_step}")
+    if strategy not in ("degree", "hash"):
+        raise ValueError(f"strategy must be 'degree' or 'hash': {strategy}")
+    from linkgraph.components import connected_components
+    from linkgraph.kcore import _sym_simple
+    from linkgraph.checkpoint import pin_table, release_state
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    spark = edges.sparkSession
+    sym = pin_table(_sym_simple(edges))
+    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    if strategy == "degree":
+        w = Window.orderBy(F.col("d").desc(), F.col("a").asc())
+    else:
+        h = stable_hash64(F.col("a").cast("string"), salt=seed)
+        w = Window.orderBy(h.asc(), F.col("a").asc())
+    ranked = pin_table(
+        deg.select(F.col("a").alias("id"), "d",
+                   F.row_number().over(w).cast("long").alias("rk"))
+    )
+    n = ranked.count()
+    f6 = int(round(frac_per_step * 1_000_000))
+    rows = []
+    for s in range(steps + 1):
+        k = -(-(n * s * f6) // 1_000_000)  # ceil
+        alive = ranked.filter(F.col("rk") > k).select("id")
+        if alive.limit(1).count() == 0:
+            rows.append((s, int(k), 0))
+            continue
+        ew = (
+            sym.join(alive.withColumnRenamed("id", "a"), "a")
+            .join(alive.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        cc = connected_components(ew, nodes=alive)
+        giant = (
+            cc.components.groupBy("comp").agg(F.count("*").alias("c"))
+            .agg(F.max("c")).first()[0]
+        )
+        rows.append((s, int(k), int(giant or 0)))
+    release_state(sym)
+    release_state(ranked)
+    return spark.createDataFrame(rows, "step long, removed long, giant_size long")
+
+
+def robustness_curve_sql(
+    edges_sql: str,
+    steps: int = 4,
+    frac_per_step: float = 0.1,
+    strategy: str = "degree",
+    seed: int = 0,
+    n_rounds: int = 10,
+) -> str:
+    """DuckDB twin of ``robustness_curve``: same strategy rank, per
+    step an induced min-label propagation unrolled ``n_rounds`` times
+    (must cover the surviving component diameter), max component
+    size."""
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    f6 = int(round(frac_per_step * 1_000_000))
+    if strategy == "degree":
+        order = "d DESC, a ASC"
+    else:
+        order = f"{stable_hash64_sql('CAST(a AS VARCHAR)', salt=seed)} ASC, a ASC"
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        "deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a)",
+        f"""ranked AS MATERIALIZED (SELECT a AS id, d,
+  CAST(ROW_NUMBER() OVER (ORDER BY {order}) AS BIGINT) AS rk FROM deg)""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked)",
+    ]
+    selects = []
+    for s in range(steps + 1):
+        parts.append(
+            f"""k{s} AS (SELECT (n * {s} * {f6} + 999999) // 1000000 AS k
+  FROM nn)"""
+        )
+        parts.append(
+            f"a{s} AS MATERIALIZED (SELECT id FROM ranked, k{s} WHERE rk > k)"
+        )
+        parts.append(
+            f"""l{s}_0 AS MATERIALIZED (SELECT id AS node, id AS lbl FROM a{s})"""
+        )
+        for t in range(1, n_rounds + 1):
+            parts.append(
+                f"""l{s}_{t} AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT node, lbl FROM l{s}_{t - 1}
+    UNION ALL
+    SELECT sym.a AS node, p.lbl
+    FROM l{s}_{t - 1} p JOIN sym ON sym.b = p.node
+    JOIN a{s} ka ON ka.id = sym.a)
+  GROUP BY node)"""
+            )
+        parts.append(
+            f"""g{s} AS (SELECT CAST({s} AS BIGINT) AS step,
+  (SELECT k FROM k{s}) AS removed,
+  CAST(COALESCE(MAX(c), 0) AS BIGINT) AS giant_size
+  FROM (SELECT lbl, COUNT(*) AS c FROM l{s}_{n_rounds} GROUP BY lbl))"""
+        )
+        selects.append(f"SELECT step, removed, giant_size FROM g{s}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

@@ -151,3 +151,96 @@ def test_configmodel_duckdb_twin(spark):
         configuration_model_sql(_values_sql(rows), seed=9)
     ).fetchall()
     assert got == sorted(duck)
+
+
+# ---- robustness_curve -----------------------------------------------
+
+from linkgraph.graphs import robustness_curve, robustness_curve_sql
+
+
+def _brute_robustness(pairs, steps, frac, strategy, seed=0):
+    import hashlib
+    import math
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    if strategy == "degree":
+        order = sorted(deg, key=lambda n: (-deg[n], n))
+    else:
+        order = sorted(
+            deg,
+            key=lambda n: (int(hashlib.md5(f"{n}#{seed}".encode())
+                               .hexdigest()[:15], 16), n),
+        )
+    n = len(order)
+    f6 = int(round(frac * 1e6))
+    out = []
+    for s in range(steps + 1):
+        k = -(-(n * s * f6) // 1_000_000)
+        alive = set(order[k:])
+        parent = {x: x for x in alive}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in und:
+            if a in alive and b in alive and find(a) != find(b):
+                parent[find(a)] = find(b)
+        sizes = collections.Counter(find(x) for x in alive)
+        out.append((s, k, max(sizes.values()) if sizes else 0))
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["degree", "hash"])
+def test_robustness_vs_brute(spark, strategy):
+    rng = random.Random(13)
+    pairs = [p for p in {(rng.randrange(15), rng.randrange(15))
+                         for _ in range(40)} if p[0] != p[1]]
+    e = _edges(spark, [(a, b, 1.0) for a, b in pairs])
+    got = sorted(tuple(r) for r in robustness_curve(
+        e, steps=3, frac_per_step=0.2, strategy=strategy).collect())
+    assert got == sorted(_brute_robustness(pairs, 3, 0.2, strategy))
+
+
+def test_robustness_attack_collapses_faster_on_star(spark):
+    # star + ring: removing the hub first disconnects the leaves
+    rows = [(0, i, 1.0) for i in range(1, 9)]
+    e = _edges(spark, rows)
+    atk = {r["step"]: r["giant_size"] for r in robustness_curve(
+        e, steps=1, frac_per_step=0.12, strategy="degree").collect()}
+    rnd = {r["step"]: r["giant_size"] for r in robustness_curve(
+        e, steps=1, frac_per_step=0.12, strategy="hash", seed=3).collect()}
+    assert atk[0] == 9
+    assert atk[1] == 1  # hub removed -> isolated leaves
+    assert rnd[1] >= atk[1]
+
+
+def test_robustness_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(31)
+    pairs = [p for p in {(rng.randrange(13), rng.randrange(13))
+                         for _ in range(36)} if p[0] != p[1]]
+    rows = [(a, b, 1.0) for a, b in pairs]
+    got = sorted(tuple(r) for r in robustness_curve(
+        _edges(spark, rows), steps=3, frac_per_step=0.15).collect())
+    duck = duckdb.connect().execute(
+        robustness_curve_sql(_values_sql(rows), steps=3, frac_per_step=0.15)
+    ).fetchall()
+    assert got == sorted(duck)
+
+
+def test_robustness_validates(spark):
+    e = _edges(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError, match="steps"):
+        robustness_curve(e, steps=0)
+    with pytest.raises(ValueError, match="frac_per_step"):
+        robustness_curve(e, frac_per_step=1.5)
+    with pytest.raises(ValueError, match="strategy"):
+        robustness_curve(e, strategy="x")
