@@ -1032,6 +1032,15 @@ def _q_labelspread_trade_nation(spark, sf_dir):
     )
 
 
+def _q_triads_trade_nation(spark, sf_dir):
+    """Holland-Leinhardt 16-type directed triad census of the trade
+    graph (linkgraph/triads.py): wedge-enumerated >=2-pair triples +
+    closed-form one-pair and empty classes. Oracle: INDEPENDENT
+    brute-force triple enumeration in SQL."""
+    from linkgraph.triads import triad_census
+    return triad_census(_trade_nation_edges(spark, sf_dir))
+
+
 def _q_girth_trade_nation(spark, sf_dir):
     """Itai-Rodeh branch-tracked BFS girth witnesses per source over
     the nation trade graph (linkgraph/girth.py): min over sources is
@@ -2631,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_sampled_trade_nation": _q_simrank_sampled_nation,
         "labelspread_trade_nation": _q_labelspread_trade_nation,
         "girth_trade_nation": _q_girth_trade_nation,
+        "triads_trade_nation": _q_triads_trade_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
@@ -3266,6 +3276,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.labelprop import seeded_label_spread_sql
     from linkgraph.temporal import temporal_pagerank_sql
     from linkgraph.girth import girth_sql
+    from linkgraph.triads import triad_census_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
@@ -3599,6 +3610,7 @@ FROM v""",
             direction="BOTH",
         ),
         "girth_trade_nation": girth_sql(TRADE_NATION_SQL, max_hops=4),
+        "triads_trade_nation": triad_census_sql(TRADE_NATION_SQL),
         "labelspread_trade_nation": seeded_label_spread_sql(
             TRADE_NATION_SQL,
             "SELECT * FROM (VALUES (0, 0), (12, 1), (24, 2)) s(id, label)",

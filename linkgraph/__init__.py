@@ -169,6 +169,7 @@ from linkgraph.dag import (
 )
 from linkgraph.bridges import articulation_points, bridges
 from linkgraph.girth import girth, girth_sql, GirthResult
+from linkgraph.triads import triad_census, triad_census_sql, TRIAD_NAMES
 from linkgraph.temporal import (
     earliest_arrival,
     latest_departure,
@@ -223,6 +224,9 @@ __all__ = [
     "girth",
     "girth_sql",
     "GirthResult",
+    "triad_census",
+    "triad_census_sql",
+    "TRIAD_NAMES",
     "earliest_arrival",
     "latest_departure",
     "temporal_pagerank",
