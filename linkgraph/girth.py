@@ -97,7 +97,11 @@ def girth(
         )
         nxt_frontier = loop.advance(it, arrivals, metrics={"hop": it})
         n_new = nxt_frontier.count()
+        prev_state = state
         state = pin_table(state.unionByName(nxt_frontier))
+        # the union is pinned; the previous cumulative pin would
+        # otherwise stack one persisted copy per BFS round
+        release_state(prev_state)
         frontier = nxt_frontier
         if n_new == 0:
             break

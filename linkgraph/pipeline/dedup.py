@@ -55,7 +55,12 @@ FROM documents
 # ------------------------------------------------------- word-shingles
 
 def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document."""
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Documents with fewer than n tokens emit NO shingles (matching
+    `_shingles_sql`'s ``len(w) >= n`` guard exactly — without the
+    filter, Spark's slice() would emit a partial (<n)-gram for 1..n-1
+    token docs that the SQL twin never sees)."""
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(
@@ -63,9 +68,11 @@ def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return docs.select(
-        F.col("doc_id"), F.explode(sh).alias("shingle")
-    ).filter(F.length("shingle") > 0)
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col("doc_id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
 
 
 def _shingles_sql(n: int = 3) -> str:

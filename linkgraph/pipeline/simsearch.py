@@ -1306,11 +1306,18 @@ def embedding_covariance(
         )
         .select("t.i", "t.j", "t.p", "t.xi")
     )
+    # accumulate straight into DECIMAL(38,0): a LongType sum of
+    # per-row xi*xj products (<= 1e12 each) would overflow int64
+    # around ~9e6 rows, far below the advertised corpus scale, while
+    # the DuckDB twin sums into HUGEINT
     sums = pairs.groupBy("i", "j").agg(
-        F.sum("p").alias("sp"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
         # Σx_i rides along: each (i, j) group holds one xi per row, but
         # only the diagonal group (j = i) is a clean per-dim marginal
-        F.sum(F.when(F.col("j") == F.col("i"), F.col("xi"))).alias("sxd"),
+        F.sum(
+            F.when(F.col("j") == F.col("i"), F.col("xi"))
+            .cast("decimal(38,0)")
+        ).alias("sxd"),
     )
     n = emb.count()
     if n < 2:
@@ -1410,24 +1417,31 @@ def pca_project(
         if v[pivot] < 0:
             v = -v
         comps.append(v)
-    # per-dim means for centering, from the exact x6 sums
+    # per-dim means for centering, from the exact x6 INTEGER sums —
+    # a float F.sum over raw doubles would be partition-order
+    # dependent and could flip a 6-decimal rounding boundary between
+    # otherwise-identical runs
     n = emb.count()
-    mean_expr = F.expr(
-        f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    x6_expr = F.expr(
+        f"transform({vec_col}, v -> "
+        "CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
     )
     sums = (
-        emb.select(F.posexplode(mean_expr).alias("d", "v"))
+        emb.select(F.posexplode(x6_expr).alias("d", "v"))
         .groupBy("d")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum("v").cast("long").alias("s"))
         .collect()
     )
     mean = np.zeros(dim)
     for r in sums:
-        mean[r["d"]] = r["s"] / n
+        mean[r["d"]] = r["s"] / n / 1e6
     projs = []
     for ci, v in enumerate(comps, start=1):
+        # float(): numpy >= 2.0 repr()s scalars as 'np.float64(x)',
+        # which F.expr cannot parse
         terms = " + ".join(
-            f"(CAST({vec_col}[{d}] AS DOUBLE) - ({mean[d]!r})) * ({v[d]!r})"
+            f"(CAST({vec_col}[{d}] AS DOUBLE) - ({float(mean[d])!r}))"
+            f" * ({float(v[d])!r})"
             for d in range(dim)
         )
         projs.append(

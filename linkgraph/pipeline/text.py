@@ -1980,27 +1980,43 @@ def hll_distinct(docs: DataFrame, by: str = "lang", b: int = 9) -> DataFrame:
         F.expr(_hll_rho_sql(f"(({stable_hash64_sql_spark('token', 'hll')}) div {m})")).alias("rho"),
     )
     regs = keyed.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    est = hll_estimate_from_registers(regs, b=b)
+    return (
+        exact.join(est, "grp")
+        .select("grp", "n_exact", "n_est")
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 9) -> DataFrame:
+    """THE HLL finisher — (grp, bucket, rho) registers -> (grp, n_est)
+    with the exact dyadic-integer harmonic sum, linear-counting
+    branch, and 6-decimal round. The single shared implementation
+    behind `hll_distinct` and the streaming register grid
+    (`linkgraph.streaming.streaming_hll_registers`): both paths MUST
+    produce bit-identical estimates, so the arithmetic lives once."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     sums = regs.groupBy("grp").agg(
         F.sum(F.expr(f"CAST(POW(2, {_HLL_RHO_MAX} - rho) AS BIGINT)")).alias("s"),
         F.count("*").alias("nonzero"),
     )
-    exact = toks.groupBy("grp").agg(
-        F.countDistinct("token").alias("n_exact")
-    )
     est_raw = (
-        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(1 << _HLL_RHO_MAX))
-        / (F.col("s") + (F.lit(m) - F.col("nonzero")) * F.lit(float(1 << _HLL_RHO_MAX)))
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+        * F.lit(float(1 << _HLL_RHO_MAX))
+        / (F.col("s") + (F.lit(m) - F.col("nonzero"))
+           * F.lit(float(1 << _HLL_RHO_MAX)))
     )
     zeros = F.lit(m) - F.col("nonzero")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.round(
-        F.when((est_raw <= 2.5 * m) & (zeros > 0), F.round(linear, 7)).otherwise(est_raw),
+        F.when((est_raw <= 2.5 * m) & (zeros > 0), F.round(linear, 7))
+        .otherwise(est_raw),
         6,
     )
-    return (
-        exact.join(sums, "grp")
-        .select("grp", "n_exact", est.alias("n_est"))
-    )
+    return sums.select("grp", est.alias("n_est"))
 
 
 def stable_hash64_sql_spark(col: str, salt) -> str:

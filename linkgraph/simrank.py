@@ -72,6 +72,10 @@ class SimRankResult:
 
 
 def _in_neighbors(edges: DataFrame, direction: str) -> DataFrame:
+    # CONTRACT NOTE: this is the in-neighbor-keyed sibling of
+    # linkgraph.localcom._directed_view / kcore._sym_simple — all
+    # three share the simple-view semantics (self-loops dropped,
+    # duplicates collapsed); a change to one must mirror the others.
     """(node, nbr) distinct in-neighbor table under ``direction``,
     self-loops dropped (simple-graph SimRank)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))

@@ -392,28 +392,10 @@ def streaming_hll_registers(
 
 
 def hll_estimate_from_registers(regs: DataFrame, b: int = 9) -> DataFrame:
-    """Batch finisher for `streaming_hll_registers`: (grp, n_est) with
-    the exact arithmetic of hll_distinct (dyadic integer harmonic sum,
-    linear-counting branch, 6-decimal round)."""
-    from linkgraph.pipeline.text import _HLL_RHO_MAX
+    """Batch finisher for `streaming_hll_registers` — delegates to the
+    ONE shared implementation in linkgraph.pipeline.text (the same
+    arithmetic hll_distinct uses), so the streaming and batch paths
+    cannot de-synchronize."""
+    from linkgraph.pipeline.text import hll_estimate_from_registers as _fin
 
-    m = 1 << b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    sums = regs.groupBy("grp").agg(
-        F.sum(F.expr(f"CAST(POW(2, {_HLL_RHO_MAX} - rho) AS BIGINT)")).alias("s"),
-        F.count("*").alias("nonzero"),
-    )
-    est_raw = (
-        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
-        * F.lit(float(1 << _HLL_RHO_MAX))
-        / (F.col("s") + (F.lit(m) - F.col("nonzero"))
-           * F.lit(float(1 << _HLL_RHO_MAX)))
-    )
-    zeros = F.lit(m) - F.col("nonzero")
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-    est = F.round(
-        F.when((est_raw <= 2.5 * m) & (zeros > 0), F.round(linear, 7))
-        .otherwise(est_raw),
-        6,
-    )
-    return sums.select("grp", est.alias("n_est"))
+    return _fin(regs, b=b)

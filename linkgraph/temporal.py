@@ -279,7 +279,13 @@ def temporal_pagerank(
     window w every node with out-edges there sends its current mass
     (a fresh unit injection + the beta-decayed carry accumulated from
     earlier windows) equally over its window-w out-edges; receivers
-    add the arrivals to their carry AND to their running rank. A
+    add the arrivals to their carry AND to their running rank, and a
+    SENDER'S carry is depleted by the send (reset to 0, then
+    refilled by anything it receives in the same window) — the
+    walk-like mass conservation of the cited model; without the
+    depletion a hub active in every window would retransmit its whole
+    accumulated carry each time, inflating downstream ranks
+    quadratically in the window count. A
     static graph replayed in one window degenerates to one damped
     PageRank push — the time ordering is exactly what the static
     procedure cannot see (a follower gained BEFORE a node became
@@ -384,11 +390,16 @@ def temporal_pagerank(
             .groupBy("node")
             .agg(F.sum("v").alias("got"))
         )
+        sent = ew.select(F.col("src").alias("node")).distinct().withColumn(
+            "sent", F.lit(1)
+        )
         nxt = (
             state.join(recv, "node", "full")
+            .join(sent, "node", "left")
             .select(
                 "node",
-                (F.coalesce(F.col("carry"), F.lit(0))
+                (F.when(F.col("sent").isNotNull(), F.lit(0))
+                 .otherwise(F.coalesce(F.col("carry"), F.lit(0)))
                  + F.coalesce(F.col("got"), F.lit(0))).cast("long")
                 .alias("carry"),
                 (F.coalesce(F.col("rank"), F.lit(0))
@@ -443,7 +454,10 @@ def temporal_pagerank_sql(
         parts.append(
             f"""s{t + 1} AS MATERIALIZED (
   SELECT COALESCE(p.node, r.node) AS node,
-         CAST(COALESCE(p.carry, 0) + COALESCE(r.got, 0) AS BIGINT) AS carry,
+         CAST(CASE WHEN COALESCE(p.node, r.node) IN
+                  (SELECT src FROM eb WHERE win = {t})
+              THEN 0 ELSE COALESCE(p.carry, 0) END
+              + COALESCE(r.got, 0) AS BIGINT) AS carry,
          CAST(COALESCE(p.rank, 0) + COALESCE(r.got, 0) AS BIGINT) AS rank
   FROM s{t} p FULL OUTER JOIN r{t} r ON r.node = p.node)"""
         )

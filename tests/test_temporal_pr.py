@@ -41,6 +41,19 @@ def test_time_ordering_golden(spark):
     assert bwd == [(1, 1.0), (2, 1.0)]
 
 
+def test_carry_depletes_after_send(spark):
+    # b receives in win0, forwards in win1 (carry spent), forwards
+    # again in win2 with ONLY the fresh injection: rank(c) = 2 + 1.
+    # Without depletion b would re-send the win0 carry -> rank(c) = 4.
+    rows = [(0, 1, 0), (1, 2, 1), (1, 2, 2)]
+    got = dict(
+        (r["id"], r["rank"]) for r in temporal_pagerank(
+            _edges(spark, rows), n_windows=3, b_num=1, b_den=1
+        ).collect()
+    )
+    assert got[2] == 3.0 and got[1] == 1.0
+
+
 def _brute_tpr(rows, n_windows, b_num=4, b_den=5):
     ed = sorted({(a, b, t) for a, b, t in rows if a != b})
     if not ed:
@@ -58,6 +71,8 @@ def _brute_tpr(rows, n_windows, b_num=4, b_den=5):
         for a, b in ew:
             m = 1_000_000 + (2 * b_num * carry.get(a, 0) + b_den) // (2 * b_den)
             got[b] = got.get(b, 0) + (2 * m + deg[a]) // (2 * deg[a])
+        for a in deg:  # transmitted carry leaves the sender
+            carry[a] = 0
         for b, v in got.items():
             carry[b] = carry.get(b, 0) + v
             rank[b] = rank.get(b, 0) + v
