@@ -1041,6 +1041,18 @@ def _q_triads_trade_nation(spark, sf_dir):
     return triad_census(_trade_nation_edges(spark, sf_dir))
 
 
+def _q_sgns_trade_nation(spark, sf_dir):
+    """Deterministic full-batch SGNS node embeddings trained on the
+    trade graph's hash-argmin walk corpus (linkgraph/embeddings.py
+    sgns_embeddings): ROUND(sigmoid,7) + BIGINT gradient coefficients
+    make the TRAINED vectors bit-exact cross-engine."""
+    from linkgraph.embeddings import sgns_embeddings
+    return sgns_embeddings(
+        _trade_nation_edges(spark, sf_dir), dim=4, walk_length=3,
+        walks_per_node=3, window=2, negatives=2, epochs=2, lr=0.2,
+    )
+
+
 def _q_girth_trade_nation(spark, sf_dir):
     """Itai-Rodeh branch-tracked BFS girth witnesses per source over
     the nation trade graph (linkgraph/girth.py): min over sources is
@@ -2641,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelspread_trade_nation": _q_labelspread_trade_nation,
         "girth_trade_nation": _q_girth_trade_nation,
         "triads_trade_nation": _q_triads_trade_nation,
+        "sgns_trade_nation": _q_sgns_trade_nation,
         "percolation_trade_nation": _q_percolation_trade_nation,
         "influence_trade_nation": _q_influence_trade_nation,
         "onion_trade_nation": _q_onion_trade_nation,
@@ -3277,6 +3290,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.temporal import temporal_pagerank_sql
     from linkgraph.girth import girth_sql
     from linkgraph.triads import triad_census_sql
+    from linkgraph.embeddings import sgns_embeddings_sql
     from linkgraph.localcom import local_community_sweep_sql, ppr_batch_sql
     from linkgraph.mst import steiner_backbone_sql
     from linkgraph.percolation import clique_percolation_sql
@@ -3611,6 +3625,10 @@ FROM v""",
         ),
         "girth_trade_nation": girth_sql(TRADE_NATION_SQL, max_hops=4),
         "triads_trade_nation": triad_census_sql(TRADE_NATION_SQL),
+        "sgns_trade_nation": sgns_embeddings_sql(
+            TRADE_NATION_SQL, dim=4, walk_length=3, walks_per_node=3,
+            window=2, negatives=2, epochs=2, lr=0.2,
+        ),
         "labelspread_trade_nation": seeded_label_spread_sql(
             TRADE_NATION_SQL,
             "SELECT * FROM (VALUES (0, 0), (12, 1), (24, 2)) s(id, label)",

@@ -108,7 +108,12 @@ from linkgraph.graphs import (
     sample_edges,
 )
 from linkgraph.eigenvector import eigenvector_centrality, hits, katz_centrality
-from linkgraph.embeddings import fastrp_embeddings, fastrp_knn
+from linkgraph.embeddings import (
+    fastrp_embeddings,
+    fastrp_knn,
+    sgns_embeddings,
+    sgns_embeddings_sql,
+)
 from linkgraph.similarity import (
     node_similarity_lsh,
     bipartite_projection,
@@ -292,6 +297,8 @@ __all__ = [
     "katz_centrality",
     "fastrp_embeddings",
     "fastrp_knn",
+    "sgns_embeddings",
+    "sgns_embeddings_sql",
     "hits",
     "node_similarity",
     "node_similarity_topk",

@@ -522,3 +522,346 @@ def propagate_features_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, [{arr}] AS features FROM feat{rounds}"
     )
+
+
+def sgns_embeddings(
+    edges: DataFrame,
+    dim: int = 8,
+    walk_length: int = 4,
+    walks_per_node: int = 4,
+    window: int = 2,
+    negatives: int = 2,
+    epochs: int = 3,
+    lr: float = 0.1,
+    seed: int = 0,
+    direction: str = "BOTH",
+) -> DataFrame:
+    """Skip-gram-with-negative-sampling node embeddings (word2vec /
+    DeepWalk-SGNS, Mikolov et al. 2013, Perozzi et al. KDD'14 — public
+    results) trained END-TO-END in the engine, deterministically:
+
+    * the corpus is `linkgraph.walks.random_walks`' hash-argmin walks;
+      (center, context) pairs come from the +-``window`` co-occurrence
+      self-join, aggregated with multiplicities;
+    * negatives are hash-drawn per positive pair
+      (H(center|ctx|j) % n over the sorted node index) — the unigram
+      sampler's deterministic stand-in;
+    * training is FULL-BATCH synchronous gradient descent (epochs
+      driver rounds): per triple sigma = ROUND(sigmoid(u·v), 7) (the
+      rounded-ln discipline applied to exp), coefficient
+      ROUND(lr·(label−sigma)·1e9) as BIGINT x multiplicity, and every
+      per-component gradient is one half-up integer division summed in
+      an order-free int64 aggregate — so the iterative float
+      nonlinearity is still value-exact cross-engine, and the DuckDB
+      twin (`sgns_embeddings_sql`) reproduces the trained vectors
+      hash-exact. Hogwild-style asynchronous SGD trains faster but is
+      run-to-run irreproducible — full-batch is the deliberate trade.
+
+    Input vectors init hash-uniform in ±0.5/dim; output (context)
+    vectors init 0 (the word2vec convention — epoch-1 gradients are
+    then exactly the positive pulls). Returns LONG format
+    (id, d, value), value = input-vector component rounded 6.
+
+    Scale notes (100TB): per epoch TWO groupBy aggregates of dim
+    map-side-combinable int64 sums (center grads, context grads — the
+    propagate_features layout) + two co-keyed joins to update the
+    pinned vector tables; the triple table is positives x (1 +
+    negatives) rows built once. Int64 gradient terms hold while
+    lr·cnt·max|v6| < ~9e9 units (raise to DECIMAL beyond). The node
+    index is one global rank window (the zipWithIndex disclosure)."""
+    from linkgraph.walks import random_walks
+    from linkgraph.pipeline.hashing import stable_hash64
+    from linkgraph.checkpoint import pin_table, release_state
+
+    if dim < 1 or window < 1 or negatives < 0 or epochs < 0:
+        raise ValueError(
+            f"bad hyperparameters dim={dim} window={window} "
+            f"negatives={negatives} epochs={epochs}"
+        )
+    spark = edges.sparkSession
+    walks = random_walks(
+        edges, walk_length, walks_per_node=walks_per_node, seed=seed,
+        direction=direction,
+    )
+    wa = walks.select("start", "walk_no", F.col("step").alias("sa"),
+                      F.col("node").alias("center"))
+    wb = walks.select("start", "walk_no", F.col("step").alias("sb"),
+                      F.col("node").alias("ctx"))
+    pos = (
+        wa.join(wb, ["start", "walk_no"])
+        .filter(
+            (F.abs(F.col("sa") - F.col("sb")) >= 1)
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+            & (F.col("center") != F.col("ctx"))
+        )
+        .groupBy("center", "ctx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    widx = Window.orderBy(F.col("id").asc())
+    indexed = pin_table(
+        nodes.select("id", (F.row_number().over(widx) - 1).cast("long")
+                     .alias("idx"))
+    )
+    n = indexed.count()
+    negs = None
+    for j in range(1, negatives + 1):
+        hj = stable_hash64(
+            F.concat_ws("|", F.col("center"), F.col("ctx"), F.lit(j)),
+            salt=f"sgns-neg-{seed}",
+        )
+        nj = (
+            pos.select("center", "ctx", "cnt", F.pmod(hj, F.lit(n)).alias("idx"))
+            .join(indexed, "idx")
+            .select("center", F.col("id").alias("other"), "cnt",
+                    F.lit(0).alias("label"))
+        )
+        negs = nj if negs is None else negs.unionByName(nj)
+    triples = pos.select(
+        "center", F.col("ctx").alias("other"), "cnt", F.lit(1).alias("label")
+    )
+    if negs is not None:
+        triples = triples.unionByName(negs)
+    triples = pin_table(triples)
+
+    vcols = [f"v{k}" for k in range(dim)]
+    b6 = 500_000 // dim
+    cen = pin_table(
+        nodes.select(
+            "id",
+            *[
+                (F.pmod(
+                    stable_hash64(
+                        F.concat_ws("|", F.col("id"), F.lit(k)),
+                        salt=f"sgns-in-{seed}",
+                    ),
+                    F.lit(2 * b6 + 1),
+                ) - F.lit(b6)).cast("long").alias(vcols[k])
+                for k in range(dim)
+            ],
+        )
+    )
+    ctxv = pin_table(
+        nodes.select("id", *[F.lit(0).cast("long").alias(c) for c in vcols])
+    )
+    for _ in range(epochs):
+        t = (
+            triples.join(
+                cen.select(F.col("id").alias("center"),
+                           *[F.col(c).alias(f"c{k}")
+                             for k, c in enumerate(vcols)]),
+                "center",
+            )
+            .join(
+                ctxv.select(F.col("id").alias("other"),
+                            *[F.col(c).alias(f"o{k}")
+                              for k, c in enumerate(vcols)]),
+                "other",
+            )
+        )
+        dot = sum(F.col(f"c{k}") * F.col(f"o{k}") for k in range(dim))
+        # word2vec's MAX_EXP clip: saturate the sigmoid argument at
+        # +-6 so a diverging dot product cannot blow up exp/gradients
+        x = F.greatest(
+            F.least(dot.cast("double") / F.lit(1e12), F.lit(6.0)),
+            F.lit(-6.0),
+        )
+        sig7 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 7)
+        coef9 = (
+            F.round(F.lit(float(lr)) * (F.col("label") - sig7) * F.lit(1e9), 0)
+            .cast("long") * F.col("cnt")
+        )
+        t = t.withColumn("coef9", coef9)
+        gc = t.groupBy(F.col("center").alias("id")).agg(*[
+            F.sum(F.expr(
+                f"(2 * coef9 * o{k} + CASE WHEN coef9 * o{k} >= 0 THEN "
+                f"1000000000 ELSE -1000000000 END) DIV 2000000000"
+            )).cast("long").alias(f"g{k}")
+            for k in range(dim)
+        ])
+        go = t.groupBy(F.col("other").alias("id")).agg(*[
+            F.sum(F.expr(
+                f"(2 * coef9 * c{k} + CASE WHEN coef9 * c{k} >= 0 THEN "
+                f"1000000000 ELSE -1000000000 END) DIV 2000000000"
+            )).cast("long").alias(f"g{k}")
+            for k in range(dim)
+        ])
+        # component clamp at +-8.0: bounded state under any lr /
+        # epoch schedule (full-batch GD can oscillate), keeping every
+        # gradient product inside int64
+        clamp = 8_000_000
+        new_cen = pin_table(
+            cen.join(gc, "id", "left").select(
+                "id",
+                *[F.greatest(
+                    F.least(
+                        (F.col(c) + F.coalesce(F.col(f"g{k}"), F.lit(0))),
+                        F.lit(clamp),
+                    ),
+                    F.lit(-clamp),
+                ).cast("long").alias(c)
+                  for k, c in enumerate(vcols)],
+            )
+        )
+        new_ctx = pin_table(
+            ctxv.join(go, "id", "left").select(
+                "id",
+                *[F.greatest(
+                    F.least(
+                        (F.col(c) + F.coalesce(F.col(f"g{k}"), F.lit(0))),
+                        F.lit(clamp),
+                    ),
+                    F.lit(-clamp),
+                ).cast("long").alias(c)
+                  for k, c in enumerate(vcols)],
+            )
+        )
+        new_cen.count()
+        new_ctx.count()
+        release_state(cen)
+        release_state(ctxv)
+        cen, ctxv = new_cen, new_ctx
+    out = cen.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.round(F.col(c) / 1_000_000.0, 6) for c in vcols])
+        ).alias("d", "value"),
+    )
+    release_state(triples)
+    release_state(indexed)
+    release_state(ctxv)
+    return out
+
+
+def sgns_embeddings_sql(
+    edge_sql: str,
+    dim: int = 8,
+    walk_length: int = 4,
+    walks_per_node: int = 4,
+    window: int = 2,
+    negatives: int = 2,
+    epochs: int = 3,
+    lr: float = 0.1,
+    seed: int = 0,
+    direction: str = "BOTH",
+) -> str:
+    """DuckDB twin of `sgns_embeddings`: the walks oracle + identical
+    pair/negative construction and the SAME unrolled full-batch
+    rounds — ROUND(sigmoid, 7), ROUND(lr·err·1e9) BIGINT coefficient,
+    half-away-from-zero integer gradient divisions (Spark DIV and
+    DuckDB // both truncate toward zero, verified), order-free sums."""
+    from linkgraph.walks import random_walks_sql
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    walks = random_walks_sql(
+        edge_sql, walk_length, walks_per_node=walks_per_node, seed=seed,
+        direction=direction,
+    )
+    ks = range(dim)
+    b6 = 500_000 // dim
+    lrr = repr(float(lr))
+    def _init_col(k):
+        h = stable_hash64_sql(f"id || '|' || {k}", salt=f"sgns-in-{seed}")
+        return (f"CAST(({h}) % {2 * b6 + 1} - {b6} AS BIGINT) AS v{k}")
+
+    init_cols = ", ".join(_init_col(k) for k in ks)
+    parts = [
+        f"WITH eraw0 AS ({edge_sql})",
+        f"walks AS MATERIALIZED ({walks})",
+        """pos AS MATERIALIZED (
+  SELECT a.node AS center, b.node AS ctx, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM walks a JOIN walks b
+    ON a.start = b.start AND a.walk_no = b.walk_no
+   AND abs(a.step - b.step) BETWEEN 1 AND {w}
+   AND a.node <> b.node
+  GROUP BY 1, 2)""".replace("{w}", str(window)),
+        """nodes AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM eraw0 UNION ALL SELECT dst FROM eraw0))""",
+        """indexed AS MATERIALIZED (SELECT id,
+  CAST(ROW_NUMBER() OVER (ORDER BY id ASC) - 1 AS BIGINT) AS idx FROM nodes)""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+    ]
+    neg_selects = []
+    for j in range(1, negatives + 1):
+        h = stable_hash64_sql(
+            "p.center || '|' || p.ctx || '|' || " + str(j),
+            salt=f"sgns-neg-{seed}",
+        )
+        neg_selects.append(
+            f"""SELECT p.center, ix.id AS other, p.cnt, 0 AS label
+  FROM pos p CROSS JOIN nn
+  JOIN indexed ix ON ix.idx = ({h}) % nn.n"""
+        )
+    triples = (
+        "SELECT center, ctx AS other, cnt, 1 AS label FROM pos"
+        + ("\n  UNION ALL " + "\n  UNION ALL ".join(neg_selects)
+           if neg_selects else "")
+    )
+    parts.append(f"triples AS MATERIALIZED ({triples})")
+    parts.append(f"cen0 AS MATERIALIZED (SELECT id, {init_cols} FROM nodes)")
+    zero_cols = ", ".join(f"CAST(0 AS BIGINT) AS v{k}" for k in ks)
+    parts.append(f"ctx0 AS MATERIALIZED (SELECT id, {zero_cols} FROM nodes)")
+    for t in range(epochs):
+        dot = " + ".join(f"ci.v{k} * oi.v{k}" for k in ks)
+        cvals = ", ".join(f"ci.v{k} AS c{k}" for k in ks)
+        ovals = ", ".join(f"oi.v{k} AS o{k}" for k in ks)
+        parts.append(
+            f"""tr{t} AS MATERIALIZED (
+  SELECT q.center, q.other,
+         CAST(ROUND(({lrr} * (CAST(q.label AS DOUBLE) - q.sig7))
+                    * 1000000000.0) AS BIGINT) * q.cnt AS coef9,
+         {", ".join(f"q.c{k}" for k in ks)},
+         {", ".join(f"q.o{k}" for k in ks)}
+  FROM (
+    SELECT tp.center, tp.other, tp.cnt, tp.label, {cvals}, {ovals},
+           ROUND(1.0 / (1.0 + exp(-(GREATEST(LEAST(
+                 CAST(({dot}) AS DOUBLE) / 1000000000000.0, 6.0),
+                 -6.0)))), 7) AS sig7
+    FROM triples tp
+    JOIN cen{t} ci ON ci.id = tp.center
+    JOIN ctx{t} oi ON oi.id = tp.other) q)"""
+        )
+        gsum_c = ", ".join(
+            f"CAST(SUM((2 * coef9 * o{k} + CASE WHEN coef9 * o{k} >= 0"
+            f" THEN 1000000000 ELSE -1000000000 END) // 2000000000)"
+            f" AS BIGINT) AS g{k}"
+            for k in ks
+        )
+        gsum_o = ", ".join(
+            f"CAST(SUM((2 * coef9 * c{k} + CASE WHEN coef9 * c{k} >= 0"
+            f" THEN 1000000000 ELSE -1000000000 END) // 2000000000)"
+            f" AS BIGINT) AS g{k}"
+            for k in ks
+        )
+        parts.append(
+            f"gc{t} AS (SELECT center AS id, {gsum_c} FROM tr{t}"
+            " GROUP BY center)"
+        )
+        parts.append(
+            f"go{t} AS (SELECT other AS id, {gsum_o} FROM tr{t}"
+            " GROUP BY other)"
+        )
+        upd_c = ", ".join(
+            f"CAST(GREATEST(LEAST(c.v{k} + COALESCE(g.g{k}, 0), 8000000),"
+            f" -8000000) AS BIGINT) AS v{k}" for k in ks
+        )
+        upd_o = upd_c
+        parts.append(
+            f"cen{t + 1} AS MATERIALIZED (SELECT c.id, {upd_c}"
+            f" FROM cen{t} c LEFT JOIN gc{t} g ON g.id = c.id)"
+        )
+        parts.append(
+            f"ctx{t + 1} AS MATERIALIZED (SELECT c.id, {upd_o}"
+            f" FROM ctx{t} c LEFT JOIN go{t} g ON g.id = c.id)"
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT id, CAST({k} AS INTEGER) AS d,"
+        f" ROUND(CAST(v{k} AS DOUBLE) / 1000000.0, 6) AS value"
+        f" FROM cen{epochs}"
+        for k in ks
+    )
+    return ",\n".join(parts) + "\n" + finals

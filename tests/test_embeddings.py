@@ -237,3 +237,98 @@ def test_propagate_features_dim_mismatch_raises(spark):
     f = spark.createDataFrame([(1, [1.0, 2.0])], "id long, features array<double>")
     with pytest.raises(ValueError, match="dim 2, expected 3"):
         propagate_features(e, f, dim=3, rounds=1)
+
+
+# ---- sgns_embeddings ------------------------------------------------
+
+import itertools
+
+import numpy as np
+
+from linkgraph.embeddings import sgns_embeddings, sgns_embeddings_sql
+
+
+def _sg_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _sg_values_sql(pairs):
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    return f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+
+
+def _vecs(rows, dim):
+    V = {}
+    for r in rows:
+        V.setdefault(r["id"], [0.0] * dim)[r["d"]] = r["value"]
+    return {k: np.array(v) for k, v in V.items()}
+
+
+def test_sgns_duckdb_twin_bit_exact(spark):
+    import duckdb
+    import random
+
+    rng = random.Random(7)
+    pairs = [p for p in {(rng.randrange(10), rng.randrange(10))
+                         for _ in range(28)} if p[0] != p[1]]
+    got = sorted(tuple(r) for r in sgns_embeddings(
+        _sg_edges(spark, pairs), dim=4, walk_length=3, walks_per_node=3,
+        epochs=3, lr=0.3,
+    ).collect())
+    duck = duckdb.connect().execute(
+        sgns_embeddings_sql(
+            _sg_values_sql(pairs), dim=4, walk_length=3, walks_per_node=3,
+            epochs=3, lr=0.3,
+        )
+    ).fetchall()
+    assert got == sorted(duck)
+
+
+def test_sgns_separates_cliques(spark):
+    K1 = list(itertools.combinations(range(4), 2))
+    K2 = list(itertools.combinations(range(4, 8), 2))
+    rows = sgns_embeddings(
+        _sg_edges(spark, K1 + K2 + [(3, 4)]), dim=8, walk_length=4,
+        walks_per_node=6, window=2, negatives=3, epochs=15, lr=0.3,
+    ).collect()
+    V = _vecs(rows, 8)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(V[a]), np.linalg.norm(V[b])
+        return float(V[a] @ V[b] / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    intra = np.mean([cos(a, b) for a, b in K1 + K2])
+    inter = np.mean([cos(a, b) for a in range(4) for b in range(4, 8)])
+    assert intra > inter + 0.3  # measured 0.69 vs -0.06
+
+
+def test_sgns_deterministic_and_epoch0_is_init(spark):
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    a = sorted(tuple(r) for r in sgns_embeddings(
+        _sg_edges(spark, pairs), dim=4, epochs=2).collect())
+    b = sorted(tuple(r) for r in sgns_embeddings(
+        _sg_edges(spark, pairs), dim=4, epochs=2).collect())
+    assert a == b
+    # epochs=0 returns the hash init untouched, bounded by 0.5/dim
+    init = sgns_embeddings(_sg_edges(spark, pairs), dim=4, epochs=0).collect()
+    assert all(abs(r["value"]) <= 0.5 / 4 + 1e-9 for r in init)
+
+
+def test_sgns_updates_stay_clamped(spark):
+    # adversarial lr: values must never exceed the +-8.0 clamp
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    rows = sgns_embeddings(
+        _sg_edges(spark, pairs), dim=2, walk_length=4, walks_per_node=8,
+        epochs=25, lr=5.0,
+    ).collect()
+    assert all(abs(r["value"]) <= 8.0 for r in rows)
+
+
+def test_sgns_validates(spark):
+    e = _sg_edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="hyperparameters"):
+        sgns_embeddings(e, dim=0)
+    with pytest.raises(ValueError, match="hyperparameters"):
+        sgns_embeddings(e, negatives=-1)
