@@ -1116,6 +1116,14 @@ def _q_robustness_trade_nation(spark, sf_dir):
     )
 
 
+def _q_motifsig_trade_nation(spark, sf_dir):
+    """Triangle-motif z-score vs the degree-preserving null
+    (linkgraph/graphs.py motif_significance): observed triangles
+    against 3 configuration-model rewirings, integer moments."""
+    from linkgraph.graphs import motif_significance
+    return motif_significance(_trade_nation_edges(spark, sf_dir), n_samples=3)
+
+
 def _q_sparsify_cosupplier(spark, sf_dir):
     """Local-degree sparsifier over the weighted co-supplier graph
     (linkgraph/graphs.py sparsify_local_degree): each node keeps its
@@ -2660,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_cosupplier": _q_sparsify_cosupplier,
         "configmodel_trade_nation": _q_configmodel_trade_nation,
         "robustness_trade_nation": _q_robustness_trade_nation,
+        "motifsig_trade_nation": _q_motifsig_trade_nation,
         "ppr_batch_trade_nation": _q_ppr_batch_trade_nation,
         "steiner_trade_nation": _q_steiner_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
@@ -3297,6 +3306,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.influence import influence_maximization_sql
     from linkgraph.graphs import (
         configuration_model_sql,
+        motif_significance_sql,
         robustness_curve_sql,
         sparsify_local_degree_sql,
     )
@@ -3506,6 +3516,9 @@ FROM nodes nd LEFT JOIN (
         ),
         "robustness_trade_nation": robustness_curve_sql(
             TRADE_NATION_SQL, steps=4, frac_per_step=0.12
+        ),
+        "motifsig_trade_nation": motif_significance_sql(
+            TRADE_NATION_SQL, n_samples=3
         ),
         "richclub_cosupplier": _richclub_sql_wrapped(),
         "reciprocity_trade_nation": _reciprocity_sql_wrapped(),

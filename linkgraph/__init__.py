@@ -101,6 +101,7 @@ from linkgraph.graphs import (
     sparsify_local_degree,
     configuration_model,
     robustness_curve,
+    motif_significance,
     graphlet_counts,
     degree_centrality,
     degree_histogram,
@@ -293,6 +294,7 @@ __all__ = [
     "sparsify_local_degree",
     "configuration_model",
     "robustness_curve",
+    "motif_significance",
     "eigenvector_centrality",
     "katz_centrality",
     "fastrp_embeddings",

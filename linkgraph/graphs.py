@@ -995,3 +995,124 @@ def robustness_curve_sql(
         )
         selects.append(f"SELECT step, removed, giant_size FROM g{s}")
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def motif_significance(
+    edges: DataFrame, n_samples: int = 3, seed: int = 0
+) -> DataFrame:
+    """Triangle-motif significance against the degree-preserving null
+    (Milo et al., Science 298, 2002 — the network-motif z-score):
+    count triangles on the observed graph and on ``n_samples``
+    `configuration_model` rewirings (each SIMPLIFIED before counting —
+    loops dropped, multi-edges collapsed, the standard practice), then
+    z = (observed - null_mean) / null_std. Composes two existing
+    operators; the one new piece is the exact moment arithmetic.
+
+    Returns ONE row (observed, null_mean, null_std, z) — floats
+    rounded 6; z is NULL when the null variance is 0 (disclosed
+    rather than fabricating infinity).
+
+    Cross-engine exactness: every count is an integer; mean/variance
+    come from integer moments (Σc, Σc² — population variance over the
+    sample set) in shared double-division shapes; sqrt is IEEE
+    correctly-rounded on both engines. DuckDB twin:
+    `motif_significance_sql`.
+
+    Scale notes (100TB): n_samples + 1 triangle counts (each the
+    wedge-join shape) over graphs of the SAME degree sequence — runs
+    are independent, schedule them as separate jobs if wall-clock
+    matters; the rewiring itself is the configuration_model rank
+    pass."""
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1: got {n_samples}")
+    from linkgraph.triangles import triangle_count
+
+    spark = edges.sparkSession
+    obs_res = triangle_count(edges)
+    observed = int(obs_res.triangle_count)
+    obs_res.release()
+    counts = []
+    for s in range(n_samples):
+        rw = configuration_model(edges, seed=seed + s)
+        simple = rw.filter(F.col("a") != F.col("b")).distinct().select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        res = triangle_count(simple)
+        counts.append(int(res.triangle_count))
+        res.release()
+    ssum = sum(counts)
+    ssq = sum(c * c for c in counts)
+    mean = ssum / n_samples
+    var = ssq / n_samples - mean * mean
+    std = var ** 0.5 if var > 0 else 0.0
+
+    def _r6(x):  # HALF_UP away from zero — python round() is banker's
+        import math
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    z = _r6((observed - mean) / std) if std > 0 else None
+    return spark.createDataFrame(
+        [(float(observed), _r6(mean), _r6(std), z)],
+        "observed double, null_mean double, null_std double, z double",
+    )
+
+
+def motif_significance_sql(
+    edges_sql: str, n_samples: int = 3, seed: int = 0
+) -> str:
+    """DuckDB twin of ``motif_significance``: per-sample configuration
+    rewiring + id-ordered triangle count, identical moment arithmetic."""
+    tri_count = """SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {u} e1
+  JOIN {u} e2 ON e2.a = e1.b JOIN {u} e3 ON e3.a = e1.a AND e3.b = e2.b"""
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        """obs_u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+  GREATEST(src, dst) AS b FROM e0 WHERE src <> dst)""",
+        f"obs AS ({tri_count.format(u='obs_u')})",
+    ]
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    for s in range(n_samples):
+        h = stable_hash64_sql("node || '|' || partner", salt=seed + s)
+        parts.append(
+            f"""rw{s} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT MIN(node) AS a, MAX(node) AS b FROM (
+      SELECT node,
+        CAST((ROW_NUMBER() OVER (ORDER BY {h} ASC, node ASC, partner ASC)
+              - 1) // 2 AS BIGINT) AS pair_id
+      FROM (SELECT a AS node, b AS partner FROM obs_u
+            UNION ALL SELECT b, a FROM obs_u))
+    GROUP BY pair_id)
+  WHERE a <> b)"""
+        )
+        parts.append(f"c{s} AS ({tri_count.format(u=f'rw{s}')})")
+    csel = " UNION ALL ".join(f"SELECT c FROM c{s}" for s in range(n_samples))
+    parts.append(f"samples AS ({csel})")
+    parts.append(
+        """m AS (SELECT CAST(SUM(c) AS BIGINT) AS ssum,
+  CAST(SUM(c * c) AS BIGINT) AS ssq FROM samples)"""
+    )
+    n = n_samples
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(obs.c AS DOUBLE) AS observed,
+  ROUND(CAST(m.ssum AS DOUBLE) / {n}, 6) AS null_mean,
+  ROUND(CASE WHEN CAST(m.ssq AS DOUBLE) / {n}
+             - (CAST(m.ssum AS DOUBLE) / {n}) * (CAST(m.ssum AS DOUBLE) / {n})
+             > 0
+        THEN sqrt(CAST(m.ssq AS DOUBLE) / {n}
+                  - (CAST(m.ssum AS DOUBLE) / {n})
+                    * (CAST(m.ssum AS DOUBLE) / {n}))
+        ELSE 0.0 END, 6) AS null_std,
+  CASE WHEN CAST(m.ssq AS DOUBLE) / {n}
+            - (CAST(m.ssum AS DOUBLE) / {n}) * (CAST(m.ssum AS DOUBLE) / {n})
+            > 0
+       THEN ROUND((CAST(obs.c AS DOUBLE) - CAST(m.ssum AS DOUBLE) / {n})
+                  / sqrt(CAST(m.ssq AS DOUBLE) / {n}
+                         - (CAST(m.ssum AS DOUBLE) / {n})
+                           * (CAST(m.ssum AS DOUBLE) / {n})), 6)
+       ELSE NULL END AS z
+FROM obs CROSS JOIN m"""
+    )

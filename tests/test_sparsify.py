@@ -244,3 +244,51 @@ def test_robustness_validates(spark):
         robustness_curve(e, frac_per_step=1.5)
     with pytest.raises(ValueError, match="strategy"):
         robustness_curve(e, strategy="x")
+
+
+# ---- motif_significance ---------------------------------------------
+
+from linkgraph.graphs import motif_significance, motif_significance_sql
+
+
+def test_motif_significance_triangle_rich_is_positive(spark):
+    import itertools
+
+    # two K5 cliques: far more triangles than any degree-preserving
+    # rewiring of the same sequence
+    K = list(itertools.combinations(range(5), 2)) + \
+        list(itertools.combinations(range(5, 10), 2))
+    row = motif_significance(
+        _edges(spark, [(a, b, 1.0) for a, b in K]), n_samples=4
+    ).collect()[0]
+    assert row["observed"] == 20.0
+    assert row["z"] is None or row["z"] > 1.0
+    assert row["null_mean"] < row["observed"]
+
+
+def test_motif_significance_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(3)
+    pairs = [p for p in {(rng.randrange(14), rng.randrange(14))
+                         for _ in range(50)} if p[0] != p[1]]
+    rows = [(a, b, 1.0) for a, b in pairs]
+    got = [tuple(r) for r in motif_significance(
+        _edges(spark, rows), n_samples=3).collect()]
+    duck = duckdb.connect().execute(
+        motif_significance_sql(_values_sql(rows), n_samples=3)
+    ).fetchall()
+    assert got == duck
+
+
+def test_motif_significance_zero_variance_null_z(spark):
+    # a single edge: every rewiring has 0 triangles -> std 0 -> z NULL
+    row = motif_significance(
+        _edges(spark, [(0, 1, 1.0)]), n_samples=2
+    ).collect()[0]
+    assert row["z"] is None and row["null_std"] == 0.0
+
+
+def test_motif_significance_validates(spark):
+    with pytest.raises(ValueError, match="n_samples"):
+        motif_significance(_edges(spark, [(0, 1, 1.0)]), n_samples=0)
