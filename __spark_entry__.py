@@ -1280,6 +1280,14 @@ def _induced_sql_wrapped() -> str:
     return induced_subgraph_sql(COSUPPLIER_EDGES_SQL, 0.5, seed=3)
 
 
+def _linkpred_auc_sql_wrapped() -> str:
+    from linkgraph.similarity import link_prediction_auc_sql
+    return link_prediction_auc_sql(
+        PURCHASE_EDGES_SQL, method="common_neighbors",
+        holdout_den=5, neg_draws=128,
+    )
+
+
 def _nodesim_lsh_sql_wrapped() -> str:
     from linkgraph.similarity import node_similarity_lsh_sql
     nbr = (
@@ -1779,6 +1787,20 @@ def _q_weighted_walks_cosupplier(spark, sf_dir):
             "node",
         ),
         res,
+    )
+
+
+def _q_linkpred_auc_cosupplier(spark, sf_dir):
+    """Hold-out link-prediction AUC on the sparse purchase graph
+    (linkgraph/similarity.py link_prediction_auc): hash 1/5 split,
+    common-neighbor scores on the training graph, hash-drawn
+    negatives, exact midrank statistic. (The co-supplier graph is
+    near-complete — no non-edges to draw.)"""
+    from linkgraph.graphs import purchase_edges
+    from linkgraph.similarity import link_prediction_auc
+    return link_prediction_auc(
+        purchase_edges(spark, sf_dir), method="common_neighbors",
+        holdout_den=5, neg_draws=128,
     )
 
 
@@ -2647,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodesim_pearson_cosupplier": _q_nodesim_pearson_cosupplier,
         "nodesim_euclidean_cosupplier": _q_nodesim_euclidean_cosupplier,
         "linkpred_purchase_topn": _q_linkpred_purchase,
+        "linkpred_auc_purchase": _q_linkpred_auc_cosupplier,
         "nodesim_topk_cosupplier": _q_nodesim_topk_cosupplier,
         "walks_cosupplier": _q_walks_cosupplier,
         "walk_sequences_cosupplier": _q_walk_sequences_cosupplier,
@@ -3551,6 +3574,7 @@ GROUP BY 1, 2
         # node similarity — co-neighbor join + degree join, DuckDB's
         # integer `/` is float division so no casts needed; rank is a
         # legal alias (matches the pagerank oracle's usage)
+        "linkpred_auc_purchase": _linkpred_auc_sql_wrapped(),
         "linkpred_purchase_topn": f"""
 WITH e AS ({PURCHASE_EDGES_SQL}),
 nbr0 AS (SELECT DISTINCT src, nbr FROM (

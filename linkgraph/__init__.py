@@ -116,6 +116,8 @@ from linkgraph.embeddings import (
     sgns_embeddings_sql,
 )
 from linkgraph.similarity import (
+    link_prediction_auc,
+    link_prediction_auc_sql,
     node_similarity_lsh,
     bipartite_projection,
     link_prediction,
@@ -306,6 +308,8 @@ __all__ = [
     "node_similarity_topk",
     "bipartite_projection",
     "link_prediction",
+    "link_prediction_auc",
+    "link_prediction_auc_sql",
     "random_walks",
     "node2vec_walks",
     "walks_as_sequences",

@@ -702,3 +702,201 @@ FROM cm JOIN deg d1 ON d1.src = cm.node1
         JOIN deg d2 ON d2.src = cm.node2
 WHERE ROUND({expr}, 6) >= {min_similarity}
 """
+
+
+def link_prediction_auc(
+    edges: DataFrame,
+    method: str = "adamic_adar",
+    holdout_den: int = 5,
+    neg_draws: int = 256,
+    seed: int = 0,
+    feature_cap: int | None = None,
+) -> DataFrame:
+    """Hold-out AUC evaluation of `link_prediction` — the standard
+    Liben-Nowell & Kleinberg protocol run deterministically END-TO-END:
+
+    * TEST positives = undirected edges whose 60-bit pair hash lands
+      in residue 0 mod ``holdout_den`` (an exact 1/holdout_den split);
+      the remaining edges are the training graph;
+    * negatives = ``neg_draws`` hash-drawn node pairs (over the sorted
+      node index) that are non-edges of the FULL graph and not test
+      positives, deduplicated — a deterministic stand-in for uniform
+      non-edge sampling;
+    * every pool pair takes its trained score (absent candidates score
+      0 — no common neighbor in the training graph), and AUC uses the
+      exact MIDRANK statistic: with scores tied at 6 decimals,
+      2·Σ midrank is an integer, so
+      AUC = (2·Σ midrank_pos − P(P+1)) / (2·P·N) is ONE exact
+      rational division, rounded 6.
+
+    Returns one row (positives, negatives, auc); auc is NULL when
+    either side of the pool is empty (disclosed, not defaulted).
+
+    Scale notes (100TB): the split and the negative draw are pure
+    hash expressions on the edge/node tables; scoring is one
+    `link_prediction` run on the training graph (its co-neighbor
+    shuffle); the ranking window runs over the POOL only (holdout +
+    draws — a knob, not the graph)."""
+    if holdout_den < 2:
+        raise ValueError(f"holdout_den must be >= 2: got {holdout_den}")
+    if neg_draws < 1:
+        raise ValueError(f"neg_draws must be >= 1: got {neg_draws}")
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    hsplit = stable_hash64(
+        F.concat_ws("|", F.col("a"), F.col("b")), salt=f"lp-split-{seed}"
+    )
+    und = und.withColumn("is_test", F.pmod(hsplit, F.lit(holdout_den)) == 0)
+    test_pos = und.filter("is_test").select("a", "b")
+    train = und.filter(~F.col("is_test")).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    scores = link_prediction(
+        train, method=method, min_score=-1.0, feature_cap=feature_cap
+    ).select(F.col("node1").alias("a"), F.col("node2").alias("b"), "score")
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    widx = Window.orderBy(F.col("id").asc())
+    indexed = nodes.select(
+        "id", (F.row_number().over(widx) - 1).cast("long").alias("idx")
+    )
+    n = indexed.count()
+    draws = spark.range(neg_draws).select(F.col("id").alias("m"))
+    ha = stable_hash64(F.col("m").cast("string"), salt=f"lp-nega-{seed}")
+    hb = stable_hash64(F.col("m").cast("string"), salt=f"lp-negb-{seed}")
+    cand = (
+        draws.select(
+            F.pmod(ha, F.lit(n)).alias("ia"), F.pmod(hb, F.lit(n)).alias("ib")
+        )
+        .join(indexed.select(F.col("idx").alias("ia"), F.col("id").alias("na")),
+              "ia")
+        .join(indexed.select(F.col("idx").alias("ib"), F.col("id").alias("nb")),
+              "ib")
+        .filter(F.col("na") != F.col("nb"))
+        .select(F.least("na", "nb").alias("a"), F.greatest("na", "nb").alias("b"))
+        .distinct()
+        .join(und.select("a", "b"), ["a", "b"], "left_anti")
+    )
+    pool = (
+        test_pos.withColumn("label", F.lit(1))
+        .unionByName(cand.withColumn("label", F.lit(0)))
+        .join(scores, ["a", "b"], "left")
+        .select("label", F.coalesce(F.col("score"), F.lit(0.0)).alias("s"))
+    )
+    wmin = Window.orderBy(F.col("s").asc())
+    ranked = pool.select(
+        "label", "s",
+        F.rank().over(wmin).cast("long").alias("rmin"),
+        F.count("*").over(Window.partitionBy("s")).cast("long").alias("ties"),
+    )
+    # 2*midrank = 2*rmin + ties - 1 (integer)
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1,
+                     2 * F.col("rmin") + F.col("ties") - 1)).alias("num2"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("nn"),
+    )
+    return agg.select(
+        F.col("p").cast("long").alias("positives"),
+        F.col("nn").cast("long").alias("negatives"),
+        F.when(
+            (F.col("p") > 0) & (F.col("nn") > 0),
+            F.round(
+                (F.col("num2") - F.col("p") * (F.col("p") + 1)).cast("double")
+                / (2 * F.col("p") * F.col("nn")).cast("double"),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def link_prediction_auc_sql(
+    edges_sql: str,
+    method: str = "adamic_adar",
+    holdout_den: int = 5,
+    neg_draws: int = 256,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of `link_prediction_auc` (methods: adamic_adar,
+    common_neighbors, resource_allocation): identical hash split,
+    training-graph scoring, hash-drawn negatives, midrank AUC."""
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    if method == "adamic_adar":
+        w = "CASE WHEN d.deg > 1 THEN 1.0 / ln(d.deg) ELSE 0.0 END"
+    elif method == "resource_allocation":
+        w = "1.0 / d.deg"
+    elif method == "common_neighbors":
+        w = "1.0"
+    else:
+        raise ValueError(f"twin supports aa/cn/ra, got {method!r}")
+    hs = stable_hash64_sql("a || '|' || b", salt=f"lp-split-{seed}")
+    ha = stable_hash64_sql("CAST(m AS VARCHAR)", salt=f"lp-nega-{seed}")
+    hb = stable_hash64_sql("CAST(m AS VARCHAR)", salt=f"lp-negb-{seed}")
+    return f"""
+WITH e0 AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+split AS (SELECT a, b, ({hs}) % {holdout_den} = 0 AS is_test FROM und),
+test_pos AS (SELECT a, b FROM split WHERE is_test),
+train AS (SELECT a AS src, b AS dst FROM split WHERE NOT is_test),
+nbr AS (SELECT DISTINCT src, nbr FROM (
+          SELECT src, dst AS nbr FROM train
+          UNION ALL SELECT dst, src FROM train) WHERE src <> nbr),
+deg AS (SELECT src, COUNT(*) AS deg FROM nbr GROUP BY src),
+wn AS (SELECT nbr.src, nbr.nbr, {w} AS w
+       FROM nbr JOIN deg d ON d.src = nbr.nbr),
+cand AS (SELECT x.src AS a, y.src AS b, SUM(x.w) AS raw
+         FROM wn x JOIN nbr y ON x.nbr = y.nbr AND x.src < y.src
+         GROUP BY 1, 2),
+ex AS (SELECT src AS a, nbr AS b FROM nbr WHERE src < nbr),
+sc AS (SELECT c.a, c.b, ROUND(c.raw, 6) AS score
+       FROM cand c ANTI JOIN ex ON c.a = ex.a AND c.b = ex.b),
+nodes AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+indexed AS (SELECT id,
+  CAST(ROW_NUMBER() OVER (ORDER BY id ASC) - 1 AS BIGINT) AS idx FROM nodes),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+draws AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, {neg_draws})),
+negc AS (
+  SELECT DISTINCT LEAST(ia.id, ib.id) AS a, GREATEST(ia.id, ib.id) AS b
+  FROM draws CROSS JOIN nn
+  JOIN indexed ia ON ia.idx = ({ha}) % nn.n
+  JOIN indexed ib ON ib.idx = ({hb}) % nn.n
+  WHERE ia.id <> ib.id),
+neg AS (SELECT n.a, n.b FROM negc n
+        ANTI JOIN und u ON u.a = n.a AND u.b = n.b),
+pool AS (
+  SELECT 1 AS label, COALESCE(sc.score, 0.0) AS s
+  FROM test_pos p LEFT JOIN sc ON sc.a = p.a AND sc.b = p.b
+  UNION ALL
+  SELECT 0, COALESCE(sc.score, 0.0)
+  FROM neg LEFT JOIN sc ON sc.a = neg.a AND sc.b = neg.b),
+ranked AS (SELECT label, s,
+  CAST(RANK() OVER (ORDER BY s ASC) AS BIGINT) AS rmin,
+  CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS ties FROM pool)
+SELECT
+  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+  CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS negatives,
+  CASE WHEN SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) > 0
+        AND SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) > 0
+  THEN ROUND(
+    CAST(SUM(CASE WHEN label = 1 THEN 2 * rmin + ties - 1 END)
+         - SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+           * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+    / CAST(2 * SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+           * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+  ELSE NULL END AS auc
+FROM ranked
+"""

@@ -447,3 +447,57 @@ def test_weighted_pearson_cutoff_twin(spark):
     # n = 3 features (12 is still a feature even though node 3 is cut):
     # perfectly proportional vectors over n=3 with missing-as-0 -> r=1
     assert {r.pearson for r in res} == {1.0}
+
+
+# ---- link_prediction_auc --------------------------------------------
+
+from linkgraph.similarity import link_prediction_auc, link_prediction_auc_sql
+
+
+def _auc_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def test_auc_structured_beats_random(spark):
+    import itertools
+
+    # two K8 cliques: held-out intra-clique edges share many training
+    # common neighbors, random non-edges (mostly cross-clique) share
+    # none -> AUC far above 0.5
+    K = list(itertools.combinations(range(8), 2)) + \
+        list(itertools.combinations(range(8, 16), 2))
+    row = link_prediction_auc(
+        _auc_edges(spark, K), method="common_neighbors",
+        holdout_den=4, neg_draws=128,
+    ).collect()[0]
+    assert row["positives"] > 0 and row["negatives"] > 0
+    assert row["auc"] > 0.9
+
+
+def test_auc_duckdb_twin_both_methods(spark):
+    import duckdb
+    import random
+
+    rng = random.Random(11)
+    pairs = [p for p in {(rng.randrange(20), rng.randrange(20))
+                         for _ in range(80)} if p[0] != p[1]]
+    vals = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    sql_edges = f"SELECT * FROM (VALUES {vals}) AS t(src, dst, weight)"
+    for method in ("common_neighbors", "adamic_adar", "resource_allocation"):
+        got = [tuple(r) for r in link_prediction_auc(
+            _auc_edges(spark, pairs), method=method, neg_draws=64,
+        ).collect()]
+        duck = duckdb.connect().execute(
+            link_prediction_auc_sql(sql_edges, method=method, neg_draws=64)
+        ).fetchall()
+        assert got == duck, method
+
+
+def test_auc_validates(spark):
+    e = _auc_edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="holdout_den"):
+        link_prediction_auc(e, holdout_den=1)
+    with pytest.raises(ValueError, match="neg_draws"):
+        link_prediction_auc(e, neg_draws=0)
