@@ -1116,6 +1116,16 @@ def _q_robustness_trade_nation(spark, sf_dir):
     )
 
 
+def _q_forestfire_purchase(spark, sf_dir):
+    """Forest-fire sample of the purchase graph from 2 seeds
+    (linkgraph/graphs.py forest_fire_sample): per-edge hash burn
+    coins, deterministic frontier rounds."""
+    from linkgraph.graphs import forest_fire_sample
+    return forest_fire_sample(
+        purchase_edges(spark, sf_dir), [1, 7], p_num=1, p_den=3, max_rounds=5
+    )
+
+
 def _q_motifsig_trade_nation(spark, sf_dir):
     """Triangle-motif z-score vs the degree-preserving null
     (linkgraph/graphs.py motif_significance): observed triangles
@@ -2692,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "configmodel_trade_nation": _q_configmodel_trade_nation,
         "robustness_trade_nation": _q_robustness_trade_nation,
         "motifsig_trade_nation": _q_motifsig_trade_nation,
+        "forestfire_purchase": _q_forestfire_purchase,
         "ppr_batch_trade_nation": _q_ppr_batch_trade_nation,
         "steiner_trade_nation": _q_steiner_trade_nation,
         "girvan_newman_nation": _q_girvan_newman_nation,
@@ -3329,6 +3340,7 @@ def _paths_oracles() -> dict[str, str]:
     from linkgraph.influence import influence_maximization_sql
     from linkgraph.graphs import (
         configuration_model_sql,
+        forest_fire_sample_sql,
         motif_significance_sql,
         robustness_curve_sql,
         sparsify_local_degree_sql,
@@ -3542,6 +3554,9 @@ FROM nodes nd LEFT JOIN (
         ),
         "motifsig_trade_nation": motif_significance_sql(
             TRADE_NATION_SQL, n_samples=3
+        ),
+        "forestfire_purchase": forest_fire_sample_sql(
+            PURCHASE_EDGES_SQL, [1, 7], p_num=1, p_den=3, max_rounds=5
         ),
         "richclub_cosupplier": _richclub_sql_wrapped(),
         "reciprocity_trade_nation": _reciprocity_sql_wrapped(),

@@ -102,6 +102,7 @@ from linkgraph.graphs import (
     configuration_model,
     robustness_curve,
     motif_significance,
+    forest_fire_sample,
     graphlet_counts,
     degree_centrality,
     degree_histogram,
@@ -297,6 +298,7 @@ __all__ = [
     "configuration_model",
     "robustness_curve",
     "motif_significance",
+    "forest_fire_sample",
     "eigenvector_centrality",
     "katz_centrality",
     "fastrp_embeddings",

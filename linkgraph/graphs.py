@@ -1116,3 +1116,127 @@ SELECT CAST(obs.c AS DOUBLE) AS observed,
        ELSE NULL END AS z
 FROM obs CROSS JOIN m"""
     )
+
+
+def forest_fire_sample(
+    edges: DataFrame,
+    seeds: list[int],
+    p_num: int = 2,
+    p_den: int = 5,
+    max_rounds: int = 8,
+    direction: str = "BOTH",
+    burn_seed: int = 0,
+) -> DataFrame:
+    """Forest-fire graph sampling (Leskovec-Faloutsos KDD'06 — the
+    classic property-preserving subgraph sampler), deterministic: the
+    fire starts at ``seeds``; each round every burning node ignites
+    each incident edge independently iff
+    H(u|v|burn_seed) % p_den < p_num (a fixed per-edge hash coin —
+    burn decisions are properties of the edge, so revisits are
+    consistent and the SQL twin (`forest_fire_sample_sql`) is
+    hash-exact); newly burned nodes join the frontier. Stops at
+    ``max_rounds`` or when the fire dies.
+
+    Returns (id, burned_round) — round 0 = seeds. The sampled
+    subgraph is the induced graph on these nodes (compose with
+    `induced_subgraph`).
+
+    Scale notes (100TB): identical machinery to the influence RR
+    frontier — one frontier-vs-pinned-adjacency join with the
+    liveness predicate evaluated in-task per round + a first-arrival
+    aggregate; state is the burned set."""
+    if not seeds or len(set(seeds)) != len(seeds):
+        raise ValueError("seeds must be a non-empty distinct list")
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"p must be rational in (0, 1]: {p_num}/{p_den}")
+    if direction not in ("OUTGOING", "INCOMING", "BOTH"):
+        raise ValueError(f"bad direction {direction}")
+    from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if direction == "OUTGOING":
+        adj = e
+    elif direction == "INCOMING":
+        adj = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        adj = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = pin_table(adj.distinct())
+    burned = pin_table(
+        spark.createDataFrame(
+            [(int(s), 0) for s in seeds], "id long, burned_round long"
+        )
+    )
+    frontier = burned
+    loop = SuperstepLoop(spark, name="forestfire", max_steps=max_rounds)
+    coin = F.pmod(
+        stable_hash64(F.concat_ws("|", F.col("src"), F.col("dst")),
+                      salt=f"ff-{burn_seed}"),
+        F.lit(p_den),
+    ) < F.lit(p_num)
+    for it in range(1, max_rounds + 1):
+        new = (
+            frontier.withColumnRenamed("id", "src")
+            .join(adj, "src")
+            .filter(coin)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(burned.select("id"), "id", "left_anti")
+            .select("id", F.lit(it).cast("long").alias("burned_round"))
+        )
+        new = loop.advance(it, new, metrics={"round": it})
+        n_new = new.count()
+        prev = burned
+        burned = pin_table(burned.unionByName(new))
+        release_state(prev)
+        frontier = new
+        if n_new == 0:
+            break
+    return burned
+
+
+def forest_fire_sample_sql(
+    edges_sql: str,
+    seeds: list[int],
+    p_num: int = 2,
+    p_den: int = 5,
+    max_rounds: int = 8,
+    direction: str = "BOTH",
+    burn_seed: int = 0,
+) -> str:
+    """DuckDB twin of ``forest_fire_sample`` (same per-edge hash
+    coins, unrolled rounds)."""
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    if direction == "OUTGOING":
+        view = "SELECT DISTINCT src, dst FROM e WHERE src <> dst"
+    elif direction == "INCOMING":
+        view = "SELECT DISTINCT dst AS src, src AS dst FROM e WHERE src <> dst"
+    else:
+        view = ("SELECT DISTINCT src, dst FROM ("
+                "SELECT src, dst FROM e WHERE src <> dst "
+                "UNION ALL SELECT dst, src FROM e WHERE src <> dst)")
+    h = stable_hash64_sql("adj.src || '|' || adj.dst", salt=f"ff-{burn_seed}")
+    vals = ", ".join(f"({int(s)})" for s in seeds)
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        f"adj AS MATERIALIZED ({view})",
+        f"b0 AS (SELECT CAST(s AS BIGINT) AS id,"
+        f" CAST(0 AS BIGINT) AS burned_round FROM (VALUES {vals}) v(s))",
+    ]
+    for t in range(1, max_rounds + 1):
+        prev = " UNION ALL ".join(f"SELECT id FROM b{i}" for i in range(t))
+        parts.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT DISTINCT adj.dst AS id, CAST({t} AS BIGINT) AS burned_round
+  FROM b{t - 1} f JOIN adj ON adj.src = f.id
+  WHERE ({h}) % {p_den} < {p_num}
+    AND adj.dst NOT IN ({prev}))"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT id, burned_round FROM b{t}" for t in range(max_rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel

@@ -292,3 +292,87 @@ def test_motif_significance_zero_variance_null_z(spark):
 def test_motif_significance_validates(spark):
     with pytest.raises(ValueError, match="n_samples"):
         motif_significance(_edges(spark, [(0, 1, 1.0)]), n_samples=0)
+
+
+# ---- forest_fire_sample ---------------------------------------------
+
+import hashlib
+
+from linkgraph.graphs import forest_fire_sample, forest_fire_sample_sql
+
+
+def _brute_ff(pairs, seeds, p_num, p_den, max_rounds, burn_seed=0,
+              direction="BOTH"):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        if direction in ("OUTGOING", "BOTH"):
+            adj.setdefault(a, set()).add(b)
+        if direction in ("INCOMING", "BOTH"):
+            adj.setdefault(b, set()).add(a)
+
+    def coin(u, v):
+        h = int(hashlib.md5(f"{u}|{v}#ff-{burn_seed}".encode())
+                .hexdigest()[:15], 16)
+        return h % p_den < p_num
+
+    burned = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for t in range(1, max_rounds + 1):
+        new = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in burned and coin(u, v):
+                    new.add(v)
+        for v in new:
+            burned[v] = t
+        frontier = new
+        if not new:
+            break
+    return sorted(burned.items())
+
+
+@pytest.mark.parametrize("direction", ["BOTH", "OUTGOING"])
+def test_forest_fire_vs_brute(spark, direction):
+    rng = random.Random(19)
+    pairs = [p for p in {(rng.randrange(15), rng.randrange(15))
+                         for _ in range(46)} if p[0] != p[1]]
+    e = _edges(spark, [(a, b, 1.0) for a, b in pairs])
+    got = sorted(tuple(r) for r in forest_fire_sample(
+        e, [0, 7], p_num=1, p_den=2, max_rounds=6, direction=direction,
+    ).collect())
+    assert got == _brute_ff(pairs, [0, 7], 1, 2, 6, direction=direction)
+
+
+def test_forest_fire_p1_is_bfs_reachability(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (5, 6)]
+    e = _edges(spark, [(a, b, 1.0) for a, b in pairs])
+    got = sorted(tuple(r) for r in forest_fire_sample(
+        e, [0], p_num=1, p_den=1, max_rounds=6).collect())
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+
+def test_forest_fire_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(5)
+    pairs = [p for p in {(rng.randrange(16), rng.randrange(16))
+                         for _ in range(50)} if p[0] != p[1]]
+    rows = [(a, b, 1.0) for a, b in pairs]
+    got = sorted(tuple(r) for r in forest_fire_sample(
+        _edges(spark, rows), [0], max_rounds=5).collect())
+    duck = duckdb.connect().execute(
+        forest_fire_sample_sql(_values_sql(rows), [0], max_rounds=5)
+    ).fetchall()
+    assert got == sorted(duck)
+
+
+def test_forest_fire_validates(spark):
+    e = _edges(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError, match="seeds"):
+        forest_fire_sample(e, [])
+    with pytest.raises(ValueError, match="rational"):
+        forest_fire_sample(e, [0], p_num=3, p_den=2)
+    with pytest.raises(ValueError, match="direction"):
+        forest_fire_sample(e, [0], direction="X")
