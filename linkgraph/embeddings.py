@@ -535,6 +535,9 @@ def sgns_embeddings(
     lr: float = 0.1,
     seed: int = 0,
     direction: str = "BOTH",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> DataFrame:
     """Skip-gram-with-negative-sampling node embeddings (word2vec /
     DeepWalk-SGNS, Mikolov et al. 2013, Perozzi et al. KDD'14 — public
@@ -571,7 +574,7 @@ def sgns_embeddings(
     index is one global rank window (the zipWithIndex disclosure)."""
     from linkgraph.walks import random_walks
     from linkgraph.pipeline.hashing import stable_hash64
-    from linkgraph.checkpoint import pin_table, release_state
+    from linkgraph.checkpoint import SuperstepLoop, pin_table, release_state
 
     if dim < 1 or window < 1 or negatives < 0 or epochs < 0:
         raise ValueError(
@@ -648,7 +651,49 @@ def sgns_embeddings(
     ctxv = pin_table(
         nodes.select("id", *[F.lit(0).cast("long").alias(c) for c in vcols])
     )
-    for _ in range(epochs):
+    # epoch-granular durable resume: both vector tables ride ONE
+    # state frame (side 0 = input/center, side 1 = context), validated
+    # against the triple-table fingerprint + hyperparameters
+    params = {
+        "dim": dim, "walk_length": walk_length,
+        "walks_per_node": walks_per_node, "window": window,
+        "negatives": negatives, "lr": repr(float(lr)), "seed": seed,
+        "direction": direction,
+    }
+    fp = (
+        int(triples.agg(
+            F.expr("bit_xor(xxhash64(center, other, cnt, label))")
+            .alias("f")).first()["f"] or 0)
+        if checkpoint_dir else None
+    )
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="sgns",
+        max_steps=epochs, context={"corpus_fp": fp, "params": params},
+    )
+    start = 0
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            rec_fp = loop.last_context.get("corpus_fp")
+            rec = loop.last_context.get("params")
+            if (rec_fp is not None and int(rec_fp) != fp) or (
+                rec is not None and rec != params
+            ):
+                raise ValueError(
+                    "sgns_embeddings resume mismatch: corpus fingerprint "
+                    f"or hyperparameters differ ({rec_fp} != {fp} or "
+                    f"{rec!r} != {params!r})."
+                )
+            start, state = resumed
+            release_state(cen)
+            release_state(ctxv)
+            cen = pin_table(
+                state.filter(F.col("side") == 0).select("id", *vcols)
+            )
+            ctxv = pin_table(
+                state.filter(F.col("side") == 1).select("id", *vcols)
+            )
+    for _ep in range(start, epochs):
         t = (
             triples.join(
                 cen.select(F.col("id").alias("center"),
@@ -722,6 +767,14 @@ def sgns_embeddings(
         )
         new_cen.count()
         new_ctx.count()
+        if checkpoint_dir:
+            both = new_cen.select(
+                F.lit(0).alias("side"), "id", *vcols
+            ).unionByName(
+                new_ctx.select(F.lit(1).alias("side"), "id", *vcols)
+            )
+            loop.advance(_ep + 1, both, metrics={"epoch": _ep + 1},
+                         force_checkpoint=True)
         release_state(cen)
         release_state(ctxv)
         cen, ctxv = new_cen, new_ctx

@@ -332,3 +332,29 @@ def test_sgns_validates(spark):
         sgns_embeddings(e, dim=0)
     with pytest.raises(ValueError, match="hyperparameters"):
         sgns_embeddings(e, negatives=-1)
+
+
+def test_sgns_resume_equals_uninterrupted(spark, tmp_path):
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    kw = dict(dim=4, walk_length=3, walks_per_node=3, epochs=4, lr=0.2)
+    full = sorted(tuple(r) for r in sgns_embeddings(
+        _sg_edges(spark, pairs), **kw).collect())
+    ckpt = str(tmp_path / "sg")
+    kw2 = dict(kw)
+    kw2["epochs"] = 2
+    sgns_embeddings(
+        _sg_edges(spark, pairs), checkpoint_dir=ckpt, checkpoint_every=1,
+        **kw2,
+    ).count()
+    resumed = sorted(tuple(r) for r in sgns_embeddings(
+        _sg_edges(spark, pairs), checkpoint_dir=ckpt, checkpoint_every=1,
+        resume=True, **kw,
+    ).collect())
+    assert resumed == full
+    bad = dict(kw)
+    bad["lr"] = 0.5
+    with pytest.raises(ValueError, match="resume mismatch"):
+        sgns_embeddings(
+            _sg_edges(spark, pairs), checkpoint_dir=ckpt,
+            checkpoint_every=1, resume=True, **bad,
+        )
