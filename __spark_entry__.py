@@ -564,6 +564,34 @@ def _jp_nation_sql() -> str:
     return jones_plassmann_sql(TRADE_NATION_SQL, 42, 25)
 
 
+def _q_wl_cosupplier(spark, sf_dir):
+    """1-WL color refinement role classes on the co-supplier graph,
+    textbook sorted-multiset encoding (linkgraph/wl.py)."""
+    from linkgraph.wl import wl_refinement
+    res = wl_refinement(cosupplier_edges(spark, sf_dir), rounds=3, seed=7)
+    return res.colors
+
+
+def _q_wl_sum_purchase(spark, sf_dir):
+    """1-WL refinement on the purchase graph via the order-free
+    DECIMAL-sum multiset encoding — the map-side-combinable 100TB
+    path (linkgraph/wl.py)."""
+    from linkgraph.wl import wl_refinement
+    res = wl_refinement(purchase_edges(spark, sf_dir), rounds=3, seed=7,
+                        combine="sum")
+    return res.colors
+
+
+def _wl_cosupplier_sql() -> str:
+    from linkgraph.wl import wl_refinement_sql
+    return wl_refinement_sql(COSUPPLIER_EDGES_SQL, 3, seed=7)
+
+
+def _wl_sum_purchase_sql() -> str:
+    from linkgraph.wl import wl_refinement_sql
+    return wl_refinement_sql(PURCHASE_EDGES_SQL, 3, seed=7, combine="sum")
+
+
 def _q_graphlets_nation(spark, sf_dir):
     """3/4-node graphlet counts (wedges, triangles, 4-cycles,
     4-cliques) on the trade graph — BIGINT-exact subgraph counts
@@ -2629,6 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yen3_trade_nation": _q_yen_nation,
         "luby_mis_purchase": _q_luby_purchase,
         "coloring_jp_nation": _q_jp_nation,
+        "wl_refine_cosupplier": _q_wl_cosupplier,
+        "wl_refine_sum_purchase": _q_wl_sum_purchase,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "bfs_trade_nation": _q_bfs_trade_nation,
@@ -3486,6 +3516,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "astar_trade_nation": _astar_nation_sql(),
         "yen3_trade_nation": _yen_nation_sql(),
         "luby_mis_purchase": _luby_purchase_sql(),
+        "wl_refine_cosupplier": _wl_cosupplier_sql(),
+        "wl_refine_sum_purchase": _wl_sum_purchase_sql(),
         "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,

@@ -1,0 +1,197 @@
+"""1-dimensional Weisfeiler-Lehman color refinement (WL node
+fingerprints / structural role classes).
+
+Engine extension beyond the reference procedure list (SURVEY.md §2 is
+100% covered elsewhere): 1-WL refinement (Weisfeiler & Lehman 1968;
+Shervashidze et al. JMLR 2011, "Weisfeiler-Lehman graph kernels" —
+public results) is the canonical structural-role / graph-fingerprint
+primitive: after k rounds two nodes share a color iff their depth-k
+unfolded neighborhood trees are identical, which gives (a) structural
+role classes for feature engineering over the import graph, (b) a
+graph-level fingerprint (the color histogram) for near-isomorphism
+screening of repo subgraphs, and (c) the exact node partition GNN
+expressive-power results are stated against.
+
+Determinism = oracle-ability: colors are 60-bit ``stable_hash64``
+values (pipeline/hashing.py — bit-identical in Spark, DuckDB and
+Python). Round t rewrites each node's color as
+
+    H( own_color || '|' || multiset-encoding of neighbor colors, salt )
+
+with two multiset encodings:
+
+* ``combine="sort"`` (default, the textbook encoding): the
+  sorted comma-joined neighbor color list — exact, but the signature
+  string and the ``collect_list`` behind it are O(degree) per node,
+  so a mega-hub concentrates O(deg) state in one aggregation buffer;
+* ``combine="sum"`` (the 100TB path): neighbor colors are summed in
+  DECIMAL(38,0) (order-free, map-side combinable, constant per-group
+  state) and reduced mod 2^60, with the neighbor COUNT appended to
+  the signature. A commutative multiset hash — collisions are
+  possible in principle (two different color multisets with equal sum
+  and count) but need ~2^-60-scale coincidences; the partition it
+  produces is pytest-cross-checked against "sort" on fixtures.
+
+Colors only split (nodes with equal signatures stay together; nodes
+with different old colors hash apart), so ``n_classes`` per round is
+non-decreasing; the per-round class counts are reported in
+``stats["classes_per_round"]``. The run always executes exactly
+``rounds`` rounds — WL color VALUES change every round even after the
+partition stabilizes (the hash re-mixes), so a value-exact SQL twin
+must unroll the same fixed round count (``wl_refinement_sql``).
+
+Scale notes (100TB): per round ONE join of the symmetric adjacency
+against the (id, color) frame plus one groupBy — exactly the LPA
+shuffle shape, with the same hub caveat (degree-histogram probe /
+hub split applies if ever needed; ``combine="sum"`` already removes
+the per-group O(deg) buffer, which is the part that actually breaks
+first). State between rounds is one narrow (id, color) frame, pinned
+and released pairwise.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.checkpoint import pin_table, release_state
+from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+from linkgraph.triangles import _undirected_simple
+
+_MOD = 1 << 60
+
+
+@dataclass
+class WLResult:
+    colors: DataFrame  # (id, wl_color)
+    rounds: int
+    n_classes: int
+    stats: dict = field(default_factory=dict)
+    _caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        for c in self._caches:
+            release_state(c)
+        self._caches = []
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    und = _undirected_simple(edges)
+    return und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 3,
+    seed: int = 0,
+    combine: str = "sort",
+) -> WLResult:
+    """Run exactly ``rounds`` rounds of 1-WL color refinement over the
+    undirected simple graph of ``edges``; returns per-node 60-bit
+    colors plus per-round class counts (see module docstring).
+    Replayed value-exact by ``wl_refinement_sql``."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if combine not in ("sort", "sum"):
+        raise ValueError(f"combine must be 'sort' or 'sum', got {combine!r}")
+    t0 = time.time()
+    sym = pin_table(_sym(edges).repartition("node"))
+    state = pin_table(
+        sym.select(F.col("node").alias("id")).distinct()
+        .select("id", F.lit(0).cast("long").alias("wl_color"))
+    )
+    caches = [sym]
+    classes = [1]
+    for t in range(1, rounds + 1):
+        nbr = sym.join(
+            state.select(F.col("id").alias("nbr"),
+                         F.col("wl_color").alias("nc")),
+            "nbr",
+        )
+        if combine == "sort":
+            enc = nbr.groupBy("node").agg(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.col("nc"))), ","
+                ).alias("ms")
+            )
+        else:
+            enc = nbr.groupBy("node").agg(
+                F.concat_ws(
+                    ";",
+                    F.pmod(
+                        F.sum(F.col("nc").cast("decimal(38,0)")),
+                        F.lit(_MOD).cast("decimal(38,0)"),
+                    ).cast("long").cast("string"),
+                    F.count("*").cast("string"),
+                ).alias("ms")
+            )
+        new_state = pin_table(
+            state.join(enc, state.id == enc.node)
+            .select(
+                "id",
+                stable_hash64(
+                    F.concat_ws("|", F.col("wl_color").cast("string"),
+                                F.col("ms")),
+                    salt=f"wl-{seed}",
+                ).alias("wl_color"),
+            )
+        )
+        classes.append(
+            new_state.agg(F.countDistinct("wl_color").alias("n")).first()["n"]
+        )
+        release_state(state)
+        state = new_state
+    caches.append(state)
+    return WLResult(
+        colors=state.select("id", "wl_color"),
+        rounds=rounds,
+        n_classes=classes[-1],
+        stats={
+            "classes_per_round": classes,
+            "combine": combine,
+            "wall_s": round(time.time() - t0, 3),
+        },
+        _caches=caches,
+    )
+
+
+def wl_refinement_sql(
+    edges_sql: str, rounds: int, seed: int = 0, combine: str = "sort"
+) -> str:
+    """Oracle: the WL rounds unrolled into ANSI SQL (DuckDB) — the
+    same signature strings and ``stable_hash64`` per round."""
+    if combine not in ("sort", "sum"):
+        raise ValueError(f"combine must be 'sort' or 'sum', got {combine!r}")
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        """und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+  GREATEST(src, dst) AS b FROM e WHERE src <> dst)""",
+        """sym AS (SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und)""",
+        """c0 AS (SELECT DISTINCT node AS id, CAST(0 AS BIGINT) AS wl_color
+  FROM sym)""",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        if combine == "sort":
+            ms = "string_agg(CAST(m.wl_color AS VARCHAR), ',' ORDER BY m.wl_color)"
+        else:
+            ms = (
+                "CAST(CAST(SUM(CAST(m.wl_color AS DECIMAL(38,0))) % "
+                f"CAST({_MOD} AS DECIMAL(38,0)) AS BIGINT) AS VARCHAR) || ';' "
+                "|| CAST(COUNT(*) AS VARCHAR)"
+            )
+        sig = f"CAST(n.wl_color AS VARCHAR) || '|' || {ms}"
+        parts.append(
+            f"""c{t} AS MATERIALIZED (SELECT n.id,
+  {stable_hash64_sql(sig, salt=f'wl-{seed}')} AS wl_color
+  FROM c{p} n JOIN sym s ON s.node = n.id
+  JOIN c{p} m ON m.id = s.nbr
+  GROUP BY n.id, n.wl_color)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, wl_color FROM c{rounds}"
