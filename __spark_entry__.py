@@ -592,6 +592,35 @@ def _wl_sum_purchase_sql() -> str:
     return wl_refinement_sql(PURCHASE_EDGES_SQL, 3, seed=7, combine="sum")
 
 
+def _q_bpart_purchase(spark, sf_dir):
+    """Capacity-constrained balanced 4-way partitioning of the
+    purchase graph (linkgraph/partition.py)."""
+    from linkgraph.partition import balanced_partition
+    res = balanced_partition(purchase_edges(spark, sf_dir), k=4, rounds=4,
+                             seed=3)
+    return res.assignment
+
+
+def _q_bpart_cosupplier(spark, sf_dir):
+    """Balanced 3-way partitioning of the dense co-supplier graph
+    (linkgraph/partition.py)."""
+    from linkgraph.partition import balanced_partition
+    res = balanced_partition(cosupplier_edges(spark, sf_dir), k=3, rounds=5,
+                             seed=11, slack_pct=5)
+    return res.assignment
+
+
+def _bpart_purchase_sql() -> str:
+    from linkgraph.partition import balanced_partition_sql
+    return balanced_partition_sql(PURCHASE_EDGES_SQL, k=4, rounds=4, seed=3)
+
+
+def _bpart_cosupplier_sql() -> str:
+    from linkgraph.partition import balanced_partition_sql
+    return balanced_partition_sql(COSUPPLIER_EDGES_SQL, k=3, rounds=5,
+                                  seed=11, slack_pct=5)
+
+
 def _q_graphlets_nation(spark, sf_dir):
     """3/4-node graphlet counts (wedges, triangles, 4-cycles,
     4-cliques) on the trade graph — BIGINT-exact subgraph counts
@@ -2659,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_jp_nation": _q_jp_nation,
         "wl_refine_cosupplier": _q_wl_cosupplier,
         "wl_refine_sum_purchase": _q_wl_sum_purchase,
+        "balanced_partition_purchase": _q_bpart_purchase,
+        "balanced_partition_cosupplier": _q_bpart_cosupplier,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "bfs_trade_nation": _q_bfs_trade_nation,
@@ -3518,6 +3549,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "luby_mis_purchase": _luby_purchase_sql(),
         "wl_refine_cosupplier": _wl_cosupplier_sql(),
         "wl_refine_sum_purchase": _wl_sum_purchase_sql(),
+        "balanced_partition_purchase": _bpart_purchase_sql(),
+        "balanced_partition_cosupplier": _bpart_cosupplier_sql(),
         "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,

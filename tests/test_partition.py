@@ -1,0 +1,89 @@
+"""Balanced partitioning: capacity invariant, assignment totality,
+fixpoint idempotence, clique separation, and the DuckDB twin."""
+
+import random
+
+import pytest
+
+from linkgraph.partition import balanced_partition, balanced_partition_sql
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _values_sql(pairs):
+    rows = ", ".join(f"({a}, {b}, 1.0)" for a, b in pairs)
+    return f"SELECT * FROM (VALUES {rows}) AS t(src, dst, weight)"
+
+
+def _two_cliques():
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(i + 10, j + 10) for i in range(6) for j in range(i + 1, 6)]
+    return c1 + c2 + [(0, 10)]
+
+
+def test_totality_capacity_and_clique_separation(spark):
+    res = balanced_partition(_edges(spark, _two_cliques()), k=2, rounds=6, seed=1)
+    rows = res.assignment.collect()
+    asg = {r["id"]: r["part"] for r in rows}
+    res.release()
+    assert len(asg) == 12 and len(rows) == 12
+    assert all(0 <= p < 2 for p in asg.values())
+    assert max(res.stats["loads"].values()) <= res.capacity
+    # the single bridge is the only cut edge once the cliques settle
+    assert len({asg[i] for i in range(6)}) == 1
+    assert len({asg[i + 10] for i in range(6)}) == 1
+    assert res.stats["edge_cut"] == pytest.approx(1 / 31)  # only the bridge
+
+
+def test_fixpoint_idempotent(spark):
+    e = _edges(spark, _two_cliques())
+    r1 = balanced_partition(e, k=2, rounds=6, seed=1)
+    r2 = balanced_partition(e, k=2, rounds=12, seed=1)
+    a1 = sorted(map(tuple, r1.assignment.collect()))
+    a2 = sorted(map(tuple, r2.assignment.collect()))
+    r1.release()
+    r2.release()
+    assert a1 == a2
+    assert r1.stats["movers_per_round"][-1] == 0 or r1.rounds == 6
+
+
+def test_duckdb_twin(spark):
+    import duckdb
+
+    rng = random.Random(41)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(30), rng.randrange(30)) for _ in range(120)} if a != b]
+    res = balanced_partition(_edges(spark, pairs), k=3, rounds=4, seed=5)
+    got = sorted(map(tuple, res.assignment.collect()))
+    res.release()
+    # unroll MORE rounds than the engine ran — idempotent past fixpoint
+    want = sorted(map(tuple, duckdb.connect().execute(
+        balanced_partition_sql(_values_sql(pairs), k=3, rounds=4, seed=5)
+    ).fetchall()))
+    assert got == want
+
+
+def test_loads_never_exceed_capacity_random(spark):
+    rng = random.Random(43)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(40), rng.randrange(40)) for _ in range(160)} if a != b]
+    res = balanced_partition(_edges(spark, pairs), k=4, rounds=5, seed=2,
+                             slack_pct=5)
+    loads = res.stats["loads"]
+    res.release()
+    assert sum(loads.values()) == res.stats["n_nodes"]
+    assert max(loads.values()) <= res.capacity
+
+
+def test_bad_params(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        balanced_partition(e, k=1)
+    with pytest.raises(ValueError):
+        balanced_partition(e, rounds=-1)
+    with pytest.raises(ValueError):
+        balanced_partition_sql("SELECT 1", k=0)
