@@ -621,6 +621,24 @@ def _bpart_cosupplier_sql() -> str:
                                   seed=11, slack_pct=5)
 
 
+def _q_path_cooc_synth(spark, sf_dir):
+    """Path co-occurrence edge derivation over the synthetic source
+    catalog — the north star's second edge family; the oracle
+    re-derives the file dimension arithmetically
+    (linkgraph/ingest.py#path_cooccurrence_edges)."""
+    from linkgraph.ingest import path_cooccurrence_edges
+    from linkgraph.synth import generate_source_table
+    src = generate_source_table(spark, repos=20, files_per_repo=30,
+                                packages=4, seed=42)
+    return path_cooccurrence_edges(src)
+
+
+def _path_cooc_synth_sql() -> str:
+    from linkgraph.ingest import path_cooccurrence_sql
+    from linkgraph.synth import synth_file_dim_sql
+    return path_cooccurrence_sql(synth_file_dim_sql(20, 30, 4))
+
+
 def _q_graphlets_nation(spark, sf_dir):
     """3/4-node graphlet counts (wedges, triangles, 4-cycles,
     4-cliques) on the trade graph — BIGINT-exact subgraph counts
@@ -2690,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_refine_sum_purchase": _q_wl_sum_purchase,
         "balanced_partition_purchase": _q_bpart_purchase,
         "balanced_partition_cosupplier": _q_bpart_cosupplier,
+        "path_cooc_synth": _q_path_cooc_synth,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "bfs_trade_nation": _q_bfs_trade_nation,
@@ -3551,6 +3570,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "wl_refine_sum_purchase": _wl_sum_purchase_sql(),
         "balanced_partition_purchase": _bpart_purchase_sql(),
         "balanced_partition_cosupplier": _bpart_cosupplier_sql(),
+        "path_cooc_synth": _path_cooc_synth_sql(),
         "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,

@@ -151,3 +151,86 @@ def derive_graph(source: DataFrame, num_buckets: int | None = None) -> DerivedGr
         .agg(F.count("*").cast("double").alias("weight"))
     )
     return DerivedGraph(nodes, file_edges, repo_edges, [extracted, nodes, resolved])
+
+
+def path_cooccurrence_edges(source: DataFrame, max_group: int = 1000) -> DataFrame:
+    """Path co-occurrence edges — the second edge family of the north
+    star's "import/path co-occurrence" (BASELINE.json north_star;
+    import edges come from ``derive_graph``).
+
+    Two files co-occur when they live in the same directory of the
+    same repo; the returned edge table is
+    ``(src, dst, weight=1.0)`` with src/dst the globally-unique MODULE
+    names (``module_of_path``), ``src < dst``, one row per unordered
+    pair. Compose with ``linkgraph.ids.edges_from_pairs`` for dense
+    integer ids, or feed to any procedure directly (they accept
+    arbitrary orderable node types).
+
+    ``max_group`` caps the directory fan-out: a directory with g files
+    emits g(g-1)/2 pairs, so a degenerate 100k-file directory would
+    explode quadratically at catalog scale. Groups with more than
+    ``max_group`` files (and singleton groups) are dropped — the
+    bounded-candidate discipline of the dedup operators
+    (pipeline/dedup.py df_cap). The group census shuffles only
+    (repo, dir) keys; the pair self-join is co-partitioned on the same
+    key, so no row ever moves twice.
+
+    Replayed exactly by ``path_cooccurrence_sql`` over a
+    (repo, dir, module) file dimension (``file_dim_sql`` extracts one
+    from a (repo, path) table; ``linkgraph.synth.synth_file_dim_sql``
+    reconstructs the synthetic catalog's dimension arithmetically).
+    """
+    if max_group < 2:
+        raise ValueError(f"max_group must be >= 2, got {max_group}")
+    dim = (
+        source.select(
+            "repo",
+            F.regexp_replace("path", r"/[^/]+$", "").alias("dir"),
+            module_of_path().alias("module"),
+        )
+        .distinct()
+    )
+    grp = (
+        dim.groupBy("repo", "dir")
+        .agg(F.count("*").alias("g"))
+        .filter((F.col("g") >= 2) & (F.col("g") <= max_group))
+        .select("repo", "dir")
+    )
+    dd = dim.join(grp, ["repo", "dir"], "left_semi")
+    a = dd.select("repo", "dir", F.col("module").alias("src"))
+    b = dd.select("repo", "dir", F.col("module").alias("dst"))
+    return (
+        a.join(b, ["repo", "dir"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def file_dim_sql(source_sql: str) -> str:
+    """DuckDB file dimension (repo, dir, module) from a (repo, path)
+    table — the same regex derivations ``path_cooccurrence_edges``
+    runs in Spark."""
+    return f"""
+SELECT DISTINCT repo,
+       regexp_replace(path, '/[^/]+$', '') AS dir,
+       repo || '.' || replace(
+         regexp_replace(regexp_replace(path, '^src/', ''),
+                        '\\.(py|java)$', ''),
+         '/', '.') AS module
+FROM ({source_sql})
+"""
+
+
+def path_cooccurrence_sql(files_sql: str, max_group: int = 1000) -> str:
+    """Oracle: same-directory pairs over a (repo, dir, module) file
+    dimension, group-capped exactly as the engine."""
+    if max_group < 2:
+        raise ValueError(f"max_group must be >= 2, got {max_group}")
+    return f"""
+WITH dim AS ({files_sql}),
+grp AS (SELECT repo, dir FROM dim GROUP BY repo, dir
+        HAVING COUNT(*) BETWEEN 2 AND {max_group})
+SELECT a.module AS src, b.module AS dst, CAST(1.0 AS DOUBLE) AS weight
+FROM dim a JOIN grp USING (repo, dir)
+JOIN dim b ON b.repo = a.repo AND b.dir = a.dir AND a.module < b.module
+"""

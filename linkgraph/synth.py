@@ -198,3 +198,22 @@ def synth_edge_table(
         )
         .filter(F.col("src") != F.col("dst"))
     )
+
+
+def synth_file_dim_sql(repos: int, files_per_repo: int, packages: int) -> str:
+    """DuckDB reconstruction of the synthetic catalog's file dimension
+    (repo, dir, module) — pure modular arithmetic over the global file
+    index, independently re-deriving what ``generate_source_table``
+    encodes in (repo, path). Cross-checking
+    ``ingest.path_cooccurrence_edges`` (regex extraction over the real
+    table) against this reconstruction validates the whole path
+    round-trip, the q5-style synth parity."""
+    n = repos * files_per_repo
+    return f"""
+SELECT printf('r%04d', i // {files_per_repo}) AS repo,
+       'src/pkg_' || CAST((i % {files_per_repo}) % {packages} AS VARCHAR) AS dir,
+       printf('r%04d.pkg_%d.mod_%03d', i // {files_per_repo},
+              (i % {files_per_repo}) % {packages},
+              i % {files_per_repo}) AS module
+FROM range(0, {n}) t(i)
+"""
