@@ -2443,6 +2443,19 @@ def _q_jaccard_prefix(spark, sf_dir):
     return jaccard_prefix_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_mmr_embeddings(spark, sf_dir):
+    """MMR diverse top-k over the embeddings table — integer-exact
+    relevance/redundancy scores on quantized normalized vectors
+    (linkgraph/pipeline/simsearch.py#mmr_select)."""
+    from linkgraph.pipeline.simsearch import mmr_select
+    return mmr_select(_emb(spark, sf_dir), k=8, lambda_pct=70)
+
+
+def _mmr_embeddings_sql() -> str:
+    from linkgraph.pipeline.simsearch import mmr_select_sql
+    return mmr_select_sql(64, k=8, lambda_pct=70)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN (deterministic rank-stride centroids) — unlike the
     hyperplane-LSH path this one is deterministic end-to-end, so it is
@@ -2848,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_lsh": _q_near_dup_lsh,
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
+        "mmr_select_embeddings": _q_mmr_embeddings,
         "sim_kmeans_assign": _q_kmeans,
         "sim_kcenter_select": _q_kcenter,
         "sim_embed_covariance": _q_embed_covariance,
@@ -3948,6 +3962,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "sim_ann_lsh_topk": ann_lsh_topk_sql(dim=64, k=5, n_planes=11),
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
+        "mmr_select_embeddings": _mmr_embeddings_sql(),
         "sim_kmeans_assign": kmeans_clusters_sql(dim=64, n_clusters=16, iters=2),
         "sim_kcenter_select": _kcenter_sql_wrapped(),
         # covariance: x6 integer moments + DECIMAL(38,0) numerator,

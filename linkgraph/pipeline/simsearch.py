@@ -1452,3 +1452,205 @@ def pca_project(
     return wide.selectExpr(
         "vec_id", f"stack({k}, {stack}) AS (component, value)"
     )
+
+
+# --------------------------------------------------------------- MMR
+
+def _qnorm_expr(vec_col: str, dim: int, extract: str) -> str:
+    """Quantized-NORMALIZED vector: round(x_i/||x|| * 1e6) as int64.
+
+    The norm is one sqrt of an index-ordered float sum — the identical
+    expression tree on both engines, so every component (and every
+    int64 dot product downstream) is bit-exact cross-engine."""
+    sq = " + ".join(
+        f"CAST({extract}({vec_col}, {i}) AS DOUBLE) * "
+        f"CAST({extract}({vec_col}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    comps = ", ".join(
+        f"CAST(ROUND(CAST({extract}({vec_col}, {i}) AS DOUBLE) / "
+        f"sqrt(0.0 + {sq}) * 1000000, 0) AS BIGINT)"
+        for i in range(1, dim + 1)
+    )
+    arr = "array" if extract == "element_at" else "list_value"
+    return f"{arr}({comps})"
+
+
+def _idot_sql(a: str, b: str, dim: int, extract: str) -> str:
+    """int64 dot of two quantized vectors (~cosine * 1e12) — order-free."""
+    terms = " + ".join(
+        f"{extract}({a}, {i}) * {extract}({b}, {i})" for i in range(1, dim + 1)
+    )
+    return f"(0 + {terms})"
+
+
+def _idot_lit(qn_col: str, vec: list[int], dim: int) -> "F.Column":
+    terms = " + ".join(
+        f"element_at({qn_col}, {i}) * {vec[i - 1]}L" for i in range(1, dim + 1)
+    )
+    return F.expr(f"(0L + {terms})")
+
+
+def mmr_select(
+    emb: DataFrame,
+    k: int = 8,
+    lambda_pct: int = 70,
+    query_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k selection (Carbonell &
+    Goldstein SIGIR'98 — public result): greedily pick the k items
+    maximizing  lambda*rel(item) - (1-lambda)*max_sim(item, selected),
+    the standard redundancy-penalized retrieval / training-data
+    subset-selection step (relevant AND mutually diverse).
+
+    Engine discipline (the kcenter_select pattern): vectors are
+    normalized then quantized once (round(x/||x||*1e6) int64), so
+    relevance and pairwise similarity are int64 dot products
+    (~cosine*1e12) and the MMR score
+    ``lambda_pct*rel - (100-lambda_pct)*smax`` is pure integer
+    arithmetic — bit-exact in Spark, DuckDB (``mmr_select_sql``) and
+    Python; ties broken by id ASC. ``max_sim`` over the empty selected
+    set is 0 (the classic convention), so round 0 is the pure
+    relevance argmax. Relevance is the dot with the ``query_id``
+    vector (default: the min-id vector); the query item itself is
+    excluded from selection. Zero vectors are dropped (undefined
+    cosine).
+
+    Spark-first shape (100TB): sequential in k by nature — per round
+    ONE distributed TakeOrdered argmax over the pinned quantized
+    corpus; the 1-row winner is inlined as literals into the next
+    round's ``smax`` update (Θ(nk) total, everything whole-stage
+    codegen; keep k modest — selection-set sizes, not corpus sizes).
+
+    Returns (sel_order, vec_id, mmr_score) with the integer score in
+    lambda-scaled 1e-12-cosine units.
+    """
+    from linkgraph.checkpoint import pin_table as _pin, release_state as _rel
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError(f"lambda_pct must be in [0, 100], got {lambda_pct}")
+    dim = _dim(emb, vec_col)
+    spark = emb.sparkSession
+    sq = " + ".join(
+        f"CAST(element_at({vec_col}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({vec_col}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    qn = (
+        emb.filter(F.expr(f"(0.0 + {sq}) > 0"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(_qnorm_expr(vec_col, dim, "element_at")).alias("qn"),
+        )
+    )
+    if query_id is None:
+        row = qn.orderBy(F.asc("id")).first()
+    else:
+        row = qn.filter(F.col("id") == query_id).first()
+    if row is None:
+        raise ValueError(
+            f"query vector not found (query_id={query_id!r}, empty or "
+            "all-zero corpus?)"
+        )
+    qvec = list(row["qn"])
+    state = _pin(
+        qn.filter(F.col("id") != row["id"])
+        .select(
+            "id", "qn",
+            _idot_lit("qn", qvec, dim).alias("rel"),
+            F.lit(0).cast("long").alias("smax"),
+        )
+    )
+    lam, mu = lambda_pct, 100 - lambda_pct
+    picks: list[tuple[int, int, int]] = []
+    picked: list[int] = []
+    for r in range(k):
+        nxt = (
+            state.filter(~F.col("id").isin(picked) if picked else F.lit(True))
+            .withColumn("score", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("smax"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(1)
+            .first()
+        )
+        if nxt is None:
+            break  # corpus exhausted before k
+        picks.append((r, nxt["id"], nxt["score"]))
+        picked.append(nxt["id"])
+        if r < k - 1:
+            new_state = _pin(
+                state.select(
+                    "id", "qn", "rel",
+                    F.greatest(
+                        "smax", _idot_lit("qn", list(nxt["qn"]), dim)
+                    ).alias("smax"),
+                )
+            )
+            _rel(state)
+            state = new_state
+    _rel(state)
+    return spark.createDataFrame(picks, "sel_order long, vec_id long, mmr_score long")
+
+
+def mmr_select_sql(
+    dim: int,
+    k: int = 8,
+    lambda_pct: int = 70,
+    query_id: int | None = None,
+    table: str = "embeddings",
+) -> str:
+    """Unrolled DuckDB twin of ``mmr_select`` — identical quantized
+    vectors, integer scores and tie-breaks per round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError(f"lambda_pct must be in [0, 100], got {lambda_pct}")
+    lam, mu = lambda_pct, 100 - lambda_pct
+    sq = " + ".join(
+        f"CAST(list_extract(embedding, {i}) AS DOUBLE) * "
+        f"CAST(list_extract(embedding, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    qexpr = (
+        f"(SELECT MIN(vec_id) FROM {table} WHERE (0.0 + {sq}) > 0)"
+        if query_id is None else str(query_id)
+    )
+    dot = _idot_sql("s.qn", "c.qn", dim, "list_extract")
+    ctes = [
+        (
+            f"q AS (SELECT vec_id AS id, "
+            f"{_qnorm_expr('embedding', dim, 'list_extract')} AS qn "
+            f"FROM {table} WHERE (0.0 + {sq}) > 0)"
+        ),
+        f"qv AS MATERIALIZED (SELECT id, qn FROM q WHERE id = {qexpr})",
+        (
+            f"s0 AS MATERIALIZED (SELECT s.id, s.qn, {dot} AS rel, "
+            f"CAST(0 AS BIGINT) AS smax "
+            f"FROM q s, qv c WHERE s.id <> c.id)"
+        ),
+    ]
+    picks = []
+    for r in range(k):
+        prev_picks = (
+            " AND id NOT IN (" + ", ".join(f"(SELECT id FROM p{j})" for j in range(r)) + ")"
+            if r else ""
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT id, qn, "
+            f"{lam} * rel - {mu} * smax AS score FROM s{r}"
+            f" WHERE TRUE{prev_picks}"
+            f" ORDER BY score DESC, id ASC LIMIT 1)"
+        )
+        picks.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_order, id AS vec_id, "
+            f"CAST(score AS BIGINT) AS mmr_score FROM p{r}"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"s{r + 1} AS MATERIALIZED (SELECT s.id, s.qn, s.rel, "
+                f"GREATEST(s.smax, {dot}) AS smax FROM s{r} s, p{r} c)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)
