@@ -2221,6 +2221,20 @@ def _q_c4_clean(spark, sf_dir):
     return c4_clean(_docs(spark, sf_dir))
 
 
+def _quality_classifier_sql() -> str:
+    from linkgraph.pipeline.classifier import train_quality_classifier_sql
+    return train_quality_classifier_sql(epochs=6, lr=0.5)
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """Full-batch logistic quality classifier trained end-to-end on
+    the documents table (weak labels lang='en'), SGNS-style integer
+    gradient discipline (linkgraph/pipeline/classifier.py)."""
+    from linkgraph.pipeline.classifier import train_quality_classifier
+    res = train_quality_classifier(_docs(spark, sf_dir), epochs=6, lr=0.5)
+    return res.scores
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher quality gates (word count / mean word length / symbol
     ratio / bullet & ellipsis lines / alpha words / stopword hits),
@@ -2828,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_structure": _q_dup_structure,
         "text_c4_clean": _q_c4_clean,
         "text_gopher_quality": _q_gopher_quality,
+        "quality_classifier_docs": _q_quality_classifier,
         "text_vocab_topk": _q_vocab,
         "text_zipf_fit": _q_zipf_fit,
         "text_bpe_merges": _q_bpe,
@@ -3915,6 +3930,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_dup_structure": DUPLICATE_STRUCTURE_SQL,
         "text_c4_clean": c4_clean_sql(),
         "text_gopher_quality": gopher_quality_sql(),
+        "quality_classifier_docs": _quality_classifier_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
         # rounded-ln integer regression moments => exact at 6 decimals
         "text_zipf_fit": zipf_fit_sql(top_ranks=500),

@@ -49,6 +49,10 @@ from linkgraph.pipeline.curate import (
     quota_sample,
     stratified_sample,
 )
+from linkgraph.pipeline.classifier import (
+    train_quality_classifier,
+    train_quality_classifier_sql,
+)
 from linkgraph.pipeline.text import (
     bpe_learn,
     bpe_learn_sql,
@@ -145,4 +149,5 @@ __all__ = [
     "encode_wav_pcm16", "decode_wav_pcm16", "encode_png", "decode_png",
     "sessionize", "session_stats", "windowed_counts", "windowed_anomalies",
     "funnel", "retention_cohorts", "props_stats",
+    "train_quality_classifier", "train_quality_classifier_sql",
 ]
