@@ -639,6 +639,20 @@ def _path_cooc_synth_sql() -> str:
     return path_cooccurrence_sql(synth_file_dim_sql(20, 30, 4))
 
 
+def _q_spectral_cosupplier(spark, sf_dir):
+    """Fiedler sign bipartition of the co-supplier graph — deflated
+    integer power iteration (linkgraph/spectral.py)."""
+    from linkgraph.spectral import spectral_bipartition
+    res = spectral_bipartition(cosupplier_edges(spark, sf_dir), rounds=20,
+                               seed=3)
+    return res.sides
+
+
+def _spectral_cosupplier_sql() -> str:
+    from linkgraph.spectral import spectral_bipartition_sql
+    return spectral_bipartition_sql(COSUPPLIER_EDGES_SQL, rounds=20, seed=3)
+
+
 def _q_graphlets_nation(spark, sf_dir):
     """3/4-node graphlet counts (wedges, triangles, 4-cycles,
     4-cliques) on the trade graph — BIGINT-exact subgraph counts
@@ -2736,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_partition_purchase": _q_bpart_purchase,
         "balanced_partition_cosupplier": _q_bpart_cosupplier,
         "path_cooc_synth": _q_path_cooc_synth,
+        "spectral_split_cosupplier": _q_spectral_cosupplier,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "bfs_trade_nation": _q_bfs_trade_nation,
@@ -3600,6 +3615,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "balanced_partition_purchase": _bpart_purchase_sql(),
         "balanced_partition_cosupplier": _bpart_cosupplier_sql(),
         "path_cooc_synth": _path_cooc_synth_sql(),
+        "spectral_split_cosupplier": _spectral_cosupplier_sql(),
         "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,

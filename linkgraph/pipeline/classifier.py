@@ -63,7 +63,7 @@ def _features(length_fn: str = "length") -> list[str]:
 N_FEATURES = len(_features())
 
 
-def _halfup_div(num: str, den: int | str) -> str:
+def halfup_div_spark_sql(num: str, den: int | str) -> str:
     """Half-up integer division, sign-correct — the SGNS rounding."""
     return (
         f"(2 * ({num}) + CASE WHEN ({num}) >= 0 THEN {den} ELSE -({den}) END) "
@@ -130,13 +130,13 @@ def train_quality_classifier(
         coef9 = f"CAST(ROUND({lr9!r} * (y - {sig7}) * 1e9, 0) AS BIGINT)"
         aggs = [
             F.expr(
-                f"SUM({_halfup_div(f'({coef9}) * {x}', 10**9)})"
+                f"SUM({halfup_div_spark_sql(f'({coef9}) * {x}', 10**9)})"
             ).cast("long").alias(f"g{i}")
             for i, x in enumerate(xcols)
         ]
         g = base.agg(*aggs).first()
         w = [
-            max(-_CLAMP, min(_CLAMP, wi + _int_halfup(g[f"g{i}"] or 0, n)))
+            max(-_CLAMP, min(_CLAMP, wi + int_halfup(g[f"g{i}"] or 0, n)))
             for i, wi in enumerate(w)
         ]
     z, sig7 = _logit_sigma([str(x) for x in w], xcols)
@@ -154,8 +154,8 @@ def train_quality_classifier(
     )
 
 
-def _int_halfup(num: int, den: int) -> int:
-    """Python replica of ``_halfup_div`` (den > 0): TRUNC toward zero
+def int_halfup(num: int, den: int) -> int:
+    """Python replica of ``halfup_div_spark_sql`` (den > 0): TRUNC toward zero
     of (2*num ± den) / (2*den) — Python's // floors, so negate-floor-
     negate for negative numerators."""
     q = 2 * num + (den if num >= 0 else -den)
@@ -191,13 +191,13 @@ def train_quality_classifier_sql(
     ]
     # DuckDB's // floors toward -inf while Spark's DIV truncates
     # toward zero, so the twin spells the half-up division via
-    # CAST(trunc(...)) (_duck_halfup) — same value on both engines.
+    # CAST(trunc(...)) (halfup_div_duck_sql) — same value on both engines.
     for e in range(epochs):
         wl = [f"w.w{i}" for i in range(len(feats))]
         z, sig7 = _logit_sigma(wl, [f"b.{x}" for x in xcols])
         coef9 = f"CAST(ROUND({float(lr)!r} * (b.y - {sig7}) * 1e9, 0) AS BIGINT)"
         gsel = ", ".join(
-            f"CAST(SUM({_duck_halfup(f'({coef9}) * b.{x}', 10**9)}) AS BIGINT)"
+            f"CAST(SUM({halfup_div_duck_sql(f'({coef9}) * b.{x}', 10**9)}) AS BIGINT)"
             f" AS g{i}"
             for i, x in enumerate(xcols)
         )
@@ -208,7 +208,7 @@ def train_quality_classifier_sql(
             "GREATEST(LEAST(w.w{i} + {d}, {c}), -{c}) AS w{i}".format(
                 i=i,
                 c=_CLAMP,
-                d=_duck_halfup(f"g.g{i}", "(SELECT n FROM nn)"),
+                d=halfup_div_duck_sql(f"g.g{i}", "(SELECT n FROM nn)"),
             )
             for i in range(len(feats))
         )
@@ -222,10 +222,15 @@ def train_quality_classifier_sql(
     )
 
 
-def _duck_halfup(num: str, den: int | str) -> str:
-    """DuckDB spelling of the half-up division (explicit trunc —
-    DuckDB's // floors, Spark's DIV truncates; trunc matches DIV)."""
+def halfup_div_duck_sql(num: str, den: int | str) -> str:
+    """DuckDB spelling of the half-up division — sign-split HUGEINT
+    floor division (for a non-negative numerator floor == trunc, so
+    this matches Spark's DIV exactly at ANY magnitude; a float-trunc
+    spelling would silently lose exactness above 2^53)."""
     return (
-        f"CAST(trunc((2.0 * ({num}) + CASE WHEN ({num}) >= 0 THEN {den} "
-        f"ELSE -({den}) END) / (2.0 * ({den}))) AS BIGINT)"
+        f"(CASE WHEN ({num}) >= 0 THEN "
+        f"CAST((2 * CAST(({num}) AS HUGEINT) + ({den})) "
+        f"// (2 * CAST(({den}) AS HUGEINT)) AS BIGINT) "
+        f"ELSE -CAST((2 * CAST(-({num}) AS HUGEINT) + ({den})) "
+        f"// (2 * CAST(({den}) AS HUGEINT)) AS BIGINT) END)"
     )
