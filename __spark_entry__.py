@@ -639,6 +639,43 @@ def _path_cooc_synth_sql() -> str:
     return path_cooccurrence_sql(synth_file_dim_sql(20, 30, 4))
 
 
+def _q_wcc_path_cooc(spark, sf_dir):
+    """End-to-end catalog composition: synthetic source table → path
+    co-occurrence edges → union-find components. Directory groups are
+    exactly the components, so the oracle is a windowed MIN over the
+    arithmetically reconstructed file dimension."""
+    from linkgraph.ingest import path_cooccurrence_edges
+    from linkgraph.synth import generate_source_table
+    src = generate_source_table(spark, repos=20, files_per_repo=30,
+                                packages=4, seed=42)
+    return connected_components(path_cooccurrence_edges(src)).components
+
+
+def _wcc_path_cooc_sql() -> str:
+    from linkgraph.synth import synth_file_dim_sql
+    return f"""
+WITH dim AS ({synth_file_dim_sql(20, 30, 4)}),
+grp AS (SELECT repo, dir FROM dim GROUP BY repo, dir HAVING COUNT(*) >= 2)
+SELECT module AS id,
+       MIN(module) OVER (PARTITION BY repo, dir) AS comp
+FROM dim JOIN grp USING (repo, dir)"""
+
+
+def _q_affinity_cosupplier(spark, sf_dir):
+    """Affinity-clustering dendrogram levels on the co-supplier graph,
+    similarity counts negated into distances so the strongest
+    co-supply pairs merge first (linkgraph/affinity.py)."""
+    from linkgraph.affinity import affinity_clustering
+    e = cosupplier_edges(spark, sf_dir).withColumn("weight", -F.col("weight"))
+    return affinity_clustering(e, levels=2).assignments
+
+
+def _affinity_cosupplier_sql() -> str:
+    from linkgraph.affinity import affinity_clustering_sql
+    neg = (f"SELECT src, dst, -weight AS weight FROM ({COSUPPLIER_EDGES_SQL})")
+    return affinity_clustering_sql(neg, levels=2)
+
+
 def _q_spectral_cosupplier(spark, sf_dir):
     """Fiedler sign bipartition of the co-supplier graph — deflated
     integer power iteration (linkgraph/spectral.py)."""
@@ -2751,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_partition_cosupplier": _q_bpart_cosupplier,
         "path_cooc_synth": _q_path_cooc_synth,
         "spectral_split_cosupplier": _q_spectral_cosupplier,
+        "wcc_path_cooc_synth": _q_wcc_path_cooc,
+        "affinity_levels_cosupplier": _q_affinity_cosupplier,
         "sssp_delta_cosupplier": _q_delta_stepping_cosupplier,
         "apsp_nation": _q_apsp_nation,
         "bfs_trade_nation": _q_bfs_trade_nation,
@@ -3616,6 +3655,8 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "balanced_partition_cosupplier": _bpart_cosupplier_sql(),
         "path_cooc_synth": _path_cooc_synth_sql(),
         "spectral_split_cosupplier": _spectral_cosupplier_sql(),
+        "wcc_path_cooc_synth": _wcc_path_cooc_sql(),
+        "affinity_levels_cosupplier": _affinity_cosupplier_sql(),
         "coloring_jp_nation": _jp_nation_sql(),
         "sssp_delta_cosupplier": _delta_sssp_sql(COSUPPLIER_EDGES_SQL),
         "apsp_nation": apsp_sql,
