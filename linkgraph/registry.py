@@ -64,6 +64,13 @@ PROCEDURES = {
     "contract_graph": ("linkgraph.community.contract_graph", "(engine extension: multilevel contraction)", True),
     "asset_features": ("linkgraph.pipeline.multimodal.asset_features", "(pipeline extension)", True),
     "decode_media": ("linkgraph.pipeline.multimodal.decode_media", "(pipeline extension)", False),
+    "wl_refinement": ("linkgraph.wl.wl_refinement", "(engine extension: 1-WL color refinement)", True),
+    "balanced_partition": ("linkgraph.partition.balanced_partition", "(engine extension: Spinner-lineage balanced LPA)", True),
+    "spectral_bipartition": ("linkgraph.spectral.spectral_bipartition", "(engine extension: Fiedler sign split)", True),
+    "affinity_clustering": ("linkgraph.affinity.affinity_clustering", "(engine extension: Boruvka HAC levels)", True),
+    "path_cooccurrence_edges": ("linkgraph.ingest.path_cooccurrence_edges", "(engine extension: north-star path co-occurrence scan)", True),
+    "mmr_select": ("linkgraph.pipeline.simsearch.mmr_select", "(pipeline extension: MMR diverse top-k)", True),
+    "train_quality_classifier": ("linkgraph.pipeline.classifier.train_quality_classifier", "(pipeline extension: trained quality filter)", True),
 }
 
 
