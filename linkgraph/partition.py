@@ -113,50 +113,7 @@ def balanced_partition(
     movers_hist = []
     done = rounds
     for t in range(1, rounds + 1):
-        loads = state.groupBy("part").agg(F.count("*").alias("load"))
-        nbrp = (
-            sym.join(
-                state.select(F.col("id").alias("nbr"),
-                             F.col("part").alias("npart")),
-                "nbr",
-            )
-            .groupBy("node", "npart")
-            .agg(F.count("*").alias("cnt"))
-        )
-        cur = state.select(F.col("id").alias("node"),
-                           F.col("part").alias("cpart"))
-        cnt0 = (
-            cur.join(
-                nbrp.select("node", F.col("npart").alias("cpart"),
-                            F.col("cnt").alias("c0")),
-                ["node", "cpart"], "left",
-            )
-            .select("node", "cpart", F.coalesce("c0", F.lit(0)).alias("c0"))
-        )
-        cand = (
-            nbrp.join(cnt0, "node")
-            .filter((F.col("npart") != F.col("cpart"))
-                    & (F.col("cnt") > F.col("c0")))
-        )
-        w_best = Window.partitionBy("node").orderBy(
-            F.col("cnt").desc(), F.col("npart").asc()
-        )
-        best = (
-            cand.withColumn("rn", F.row_number().over(w_best))
-            .filter(F.col("rn") == 1)
-            .select("node", "npart", (F.col("cnt") - F.col("c0")).alias("gain"))
-        )
-        w_adm = Window.partitionBy("npart").orderBy(
-            F.col("gain").desc(), F.col("node").asc()
-        )
-        admitted = pin_table(
-            best.join(loads.select(F.col("part").alias("npart"), "load"),
-                      "npart")
-            .withColumn("rk", F.row_number().over(w_adm))
-            .filter(F.col("rk") <= F.greatest(F.lit(cap) - F.col("load"),
-                                              F.lit(0)))
-            .select(F.col("node").alias("id"), F.col("npart").alias("part"))
-        )
+        admitted = pin_table(_round_moves(sym, state, cap))
         n_moved = admitted.count()
         movers_hist.append(n_moved)
         if n_moved == 0:
@@ -199,6 +156,53 @@ def balanced_partition(
             "wall_s": round(time.time() - t0, 3),
         },
         _caches=caches,
+    )
+
+
+def _round_moves(sym: DataFrame, state: DataFrame, cap: int) -> DataFrame:
+    """One round's admitted moves (pre-pin) — the production kernel,
+    exposed for plan assertions (tests/test_plans.py)."""
+    loads = state.groupBy("part").agg(F.count("*").alias("load"))
+    nbrp = (
+        sym.join(
+            state.select(F.col("id").alias("nbr"),
+                         F.col("part").alias("npart")),
+            "nbr",
+        )
+        .groupBy("node", "npart")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cur = state.select(F.col("id").alias("node"), F.col("part").alias("cpart"))
+    cnt0 = (
+        cur.join(
+            nbrp.select("node", F.col("npart").alias("cpart"),
+                        F.col("cnt").alias("c0")),
+            ["node", "cpart"], "left",
+        )
+        .select("node", "cpart", F.coalesce("c0", F.lit(0)).alias("c0"))
+    )
+    cand = (
+        nbrp.join(cnt0, "node")
+        .filter((F.col("npart") != F.col("cpart"))
+                & (F.col("cnt") > F.col("c0")))
+    )
+    w_best = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("npart").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("node", "npart", (F.col("cnt") - F.col("c0")).alias("gain"))
+    )
+    w_adm = Window.partitionBy("npart").orderBy(
+        F.col("gain").desc(), F.col("node").asc()
+    )
+    return (
+        best.join(loads.select(F.col("part").alias("npart"), "load"), "npart")
+        .withColumn("rk", F.row_number().over(w_adm))
+        .filter(F.col("rk") <= F.greatest(F.lit(cap) - F.col("load"),
+                                          F.lit(0)))
+        .select(F.col("node").alias("id"), F.col("npart").alias("part"))
     )
 
 

@@ -107,18 +107,7 @@ def spectral_bipartition(
         )
     )
     for _t in range(rounds):
-        gathered = (
-            sym.join(state.select(F.col("id").alias("nbr"),
-                                  F.col("x").alias("nx")), "nbr")
-            .groupBy("node")
-            .agg(F.sum("nx").alias("sx"))
-        )
-        y = state.join(gathered, state.id == gathered.node, "left").select(
-            "id", "deg",
-            ((F.lit(c) - F.col("deg")) * F.col("x")
-             + F.coalesce(F.col("sx"), F.lit(0))).alias("y"),
-        )
-        y = pin_table(y)
+        y = pin_table(_matvec(sym, state, c))
         tot = y.agg(F.sum("y").alias("s")).first()["s"]
         mean = int_halfup(int(tot), n)
         scale_row = y.agg(
@@ -169,6 +158,22 @@ def spectral_bipartition(
             "wall_s": round(time.time() - t0, 3),
         },
         _caches=caches,
+    )
+
+
+def _matvec(sym: DataFrame, state: DataFrame, c: int) -> DataFrame:
+    """One (c·I − L)·x product (pre-pin) — the production kernel,
+    exposed for plan assertions (tests/test_plans.py)."""
+    gathered = (
+        sym.join(state.select(F.col("id").alias("nbr"),
+                              F.col("x").alias("nx")), "nbr")
+        .groupBy("node")
+        .agg(F.sum("nx").alias("sx"))
+    )
+    return state.join(gathered, state.id == gathered.node, "left").select(
+        "id", "deg",
+        ((F.lit(c) - F.col("deg")) * F.col("x")
+         + F.coalesce(F.col("sx"), F.lit(0))).alias("y"),
     )
 
 

@@ -108,39 +108,7 @@ def wl_refinement(
     caches = [sym]
     classes = [1]
     for t in range(1, rounds + 1):
-        nbr = sym.join(
-            state.select(F.col("id").alias("nbr"),
-                         F.col("wl_color").alias("nc")),
-            "nbr",
-        )
-        if combine == "sort":
-            enc = nbr.groupBy("node").agg(
-                F.array_join(
-                    F.sort_array(F.collect_list(F.col("nc"))), ","
-                ).alias("ms")
-            )
-        else:
-            enc = nbr.groupBy("node").agg(
-                F.concat_ws(
-                    ";",
-                    F.pmod(
-                        F.sum(F.col("nc").cast("decimal(38,0)")),
-                        F.lit(_MOD).cast("decimal(38,0)"),
-                    ).cast("long").cast("string"),
-                    F.count("*").cast("string"),
-                ).alias("ms")
-            )
-        new_state = pin_table(
-            state.join(enc, state.id == enc.node)
-            .select(
-                "id",
-                stable_hash64(
-                    F.concat_ws("|", F.col("wl_color").cast("string"),
-                                F.col("ms")),
-                    salt=f"wl-{seed}",
-                ).alias("wl_color"),
-            )
-        )
+        new_state = pin_table(_wl_round(sym, state, combine, seed))
         classes.append(
             new_state.agg(F.countDistinct("wl_color").alias("n")).first()["n"]
         )
@@ -157,6 +125,39 @@ def wl_refinement(
             "wall_s": round(time.time() - t0, 3),
         },
         _caches=caches,
+    )
+
+
+def _wl_round(sym: DataFrame, state: DataFrame, combine: str, seed: int) -> DataFrame:
+    """One refinement round (pre-pin) — the production kernel, exposed
+    for plan assertions (tests/test_plans.py)."""
+    nbr = sym.join(
+        state.select(F.col("id").alias("nbr"), F.col("wl_color").alias("nc")),
+        "nbr",
+    )
+    if combine == "sort":
+        enc = nbr.groupBy("node").agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("nc"))), ","
+            ).alias("ms")
+        )
+    else:
+        enc = nbr.groupBy("node").agg(
+            F.concat_ws(
+                ";",
+                F.pmod(
+                    F.sum(F.col("nc").cast("decimal(38,0)")),
+                    F.lit(_MOD).cast("decimal(38,0)"),
+                ).cast("long").cast("string"),
+                F.count("*").cast("string"),
+            ).alias("ms")
+        )
+    return state.join(enc, state.id == enc.node).select(
+        "id",
+        stable_hash64(
+            F.concat_ws("|", F.col("wl_color").cast("string"), F.col("ms")),
+            salt=f"wl-{seed}",
+        ).alias("wl_color"),
     )
 
 

@@ -599,3 +599,140 @@ def test_contract_and_assortativity_plan_shape(spark):
     # the data-path label joins must be equi joins; the only permitted
     # nested-loop product is the final 1-row x 1-row scalar combine
     assert plan2.count("CartesianProduct") + plan2.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_wl_sum_round_is_partial_aggregated_jvm_side(spark):
+    """The WL order-free encoding must be a map-side-combinable
+    aggregate (partial DECIMAL sum) with no collect_list buffer and no
+    Python anywhere; exercises the production round kernel."""
+    from linkgraph.wl import _sym, _wl_round
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    sym = _sym(e)
+    state = sym.select(F.col("node").alias("id")).distinct().select(
+        "id", F.lit(0).cast("long").alias("wl_color")
+    )
+    plan = _plan(_wl_round(sym, state, "sum", 0))
+    assert "partial" in plan.lower()
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # the sort path DOES buffer per node — that is its documented cost
+    plan_sort = _plan(_wl_round(sym, state, "sort", 0))
+    assert "collect_list" in plan_sort
+
+
+def test_balanced_partition_round_shape(spark):
+    """One partitioning round: equi-joins only, the vote census is
+    partial-aggregated, and the admission window sorts MOVERS within
+    hash-partitioned groups — never a global range sort of all
+    nodes."""
+    from linkgraph.partition import _round_moves, _sym
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    sym = _sym(e)
+    state = sym.select(F.col("node").alias("id")).distinct().select(
+        "id", (F.col("id") % 2).alias("part")
+    )
+    plan = _plan(_round_moves(sym, state, cap=3))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # both windows run inside hashpartitioning exchanges (node / npart),
+    # so no global rangepartitioning sort appears anywhere
+    assert "rangepartitioning" not in plan
+
+
+def test_spectral_matvec_partial_aggregated(spark):
+    """The Laplacian matvec gather must partial-aggregate the int64
+    neighbor sums (map-side combine) and stay JVM-side."""
+    from linkgraph.spectral import _matvec, _sym_deg
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    sym, deg = _sym_deg(e)
+    state = deg.select(F.col("node").alias("id"), "deg",
+                       F.lit(1).cast("long").alias("x"))
+    plan = _plan(_matvec(sym, state, c=4))
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_argmax_is_take_ordered(spark):
+    """Each MMR round's winner pick must plan as a distributed
+    TakeOrdered top-1, never a global sort exchange."""
+    from linkgraph.pipeline.simsearch import _idot_lit, _qnorm_expr
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 0.5]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    qn = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(_qnorm_expr("embedding", 2, "element_at")).alias("qn"),
+    )
+    state = qn.select(
+        "id", "qn",
+        _idot_lit("qn", [1_000_000, 0], 2).alias("rel"),
+        F.lit(0).cast("long").alias("smax"),
+    )
+    pick = (
+        state.withColumn("score", F.lit(70) * F.col("rel") - F.lit(30) * F.col("smax"))
+        .orderBy(F.desc("score"), F.asc("id")).limit(1)
+    )
+    plan = _plan(pick)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_classifier_gradient_single_scan_partial_agg(spark):
+    """The classifier epoch is ONE map-combined aggregate over the
+    feature frame: no shuffle of document rows, no Python, and the
+    (narrow) document scan must not read the text column after
+    feature extraction collapses into the scan projection."""
+    from linkgraph.pipeline.classifier import _features, halfup_div_spark_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = _features()
+    base = docs.selectExpr(
+        "doc_id", "CAST(lang = 'en' AS BIGINT) AS y",
+        *[f"{e} AS x{i}" for i, e in enumerate(feats)],
+    )
+    g = base.agg(*[
+        F.expr(f"SUM({halfup_div_spark_sql(f'1000 * x{i}', 10**9)})").alias(f"g{i}")
+        for i in range(len(feats))
+    ])
+    plan = _plan(g)
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # exactly the two exchanges of a global aggregate pipeline at most
+    assert plan.count("Exchange") <= 1
+
+
+def test_path_cooccurrence_prunes_content_and_equi_joins(spark):
+    """The co-occurrence derivation reads ONLY (repo, path) from the
+    catalog — the 100TB content column must be pruned out of the scan
+    — and the pair self-join is an equi-join on (repo, dir)."""
+    from linkgraph.ingest import path_cooccurrence_edges
+    from linkgraph.synth import generate_source_table
+
+    src = generate_source_table(spark, repos=2, files_per_repo=6, packages=2)
+    plan = _plan(path_cooccurrence_edges(src))
+    assert "CartesianProduct" not in plan
+    # parquet-free synth source still shows the projected columns:
+    # content/lang/commit must not survive into the join inputs
+    m = re.findall(r"content", plan)
+    # content appears only inside the mapInPandas generator schema,
+    # never in a downstream project/join
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("source").alias("repo"), F.concat_ws("/", "lang", "doc_id").alias("path")
+    )
+    plan2 = _plan(path_cooccurrence_edges(docs))
+    assert "text" not in plan2  # wide column pruned from the parquet scan
