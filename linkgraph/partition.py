@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import pin_table, release_state
+from linkgraph.coloring import _sym
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 from linkgraph.triangles import _undirected_simple
 
@@ -70,13 +71,6 @@ class PartitionResult:
         for c in self._caches:
             release_state(c)
         self._caches = []
-
-
-def _sym(edges: DataFrame) -> DataFrame:
-    und = _undirected_simple(edges)
-    return und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
 
 
 def balanced_partition(

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import pin_table, release_state
 from linkgraph.pipeline.classifier import halfup_div_duck_sql, int_halfup
+from linkgraph.coloring import _sym
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
 from linkgraph.triangles import _undirected_simple
 
@@ -69,10 +70,7 @@ class SpectralResult:
 
 
 def _sym_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    und = _undirected_simple(edges)
-    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
+    sym = _sym(edges)
     deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
     return sym, deg
 
