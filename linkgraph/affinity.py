@@ -60,15 +60,35 @@ class AffinityResult:
         self._caches = []
 
 
-def affinity_clustering(edges: DataFrame, levels: int = 3) -> AffinityResult:
+def affinity_clustering(
+    edges: DataFrame,
+    levels: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> AffinityResult:
     """Single-linkage hierarchical clustering levels (module
     docstring). Returns (id, level, cluster) for level 1..``levels``;
-    replayed value-exact by ``affinity_clustering_sql``."""
+    replayed value-exact by ``affinity_clustering_sql``.
+
+    Level-granular durable resume (the engine-wide SuperstepLoop
+    contract, the MST kind-frame pattern): ONE durable frame carries
+    the contracted edges (kind 'e'), the original→cluster mapping
+    (kind 'm') and the already-emitted level assignments (kind 'o');
+    ``resume=True`` re-enters at the last durable level, guarded by
+    the deduped weighted-edge fingerprint — a killed-then-resumed run
+    equals an uninterrupted one exactly."""
+    import json as _json
+
+    from linkgraph.checkpoint import SuperstepLoop
+    from linkgraph.kcore import _check_resume_fp
+
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
     t0 = time.time()
+    spark = edges.sparkSession
     w = F.coalesce(F.col("weight"), F.lit(1.0))
-    ce = pin_table(
+    und = pin_table(
         edges.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
@@ -78,16 +98,69 @@ def affinity_clustering(edges: DataFrame, levels: int = 3) -> AffinityResult:
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
     )
-    mapping = pin_table(
-        ce.select(F.col("a").alias("id")).unionByName(
-            ce.select(F.col("b").alias("id"))
-        ).distinct().select("id", F.col("id").alias("cluster"))
+    fp = (
+        int(und.agg(F.expr("bit_xor(xxhash64(a, b, w))").alias("fp"))
+            .first()["fp"] or 0)
+        if checkpoint_dir else None
     )
-    caches = []
-    out = None
-    n_clusters = []
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="affinity",
+        max_steps=levels, context={"graph_fp": fp},
+    )
+
+    def _kinds(st):
+        ce = st.filter(F.col("kind") == "e").select(
+            F.col("x").alias("a"), F.col("y").alias("b"), "w"
+        )
+        mp = st.filter(F.col("kind") == "m").select(
+            F.col("x").alias("id"), F.col("y").alias("cluster")
+        )
+        return ce, mp
+
+    start = 0
+    state = None
+    n_clusters: list[int] = []
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "affinity_clustering", loop.last_context.get("graph_fp"), fp
+            )
+            start, state = resumed
+            n_clusters = _json.loads(
+                loop.last_metrics.get("clusters_json", "[]")
+            )
+            # the manifest at level L records counts through L-1 —
+            # recompute the resumed level's own count from the state
+            if start >= 1 and len(n_clusters) < start:
+                n_clusters.append(
+                    state.filter(F.col("kind") == "m").select("y")
+                    .distinct().count()
+                )
+    if state is None:
+        mapping0 = (
+            und.select(F.col("a").alias("id")).unionByName(
+                und.select(F.col("b").alias("id"))
+            ).distinct().select("id", F.col("id").alias("cluster"))
+        )
+        state = loop.advance(
+            0,
+            und.select(F.lit("e").alias("kind"), F.col("a").alias("x"),
+                       F.col("b").alias("y"), "w",
+                       F.lit(None).cast("long").alias("lvl"))
+            .unionByName(
+                mapping0.select(F.lit("m").alias("kind"),
+                                F.col("id").alias("x"),
+                                F.col("cluster").alias("y"),
+                                F.lit(None).cast("double").alias("w"),
+                                F.lit(None).cast("long").alias("lvl"))
+            ),
+            force_checkpoint=bool(checkpoint_dir),
+            metrics={"clusters_json": _json.dumps(n_clusters)},
+        )
     done = levels
-    for lvl in range(1, levels + 1):
+    for lvl in range(start + 1, levels + 1):
+        ce, mapping = _kinds(state)
         if ce.isEmpty():
             done = lvl - 1
             break
@@ -103,24 +176,13 @@ def affinity_clustering(edges: DataFrame, levels: int = 3) -> AffinityResult:
         )
         cc = connected_components(picked)
         comp = cc.components  # (id, comp) — canonical min member
-        new_mapping = pin_table(
-            mapping.join(
-                comp.select(F.col("id").alias("cluster"),
-                            F.col("comp").alias("nc")),
-                "cluster", "left",
-            ).select("id", F.coalesce("nc", "cluster").alias("cluster"))
-        )
-        # prior mapping frames back the already-emitted level outputs —
-        # release only via AffinityResult.release(), after consumption
-        caches.append(mapping)
-        mapping = new_mapping
-        lvl_out = mapping.select(
-            "id", F.lit(lvl).cast("long").alias("level"), "cluster"
-        )
-        out = lvl_out if out is None else out.unionByName(lvl_out)
+        new_mapping = mapping.join(
+            comp.select(F.col("id").alias("cluster"), F.col("comp").alias("nc")),
+            "cluster", "left",
+        ).select("id", F.coalesce("nc", "cluster").alias("cluster"))
         ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("pa"))
         cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("pb"))
-        new_ce = pin_table(
+        new_ce = (
             ce.join(ca, "a", "left").join(cb, "b", "left")
             .select(
                 F.coalesce("pa", F.col("a")).alias("na"),
@@ -134,28 +196,52 @@ def affinity_clustering(edges: DataFrame, levels: int = 3) -> AffinityResult:
             )
             .agg(F.min("w").alias("w"))
         )
-        release_state(ce)
-        ce = new_ce
-        n_clusters.append(mapping.select("cluster").distinct().count())
+        new_state = (
+            new_ce.select(F.lit("e").alias("kind"), F.col("a").alias("x"),
+                          F.col("b").alias("y"), "w",
+                          F.lit(None).cast("long").alias("lvl"))
+            .unionByName(
+                new_mapping.select(F.lit("m").alias("kind"),
+                                   F.col("id").alias("x"),
+                                   F.col("cluster").alias("y"),
+                                   F.lit(None).cast("double").alias("w"),
+                                   F.lit(None).cast("long").alias("lvl"))
+            )
+            .unionByName(state.filter(F.col("kind") == "o"))
+            .unionByName(
+                new_mapping.select(F.lit("o").alias("kind"),
+                                   F.col("id").alias("x"),
+                                   F.col("cluster").alias("y"),
+                                   F.lit(None).cast("double").alias("w"),
+                                   F.lit(lvl).cast("long").alias("lvl"))
+            )
+        )
+        state = loop.advance(
+            lvl, new_state,
+            metrics={"clusters_json": _json.dumps(n_clusters)},
+        )
+        n_clusters.append(
+            state.filter(F.col("kind") == "m").select("y").distinct().count()
+        )
+    ce, mapping = _kinds(state)
+    out = state.filter(F.col("kind") == "o").select(
+        F.col("x").alias("id"), F.col("lvl").alias("level"),
+        F.col("y").alias("cluster"),
+    )
     # carry the last assignment forward for any levels not executed
-    if out is not None and done < levels:
+    if done < levels and n_clusters:
         for lvl in range(done + 1, levels + 1):
             out = out.unionByName(
                 mapping.select("id", F.lit(lvl).cast("long").alias("level"),
                                "cluster")
             )
-    caches += [ce, mapping]
-    if out is None:  # no edges at all
-        out = mapping.select(
-            "id", F.lit(1).cast("long").alias("level"), "cluster"
-        ).filter(F.lit(False))
     return AffinityResult(
         assignments=out,
         levels=levels,
         stats={"clusters_per_level": n_clusters,
                "merged_levels": done,
                "wall_s": round(time.time() - t0, 3)},
-        _caches=caches,
+        _caches=[und, state],
     )
 
 

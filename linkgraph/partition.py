@@ -79,10 +79,24 @@ def balanced_partition(
     rounds: int = 5,
     slack_pct: int = 10,
     seed: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> PartitionResult:
     """Capacity-constrained LPA partitioning (see module docstring).
     Deterministic; replayed value-exact by ``balanced_partition_sql``.
-    Returns per-node (id, part) plus edge-cut / balance stats."""
+    Returns per-node (id, part) plus edge-cut / balance stats.
+
+    Round-granular durable resume (the engine-wide SuperstepLoop
+    contract): the durable state is the (id, part) assignment,
+    guarded by the graph fingerprint and (k, slack_pct, seed) — a
+    killed-then-resumed run equals an uninterrupted one exactly
+    (rounds are a pure function of the previous assignment)."""
+    import json as _json
+
+    from linkgraph.checkpoint import SuperstepLoop
+    from linkgraph.kcore import _check_resume_fp
+
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if rounds < 0 or slack_pct < 0:
@@ -90,23 +104,56 @@ def balanced_partition(
             f"rounds and slack_pct must be >= 0, got {rounds}, {slack_pct}"
         )
     t0 = time.time()
+    spark = edges.sparkSession
     sym = pin_table(_sym(edges).repartition("node"))
     nodes = sym.select(F.col("node").alias("id")).distinct()
-    state = pin_table(
-        nodes.select(
-            "id",
-            F.pmod(
-                stable_hash64(F.col("id").cast("string"), salt=f"bp-{seed}"),
-                F.lit(k),
-            ).cast("long").alias("part"),
-        )
+    fp = (
+        int(sym.agg(F.expr("bit_xor(xxhash64(node, nbr))").alias("fp"))
+            .first()["fp"] or 0)
+        if checkpoint_dir else None
     )
+    params = {"k": k, "slack_pct": slack_pct, "seed": seed}
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="bpart",
+        max_steps=rounds, context={"graph_fp": fp, "params": params},
+    )
+    caches = [sym]
+    start = 0
+    state = None
+    movers_hist: list[int] = []
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "balanced_partition", loop.last_context.get("graph_fp"), fp
+            )
+            rec = loop.last_context.get("params")
+            if rec is not None and rec != params:
+                raise ValueError(
+                    "balanced_partition resume mismatch: parameters differ "
+                    f"({rec!r} != {params!r})."
+                )
+            start, state = resumed
+            movers_hist = _json.loads(
+                loop.last_metrics.get("movers_json", "[]")
+            )
+    if state is None:
+        state = loop.advance(
+            0,
+            nodes.select(
+                "id",
+                F.pmod(
+                    stable_hash64(F.col("id").cast("string"), salt=f"bp-{seed}"),
+                    F.lit(k),
+                ).cast("long").alias("part"),
+            ),
+            force_checkpoint=bool(checkpoint_dir),
+            metrics={"movers_json": _json.dumps(movers_hist)},
+        )
     n = state.count()
     cap = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
-    caches = [sym]
-    movers_hist = []
     done = rounds
-    for t in range(1, rounds + 1):
+    for t in range(start + 1, rounds + 1):
         admitted = pin_table(_round_moves(sym, state, cap))
         n_moved = admitted.count()
         movers_hist.append(n_moved)
@@ -114,13 +161,13 @@ def balanced_partition(
             release_state(admitted)
             done = t - 1
             break
-        new_state = pin_table(
+        state = loop.advance(
+            t,
             state.join(admitted.select("id"), "id", "left_anti")
-            .unionByName(admitted)
+            .unionByName(admitted),
+            metrics={"movers_json": _json.dumps(movers_hist)},
         )
-        release_state(state)
         release_state(admitted)
-        state = new_state
     caches.append(state)
     asg = state.select("id", "part")
     a = asg.select(F.col("id").alias("a"), F.col("part").alias("pa"))

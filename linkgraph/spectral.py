@@ -76,15 +76,30 @@ def _sym_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def spectral_bipartition(
-    edges: DataFrame, rounds: int = 25, seed: int = 0
+    edges: DataFrame,
+    rounds: int = 25,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> SpectralResult:
     """Fiedler sign split (module docstring). Deterministic and
     integer-exact; replayed by ``spectral_bipartition_sql``. Returns
     per-node (id, side) with side ∈ {0, 1}, min-id node on side 0,
-    plus cut stats (edge cut, conductance)."""
+    plus cut stats (edge cut, conductance).
+
+    Round-granular durable resume (the engine-wide SuperstepLoop
+    contract): the durable state is the (id, deg, x) iterate —
+    each round is a pure function of it, so a killed-then-resumed run
+    equals an uninterrupted one exactly; guarded by the graph
+    fingerprint and the seed."""
+    from linkgraph.checkpoint import SuperstepLoop
+    from linkgraph.kcore import _check_resume_fp
+
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     t0 = time.time()
+    spark = edges.sparkSession
     sym, deg = _sym_deg(edges)
     sym = pin_table(sym.repartition("node"))
     deg = pin_table(deg)
@@ -94,17 +109,46 @@ def spectral_bipartition(
         raise ValueError("spectral_bipartition: empty edge table")
     c = 2 * d_max
     n = deg.count()
-    state = pin_table(
-        deg.select(
-            F.col("node").alias("id"),
-            "deg",
-            (F.pmod(
-                stable_hash64(F.col("node").cast("string"), salt=f"fiedler-{seed}"),
-                F.lit(2 * _U + 1),
-            ) - F.lit(_U)).cast("long").alias("x"),
-        )
+    fp = (
+        int(sym.agg(F.expr("bit_xor(xxhash64(node, nbr))").alias("fp"))
+            .first()["fp"] or 0)
+        if checkpoint_dir else None
     )
-    for _t in range(rounds):
+    params = {"seed": seed}
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="fiedler",
+        max_steps=rounds, context={"graph_fp": fp, "params": params},
+    )
+    start = 0
+    state = None
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "spectral_bipartition", loop.last_context.get("graph_fp"), fp
+            )
+            rec = loop.last_context.get("params")
+            if rec is not None and rec != params:
+                raise ValueError(
+                    "spectral_bipartition resume mismatch: parameters "
+                    f"differ ({rec!r} != {params!r})."
+                )
+            start, state = resumed
+    if state is None:
+        state = loop.advance(
+            0,
+            deg.select(
+                F.col("node").alias("id"),
+                "deg",
+                (F.pmod(
+                    stable_hash64(F.col("node").cast("string"),
+                                  salt=f"fiedler-{seed}"),
+                    F.lit(2 * _U + 1),
+                ) - F.lit(_U)).cast("long").alias("x"),
+            ),
+            force_checkpoint=bool(checkpoint_dir),
+        )
+    for t in range(start + 1, rounds + 1):
         y = pin_table(_matvec(sym, state, c))
         tot = y.agg(F.sum("y").alias("s")).first()["s"]
         mean = int_halfup(int(tot), n)
@@ -112,16 +156,16 @@ def spectral_bipartition(
             F.max(F.abs(F.col("y") - F.lit(mean))).alias("m")
         ).first()
         s = max(int(scale_row["m"]), 1)
-        new_state = pin_table(
+        state = loop.advance(
+            t,
             y.selectExpr(
                 "id", "deg",
                 "(2 * ((y - {m}) * {u}) + CASE WHEN y >= {m} THEN {s} ELSE -{s} END) "
                 "DIV (2 * {s}) AS x".format(m=mean, u=_U, s=s),
-            )
+            ),
+            metrics={"mean": mean, "scale": s},
         )
         release_state(y)
-        release_state(state)
-        state = new_state
     caches.append(state)
     smin = state.orderBy(F.asc("id")).select(
         (F.col("x") >= 0).alias("s0")).first()["s0"]

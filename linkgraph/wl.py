@@ -83,30 +83,87 @@ def wl_refinement(
     rounds: int = 3,
     seed: int = 0,
     combine: str = "sort",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> WLResult:
     """Run exactly ``rounds`` rounds of 1-WL color refinement over the
     undirected simple graph of ``edges``; returns per-node 60-bit
     colors plus per-round class counts (see module docstring).
-    Replayed value-exact by ``wl_refinement_sql``."""
+    Replayed value-exact by ``wl_refinement_sql``.
+
+    Round-granular durable resume (the engine-wide SuperstepLoop
+    contract): with ``checkpoint_dir`` every ``checkpoint_every``-th
+    round writes the (id, wl_color) frame durably; ``resume=True``
+    re-enters at the last durable round, guarded by the graph
+    fingerprint and the (seed, combine) parameters — a
+    killed-then-resumed run equals an uninterrupted one exactly."""
+    import json as _json
+
+    from linkgraph.checkpoint import SuperstepLoop
+    from linkgraph.kcore import _check_resume_fp
+
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     if combine not in ("sort", "sum"):
         raise ValueError(f"combine must be 'sort' or 'sum', got {combine!r}")
     t0 = time.time()
+    spark = edges.sparkSession
     sym = pin_table(_sym(edges).repartition("node"))
-    state = pin_table(
-        sym.select(F.col("node").alias("id")).distinct()
-        .select("id", F.lit(0).cast("long").alias("wl_color"))
+    fp = (
+        int(sym.agg(F.expr("bit_xor(xxhash64(node, nbr))").alias("fp"))
+            .first()["fp"] or 0)
+        if checkpoint_dir else None
+    )
+    params = {"seed": seed, "combine": combine}
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="wl",
+        max_steps=rounds, context={"graph_fp": fp, "params": params},
     )
     caches = [sym]
+    start = 0
+    state = None
     classes = [1]
-    for t in range(1, rounds + 1):
-        new_state = pin_table(_wl_round(sym, state, combine, seed))
-        classes.append(
-            new_state.agg(F.countDistinct("wl_color").alias("n")).first()["n"]
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp(
+                "wl_refinement", loop.last_context.get("graph_fp"), fp
+            )
+            rec = loop.last_context.get("params")
+            if rec is not None and rec != params:
+                raise ValueError(
+                    "wl_refinement resume mismatch: parameters differ "
+                    f"({rec!r} != {params!r})."
+                )
+            start, state = resumed
+            classes = _json.loads(
+                loop.last_metrics.get("classes_json", "[1]")
+            )
+            # the manifest at round t records counts through t-1 (the
+            # advance happens before the round's count) — recompute the
+            # resumed round's own class count from the durable state
+            if len(classes) < start + 1:
+                classes.append(
+                    state.agg(F.countDistinct("wl_color").alias("n"))
+                    .first()["n"]
+                )
+    if state is None:
+        state = loop.advance(
+            0,
+            sym.select(F.col("node").alias("id")).distinct()
+            .select("id", F.lit(0).cast("long").alias("wl_color")),
+            force_checkpoint=bool(checkpoint_dir),
+            metrics={"classes_json": _json.dumps(classes)},
         )
-        release_state(state)
-        state = new_state
+    for t in range(start + 1, rounds + 1):
+        state = loop.advance(
+            t, _wl_round(sym, state, combine, seed),
+            metrics={"classes_json": _json.dumps(classes)},
+        )
+        classes.append(
+            state.agg(F.countDistinct("wl_color").alias("n")).first()["n"]
+        )
     caches.append(state)
     return WLResult(
         colors=state.select("id", "wl_color"),

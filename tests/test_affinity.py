@@ -71,3 +71,40 @@ def test_bad_params(spark):
         affinity_clustering(_edges(spark, [(0, 1, 1.0)]), levels=0)
     with pytest.raises(ValueError):
         affinity_clustering_sql("SELECT 1", levels=0)
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    rng = random.Random(71)
+    triples = [
+        (a, b, round(rng.uniform(0.5, 9.5), 2))
+        for a, b in {(rng.randrange(18), rng.randrange(18)) for _ in range(50)}
+        if a != b
+    ]
+    e = _edges(spark, triples)
+    full = affinity_clustering(e, levels=3)
+    want = sorted(map(tuple, full.assignments.collect()))
+    want_cl = full.stats["clusters_per_level"]
+    full.release()
+    ckpt = str(tmp_path / "af")
+    part = affinity_clustering(e, levels=1, checkpoint_dir=ckpt,
+                               checkpoint_every=1)
+    part.assignments.count()
+    part.release()
+    res = affinity_clustering(e, levels=3, checkpoint_dir=ckpt,
+                              checkpoint_every=1, resume=True)
+    got = sorted(map(tuple, res.assignments.collect()))
+    got_cl = res.stats["clusters_per_level"]
+    res.release()
+    assert got == want
+    assert got_cl == want_cl
+
+
+def test_resume_rejects_changed_graph(spark, tmp_path):
+    e = _edges(spark, [(0, 1, 1.0), (1, 2, 2.0)])
+    ckpt = str(tmp_path / "af2")
+    r = affinity_clustering(e, levels=1, checkpoint_dir=ckpt)
+    r.assignments.count()
+    r.release()
+    with pytest.raises(ValueError, match="resume mismatch"):
+        affinity_clustering(_edges(spark, [(0, 1, 1.0), (1, 2, 3.0)]),
+                            levels=2, checkpoint_dir=ckpt, resume=True)

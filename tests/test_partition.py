@@ -87,3 +87,41 @@ def test_bad_params(spark):
         balanced_partition(e, rounds=-1)
     with pytest.raises(ValueError):
         balanced_partition_sql("SELECT 1", k=0)
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    rng = random.Random(61)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(26), rng.randrange(26)) for _ in range(100)} if a != b]
+    e = _edges(spark, pairs)
+    full = balanced_partition(e, k=3, rounds=5, seed=7)
+    want = sorted(map(tuple, full.assignment.collect()))
+    want_movers = full.stats["movers_per_round"]
+    full.release()
+    ckpt = str(tmp_path / "bp")
+    part = balanced_partition(e, k=3, rounds=2, seed=7,
+                              checkpoint_dir=ckpt, checkpoint_every=1)
+    part.assignment.count()
+    part.release()
+    res = balanced_partition(e, k=3, rounds=5, seed=7,
+                             checkpoint_dir=ckpt, checkpoint_every=1,
+                             resume=True)
+    got = sorted(map(tuple, res.assignment.collect()))
+    got_movers = res.stats["movers_per_round"]
+    res.release()
+    assert got == want
+    assert got_movers == want_movers
+
+
+def test_resume_rejects_changed_graph_or_params(spark, tmp_path):
+    e = _edges(spark, _two_cliques())
+    ckpt = str(tmp_path / "bp2")
+    r = balanced_partition(e, k=2, rounds=2, seed=1, checkpoint_dir=ckpt)
+    r.assignment.count()
+    r.release()
+    with pytest.raises(ValueError, match="resume mismatch"):
+        balanced_partition(_edges(spark, _two_cliques() + [(1, 11)]), k=2,
+                           rounds=3, seed=1, checkpoint_dir=ckpt, resume=True)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        balanced_partition(e, k=2, rounds=3, seed=2, checkpoint_dir=ckpt,
+                           resume=True)

@@ -65,3 +65,35 @@ def test_bad_params(spark):
         spectral_bipartition(
             _edges(spark, [(0, 1)]).filter("src < 0"), rounds=2
         )
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    rng = random.Random(67)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(14), rng.randrange(14)) for _ in range(45)} if a != b]
+    e = _edges(spark, pairs)
+    full = spectral_bipartition(e, rounds=8, seed=2)
+    want = sorted(map(tuple, full.sides.collect()))
+    full.release()
+    ckpt = str(tmp_path / "sp")
+    part = spectral_bipartition(e, rounds=3, seed=2, checkpoint_dir=ckpt,
+                                checkpoint_every=1)
+    part.sides.count()
+    part.release()
+    res = spectral_bipartition(e, rounds=8, seed=2, checkpoint_dir=ckpt,
+                               checkpoint_every=1, resume=True)
+    got = sorted(map(tuple, res.sides.collect()))
+    res.release()
+    assert got == want
+
+
+def test_resume_rejects_changed_graph(spark, tmp_path):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    ckpt = str(tmp_path / "sp2")
+    r = spectral_bipartition(e, rounds=2, seed=2, checkpoint_dir=ckpt)
+    r.sides.count()
+    r.release()
+    with pytest.raises(ValueError, match="resume mismatch"):
+        spectral_bipartition(_edges(spark, [(0, 1), (1, 2), (2, 3)]),
+                             rounds=3, seed=2, checkpoint_dir=ckpt,
+                             resume=True)

@@ -91,3 +91,37 @@ def test_bad_params(spark):
         wl_refinement(e, combine="xor")
     with pytest.raises(ValueError):
         wl_refinement_sql("SELECT 1", 2, combine="xor")
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 5)]
+    e = _edges(spark, pairs)
+    full = wl_refinement(e, rounds=4, seed=3)
+    want = sorted(map(tuple, full.colors.collect()))
+    want_classes = full.stats["classes_per_round"]
+    full.release()
+    ckpt = str(tmp_path / "wl")
+    part = wl_refinement(e, rounds=2, seed=3, checkpoint_dir=ckpt,
+                         checkpoint_every=1)
+    part.colors.count()
+    part.release()
+    res = wl_refinement(e, rounds=4, seed=3, checkpoint_dir=ckpt,
+                        checkpoint_every=1, resume=True)
+    got = sorted(map(tuple, res.colors.collect()))
+    got_classes = res.stats["classes_per_round"]
+    res.release()
+    assert got == want
+    assert got_classes == want_classes
+
+
+def test_resume_rejects_changed_graph_or_params(spark, tmp_path):
+    e = _edges(spark, [(0, 1), (1, 2)])
+    ckpt = str(tmp_path / "wl2")
+    r = wl_refinement(e, rounds=2, seed=3, checkpoint_dir=ckpt)
+    r.colors.count()
+    r.release()
+    with pytest.raises(ValueError, match="resume mismatch"):
+        wl_refinement(_edges(spark, [(0, 1), (1, 3)]), rounds=3, seed=3,
+                      checkpoint_dir=ckpt, resume=True)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        wl_refinement(e, rounds=3, seed=4, checkpoint_dir=ckpt, resume=True)
