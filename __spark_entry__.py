@@ -321,6 +321,42 @@ def _q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triangles.select("node_a", "node_b", "node_c")
 
 
+def _q_approx_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion hash-coin sampled triangle count with the 1/p³ scale —
+    the 100TB approximate path (linkgraph/triangles.py)."""
+    from linkgraph.triangles import approx_triangle_count
+    return approx_triangle_count(cosupplier_edges(spark, sf_dir), p=0.6, seed=5)
+
+
+def _q_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burt effective size / redundancy per ego on the co-supplier
+    graph (linkgraph/graphs.py#effective_size)."""
+    from linkgraph.graphs import effective_size
+    return effective_size(cosupplier_edges(spark, sf_dir))
+
+
+def _q_powerlaw_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset-Shalizi-Newman power-law alpha MLE over the purchase
+    degree distribution (linkgraph/graphs.py#powerlaw_fit)."""
+    from linkgraph.graphs import powerlaw_fit
+    return powerlaw_fit(purchase_edges(spark, sf_dir), xmin=2)
+
+
+def _approx_triangles_sql() -> str:
+    from linkgraph.triangles import approx_triangle_sql
+    return approx_triangle_sql(COSUPPLIER_EDGES_SQL, p=0.6, seed=5)
+
+
+def _effective_size_sql() -> str:
+    from linkgraph.graphs import effective_size_sql
+    return effective_size_sql(COSUPPLIER_EDGES_SQL)
+
+
+def _powerlaw_purchase_sql() -> str:
+    from linkgraph.graphs import powerlaw_fit_sql
+    return powerlaw_fit_sql(PURCHASE_EDGES_SQL, xmin=2)
+
+
 def _q_balanced_triads_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """algo.balancedTriads analog: structural-balance census on the
     cosupplier graph with sign = (co-order count - 2 >= 0) — pairs
@@ -2766,6 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node_cosupplier": _q_triangles_per_node,
         "triangle_stream_cosupplier": _q_triangle_stream,
         "balanced_triads_cosupplier": _q_balanced_triads_cosupplier,
+        "approx_triangles_cosupplier": _q_approx_triangles,
+        "effective_size_cosupplier": _q_effective_size,
+        "powerlaw_purchase": _q_powerlaw_purchase,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
         "degree_weighted_cosupplier": _q_degree_weighted_cosupplier,
@@ -3135,6 +3174,9 @@ SELECT n.id,
 FROM nodes n LEFT JOIN cnt c ON c.id = n.id
 """,
         "triangle_count_cosupplier": f"WITH {TRI_SQL_BASE}\nSELECT COUNT(*) AS triangle_count FROM tri",
+        "approx_triangles_cosupplier": _approx_triangles_sql(),
+        "effective_size_cosupplier": _effective_size_sql(),
+        "powerlaw_purchase": _powerlaw_purchase_sql(),
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},
 corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),

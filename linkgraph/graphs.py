@@ -1240,3 +1240,131 @@ def forest_fire_sample_sql(
         f"SELECT id, burned_round FROM b{t}" for t in range(max_rounds + 1)
     )
     return ",\n".join(parts) + "\n" + sel
+
+
+def effective_size(edges: DataFrame) -> DataFrame:
+    """Burt's effective size / redundancy (Burt 1992, "Structural
+    Holes" — public result): for each ego, redundancy = 2t/deg (t =
+    triangles through the node — ties among the ego's alters) and
+    effective size = deg − 2t/deg. The classic structural-holes
+    brokerage measure: a node whose neighbors are mutually connected
+    spans fewer "holes" than its raw degree suggests.
+
+    Composes the exact triangle counter (`triangles.triangle_count`
+    per-node counts — the degree-ordered wedge machinery and its hub
+    caps apply unchanged). Returns (id, degree, triangles, redundancy,
+    eff_size) with the two ratios rounded 6; replayed by
+    ``effective_size_sql``.
+    """
+    from linkgraph.triangles import triangle_count
+
+    counts = triangle_count(edges).counts
+    return counts.select(
+        "id",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.round(2.0 * F.col("triangles") / F.col("degree"), 6).alias("redundancy"),
+        F.round(
+            F.col("degree") - 2.0 * F.col("triangles") / F.col("degree"), 6
+        ).alias("eff_size"),
+    )
+
+
+def effective_size_sql(edges_sql: str) -> str:
+    """Oracle: per-node triangle membership counts over the canonical
+    oriented wedge join + the same redundancy/effective-size ratios."""
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY id),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pt AS (SELECT id, COUNT(*) AS triangles FROM (
+         SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+         UNION ALL SELECT z AS id FROM tri) GROUP BY id)
+SELECT d.id, d.degree,
+       COALESCE(pt.triangles, 0) AS triangles,
+       ROUND(2.0 * COALESCE(pt.triangles, 0) / d.degree, 6) AS redundancy,
+       ROUND(d.degree - 2.0 * COALESCE(pt.triangles, 0) / d.degree, 6)
+         AS eff_size
+FROM deg d LEFT JOIN pt ON pt.id = d.id
+"""
+
+
+def powerlaw_fit(edges: DataFrame, xmin: int = 1) -> DataFrame:
+    """Continuous-approximation power-law MLE over the degree
+    distribution (Clauset-Shalizi-Newman SIAM Rev. 2009, eq. 3.7 for
+    discrete data): alpha = 1 + n / Σ ln(d_i / (xmin − ½)) over nodes
+    with degree ≥ xmin. The graph-health companion to
+    ``degree_histogram`` / the corpus `zipf_fit`: a scale-free link
+    graph shows alpha ≈ 2-3, and a drifting alpha across ingest
+    snapshots is the standard skew alarm for the salting knobs.
+
+    Cross-engine discipline (the zipf_fit/perplexity machinery): each
+    ln is ROUNDed to 7 decimals, scaled to 1e7 integer units and
+    summed as an order-free int64 — Spark, DuckDB
+    (``powerlaw_fit_sql``) and Python agree exactly; only the final
+    ratio is a float. ONE degree aggregate + one scalar aggregate —
+    no shuffle beyond the degree census.
+
+    Returns one row (n_nodes, xmin, alpha) with alpha rounded 6
+    (NULL when no degree exceeds xmin — disclosed, not fabricated).
+    """
+    if xmin < 1:
+        raise ValueError(f"xmin must be >= 1, got {xmin}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= xmin)
+    )
+    lnterm = F.expr(
+        f"CAST(ROUND(ROUND(ln(d / ({xmin} - 0.5)), 7) * 10000000, 0) AS BIGINT)"
+    )
+    return deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(lnterm).alias("s7"),
+    ).select(
+        "n_nodes",
+        F.lit(xmin).cast("long").alias("xmin"),
+        F.when(
+            F.col("s7") > 0,
+            F.round(F.lit(1.0) + F.col("n_nodes").cast("double")
+                    * F.lit(1e7) / F.col("s7"), 6),
+        ).alias("alpha"),
+    )
+
+
+def powerlaw_fit_sql(edges_sql: str, xmin: int = 1) -> str:
+    """Oracle: identical rounded-ln integer moments and final ratio."""
+    if xmin < 1:
+        raise ValueError(f"xmin must be >= 1, got {xmin}")
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY id HAVING COUNT(*) >= {xmin}),
+mo AS (SELECT COUNT(*) AS n_nodes,
+              SUM(CAST(ROUND(ROUND(ln(d / ({xmin} - 0.5)), 7) * 10000000, 0)
+                  AS BIGINT)) AS s7
+       FROM deg)
+SELECT n_nodes, CAST({xmin} AS BIGINT) AS xmin,
+       CASE WHEN s7 > 0
+            THEN ROUND(1.0 + CAST(n_nodes AS DOUBLE) * 1e7 / s7, 6)
+       END AS alpha
+FROM mo
+"""

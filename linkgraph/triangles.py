@@ -436,3 +436,82 @@ def balanced_triads(edges: DataFrame, threshold: float = 0.0) -> DataFrame:
     from linkgraph.checkpoint import attach_caches
 
     return attach_caches(out, [org, deg])
+
+
+def approx_triangle_count(edges: DataFrame, p: float = 0.5, seed: int = 0) -> DataFrame:
+    """Doulion sampled triangle counting (Tsourakakis et al. KDD'09 —
+    public result): keep each canonical undirected edge with
+    deterministic hash probability ``p``, count triangles exactly on
+    the sparsified graph, scale by 1/p³ (each triangle survives with
+    probability p³ under independent edge coins; hash coins on
+    distinct edge keys are the engine's standard stand-in).
+
+    This is the 100TB scale path next to the exact counter: the exact
+    wedge join costs Σ d(v)² while the sampled one costs p²·Σ d(v)² —
+    p = 0.1 is a 100× wedge reduction with relative error
+    O(1/√(p³·T)). Sampling is the shuffle-free hash-threshold filter
+    (`graphs.sample_edges` contract) on the canonical (a, b) key, so
+    both directions of an edge live or die together and the run is
+    partition- and engine-independent.
+
+    Returns ONE row (sampled_edges, sampled_triangles, est_triangles)
+    with est = sampled/p³ rounded 6; replayed exactly by
+    ``approx_triangle_sql``.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    t = int(p * 1_000_000)
+    und = _undirected_simple(edges)
+    kept = und.filter(
+        F.pmod(
+            stable_hash64(F.concat_ws("|", F.col("a"), F.col("b")),
+                          salt=f"doulion-{seed}"),
+            F.lit(1_000_000),
+        ) < t
+    )
+    # canonical orientation (a < b) is already the oriented form:
+    # wedge join x<y<z counts each triangle exactly once
+    e1 = kept.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = kept.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = kept.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    scale3 = t ** 3
+    return kept.agg(F.count("*").alias("sampled_edges")).crossJoin(
+        tri.agg(F.count("*").alias("sampled_triangles"))
+    ).select(
+        "sampled_edges",
+        "sampled_triangles",
+        F.round(
+            F.col("sampled_triangles").cast("double") * F.lit(1e18) / F.lit(scale3),
+            6,
+        ).alias("est_triangles"),
+    )
+
+
+def approx_triangle_sql(edges_sql: str, p: float = 0.5, seed: int = 0) -> str:
+    """Oracle: the same hash coins, sampled wedge join and 1/p³ scale
+    in DuckDB SQL."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    t = int(p * 1_000_000)
+    h = stable_hash64_sql(
+        "CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)",
+        salt=f"doulion-{seed}",
+    )
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+kept AS (SELECT a, b FROM und WHERE {h} % 1000000 < {t}),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM kept e1 JOIN kept e2 ON e2.a = e1.b
+        JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT COUNT(*) FROM kept) AS sampled_edges,
+       (SELECT COUNT(*) FROM tri) AS sampled_triangles,
+       ROUND(CAST((SELECT COUNT(*) FROM tri) AS DOUBLE) * 1e18 / {t ** 3},
+             6) AS est_triangles
+"""
