@@ -71,6 +71,9 @@ PROCEDURES = {
     "path_cooccurrence_edges": ("linkgraph.ingest.path_cooccurrence_edges", "(engine extension: north-star path co-occurrence scan)", True),
     "mmr_select": ("linkgraph.pipeline.simsearch.mmr_select", "(pipeline extension: MMR diverse top-k)", True),
     "train_quality_classifier": ("linkgraph.pipeline.classifier.train_quality_classifier", "(pipeline extension: trained quality filter)", True),
+    "approx_triangle_count": ("linkgraph.triangles.approx_triangle_count", "(engine extension: Doulion sampled triangles)", True),
+    "effective_size": ("linkgraph.graphs.effective_size", "(engine extension: Burt structural holes)", True),
+    "powerlaw_fit": ("linkgraph.graphs.powerlaw_fit", "(engine extension: CSN degree-distribution MLE)", True),
 }
 
 
