@@ -941,6 +941,19 @@ WHERE l_returnflag = 'R'
 """
 
 
+def _q_bowtie_returns(spark, sf_dir):
+    """Broder bow-tie macro-structure of the returns digraph — CORE/
+    IN/OUT/TUBE/TENDRIL/DISCONNECTED classes (linkgraph/bowtie.py)."""
+    from linkgraph.bowtie import bowtie_decomposition
+    res = bowtie_decomposition(_returns_digraph(spark, sf_dir))
+    return res.classes
+
+
+def _bowtie_returns_sql() -> str:
+    from linkgraph.bowtie import bowtie_sql
+    return bowtie_sql(RETURNS_DIGRAPH_SQL)
+
+
 def _q_scc_returns(spark, sf_dir):
     from linkgraph import strongly_connected_components
     res = strongly_connected_components(_returns_digraph(spark, sf_dir))
@@ -2846,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangalchev_nation": _q_dangalchev_nation,
         "harmonic_sampled_nation": _q_harmonic_sampled_nation,
         "scc_returns": _q_scc_returns,
+        "bowtie_returns": _q_bowtie_returns,
         "topo_levels_orderchain": _q_topo_levels_orderchain,
         "condensation_returns": _q_condensation_returns,
         "condensation_levels_returns": _q_condensation_levels_returns,
@@ -3734,6 +3748,7 @@ FROM nodes nd LEFT JOIN (
 """,
         "harmonic_sampled_nation": harmonic_sampled_sql,
         "scc_returns": scc_sql,
+        "bowtie_returns": _bowtie_returns_sql(),
         "topo_levels_orderchain": _topo_orderchain_sql(),
         "condensation_returns": _condensation_returns_sql(),
         "condensation_levels_returns": _condensation_levels_returns_sql(),
