@@ -74,6 +74,7 @@ PROCEDURES = {
     "approx_triangle_count": ("linkgraph.triangles.approx_triangle_count", "(engine extension: Doulion sampled triangles)", True),
     "effective_size": ("linkgraph.graphs.effective_size", "(engine extension: Burt structural holes)", True),
     "powerlaw_fit": ("linkgraph.graphs.powerlaw_fit", "(engine extension: CSN degree-distribution MLE)", True),
+    "bowtie_decomposition": ("linkgraph.bowtie.bowtie_decomposition", "(engine extension: Broder web bow-tie macro-structure)", True),
 }
 
 
