@@ -335,6 +335,18 @@ def _q_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_size(cosupplier_edges(spark, sf_dir))
 
 
+def _q_degree_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k_nn(k) average-neighbor-degree profile on the purchase graph
+    — the per-k degree-mixing probe (linkgraph/graphs.py#degree_knn)."""
+    from linkgraph.graphs import degree_knn
+    return degree_knn(purchase_edges(spark, sf_dir))
+
+
+def _degree_knn_sql() -> str:
+    from linkgraph.graphs import degree_knn_sql
+    return degree_knn_sql(PURCHASE_EDGES_SQL)
+
+
 def _q_powerlaw_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clauset-Shalizi-Newman power-law alpha MLE over the purchase
     degree distribution (linkgraph/graphs.py#powerlaw_fit)."""
@@ -2219,6 +2231,21 @@ def _q_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs, docs)
 
 
+def _dedup_report_sql_wrapped() -> str:
+    from linkgraph.pipeline.dedup import dedup_report_sql, jaccard_pairs_sql
+    return dedup_report_sql(jaccard_pairs_sql(n=3, threshold=0.8))
+
+
+def _q_dedup_report(spark, sf_dir):
+    """One-row corpus dedup report: docs/bytes removed, cluster-size
+    extremes (pipeline/dedup.py#dedup_report — composes the LSH pair
+    table with the component clustering)."""
+    from linkgraph.pipeline import minhash_lsh_pairs
+    from linkgraph.pipeline.dedup import dedup_report
+    docs = _docs(spark, sf_dir)
+    return dedup_report(minhash_lsh_pairs(docs, n=3, threshold=0.8), docs)
+
+
 def _q_canonical_pick(spark, sf_dir):
     """Dedup decision step: clusters -> keep ONE representative per
     cluster (longest doc, tie lowest id)."""
@@ -2818,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_triangles_cosupplier": _q_approx_triangles,
         "effective_size_cosupplier": _q_effective_size,
         "powerlaw_purchase": _q_powerlaw_purchase,
+        "degree_knn_purchase": _q_degree_knn,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
         "degree_weighted_cosupplier": _q_degree_weighted_cosupplier,
@@ -2933,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": _q_jaccard_prefix,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_near_dup_clusters": _q_near_dup_clusters,
+        "dedup_report_docs": _q_dedup_report,
         "dedup_canonical_pick": _q_canonical_pick,
         "sim_semantic_dedup": _q_semantic_dedup,
         "curate_chunk_documents": _q_chunk_documents,
@@ -3191,6 +3220,7 @@ FROM nodes n LEFT JOIN cnt c ON c.id = n.id
         "approx_triangles_cosupplier": _approx_triangles_sql(),
         "effective_size_cosupplier": _effective_size_sql(),
         "powerlaw_purchase": _powerlaw_purchase_sql(),
+        "degree_knn_purchase": _degree_knn_sql(),
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},
 corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
@@ -4013,6 +4043,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_near_dup_clusters": near_dup_clusters_sql(
             jaccard_pairs_sql(n=3, threshold=0.8)
         ),
+        "dedup_report_docs": _dedup_report_sql_wrapped(),
         # representative pick over the same cluster oracle
         "dedup_canonical_pick": pick_canonical_sql(
             jaccard_pairs_sql(n=3, threshold=0.8)

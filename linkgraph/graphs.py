@@ -1368,3 +1368,60 @@ SELECT n_nodes, CAST({xmin} AS BIGINT) AS xmin,
        END AS alpha
 FROM mo
 """
+
+
+def degree_knn(edges: DataFrame) -> DataFrame:
+    """Average-nearest-neighbor-degree profile k_nn(k)
+    (Pastor-Satorras, Vázquez & Vespignani PRL 2001 — public result):
+    for each degree class k, the mean degree of the neighbors of
+    degree-k nodes, averaged over EDGE ENDS —
+    ``knn(k) = Σ_{v: deg v = k} Σ_{u~v} deg(u) / (k · n_k)``.
+    Rising knn(k) = assortative mixing, falling = the disassortative
+    hub signature of web/import graphs — the per-k refinement of the
+    scalar ``degree_assortativity``.
+
+    Integer-exact: one symmetric-adjacency join + two integer
+    aggregates; only the final per-k ratio is a float (rounded 6).
+    Returns (k, n_nodes, knn); replayed by ``degree_knn_sql``.
+    """
+    from linkgraph.coloring import _sym
+
+    sym = _sym(edges)
+    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    mass = (
+        sym.join(deg.select(F.col("node").alias("nbr"),
+                            F.col("d").alias("nd")), "nbr")
+        .join(deg, "node")
+        .groupBy("d")
+        .agg(F.sum("nd").alias("mass"))
+    )
+    nk = deg.groupBy("d").agg(F.count("*").alias("n_nodes"))
+    return (
+        nk.join(mass, "d")
+        .select(
+            F.col("d").alias("k"),
+            "n_nodes",
+            F.round(F.col("mass") / (F.col("d") * F.col("n_nodes")), 6)
+            .alias("knn"),
+        )
+    )
+
+
+def degree_knn_sql(edges_sql: str) -> str:
+    """Oracle: the same edge-end degree-mass ratios."""
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+sym AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und),
+deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+mass AS (SELECT dn.d, SUM(db.d) AS mass
+         FROM sym s JOIN deg dn ON dn.node = s.node
+         JOIN deg db ON db.node = s.nbr
+         GROUP BY dn.d),
+nk AS (SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d)
+SELECT nk.d AS k, nk.n_nodes,
+       ROUND(CAST(mass.mass AS DOUBLE) / (nk.d * nk.n_nodes), 6) AS knn
+FROM nk JOIN mass ON mass.d = nk.d
+"""

@@ -1108,3 +1108,76 @@ FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 """
+
+
+def dedup_report(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level deduplication report over a near-dup pair table —
+    the summary a curation run actually publishes: how many documents
+    and bytes the dedup pass removes, and the cluster-size histogram
+    (power-law cluster tails are the boilerplate signature).
+
+    Composes ``near_dup_clusters`` (min-id components over the pair
+    graph). Returns ONE row:
+
+      n_docs, n_clusters, n_duplicates (docs dropped keeping one
+      canonical per cluster), dup_frac (rounded 6), chars_total,
+      chars_removed (characters of non-canonical docs — the storage
+      the pass saves), max_cluster, singleton_clusters.
+
+    All counts are integer-exact; replayed by ``dedup_report_sql``.
+    Scale shape: the component run + TWO map-combined aggregates over
+    the (doc_id, canonical_id) frame joined once against doc lengths —
+    no new shuffles beyond the clustering itself.
+    """
+    clusters = near_dup_clusters(pairs, docs)
+    lens = docs.select("doc_id", F.length(text_col).alias("n"))
+    j = clusters.join(lens, "doc_id")
+    per_cluster = j.groupBy("canonical_id").agg(F.count("*").alias("sz"))
+    agg1 = j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("n_duplicates"),
+        F.sum("n").alias("chars_total"),
+        F.sum(F.when(F.col("is_duplicate"), F.col("n")).otherwise(0))
+        .alias("chars_removed"),
+    )
+    agg2 = per_cluster.agg(
+        F.count("*").alias("n_clusters"),
+        F.max("sz").alias("max_cluster"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+        .alias("singleton_clusters"),
+    )
+    return agg1.crossJoin(agg2).select(
+        "n_docs", "n_clusters", "n_duplicates",
+        F.round(F.col("n_duplicates") / F.col("n_docs"), 6).alias("dup_frac"),
+        "chars_total", "chars_removed", "max_cluster", "singleton_clusters",
+    )
+
+
+def dedup_report_sql(pairs_sql: str, table: str = "documents") -> str:
+    """Oracle: the same one-row report over the recursive-reach
+    cluster oracle."""
+    return f"""
+WITH clusters AS ({near_dup_clusters_sql(pairs_sql)}),
+j AS (SELECT c.doc_id, c.canonical_id, c.is_duplicate, length(d.text) AS n
+      FROM clusters c JOIN {table} d ON d.doc_id = c.doc_id),
+pc AS (SELECT canonical_id, COUNT(*) AS sz FROM j GROUP BY canonical_id),
+a1 AS (SELECT COUNT(*) AS n_docs,
+              SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS n_duplicates,
+              SUM(n) AS chars_total,
+              SUM(CASE WHEN is_duplicate THEN n ELSE 0 END) AS chars_removed
+       FROM j),
+a2 AS (SELECT COUNT(*) AS n_clusters, MAX(sz) AS max_cluster,
+              SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS singleton_clusters
+       FROM pc)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_duplicates AS BIGINT) AS n_duplicates,
+       ROUND(CAST(n_duplicates AS DOUBLE) / n_docs, 6) AS dup_frac,
+       CAST(chars_total AS BIGINT) AS chars_total,
+       CAST(chars_removed AS BIGINT) AS chars_removed,
+       CAST(max_cluster AS BIGINT) AS max_cluster,
+       CAST(singleton_clusters AS BIGINT) AS singleton_clusters
+FROM a1, a2
+"""

@@ -1,0 +1,54 @@
+"""Corpus dedup report: hand-counted golden + DuckDB twin."""
+
+import duckdb
+
+from linkgraph.pipeline.dedup import dedup_report, dedup_report_sql
+
+# two exact triples of dup docs + two singletons
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta"),
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha beta gamma delta epsilon zeta"),
+    (3, "one two three four five six seven"),
+    (4, "one two three four five six seven"),
+    (5, "completely different text body here"),
+    (6, "another unrelated document entirely"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _pairs(spark):
+    return spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (3, 4, 1.0)],
+        "d1 long, d2 long, similarity double",
+    )
+
+
+def test_report_golden_and_twin(spark):
+    row = dedup_report(_pairs(spark), _docs(spark)).first()
+    lens = {i: len(t) for i, t in DOCS}
+    assert row["n_docs"] == 7
+    assert row["n_clusters"] == 4          # {0,1,2}, {3,4}, {5}, {6}
+    assert row["n_duplicates"] == 3        # 1,2,4
+    assert row["dup_frac"] == round(3 / 7, 6)
+    assert row["chars_total"] == sum(lens.values())
+    assert row["chars_removed"] == lens[1] + lens[2] + lens[4]
+    assert row["max_cluster"] == 3
+    assert row["singleton_clusters"] == 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r})" for i, t in DOCS)
+        + ") t(doc_id, text)"
+    )
+    pairs_sql = ("SELECT * FROM (VALUES (0, 1), (1, 2), (3, 4)) "
+                 "AS p(d1, d2)")
+    want = con.execute(dedup_report_sql(pairs_sql)).fetchall()[0]
+    assert tuple(row) == want

@@ -97,3 +97,17 @@ def test_powerlaw_fit_python_oracle_and_twin(spark):
 def test_powerlaw_no_qualifying_degrees_is_null(spark):
     row = powerlaw_fit(_edges(spark, [(0, 1)]), xmin=5).first()
     assert row["n_nodes"] == 0 and row["alpha"] is None
+
+
+def test_degree_knn_star_and_twin(spark):
+    from linkgraph.graphs import degree_knn, degree_knn_sql
+
+    star = _edges(spark, [(0, i) for i in range(1, 5)])
+    got = {r["k"]: (r["n_nodes"], r["knn"]) for r in degree_knn(star).collect()}
+    assert got == {1: (4, 4.0), 4: (1, 1.0)}
+    pairs = _rand_pairs(89)
+    got2 = sorted(map(tuple, degree_knn(_edges(spark, pairs)).collect()))
+    want = sorted(map(tuple, duckdb.connect().execute(
+        degree_knn_sql(_values_sql(pairs))
+    ).fetchall()))
+    assert got2 == want
