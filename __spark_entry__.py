@@ -2477,6 +2477,19 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, docs.filter("doc_id % 29 = 0"), n=8)
 
 
+def _q_contamination_report(spark, sf_dir):
+    """Per-source contamination report card over the same benchmark
+    slice (pipeline/curate.py#contamination_report)."""
+    from linkgraph.pipeline.curate import contamination_report
+    docs = _docs(spark, sf_dir)
+    return contamination_report(docs, docs.filter("doc_id % 29 = 0"), n=8)
+
+
+def _contamination_report_sql() -> str:
+    from linkgraph.pipeline.curate import contamination_report_sql
+    return contamination_report_sql("doc_id % 29 = 0", n=8)
+
+
 def _q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (same benchmark slice as the exact
     pass): zero false negatives, engine-identical false positives —
@@ -2991,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_mix": _q_source_mix,
         "dedup_containment_pairs": _q_containment,
         "curate_decontaminate": _q_decontaminate,
+        "contamination_report_docs": _q_contamination_report,
         "curate_bloom_decontaminate": _q_bloom_decontaminate,
         "curate_dsir_scores": _q_dsir_scores,
         "curate_dsir_sample": _q_dsir_sample,
@@ -4089,6 +4103,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_source_mix": SOURCE_MIX_SQL,
         "dedup_containment_pairs": containment_pairs_sql(n=3, threshold=0.8),
         "curate_decontaminate": decontaminate_sql("doc_id % 29 = 0", n=8),
+        "contamination_report_docs": _contamination_report_sql(),
         "curate_bloom_decontaminate": bloom_decontaminate_sql(
             "doc_id % 29 = 0", n=8, m_bits=1 << 18, k_hashes=3
         ),

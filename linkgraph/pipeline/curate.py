@@ -788,3 +788,54 @@ SELECT d.doc_id,
        COALESCE(hits.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
 """
+
+
+def contamination_report(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Per-source contamination report card — the summary a curation
+    run publishes after the decontamination pass: for every ``source``
+    feed, how many documents share any token n-gram with the
+    benchmark, the contaminated fraction, and the total distinct-gram
+    hit mass (a leak-severity proxy).
+
+    Composes ``decontaminate`` (broadcast benchmark gram hashes) with
+    one source-keyed aggregate — no shuffles beyond the pass itself.
+    Returns (source, n_docs, contaminated, contam_frac, total_hits)
+    sorted deterministically by source; replayed by
+    ``contamination_report_sql``.
+    """
+    flags = decontaminate(docs, benchmark, n=n)
+    return (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("contaminated"),
+            F.sum("n_hits").alias("total_hits"),
+        )
+        .select(
+            "source", "n_docs", "contaminated",
+            F.round(F.col("contaminated") / F.col("n_docs"), 6)
+            .alias("contam_frac"),
+            "total_hits",
+        )
+    )
+
+
+def contamination_report_sql(benchmark_where: str, n: int = 8) -> str:
+    """Oracle: the same per-source rollup over the decontamination
+    oracle."""
+    return f"""
+WITH flags AS ({decontaminate_sql(benchmark_where, n=n)})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS contaminated,
+       ROUND(CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS contam_frac,
+       CAST(SUM(f.n_hits) AS BIGINT) AS total_hits
+FROM documents d JOIN flags f ON f.doc_id = d.doc_id
+GROUP BY d.source
+"""

@@ -52,3 +52,41 @@ def test_report_golden_and_twin(spark):
                  "AS p(d1, d2)")
     want = con.execute(dedup_report_sql(pairs_sql)).fetchall()[0]
     assert tuple(row) == want
+
+
+def test_contamination_report_golden_and_twin(spark):
+    from linkgraph.pipeline.curate import (
+        contamination_report,
+        contamination_report_sql,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today", "a"),
+        (1, "the quick brown fox jumps over the lazy dog today", "a"),
+        (2, "entirely clean text with no benchmark overlap at all", "b"),
+        (3, "the quick brown fox jumps over the lazy dog again now", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = contamination_report(df, df.filter("doc_id = 0"), n=8)
+    got = {r["source"]: (r["n_docs"], r["contaminated"], r["contam_frac"])
+           for r in rep.collect()}
+    # doc 0 is the benchmark itself (self-hit), doc 1 identical,
+    # doc 3 shares the 8-gram prefix; doc 2 clean
+    assert got["a"] == (2, 2, 1.0)
+    assert got["b"] == (2, 1, 0.5)
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r}, '{s}')" for i, t, s in docs)
+        + ") t(doc_id, text, source)"
+    )
+    want = sorted(map(tuple, con.execute(
+        contamination_report_sql("doc_id = 0", n=8)
+    ).fetchall()))
+    got_rows = sorted(map(tuple, rep.collect()))
+    assert got_rows == want
