@@ -75,6 +75,9 @@ PROCEDURES = {
     "effective_size": ("linkgraph.graphs.effective_size", "(engine extension: Burt structural holes)", True),
     "powerlaw_fit": ("linkgraph.graphs.powerlaw_fit", "(engine extension: CSN degree-distribution MLE)", True),
     "bowtie_decomposition": ("linkgraph.bowtie.bowtie_decomposition", "(engine extension: Broder web bow-tie macro-structure)", True),
+    "degree_knn": ("linkgraph.graphs.degree_knn", "(engine extension: k_nn(k) degree-mixing profile)", True),
+    "dedup_report": ("linkgraph.pipeline.dedup.dedup_report", "(pipeline extension: corpus dedup report)", True),
+    "contamination_report": ("linkgraph.pipeline.curate.contamination_report", "(pipeline extension: per-source contamination card)", True),
 }
 
 
