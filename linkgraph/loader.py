@@ -63,27 +63,33 @@ class LinkGraph:
         return LinkGraph(nodes=nodes, edges=e, degrees=degrees)
 
 
-def _path_cooccurrence(source: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Undirected (src < dst) file--file edges between files sharing
-    (repo, dirname(path)); weight 1. One equi-join on the directory
-    key — pairwise within a directory, bounded by directory fan-in
-    (the synthetic tree keeps packages small; a real 100TB catalog
-    would cap or sample mega-directories the same way triangles cap
-    hubs)."""
+def _path_cooccurrence(
+    source: DataFrame, max_group: int = 1000
+) -> tuple[DataFrame, DataFrame]:
+    """Undirected file--file edges between files sharing
+    (repo, dirname(path)) — delegates the pair generation to
+    ``ingest.path_cooccurrence_edges`` (the oracle-checked derivation
+    with the ``max_group`` directory-fan-out cap), then maps module
+    names onto the dense-id dictionary keyed by file key."""
+    from linkgraph.ingest import module_of_path, path_cooccurrence_edges
+
     files = source.select(
-        "repo",
-        file_key(source).alias("key"),
-        F.regexp_replace(F.col("path"), r"/[^/]+$", "").alias("dir"),
+        file_key(source).alias("key"), module_of_path().alias("module")
     )
     # adaptive bucket count — same scale rationale as ingest.derive_graph
     nodes = dense_ids(files.select("key")).persist()
-    keyed = files.join(nodes, "key").select("repo", "dir", "id")
-    a = keyed.select("repo", "dir", F.col("id").alias("src"))
-    b = keyed.select("repo", "dir", F.col("id").alias("dst"))
+    mod_id = files.join(nodes, "key").select("module", "id")
+    pairs = path_cooccurrence_edges(source, max_group=max_group)
     edges = (
-        a.join(b, ["repo", "dir"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", F.lit(1.0).alias("weight"))
+        pairs.join(mod_id.select(F.col("module").alias("src"),
+                                 F.col("id").alias("sid")), "src")
+        .join(mod_id.select(F.col("module").alias("dst"),
+                            F.col("id").alias("did")), "dst")
+        .select(
+            F.least("sid", "did").alias("src"),
+            F.greatest("sid", "did").alias("dst"),
+            "weight",
+        )
     )
     return nodes, edges
 
