@@ -78,6 +78,7 @@ PROCEDURES = {
     "degree_knn": ("linkgraph.graphs.degree_knn", "(engine extension: k_nn(k) degree-mixing profile)", True),
     "dedup_report": ("linkgraph.pipeline.dedup.dedup_report", "(pipeline extension: corpus dedup report)", True),
     "contamination_report": ("linkgraph.pipeline.curate.contamination_report", "(pipeline extension: per-source contamination card)", True),
+    "streaming_components": ("linkgraph.streaming.ComponentMaintainer", "(streaming extension: incremental union-find maintenance)", False),
 }
 
 

@@ -281,3 +281,37 @@ def test_streaming_hll_validates(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="b must be"):
         streaming_hll_registers(docs, b=2)
+
+
+def test_incremental_components_batch_equal(spark, tmp_path):
+    """Draining a 3-way batch split through ComponentMaintainer yields
+    EXACTLY the batch WCC assignment of the full edge set, and the
+    state is the narrow assignment frame (history edges dropped)."""
+    import random
+
+    from linkgraph.components import connected_components
+    from linkgraph.streaming import ComponentMaintainer, streaming_components
+
+    rng = random.Random(101)
+    pairs = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    full = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    want = sorted(map(tuple, connected_components(full).components.collect()))
+
+    # direct maintainer path: arbitrary 3-way split
+    m = ComponentMaintainer()
+    third = len(pairs) // 3
+    for chunk in (pairs[:third], pairs[third:2 * third], pairs[2 * third:]):
+        m.update(spark.createDataFrame(chunk, "src long, dst long"))
+    assert sorted(map(tuple, m.assignment.collect())) == want
+
+    # foreachBatch drive over a parquet stream
+    src_dir = str(tmp_path / "edges_in")
+    full.select("src", "dst").write.parquet(src_dir)
+    stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+    m2 = ComponentMaintainer()
+    streaming_components(stream, m2, "inc_wcc_test",
+                         str(tmp_path / "ck"))
+    assert sorted(map(tuple, m2.assignment.collect())) == want
