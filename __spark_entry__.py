@@ -2353,6 +2353,30 @@ def _quality_classifier_sql() -> str:
     return train_quality_classifier_sql(epochs=6, lr=0.5)
 
 
+def _q_calibration_report(spark, sf_dir):
+    """Reliability-diagram buckets for the trained quality classifier
+    (pipeline/classifier.py#calibration_report)."""
+    from linkgraph.pipeline.classifier import calibration_report
+    return calibration_report(_docs(spark, sf_dir), epochs=6, lr=0.5)
+
+
+def _calibration_report_sql() -> str:
+    from linkgraph.pipeline.classifier import calibration_report_sql
+    return calibration_report_sql(epochs=6, lr=0.5)
+
+
+def _q_dbh_partition(spark, sf_dir):
+    """DBH vertex-cut edge partitioning of the co-supplier graph —
+    the PowerGraph-family placement (linkgraph/partition.py)."""
+    from linkgraph.partition import edge_partition_dbh
+    return edge_partition_dbh(cosupplier_edges(spark, sf_dir), k=4, seed=1)
+
+
+def _dbh_partition_sql() -> str:
+    from linkgraph.partition import edge_partition_dbh_sql
+    return edge_partition_dbh_sql(COSUPPLIER_EDGES_SQL, k=4, seed=1)
+
+
 def _q_quality_classifier(spark, sf_dir):
     """Full-batch logistic quality classifier trained end-to-end on
     the documents table (weak labels lang='en'), SGNS-style integer
@@ -2992,6 +3016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": _q_c4_clean,
         "text_gopher_quality": _q_gopher_quality,
         "quality_classifier_docs": _q_quality_classifier,
+        "classifier_calibration_docs": _q_calibration_report,
+        "dbh_partition_cosupplier": _q_dbh_partition,
         "text_vocab_topk": _q_vocab,
         "text_zipf_fit": _q_zipf_fit,
         "text_bpe_merges": _q_bpe,
@@ -4090,6 +4116,8 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         "text_c4_clean": c4_clean_sql(),
         "text_gopher_quality": gopher_quality_sql(),
         "quality_classifier_docs": _quality_classifier_sql(),
+        "classifier_calibration_docs": _calibration_report_sql(),
+        "dbh_partition_cosupplier": _dbh_partition_sql(),
         "text_vocab_topk": vocab_stats_sql(k=20),
         # rounded-ln integer regression moments => exact at 6 decimals
         "text_zipf_fit": zipf_fit_sql(top_ranks=500),

@@ -301,3 +301,88 @@ def balanced_partition_sql(
   UNION ALL SELECT id, part FROM mv{t})"""
         )
     return ",\n".join(parts) + f"\nSELECT id, part FROM a{rounds}"
+
+
+def edge_partition_dbh(edges: DataFrame, k: int = 4, seed: int = 0) -> DataFrame:
+    """Degree-based-hashing VERTEX-CUT edge partitioning (DBH, Xie et
+    al. NeurIPS'14; the PowerGraph/GraphX placement family — public
+    results): each edge goes to ``hash(lower-degree endpoint) % k``,
+    so a power-law hub's edges spread over the partitions its (low-
+    degree) neighbors hash to, while low-degree vertices stay whole.
+    The complement of ``balanced_partition``: that one cuts EDGES
+    (node assignment), this one cuts VERTICES (edge assignment) — on
+    heavy-tailed link graphs vertex cuts give asymptotically lower
+    replication (the PowerGraph argument).
+
+    Deterministic and integer-exact: degrees from one census; ties on
+    equal degree break toward the smaller endpoint id; the hash is the
+    cross-engine md5 (``stable_hash64``). Returns
+    (src, dst, part) for the canonical undirected simple edges;
+    replayed by ``edge_partition_dbh_sql``. Compose with
+    ``edge_replication_stats`` for the replication factor.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _undirected_simple(edges)
+    deg = (
+        und.select(F.col("a").alias("id")).unionByName(
+            und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("d"))
+    )
+    j = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    )
+    anchor = F.when(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+        F.col("a"),
+    ).otherwise(F.col("b"))
+    return j.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.pmod(
+            stable_hash64(anchor.cast("string"), salt=f"dbh-{seed}"),
+            F.lit(k),
+        ).cast("long").alias("part"),
+    )
+
+
+def edge_replication_stats(assigned: DataFrame) -> DataFrame:
+    """Replication factor of an edge partitioning: one row
+    (n_vertices, n_replicas, replication_factor) where a vertex is
+    replicated once per distinct partition its edges land in — the
+    vertex-cut cost metric (PowerGraph §4)."""
+    reps = (
+        assigned.select(F.col("src").alias("id"), "part")
+        .unionByName(assigned.select(F.col("dst").alias("id"), "part"))
+        .distinct()
+    )
+    return reps.agg(
+        F.countDistinct("id").alias("n_vertices"),
+        F.count("*").alias("n_replicas"),
+    ).select(
+        "n_vertices", "n_replicas",
+        F.round(F.col("n_replicas") / F.col("n_vertices"), 6)
+        .alias("replication_factor"),
+    )
+
+
+def edge_partition_dbh_sql(edges_sql: str, k: int = 4, seed: int = 0) -> str:
+    """Oracle: the same degree census, anchor pick and hash."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = stable_hash64_sql("CAST(anchor AS VARCHAR)", salt=f"dbh-{seed}")
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY id),
+j AS (SELECT u.a, u.b,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS anchor
+      FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b)
+SELECT a AS src, b AS dst, CAST({h} % {k} AS BIGINT) AS part FROM j
+"""

@@ -234,3 +234,68 @@ def halfup_div_duck_sql(num: str, den: int | str) -> str:
         f"ELSE -CAST((2 * CAST(-({num}) AS HUGEINT) + ({den})) "
         f"// (2 * CAST(({den}) AS HUGEINT)) AS BIGINT) END)"
     )
+
+
+def calibration_report(
+    docs: DataFrame,
+    epochs: int = 8,
+    lr: float = 0.5,
+    label_predicate: str = "lang = 'en'",
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration report for the trained quality classifier: train,
+    score, then bucket documents by predicted probability and compare
+    the mean prediction against the observed label rate per bucket —
+    the reliability-diagram table every deployed filter ships with.
+
+    Returns (bin, n_docs, mean_prob, label_rate) with
+    ``bin = floor(prob * bins)`` clamped to bins-1 (prob = 1.0 joins
+    the top bucket); ratios rounded 6. One extra groupBy over the
+    scored frame; replayed by ``calibration_report_sql``.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    res = train_quality_classifier(docs, epochs=epochs, lr=lr,
+                                   label_predicate=label_predicate)
+    labeled = docs.selectExpr(
+        "doc_id",
+        f"CAST(CASE WHEN {label_predicate} THEN 1 ELSE 0 END AS BIGINT) AS y",
+    )
+    return (
+        res.scores.join(labeled, "doc_id")
+        .select(
+            F.least(F.floor(F.col("prob") * bins).cast("long"),
+                    F.lit(bins - 1)).alias("bin"),
+            "prob", "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("prob"), 6).alias("mean_prob"),
+            F.round(F.avg("y"), 6).alias("label_rate"),
+        )
+    )
+
+
+def calibration_report_sql(
+    epochs: int = 8,
+    lr: float = 0.5,
+    label_predicate: str = "lang = 'en'",
+    bins: int = 10,
+    table: str = "documents",
+) -> str:
+    """Oracle: the same bucket rollup over the unrolled training
+    twin."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    return f"""
+WITH scores AS ({train_quality_classifier_sql(epochs, lr, label_predicate, table)}),
+lab AS (SELECT doc_id, CAST(CASE WHEN {label_predicate} THEN 1 ELSE 0 END
+        AS BIGINT) AS y FROM {table})
+SELECT LEAST(CAST(FLOOR(s.prob * {bins}) AS BIGINT), {bins - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s.prob), 6) AS mean_prob,
+       ROUND(AVG(y), 6) AS label_rate
+FROM scores s JOIN lab ON lab.doc_id = s.doc_id
+GROUP BY 1
+"""

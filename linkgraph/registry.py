@@ -79,6 +79,8 @@ PROCEDURES = {
     "dedup_report": ("linkgraph.pipeline.dedup.dedup_report", "(pipeline extension: corpus dedup report)", True),
     "contamination_report": ("linkgraph.pipeline.curate.contamination_report", "(pipeline extension: per-source contamination card)", True),
     "streaming_components": ("linkgraph.streaming.ComponentMaintainer", "(streaming extension: incremental union-find maintenance)", False),
+    "edge_partition_dbh": ("linkgraph.partition.edge_partition_dbh", "(engine extension: DBH vertex-cut placement)", True),
+    "calibration_report": ("linkgraph.pipeline.classifier.calibration_report", "(pipeline extension: classifier reliability table)", True),
 }
 
 

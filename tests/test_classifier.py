@@ -75,3 +75,23 @@ def test_bad_params(spark):
         train_quality_classifier_sql(lr=3.0)
     with pytest.raises(ValueError):
         train_quality_classifier(d.filter("doc_id < 0"))
+
+
+def test_calibration_report_twin_and_mass(spark):
+    from linkgraph.pipeline.classifier import (
+        calibration_report,
+        calibration_report_sql,
+    )
+
+    rep = calibration_report(_docs(spark), epochs=6, lr=0.5, bins=5)
+    rows = rep.collect()
+    assert sum(r["n_docs"] for r in rows) == len(DOCS)
+    assert all(0 <= r["bin"] < 5 for r in rows)
+    got = sorted(map(tuple, rows))
+    want = sorted(map(tuple, _duck().execute(
+        calibration_report_sql(epochs=6, lr=0.5, bins=5)
+    ).fetchall()))
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        calibration_report(_docs(spark), bins=1)

@@ -125,3 +125,38 @@ def test_resume_rejects_changed_graph_or_params(spark, tmp_path):
     with pytest.raises(ValueError, match="resume mismatch"):
         balanced_partition(e, k=2, rounds=3, seed=2, checkpoint_dir=ckpt,
                            resume=True)
+
+
+def test_dbh_edge_partition_properties_and_twin(spark):
+    import duckdb
+
+    from linkgraph.partition import (
+        edge_partition_dbh,
+        edge_partition_dbh_sql,
+        edge_replication_stats,
+    )
+
+    # star: every edge anchors on its leaf (deg 1 < center's 4), so
+    # the center replicates across partitions while leaves stay whole
+    star = [(0, i) for i in range(1, 9)]
+    asg = edge_partition_dbh(_edges(spark, star), k=4, seed=1)
+    rows = asg.collect()
+    assert len(rows) == 8
+    assert all(0 <= r["part"] < 4 for r in rows)
+    stats = edge_replication_stats(asg).first()
+    assert stats["n_vertices"] == 9
+    # leaves contribute 1 replica each; center one per distinct part
+    parts_used = len({r["part"] for r in rows})
+    assert stats["n_replicas"] == 8 + parts_used
+
+    rng = random.Random(103)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(25), rng.randrange(25)) for _ in range(90)} if a != b]
+    got = sorted(map(tuple, edge_partition_dbh(_edges(spark, pairs), k=3,
+                                               seed=7).collect()))
+    want = sorted(map(tuple, duckdb.connect().execute(
+        edge_partition_dbh_sql(_values_sql(pairs), k=3, seed=7)
+    ).fetchall()))
+    assert got == want
+    with pytest.raises(ValueError):
+        edge_partition_dbh(_edges(spark, pairs), k=0)
