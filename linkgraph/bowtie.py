@@ -77,10 +77,15 @@ def _reach(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10_000) -> Data
         )
         if nxt.isEmpty():
             release_state(nxt)
+            # the LAST non-empty frontier pin would otherwise leak
+            # (first round: frontier IS reached — keep that one)
+            if frontier is not reached:
+                release_state(frontier)
             break
         new_reached = pin_table(reached.unionByName(nxt))
+        if frontier is not reached:
+            release_state(frontier)
         release_state(reached)
-        release_state(frontier)
         reached = new_reached
         frontier = nxt
     return reached

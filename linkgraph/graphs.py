@@ -1254,12 +1254,15 @@ def effective_size(edges: DataFrame) -> DataFrame:
     per-node counts — the degree-ordered wedge machinery and its hub
     caps apply unchanged). Returns (id, degree, triangles, redundancy,
     eff_size) with the two ratios rounded 6; replayed by
-    ``effective_size_sql``.
+    ``effective_size_sql``. The counter's caches ride on the returned
+    frame — free with ``checkpoint.release_caches`` when consumed.
     """
+    from linkgraph.checkpoint import attach_caches
     from linkgraph.triangles import triangle_count
 
-    counts = triangle_count(edges).counts
-    return counts.select(
+    res = triangle_count(edges)
+    counts = res.counts
+    return attach_caches(counts.select(
         "id",
         F.col("degree").cast("long").alias("degree"),
         F.col("triangles").cast("long").alias("triangles"),
@@ -1267,7 +1270,7 @@ def effective_size(edges: DataFrame) -> DataFrame:
         F.round(
             F.col("degree") - 2.0 * F.col("triangles") / F.col("degree"), 6
         ).alias("eff_size"),
-    )
+    ), res._caches)
 
 
 def effective_size_sql(edges_sql: str) -> str:

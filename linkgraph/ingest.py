@@ -153,18 +153,26 @@ def derive_graph(source: DataFrame, num_buckets: int | None = None) -> DerivedGr
     return DerivedGraph(nodes, file_edges, repo_edges, [extracted, nodes, resolved])
 
 
-def path_cooccurrence_edges(source: DataFrame, max_group: int = 1000) -> DataFrame:
+def path_cooccurrence_edges(
+    source: DataFrame, max_group: int = 1000, node_col: str = "module"
+) -> DataFrame:
     """Path co-occurrence edges — the second edge family of the north
     star's "import/path co-occurrence" (BASELINE.json north_star;
     import edges come from ``derive_graph``).
 
     Two files co-occur when they live in the same directory of the
     same repo; the returned edge table is
-    ``(src, dst, weight=1.0)`` with src/dst the globally-unique MODULE
-    names (``module_of_path``), ``src < dst``, one row per unordered
-    pair. Compose with ``linkgraph.ids.edges_from_pairs`` for dense
-    integer ids, or feed to any procedure directly (they accept
-    arbitrary orderable node types).
+    ``(src, dst, weight=1.0)`` with ``src < dst``, one row per
+    unordered pair. ``node_col`` picks the node identifier:
+    ``"module"`` (default) — ``module_of_path`` names, matching the
+    import-graph node space and the SQL twin — or ``"key"`` — the
+    ``repo/path`` file key, which is INJECTIVE over (repo, path)
+    (module names can collide when the ``^src/`` strip is ambiguous,
+    e.g. 'src/a/b.py' vs 'a/b.py'; callers joining ids by node, like
+    the loader facade, must use "key"). Compose with
+    ``linkgraph.ids.edges_from_pairs`` for dense integer ids, or feed
+    to any procedure directly (they accept arbitrary orderable node
+    types).
 
     ``max_group`` caps the directory fan-out: a directory with g files
     emits g(g-1)/2 pairs, so a degenerate 100k-file directory would
@@ -182,11 +190,17 @@ def path_cooccurrence_edges(source: DataFrame, max_group: int = 1000) -> DataFra
     """
     if max_group < 2:
         raise ValueError(f"max_group must be >= 2, got {max_group}")
+    if node_col == "module":
+        node = module_of_path()
+    elif node_col == "key":
+        node = file_key(source)
+    else:
+        raise ValueError(f"node_col must be 'module' or 'key', got {node_col!r}")
     dim = (
         source.select(
             "repo",
             F.regexp_replace("path", r"/[^/]+$", "").alias("dir"),
-            module_of_path().alias("module"),
+            node.alias("module"),
         )
         .distinct()
     )

@@ -41,11 +41,12 @@ class LinkGraph:
         edge_strategy: str = "imports",
         direction: str = "OUTGOING",
         weight_default: float = 1.0,
+        max_group: int = 1000,
     ) -> "LinkGraph":
         if edge_strategy == "imports":
             nodes, edges, _repo_edges = derive_graph(source)
         elif edge_strategy == "path_cooccurrence":
-            nodes, edges = _path_cooccurrence(source)
+            nodes, edges = _path_cooccurrence(source, max_group=max_group)
         else:
             raise ValueError(f"unknown edge_strategy {edge_strategy}")
         w = F.coalesce(F.col("weight"), F.lit(float(weight_default)))
@@ -68,23 +69,26 @@ def _path_cooccurrence(
 ) -> tuple[DataFrame, DataFrame]:
     """Undirected file--file edges between files sharing
     (repo, dirname(path)) — delegates the pair generation to
-    ``ingest.path_cooccurrence_edges`` (the oracle-checked derivation
-    with the ``max_group`` directory-fan-out cap), then maps module
-    names onto the dense-id dictionary keyed by file key."""
-    from linkgraph.ingest import module_of_path, path_cooccurrence_edges
+    ``ingest.path_cooccurrence_edges`` with ``node_col="key"`` (the
+    INJECTIVE repo/path key — module names can collide across
+    ambiguous '^src/' strips) and the ``max_group`` directory-fan-out
+    cap, then maps the keys onto the dense-id dictionary. NOTE the cap
+    DROPS directories above ``max_group`` files entirely (the
+    bounded-candidate contract, not a sample) — raise it via
+    ``from_source_table(..., max_group=...)`` when mega-directories
+    must be kept."""
+    from linkgraph.ingest import path_cooccurrence_edges
 
-    files = source.select(
-        file_key(source).alias("key"), module_of_path().alias("module")
-    )
+    files = source.select(file_key(source).alias("key"))
     # adaptive bucket count — same scale rationale as ingest.derive_graph
     nodes = dense_ids(files.select("key")).persist()
-    mod_id = files.join(nodes, "key").select("module", "id")
-    pairs = path_cooccurrence_edges(source, max_group=max_group)
+    pairs = path_cooccurrence_edges(source, max_group=max_group,
+                                    node_col="key")
     edges = (
-        pairs.join(mod_id.select(F.col("module").alias("src"),
-                                 F.col("id").alias("sid")), "src")
-        .join(mod_id.select(F.col("module").alias("dst"),
-                            F.col("id").alias("did")), "dst")
+        pairs.join(nodes.select(F.col("key").alias("src"),
+                                F.col("id").alias("sid")), "src")
+        .join(nodes.select(F.col("key").alias("dst"),
+                           F.col("id").alias("did")), "dst")
         .select(
             F.least("sid", "did").alias("src"),
             F.greatest("sid", "did").alias("dst"),

@@ -251,8 +251,12 @@ def calibration_report(
     Returns (bin, n_docs, mean_prob, label_rate) with
     ``bin = floor(prob * bins)`` clamped to bins-1 (prob = 1.0 joins
     the top bucket); ratios rounded 6. One extra groupBy over the
-    scored frame; replayed by ``calibration_report_sql``.
+    scored frame; replayed by ``calibration_report_sql``. The
+    trainer's pinned feature frame rides on the returned DataFrame —
+    free with ``checkpoint.release_caches`` when consumed.
     """
+    from linkgraph.checkpoint import attach_caches
+
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     res = train_quality_classifier(docs, epochs=epochs, lr=lr,
@@ -261,7 +265,7 @@ def calibration_report(
         "doc_id",
         f"CAST(CASE WHEN {label_predicate} THEN 1 ELSE 0 END AS BIGINT) AS y",
     )
-    return (
+    return attach_caches(
         res.scores.join(labeled, "doc_id")
         .select(
             F.least(F.floor(F.col("prob") * bins).cast("long"),
@@ -273,7 +277,8 @@ def calibration_report(
             F.count("*").alias("n_docs"),
             F.round(F.avg("prob"), 6).alias("mean_prob"),
             F.round(F.avg("y"), 6).alias("label_rate"),
-        )
+        ),
+        res._caches,
     )
 
 

@@ -34,9 +34,13 @@ scalar aggregates (mean, max) over the narrow (id, x) frame; state is
 pinned/released pairwise. Sequential in rounds by nature; 20-40
 rounds separate well-clustered graphs (∞-norm scaling, like any power
 iteration, converges at the λ2/λ3 ratio). Int64 headroom: the rescale
-numerator |y - mean|·1e6 ≤ ~6e12·d_max must stay under 2^63, so the
-exact path holds to d_max ≈ 1.5e6 — beyond that, run on the hub-capped
-graph (components.py hub_cap discipline) or lower the 1e6 unit.
+numerator is 2·|y - mean|·1e6 (+ the half-up offset), so it must hold
+that max|y - mean| ≤ (2^63-1)/(2e6+1) ≈ 4.6e12 — with |y - mean| up
+to ~4e6·d_max that is d_max ≈ 0.7e6 (NOT silently assumed: the loop
+checks the MEASURED scale each round and raises before Spark's
+non-ANSI int64 arithmetic could wrap). Beyond that, run on the
+hub-capped graph (components.py hub_cap discipline) or lower the 1e6
+unit.
 """
 
 from __future__ import annotations
@@ -156,6 +160,12 @@ def spectral_bipartition(
             F.max(F.abs(F.col("y") - F.lit(mean))).alias("m")
         ).first()
         s = max(int(scale_row["m"]), 1)
+        if s > (2**63 - 1) // (2 * _U + 1):
+            raise ValueError(
+                f"spectral_bipartition: rescale magnitude {s} would "
+                "overflow the int64 half-up numerator (2*|y-mean|*1e6) — "
+                "hub-cap the graph or lower the quantization unit."
+            )
         state = loop.advance(
             t,
             y.selectExpr(

@@ -423,8 +423,17 @@ class ComponentMaintainer:
     volumes.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, retain_history: bool = False) -> None:
+        """``retain_history=False`` (default) frees each superseded
+        assignment frame as soon as the next batch lands — bounded
+        state, but a PREVIOUSLY-RETURNED frame becomes unreadable
+        after the next ``update`` (localCheckpoint blocks are freed,
+        no lineage to recompute). Pass ``retain_history=True`` to keep
+        every per-batch assignment readable (diffing across batches);
+        free them with ``release()`` when done."""
         self.assignment: DataFrame | None = None
+        self.retain_history = retain_history
+        self._history: list[DataFrame] = []
 
     def update(self, batch_edges: DataFrame) -> DataFrame:
         from linkgraph.checkpoint import pin_table, release_state
@@ -440,9 +449,22 @@ class ComponentMaintainer:
         res = connected_components(e.withColumn("weight", F.lit(1.0)))
         new = pin_table(res.components)
         if self.assignment is not None:
-            release_state(self.assignment)
+            if self.retain_history:
+                self._history.append(self.assignment)
+            else:
+                release_state(self.assignment)
         self.assignment = new
         return new
+
+    def release(self) -> None:
+        from linkgraph.checkpoint import release_state
+
+        for f in self._history:
+            release_state(f)
+        self._history = []
+        if self.assignment is not None:
+            release_state(self.assignment)
+            self.assignment = None
 
 
 def streaming_components(
@@ -454,7 +476,30 @@ def streaming_components(
     """Drive a ComponentMaintainer from a streaming edge source via
     foreachBatch (trigger availableNow) — drain-and-stop, the
     deterministic test/backfill mode of the other streaming ops. The
-    final assignment is ``maintainer.assignment``."""
+    final assignment is ``maintainer.assignment``.
+
+    UNLIKE the state-store-backed streaming ops (HLL/count-min), the
+    maintainer's state lives in the DRIVER object, not in Spark's
+    checkpoint — resuming a committed checkpoint with a FRESH
+    maintainer would silently skip the already-committed batches'
+    edges. Guarded: a fresh maintainer + a checkpoint dir with
+    committed offsets raises instead of producing an incomplete
+    assignment (use a new checkpoint dir, or keep the maintainer
+    object alive across drains)."""
+    import os as _os
+
+    offsets = _os.path.join(checkpoint_dir, "offsets")
+    if (
+        maintainer.assignment is None
+        and _os.path.isdir(offsets)
+        and _os.listdir(offsets)
+    ):
+        raise ValueError(
+            "streaming_components: checkpoint dir has committed offsets "
+            "but the maintainer is fresh — the committed batches' edges "
+            "would be silently skipped. Use a new checkpoint dir or the "
+            "original maintainer object."
+        )
     q = (
         stream_edges.writeStream.foreachBatch(
             lambda df, _id: (maintainer.update(df), None)[1]
