@@ -669,6 +669,22 @@ def _bpart_cosupplier_sql() -> str:
                                   seed=11, slack_pct=5)
 
 
+def _q_bpart_weighted_cosupplier(spark, sf_dir):
+    """Weight-mass balanced partitioning of the co-supplier graph —
+    votes carry the co-occurrence counts as w6 fixed-point mass
+    (linkgraph/partition.py)."""
+    from linkgraph.partition import balanced_partition
+    res = balanced_partition(cosupplier_edges(spark, sf_dir), k=3, rounds=4,
+                             seed=13, weighted=True)
+    return res.assignment
+
+
+def _bpart_weighted_cosupplier_sql() -> str:
+    from linkgraph.partition import balanced_partition_sql
+    return balanced_partition_sql(COSUPPLIER_EDGES_SQL, k=3, rounds=4,
+                                  seed=13, weighted=True)
+
+
 def _q_path_cooc_synth(spark, sf_dir):
     """Path co-occurrence edge derivation over the synthetic source
     catalog — the north star's second edge family; the oracle
@@ -2903,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_refine_sum_purchase": _q_wl_sum_purchase,
         "balanced_partition_purchase": _q_bpart_purchase,
         "balanced_partition_cosupplier": _q_bpart_cosupplier,
+        "balanced_partition_weighted_cosupplier": _q_bpart_weighted_cosupplier,
         "path_cooc_synth": _q_path_cooc_synth,
         "spectral_split_cosupplier": _q_spectral_cosupplier,
         "wcc_path_cooc_synth": _q_wcc_path_cooc,
@@ -3779,6 +3796,7 @@ SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a
         "wl_refine_sum_purchase": _wl_sum_purchase_sql(),
         "balanced_partition_purchase": _bpart_purchase_sql(),
         "balanced_partition_cosupplier": _bpart_cosupplier_sql(),
+        "balanced_partition_weighted_cosupplier": _bpart_weighted_cosupplier_sql(),
         "path_cooc_synth": _path_cooc_synth_sql(),
         "spectral_split_cosupplier": _spectral_cosupplier_sql(),
         "wcc_path_cooc_synth": _wcc_path_cooc_sql(),

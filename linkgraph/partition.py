@@ -79,6 +79,7 @@ def balanced_partition(
     rounds: int = 5,
     slack_pct: int = 10,
     seed: int = 0,
+    weighted: bool = False,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
@@ -86,6 +87,11 @@ def balanced_partition(
     """Capacity-constrained LPA partitioning (see module docstring).
     Deterministic; replayed value-exact by ``balanced_partition_sql``.
     Returns per-node (id, part) plus edge-cut / balance stats.
+
+    ``weighted=True`` scores proposals by 6-decimal fixed-point EDGE
+    WEIGHT mass instead of neighbor counts (w6 = round(w*1e6) int64
+    sums — exact; parallel pairs deduped to the MIN weight, the MST
+    convention) — the right gain on co-occurrence-count graphs.
 
     Round-granular durable resume (the engine-wide SuperstepLoop
     contract): the durable state is the (id, part) assignment,
@@ -105,14 +111,15 @@ def balanced_partition(
         )
     t0 = time.time()
     spark = edges.sparkSession
-    sym = pin_table(_sym(edges).repartition("node"))
+    sym = pin_table(_wsym(edges, weighted).repartition("node"))
     nodes = sym.select(F.col("node").alias("id")).distinct()
     fp = (
-        int(sym.agg(F.expr("bit_xor(xxhash64(node, nbr))").alias("fp"))
+        int(sym.agg(F.expr("bit_xor(xxhash64(node, nbr, w6))").alias("fp"))
             .first()["fp"] or 0)
         if checkpoint_dir else None
     )
-    params = {"k": k, "slack_pct": slack_pct, "seed": seed}
+    params = {"k": k, "slack_pct": slack_pct, "seed": seed,
+              "weighted": weighted}
     loop = SuperstepLoop(
         spark, checkpoint_dir, every=checkpoint_every, name="bpart",
         max_steps=rounds, context={"graph_fp": fp, "params": params},
@@ -200,6 +207,30 @@ def balanced_partition(
     )
 
 
+def _wsym(edges: DataFrame, weighted: bool) -> DataFrame:
+    """Symmetric adjacency with an integer vote mass column ``w6``:
+    1 per edge (count mode) or round(min-deduped weight * 1e6)
+    (weighted mode)."""
+    if not weighted:
+        return _sym(edges).withColumn("w6", F.lit(1).cast("long"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.coalesce(F.col("weight"), F.lit(1.0)).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .select("a", "b",
+                F.round(F.col("w") * 1_000_000, 0).cast("long").alias("w6"))
+    )
+    return und.select(F.col("a").alias("node"), F.col("b").alias("nbr"),
+                      "w6").unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w6")
+    )
+
+
 def _round_moves(sym: DataFrame, state: DataFrame, cap: int) -> DataFrame:
     """One round's admitted moves (pre-pin) — the production kernel,
     exposed for plan assertions (tests/test_plans.py)."""
@@ -211,7 +242,7 @@ def _round_moves(sym: DataFrame, state: DataFrame, cap: int) -> DataFrame:
             "nbr",
         )
         .groupBy("node", "npart")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("w6").alias("cnt"))
     )
     cur = state.select(F.col("id").alias("node"), F.col("part").alias("cpart"))
     cnt0 = (
@@ -253,18 +284,27 @@ def balanced_partition_sql(
     rounds: int = 5,
     slack_pct: int = 10,
     seed: int = 0,
+    weighted: bool = False,
 ) -> str:
     """Oracle: the partitioning rounds unrolled into DuckDB SQL — the
-    same integer scores, argmax and admission ranking."""
+    same integer scores, argmax and admission ranking (``weighted``
+    switches to the same w6 fixed-point vote mass as the engine)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = stable_hash64_sql("CAST(node AS VARCHAR)", salt=f"bp-{seed}")
+    if weighted:
+        und = """und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+  CAST(ROUND(MIN(COALESCE(weight, 1.0)) * 1000000, 0) AS BIGINT) AS w6
+  FROM e WHERE src <> dst GROUP BY 1, 2)"""
+    else:
+        und = """und AS (SELECT a, b, CAST(1 AS BIGINT) AS w6 FROM (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst))"""
     parts = [
         f"WITH e AS ({edges_sql})",
-        """und AS (SELECT DISTINCT LEAST(src, dst) AS a,
-  GREATEST(src, dst) AS b FROM e WHERE src <> dst)""",
-        """sym AS (SELECT a AS node, b AS nbr FROM und
-  UNION ALL SELECT b AS node, a AS nbr FROM und)""",
+        und,
+        """sym AS (SELECT a AS node, b AS nbr, w6 FROM und
+  UNION ALL SELECT b AS node, a AS nbr, w6 FROM und)""",
         f"""a0 AS (SELECT node AS id, CAST({h} % {k} AS BIGINT) AS part
   FROM (SELECT DISTINCT node FROM sym))""",
         f"""cap AS (SELECT (COUNT(*) * {100 + slack_pct} + {100 * k} - 1)
@@ -275,7 +315,7 @@ def balanced_partition_sql(
         parts.append(
             f"""mv{t} AS MATERIALIZED (
   WITH loads AS (SELECT part, COUNT(*) AS load FROM a{p} GROUP BY part),
-  nbrp AS (SELECT s.node, m.part AS npart, COUNT(*) AS cnt
+  nbrp AS (SELECT s.node, m.part AS npart, SUM(s.w6) AS cnt
            FROM sym s JOIN a{p} m ON m.id = s.nbr
            GROUP BY s.node, m.part),
   cnt0 AS (SELECT c.id AS node, c.part AS cpart,

@@ -160,3 +160,31 @@ def test_dbh_edge_partition_properties_and_twin(spark):
     assert got == want
     with pytest.raises(ValueError):
         edge_partition_dbh(_edges(spark, pairs), k=0)
+
+
+def test_weighted_voting_twin_and_divergence(spark):
+    import duckdb
+
+    # a node torn between 2 unweighted neighbors in part A and 1
+    # heavy neighbor in part B: count mode keeps it with A, weighted
+    # mode moves it to B
+    rng = random.Random(107)
+    triples = [
+        (a, b, round(rng.uniform(0.5, 5.0), 2))
+        for a, b in {(rng.randrange(22), rng.randrange(22)) for _ in range(80)}
+        if a != b
+    ]
+    e = spark.createDataFrame(triples, "src long, dst long, weight double")
+    rw = balanced_partition(e, k=3, rounds=4, seed=9, weighted=True)
+    got = sorted(map(tuple, rw.assignment.collect()))
+    rw.release()
+    rows = ", ".join(f"({a}, {b}, {w})" for a, b, w in triples)
+    vs = f"SELECT * FROM (VALUES {rows}) AS t(src, dst, weight)"
+    want = sorted(map(tuple, duckdb.connect().execute(
+        balanced_partition_sql(vs, k=3, rounds=4, seed=9, weighted=True)
+    ).fetchall()))
+    assert got == want
+    rc = balanced_partition(e, k=3, rounds=4, seed=9, weighted=False)
+    count_asg = sorted(map(tuple, rc.assignment.collect()))
+    rc.release()
+    assert count_asg != got  # weights genuinely change the outcome
