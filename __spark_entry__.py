@@ -335,6 +335,31 @@ def _q_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_size(cosupplier_edges(spark, sf_dir))
 
 
+def _q_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c(k) degree-dependent clustering profile on the co-supplier
+    graph (linkgraph/graphs.py#clustering_by_degree)."""
+    from linkgraph.graphs import clustering_by_degree
+    return clustering_by_degree(cosupplier_edges(spark, sf_dir))
+
+
+def _clustering_by_degree_sql() -> str:
+    from linkgraph.graphs import clustering_by_degree_sql
+    return clustering_by_degree_sql(COSUPPLIER_EDGES_SQL)
+
+
+def _q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass data-mixing plan over the documents sources
+    (pipeline/curate.py#mixing_plan)."""
+    from linkgraph.pipeline.curate import mixing_plan
+    return mixing_plan(_docs(spark, sf_dir),
+                       {"src0": 0.3, "src1": 0.3, "src2": 0.4})
+
+
+def _mixing_plan_sql() -> str:
+    from linkgraph.pipeline.curate import mixing_plan_sql
+    return mixing_plan_sql({"src0": 0.3, "src1": 0.3, "src2": 0.4})
+
+
 def _q_degree_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k_nn(k) average-neighbor-degree profile on the purchase graph
     — the per-k degree-mixing probe (linkgraph/graphs.py#degree_knn)."""
@@ -2899,6 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_size_cosupplier": _q_effective_size,
         "powerlaw_purchase": _q_powerlaw_purchase,
         "degree_knn_purchase": _q_degree_knn,
+        "clustering_by_degree_cosupplier": _q_clustering_by_degree,
+        "mixing_plan_docs": _q_mixing_plan,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
         "degree_weighted_cosupplier": _q_degree_weighted_cosupplier,
@@ -3278,6 +3305,8 @@ FROM nodes n LEFT JOIN cnt c ON c.id = n.id
         "effective_size_cosupplier": _effective_size_sql(),
         "powerlaw_purchase": _powerlaw_purchase_sql(),
         "degree_knn_purchase": _degree_knn_sql(),
+        "clustering_by_degree_cosupplier": _clustering_by_degree_sql(),
+        "mixing_plan_docs": _mixing_plan_sql(),
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},
 corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),

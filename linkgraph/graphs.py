@@ -1428,3 +1428,72 @@ SELECT nk.d AS k, nk.n_nodes,
        ROUND(CAST(mass.mass AS DOUBLE) / (nk.d * nk.n_nodes), 6) AS knn
 FROM nk JOIN mass ON mass.d = nk.d
 """
+
+
+def clustering_by_degree(edges: DataFrame) -> DataFrame:
+    """Degree-dependent clustering coefficient c(k) (Vázquez,
+    Pastor-Satorras & Vespignani PRE 2002 — public result): the mean
+    local clustering coefficient over nodes of degree k. A power-law
+    c(k) ~ k^-1 is the hierarchical-modularity signature of real
+    import graphs; flat c(k) means degree-independent closure. The
+    per-k companion of ``degree_knn`` on the triangle side.
+
+    Exact integers until the end: per degree class it aggregates
+    Σ triangles and n_k, and c(k) = 2·Σt / (n_k · k·(k-1)) — ONE
+    rational per class (not a mean of per-node floats, so the value is
+    order-free and engine-exact). Degree-1 nodes have no defined
+    coefficient and are reported with c NULL. Composes the exact
+    triangle counter; its caches ride on the returned frame
+    (``checkpoint.release_caches``). Replayed by
+    ``clustering_by_degree_sql``.
+    """
+    from linkgraph.checkpoint import attach_caches
+    from linkgraph.triangles import triangle_count
+
+    res = triangle_count(edges)
+    out = (
+        res.counts.groupBy(F.col("degree").cast("long").alias("k"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("triangles").cast("long")).alias("tri_sum"),
+        )
+        .select(
+            "k", "n_nodes",
+            F.when(
+                F.col("k") >= 2,
+                F.round(
+                    2.0 * F.col("tri_sum")
+                    / (F.col("n_nodes") * F.col("k") * (F.col("k") - 1)),
+                    6,
+                ),
+            ).alias("c"),
+        )
+    )
+    return attach_caches(out, res._caches)
+
+
+def clustering_by_degree_sql(edges_sql: str) -> str:
+    """Oracle: per-node triangle membership + the same per-class
+    rational."""
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS k FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY id),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pt AS (SELECT id, COUNT(*) AS t FROM (
+         SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+         UNION ALL SELECT z AS id FROM tri) GROUP BY id),
+cls AS (SELECT d.k, COUNT(*) AS n_nodes,
+               SUM(COALESCE(pt.t, 0)) AS tri_sum
+        FROM deg d LEFT JOIN pt ON pt.id = d.id GROUP BY d.k)
+SELECT k, n_nodes,
+       CASE WHEN k >= 2
+            THEN ROUND(2.0 * tri_sum / (n_nodes * k * (k - 1)), 6)
+       END AS c
+FROM cls
+"""

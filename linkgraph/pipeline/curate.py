@@ -839,3 +839,96 @@ SELECT d.source,
 FROM documents d JOIN flags f ON f.doc_id = d.doc_id
 GROUP BY d.source
 """
+
+
+def mixing_plan(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
+    """Data-mixing plan: given target source proportions (by token
+    mass), compute the per-source downsampling rates that hit them —
+    the "data mixture" step of pre-training curation (DoReMi/Pile-style
+    recipes pick the proportions; this operator turns them into
+    executable sampling rates against the actual corpus).
+
+    Semantics (downsample-only): with T_s tokens observed and target
+    fraction f_s (renormalized over ``targets``), the binding budget
+    is B = min over targeted sources of T_s / f_s; every source keeps
+    ``rate_s = f_s·B / T_s`` (=1 for the binding source, 0 for
+    sources without a target). Tokens are whitespace tokens (the
+    token_stats convention), counted as exact integers; the fractions
+    are inlined literals, so the single float division per source is
+    engine-identical. Returns
+    (source, n_docs, tokens, target_frac, sample_rate,
+    expected_tokens) rounded 6; replayed by ``mixing_plan_sql``.
+    """
+    if not targets or any(f <= 0 for f in targets.values()):
+        raise ValueError(
+            f"targets must be a non-empty dict of positive fractions, got {targets!r}"
+        )
+    spark = docs.sparkSession
+    norm = float(sum(targets.values()))
+    tgt = spark.createDataFrame(
+        [(s, float(f) / norm) for s, f in sorted(targets.items())],
+        "source string, target_frac double",
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("long").alias("tokens"),
+    )
+    j = stats.join(F.broadcast(tgt), "source", "left").select(
+        "source", "n_docs", "tokens",
+        F.coalesce("target_frac", F.lit(0.0)).alias("target_frac"),
+    )
+    budget = j.filter(F.col("target_frac") > 0).agg(
+        F.min(F.col("tokens") / F.col("target_frac")).alias("b")
+    )
+    return (
+        j.crossJoin(F.broadcast(budget))
+        .select(
+            "source", "n_docs", "tokens",
+            F.round("target_frac", 6).alias("target_frac"),
+            F.round(
+                F.when(F.col("target_frac") > 0,
+                       F.col("target_frac") * F.col("b") / F.col("tokens"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("sample_rate"),
+            F.round(
+                F.when(F.col("target_frac") > 0,
+                       F.col("target_frac") * F.col("b"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("expected_tokens"),
+        )
+    )
+
+
+def mixing_plan_sql(targets: dict[str, float], table: str = "documents") -> str:
+    """Oracle: identical token census, inlined normalized fractions,
+    min-budget and rates."""
+    if not targets or any(f <= 0 for f in targets.values()):
+        raise ValueError(
+            f"targets must be a non-empty dict of positive fractions, got {targets!r}"
+        )
+    norm = float(sum(targets.values()))
+    vals = ", ".join(
+        f"('{s}', {float(f) / norm!r})" for s, f in sorted(targets.items())
+    )
+    return f"""
+WITH tgt AS (SELECT * FROM (VALUES {vals}) t(source, target_frac)),
+stats AS (SELECT source, COUNT(*) AS n_docs,
+                 SUM(len(list_filter(string_split(text, ' '),
+                                     x -> x <> ''))) AS tokens
+          FROM {table} GROUP BY source),
+j AS (SELECT s.source, s.n_docs, CAST(s.tokens AS BIGINT) AS tokens,
+             COALESCE(t.target_frac, 0.0) AS target_frac
+      FROM stats s LEFT JOIN tgt t ON t.source = s.source),
+b AS (SELECT MIN(tokens / target_frac) AS b FROM j WHERE target_frac > 0)
+SELECT source, n_docs, tokens,
+       ROUND(target_frac, 6) AS target_frac,
+       ROUND(CASE WHEN target_frac > 0
+                  THEN target_frac * (SELECT b FROM b) / tokens
+                  ELSE 0.0 END, 6) AS sample_rate,
+       ROUND(CASE WHEN target_frac > 0
+                  THEN target_frac * (SELECT b FROM b)
+                  ELSE 0.0 END, 6) AS expected_tokens
+FROM j
+"""

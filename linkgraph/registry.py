@@ -81,6 +81,8 @@ PROCEDURES = {
     "streaming_components": ("linkgraph.streaming.ComponentMaintainer", "(streaming extension: incremental union-find maintenance)", False),
     "edge_partition_dbh": ("linkgraph.partition.edge_partition_dbh", "(engine extension: DBH vertex-cut placement)", True),
     "calibration_report": ("linkgraph.pipeline.classifier.calibration_report", "(pipeline extension: classifier reliability table)", True),
+    "clustering_by_degree": ("linkgraph.graphs.clustering_by_degree", "(engine extension: c(k) closure profile)", True),
+    "mixing_plan": ("linkgraph.pipeline.curate.mixing_plan", "(pipeline extension: data-mixture sampling plan)", True),
 }
 
 

@@ -90,3 +90,46 @@ def test_contamination_report_golden_and_twin(spark):
     ).fetchall()))
     got_rows = sorted(map(tuple, rep.collect()))
     assert got_rows == want
+
+
+def test_mixing_plan_golden_and_twin(spark):
+    import pytest as _pytest
+
+    from linkgraph.pipeline.curate import mixing_plan, mixing_plan_sql
+
+    docs = [
+        (0, "a b c d e f g h i j", "web"),      # 10 tokens
+        (1, "a b c d e f g h i j", "web"),      # web: 20 tokens
+        (2, "a b c d e", "books"),              # books: 5 tokens
+        (3, "a b c", "code"),                   # code: 3 tokens (no target)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = {r["source"]: r for r in
+            mixing_plan(df, {"web": 0.5, "books": 0.5}).collect()}
+    # budget = min(20/0.5, 5/0.5) = 10 -> books binding (rate 1),
+    # web keeps 5 of 20 tokens (rate 0.25); code untargeted -> 0
+    assert plan["books"]["sample_rate"] == 1.0
+    assert plan["web"]["sample_rate"] == 0.25
+    assert plan["web"]["expected_tokens"] == 5.0
+    assert plan["code"]["sample_rate"] == 0.0
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r}, '{s}')" for i, t, s in docs)
+        + ") t(doc_id, text, source)"
+    )
+    got = sorted(map(tuple,
+                     mixing_plan(df, {"web": 0.5, "books": 0.5}).collect()))
+    want = sorted(map(tuple, con.execute(
+        mixing_plan_sql({"web": 0.5, "books": 0.5})
+    ).fetchall()))
+    assert got == want
+    with _pytest.raises(ValueError):
+        mixing_plan(df, {})
+    with _pytest.raises(ValueError):
+        mixing_plan_sql({"web": -1.0})

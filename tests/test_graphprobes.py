@@ -111,3 +111,22 @@ def test_degree_knn_star_and_twin(spark):
         degree_knn_sql(_values_sql(pairs))
     ).fetchall()))
     assert got2 == want
+
+
+def test_clustering_by_degree_goldens_and_twin(spark):
+    from linkgraph.graphs import clustering_by_degree, clustering_by_degree_sql
+
+    tri = _edges(spark, [(0, 1), (1, 2), (0, 2)])
+    got = sorted(map(tuple, clustering_by_degree(tri).collect()))
+    assert got == [(2, 3, 1.0)]
+    star = _edges(spark, [(0, i) for i in range(1, 5)])
+    got_s = {r["k"]: r["c"] for r in clustering_by_degree(star).collect()}
+    assert got_s == {1: None, 4: 0.0}
+    pairs = _rand_pairs(113)
+    got2 = sorted(map(tuple,
+                      clustering_by_degree(_edges(spark, pairs)).collect()),
+                  key=lambda t: t[0])
+    want = sorted(map(tuple, duckdb.connect().execute(
+        clustering_by_degree_sql(_values_sql(pairs))
+    ).fetchall()), key=lambda t: t[0])
+    assert got2 == want
