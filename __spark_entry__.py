@@ -2662,6 +2662,19 @@ def _q_jaccard_prefix(spark, sf_dir):
     return jaccard_prefix_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_kmeans_parallel(spark, sf_dir):
+    """Deterministic k-means‖ oversampling init over the embeddings
+    table (pipeline/simsearch.py#kmeans_parallel_init)."""
+    from linkgraph.pipeline.simsearch import kmeans_parallel_init
+    return kmeans_parallel_init(_emb(spark, sf_dir), k=8, l=16, rounds=3,
+                                seed=3)
+
+
+def _kmeans_parallel_sql() -> str:
+    from linkgraph.pipeline.simsearch import kmeans_parallel_init_sql
+    return kmeans_parallel_init_sql(64, k=8, l=16, rounds=3, seed=3)
+
+
 def _q_mmr_embeddings(spark, sf_dir):
     """MMR diverse top-k over the embeddings table — integer-exact
     relevance/redundancy scores on quantized normalized vectors
@@ -3097,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
         "mmr_select_embeddings": _q_mmr_embeddings,
+        "kmeans_parallel_init_embeddings": _q_kmeans_parallel,
         "sim_kmeans_assign": _q_kmeans,
         "sim_kcenter_select": _q_kcenter,
         "sim_embed_covariance": _q_embed_covariance,
@@ -4214,6 +4228,7 @@ FROM base JOIN ppl ON ppl.doc_id = base.doc_id
         # sim_ann_ivf_topk: deterministic IVF => exact oracle
         "sim_ann_ivf_topk": ann_ivf_topk_sql(dim=64, k=5, n_centroids=16, n_probe=4),
         "mmr_select_embeddings": _mmr_embeddings_sql(),
+        "kmeans_parallel_init_embeddings": _kmeans_parallel_sql(),
         "sim_kmeans_assign": kmeans_clusters_sql(dim=64, n_clusters=16, iters=2),
         "sim_kcenter_select": _kcenter_sql_wrapped(),
         # covariance: x6 integer moments + DECIMAL(38,0) numerator,

@@ -1654,3 +1654,268 @@ def mmr_select_sql(
                 f"GREATEST(s.smax, {dot}) AS smax FROM s{r} s, p{r} c)"
             )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(picks)
+
+
+# ----------------------------------------------------------- k-means||
+
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int = 8,
+    l: int | None = None,
+    rounds: int = 3,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means‖ center initialization (Bahmani et al.
+    VLDB 2012, "Scalable k-means++" — public result): instead of k
+    sequential k-means++ passes, each of ``rounds`` rounds samples
+    ~``l`` points in PARALLEL with probability min(1, l·d²(x)/φ)
+    (φ = Σd² the current cost), then the oversampled candidate set is
+    reduced to k centers by a weighted greedy pass. The 100TB init
+    path for ``kmeans_clusters``: O(rounds) scans instead of O(k).
+
+    Engine determinism (the kcenter integer discipline + hash coins):
+    vectors quantize once to int64 micro-units, every d² and φ is
+    exact integer arithmetic (φ summed in DECIMAL(38,0)); the sampling
+    coin is ``stable_hash64(id|round)/2^60 < l·d²/φ`` evaluated in
+    doubles built from exact integers — the identical expression both
+    engines, so selection is bit-reproducible. Candidate weights =
+    |points whose argmin candidate is c| (ties → smaller candidate
+    id). The final reduction is the deterministic weighted
+    farthest-first analog of kmeans++: start at the max-weight
+    candidate, then repeatedly take argmax of w_c·d²(c, chosen)
+    (ties → id) — driver-side over the ≤ 1+l·rounds candidates (the
+    IVF-centroid size-gated-collect pattern).
+
+    Returns (rank, vec_id, weight) of the k chosen centers — feed the
+    vectors back as fixed centroids / seeds. φ = 0 (every point
+    coincides with a center) stops sampling early; raises when fewer
+    than k distinct candidates were drawn (raise ``l``/``rounds``).
+    Replayed exactly by ``kmeans_parallel_init_sql``.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1, got {k}, {rounds}")
+    l = 2 * k if l is None else l
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    from linkgraph.checkpoint import pin_table, release_state
+    from linkgraph.pipeline.hashing import stable_hash64
+
+    dim = _dim(emb, vec_col)
+    q = pin_table(_kcenter_quantized(emb, id_col, vec_col))
+    seed_row = q.orderBy(F.asc("id")).first()
+    if seed_row is None:
+        raise ValueError("kmeans_parallel_init: empty corpus")
+    centers: dict[int, list[int]] = {int(seed_row["id"]): list(seed_row["qv"])}
+
+    def _d2_lit(cvec: list[int]):
+        terms = " + ".join(
+            f"(element_at(qv, {i}) - {cvec[i - 1]}L) * "
+            f"(element_at(qv, {i}) - {cvec[i - 1]}L)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"(0L + {terms})")
+
+    state = pin_table(
+        q.select("id", "qv", _d2_lit(list(seed_row["qv"])).alias("dmin"))
+    )
+    for r in range(1, rounds + 1):
+        phi = int(
+            state.agg(
+                F.sum(F.col("dmin").cast("decimal(38,0)")).alias("s")
+            ).first()["s"] or 0
+        )
+        if phi == 0:
+            break
+        phi_d = float(phi)
+        h = stable_hash64(F.col("id").cast("string"), salt=f"kmpar-{seed}-{r}")
+        picked = (
+            state.filter(
+                (h.cast("double") / F.lit(float(1 << 60)))
+                < (F.lit(float(l)) * F.col("dmin").cast("double")
+                   / F.lit(phi_d))
+            )
+            .select("id", "qv")
+            .collect()
+        )
+        new = [(int(p["id"]), list(p["qv"])) for p in picked
+               if int(p["id"]) not in centers]
+        if not new:
+            continue
+        for cid, qv in new:
+            centers[cid] = qv
+        nc = state.sparkSession.createDataFrame(
+            [(cid, qv) for cid, qv in new], "cid long, qc array<bigint>"
+        )
+        d2c = " + ".join(
+            f"(element_at(qv, {i}) - element_at(qc, {i})) * "
+            f"(element_at(qv, {i}) - element_at(qc, {i}))"
+            for i in range(1, dim + 1)
+        )
+        upd = (
+            state.crossJoin(F.broadcast(nc))
+            .select("id", "qv", "dmin", F.expr(f"(0L + {d2c})").alias("d2"))
+            .groupBy("id", "qv", "dmin")
+            .agg(F.min("d2").alias("d2n"))
+            .select("id", "qv", F.least("dmin", "d2n").alias("dmin"))
+        )
+        new_state = pin_table(upd)
+        release_state(state)
+        state = new_state
+    # candidate weights: argmin candidate per point (d2 ASC, cid ASC)
+    cand = state.sparkSession.createDataFrame(
+        [(cid, qv) for cid, qv in sorted(centers.items())],
+        "cid long, qc array<bigint>",
+    )
+    d2c = " + ".join(
+        f"(element_at(qv, {i}) - element_at(qc, {i})) * "
+        f"(element_at(qv, {i}) - element_at(qc, {i}))"
+        for i in range(1, dim + 1)
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+    weights = {
+        int(r_["cid"]): int(r_["w"])
+        for r_ in (
+            q.crossJoin(F.broadcast(cand))
+            .select("id", F.col("cid"), F.expr(f"(0L + {d2c})").alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("cid").agg(F.count("*").alias("w"))
+            .collect()
+        )
+    }
+    release_state(state)
+    release_state(q)
+    if len(centers) < k:
+        raise ValueError(
+            f"kmeans_parallel_init drew only {len(centers)} candidates for "
+            f"k={k} — raise l ({l}) or rounds ({rounds})."
+        )
+    # deterministic weighted farthest-first reduction to k
+    def _pd2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    first = max(weights.items(), key=lambda t: (t[1], -t[0]))[0] \
+        if weights else min(centers)
+    chosen = [first]
+    dmin = {cid: _pd2(qv, centers[first]) for cid, qv in centers.items()}
+    while len(chosen) < k:
+        nxt = max(
+            ((cid, weights.get(cid, 0) * dmin[cid]) for cid in centers
+             if cid not in chosen),
+            key=lambda t: (t[1], -t[0]),
+        )[0]
+        chosen.append(nxt)
+        for cid, qv in centers.items():
+            d = _pd2(qv, centers[nxt])
+            if d < dmin[cid]:
+                dmin[cid] = d
+    return emb.sparkSession.createDataFrame(
+        [(i, cid, weights.get(cid, 0)) for i, cid in enumerate(chosen)],
+        "rank long, vec_id long, weight long",
+    )
+
+
+def kmeans_parallel_init_sql(
+    dim: int,
+    k: int = 8,
+    l: int | None = None,
+    rounds: int = 3,
+    seed: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """Unrolled DuckDB twin of ``kmeans_parallel_init`` — identical
+    integer distances, DECIMAL cost, double coin comparisons, weights
+    and greedy reduction."""
+    from linkgraph.pipeline.hashing import stable_hash64_sql
+
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1, got {k}, {rounds}")
+    l = 2 * k if l is None else l
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+
+    def d2(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(list_extract({a}, {i}) - list_extract({b}, {i})) * "
+            f"(list_extract({a}, {i}) - list_extract({b}, {i}))"
+            for i in range(1, dim + 1)
+        )
+        return f"(0 + {terms})"
+
+    ctes = [
+        (
+            "q AS (SELECT vec_id AS id, "
+            "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv "
+            f"FROM {table})"
+        ),
+        "c0 AS MATERIALIZED (SELECT id, qv FROM q ORDER BY id LIMIT 1)",
+        f"s0 AS MATERIALIZED (SELECT s.id, s.qv, {d2('s.qv', 'c.qv')} AS dmin FROM q s, c0 c)",
+        "cset0 AS MATERIALIZED (SELECT id AS cid, qv AS qc FROM c0)",
+    ]
+    two60 = float(1 << 60)
+    for r in range(1, rounds + 1):
+        p = r - 1
+        h = stable_hash64_sql("CAST(id AS VARCHAR)", salt=f"kmpar-{seed}-{r}")
+        ctes.append(
+            f"phi{r} AS MATERIALIZED (SELECT "
+            f"SUM(CAST(dmin AS DECIMAL(38,0))) AS phi FROM s{p})"
+        )
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (SELECT id, qv FROM s{p}, phi{r}
+  WHERE COALESCE(phi, 0) > 0
+    AND CAST({h} AS DOUBLE) / {two60!r}
+        < {float(l)!r} * CAST(dmin AS DOUBLE) / CAST(phi AS DOUBLE)
+    AND id NOT IN (SELECT cid FROM cset{p}))"""
+        )
+        ctes.append(
+            f"cset{r} AS MATERIALIZED (SELECT * FROM cset{p} "
+            f"UNION ALL SELECT id, qv FROM pick{r})"
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (SELECT s.id, s.qv,
+  LEAST(s.dmin, COALESCE(mn.d2, s.dmin)) AS dmin
+  FROM s{p} s LEFT JOIN (
+    SELECT s2.id, MIN({d2('s2.qv', 'p2.qv')}) AS d2
+    FROM s{p} s2, pick{r} p2 GROUP BY s2.id) mn ON mn.id = s.id)"""
+        )
+        last = r
+    ctes.append(
+        f"""wts AS MATERIALIZED (SELECT c.cid, c.qc, COALESCE(w.w, 0) AS w
+  FROM cset{last} c LEFT JOIN (
+    SELECT cid, COUNT(*) AS w FROM (
+      SELECT a.id, a.cid, ROW_NUMBER() OVER (PARTITION BY a.id
+        ORDER BY a.d2 ASC, a.cid ASC) AS rn
+      FROM (SELECT s.id, t.cid, {d2('s.qv', 't.qc')} AS d2
+            FROM q s, cset{last} t) a)
+    WHERE rn = 1 GROUP BY cid) w ON w.cid = c.cid)"""
+    )
+    ctes.append(
+        "g0 AS MATERIALIZED (SELECT cid FROM wts ORDER BY w DESC, cid ASC LIMIT 1)"
+    )
+    ctes.append(
+        f"""d0 AS MATERIALIZED (SELECT t.cid, t.qc, t.w, {d2('t.qc', 'g.qc')} AS dmin
+  FROM wts t, (SELECT qc FROM wts WHERE cid = (SELECT cid FROM g0)) g)"""
+    )
+    sel = ["SELECT CAST(0 AS BIGINT) AS rank, cid AS vec_id, "
+           "CAST(w AS BIGINT) AS weight FROM d0 WHERE cid = (SELECT cid FROM g0)"]
+    for j in range(1, k):
+        prev = " AND ".join(
+            f"cid <> (SELECT cid FROM g{i})" for i in range(j)
+        )
+        ctes.append(
+            f"""g{j} AS MATERIALIZED (SELECT cid FROM d{j - 1}
+  WHERE {prev} ORDER BY w * dmin DESC, cid ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""d{j} AS MATERIALIZED (SELECT t.cid, t.qc, t.w,
+  LEAST(t.dmin, {d2('t.qc', 'g.qc')}) AS dmin
+  FROM d{j - 1} t, (SELECT qc FROM d{j - 1}
+                    WHERE cid = (SELECT cid FROM g{j})) g)"""
+        )
+        sel.append(
+            f"SELECT CAST({j} AS BIGINT), cid, CAST(w AS BIGINT) FROM d{j} "
+            f"WHERE cid = (SELECT cid FROM g{j})"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sel)

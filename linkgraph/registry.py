@@ -83,6 +83,7 @@ PROCEDURES = {
     "calibration_report": ("linkgraph.pipeline.classifier.calibration_report", "(pipeline extension: classifier reliability table)", True),
     "clustering_by_degree": ("linkgraph.graphs.clustering_by_degree", "(engine extension: c(k) closure profile)", True),
     "mixing_plan": ("linkgraph.pipeline.curate.mixing_plan", "(pipeline extension: data-mixture sampling plan)", True),
+    "kmeans_parallel_init": ("linkgraph.pipeline.simsearch.kmeans_parallel_init", "(pipeline extension: Bahmani scalable k-means init)", True),
 }
 
 
