@@ -335,6 +335,20 @@ def _q_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_size(cosupplier_edges(spark, sf_dir))
 
 
+def _q_ifub_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact diameter via iFUB (few BFS waves) — checked against the
+    algorithmically independent all-pairs eccentricity oracle
+    (linkgraph/paths.py#ifub_diameter)."""
+    from linkgraph.paths import ifub_diameter
+    return ifub_diameter(_trade_nation_edges(spark, sf_dir), max_hops=8)
+
+
+def _ifub_diameter_sql() -> str:
+    from linkgraph.paths import graph_diameter_sql
+    return (f"SELECT diameter FROM ("
+            f"{graph_diameter_sql(TRADE_NATION_SQL, max_hops=8)})")
+
+
 def _q_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c(k) degree-dependent clustering profile on the co-supplier
     graph (linkgraph/graphs.py#clustering_by_degree)."""
@@ -2938,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_purchase": _q_powerlaw_purchase,
         "degree_knn_purchase": _q_degree_knn,
         "clustering_by_degree_cosupplier": _q_clustering_by_degree,
+        "ifub_diameter_nation": _q_ifub_diameter,
         "mixing_plan_docs": _q_mixing_plan,
         "triangles_intersect_cosupplier": _q_triangles_intersect,
         "degrees_purchase": _q_degrees,
@@ -3320,6 +3335,7 @@ FROM nodes n LEFT JOIN cnt c ON c.id = n.id
         "powerlaw_purchase": _powerlaw_purchase_sql(),
         "degree_knn_purchase": _degree_knn_sql(),
         "clustering_by_degree_cosupplier": _clustering_by_degree_sql(),
+        "ifub_diameter_nation": _ifub_diameter_sql(),
         "mixing_plan_docs": _mixing_plan_sql(),
         "triangles_per_node_cosupplier": f"""
 WITH {TRI_SQL_BASE},

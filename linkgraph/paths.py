@@ -1126,3 +1126,70 @@ SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius,
          AS n_central
 FROM ecc
 """
+
+
+def ifub_diameter(
+    edges: DataFrame, max_hops: int = 64
+) -> DataFrame:
+    """Exact diameter by iFUB (Crescenzi, Grossi, Habib, Lanzi,
+    Marino — "On computing the diameter of real-world undirected
+    graphs", TCS 2013; public result): a double sweep picks a
+    high-eccentricity root, then fringe levels are processed top-down
+    — eccentricities of the level-i nodes (ONE batched MS-BFS per
+    level) raise the lower bound until lb ≥ 2(i-1) proves no deeper
+    node can beat it. On real small-world graphs this terminates
+    after a handful of levels, so the cost is a few BFS waves instead
+    of `graph_diameter`'s all-sources MS-BFS — the scale path for the
+    same exact number (the driver checks it against the ALL-pairs
+    eccentricity oracle, an algorithmically independent derivation).
+
+    Undirected (the iFUB setting; edges are symmetrized) and defined
+    on the double-sweep root's component — for disconnected graphs
+    fold per component or use ``graph_diameter``. Deterministic root
+    picks: max degree then farthest, ties → smaller id. Returns ONE
+    row (diameter,) — deliberately just the number the independent
+    all-pairs oracle can check.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    spark = edges.sparkSession
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    r0 = deg.orderBy(F.desc("d"), F.asc("src")).limit(1).first()
+    if r0 is None:
+        raise ValueError("ifub_diameter: empty edge table")
+    root = int(r0["src"])
+    lev_r = ms_bfs_distances(
+        sym, sources=spark.createDataFrame([(root,)], "id long"),
+        direction="OUTGOING", max_hops=max_hops,
+    )
+    a_row = lev_r.orderBy(F.desc("dist"), F.asc("id")).limit(1).first()
+    a = int(a_row["id"])
+    lev_a = ms_bfs_distances(
+        sym, sources=spark.createDataFrame([(a,)], "id long"),
+        direction="OUTGOING", max_hops=max_hops,
+    ).persist()
+    ecc_a = int(lev_a.agg(F.max("dist").alias("m")).first()["m"])
+    lb = ecc_a
+    i = ecc_a
+    while i > lb / 2:
+        fringe = lev_a.filter(F.col("dist") == i).select("id")
+        if not fringe.isEmpty():
+            ecc_i = (
+                ms_bfs_distances(sym, sources=fringe,
+                                 direction="OUTGOING", max_hops=max_hops)
+                .groupBy("source").agg(F.max("dist").alias("ecc"))
+                .agg(F.max("ecc").alias("m")).first()["m"]
+            )
+            lb = max(lb, int(ecc_i))
+        if lb >= 2 * (i - 1):
+            break
+        i -= 1
+    lev_a.unpersist()
+    return spark.createDataFrame([(lb,)], "diameter long")

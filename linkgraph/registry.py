@@ -84,6 +84,7 @@ PROCEDURES = {
     "clustering_by_degree": ("linkgraph.graphs.clustering_by_degree", "(engine extension: c(k) closure profile)", True),
     "mixing_plan": ("linkgraph.pipeline.curate.mixing_plan", "(pipeline extension: data-mixture sampling plan)", True),
     "kmeans_parallel_init": ("linkgraph.pipeline.simsearch.kmeans_parallel_init", "(pipeline extension: Bahmani scalable k-means init)", True),
+    "ifub_diameter": ("linkgraph.paths.ifub_diameter", "(engine extension: iFUB exact diameter, few-BFS path)", True),
 }
 
 

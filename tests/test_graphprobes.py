@@ -130,3 +130,24 @@ def test_clustering_by_degree_goldens_and_twin(spark):
         clustering_by_degree_sql(_values_sql(pairs))
     ).fetchall()), key=lambda t: t[0])
     assert got2 == want
+
+
+def test_ifub_diameter_matches_all_pairs(spark):
+    from linkgraph.paths import graph_diameter, ifub_diameter
+
+    # path P7: diameter 6
+    path = _edges(spark, [(i, i + 1) for i in range(6)])
+    assert ifub_diameter(path).first()["diameter"] == 6
+    # random CONNECTED graphs: chain backbone + random chords
+    for seed in (127, 131):
+        rng = random.Random(seed)
+        chords = [(rng.randrange(18), rng.randrange(18)) for _ in range(14)]
+        pairs = [(i, i + 1) for i in range(17)] + [
+            (a, b) for a, b in chords if a != b
+        ]
+        e = _edges(spark, pairs)
+        want = graph_diameter(e, direction="BOTH").first()["diameter"]
+        got = ifub_diameter(e).first()["diameter"]
+        assert got == want, seed
+    with pytest.raises(ValueError):
+        ifub_diameter(path.filter("src < 0"))
