@@ -1170,6 +1170,19 @@ def _q_earliest_arrival_returns(spark, sf_dir):
     return res.arrivals.select("id", "arrival")
 
 
+def _q_temporal_closeness_returns(spark, sf_dir):
+    """Temporal harmonic closeness of customer 0 over the dated
+    purchase/return digraph (linkgraph/temporal.py#temporal_closeness)."""
+    from linkgraph.temporal import temporal_closeness
+    return temporal_closeness(_temporal_returns_edges(spark, sf_dir),
+                              source=0, start_ts=0)
+
+
+def _temporal_closeness_sql_wrapped() -> str:
+    from linkgraph.temporal import temporal_closeness_sql
+    return temporal_closeness_sql(TEMPORAL_RETURNS_SQL, 0, start_ts=0)
+
+
 NATION_SUPPLIER_SQL = (
     TRADE_NATION_SQL.strip()
     + "\nUNION ALL\nSELECT s_nationkey AS src, 1000 + s_suppkey AS dst FROM supplier"
@@ -3003,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges_nation_supplier": _q_bridges_nation_supplier,
         "articulation_nation_supplier": _q_articulation_nation_supplier,
         "earliest_arrival_returns": _q_earliest_arrival_returns,
+        "temporal_closeness_returns": _q_temporal_closeness_returns,
         "temporal_pr_returns": _q_temporal_pr_returns,
         "earliest_arrival_weighted_returns": _q_earliest_arrival_weighted_returns,
         "latest_departure_returns": _q_latest_departure_returns,
@@ -3902,6 +3916,7 @@ FROM nodes nd LEFT JOIN (
         "bridges_nation_supplier": _bridges_sql_wrapped(),
         "articulation_nation_supplier": _articulation_sql_wrapped(),
         "earliest_arrival_returns": _earliest_arrival_sql_wrapped(),
+        "temporal_closeness_returns": _temporal_closeness_sql_wrapped(),
         "temporal_pr_returns": temporal_pagerank_sql(
             TEMPORAL_RETURNS_SQL, n_windows=8
         ),

@@ -85,6 +85,7 @@ PROCEDURES = {
     "mixing_plan": ("linkgraph.pipeline.curate.mixing_plan", "(pipeline extension: data-mixture sampling plan)", True),
     "kmeans_parallel_init": ("linkgraph.pipeline.simsearch.kmeans_parallel_init", "(pipeline extension: Bahmani scalable k-means init)", True),
     "ifub_diameter": ("linkgraph.paths.ifub_diameter", "(engine extension: iFUB exact diameter, few-BFS path)", True),
+    "temporal_closeness": ("linkgraph.temporal.temporal_closeness", "(engine extension: time-respecting harmonic closeness)", True),
 }
 
 

@@ -467,3 +467,68 @@ def temporal_pagerank_sql(
 SELECT node AS id, ROUND(CAST(rank AS DOUBLE) / 1000000.0, 6) AS rank
 FROM s{w} WHERE rank > 0"""
     )
+
+
+def temporal_closeness(
+    edges: DataFrame,
+    source: int,
+    start_ts: int = 0,
+    strict: bool = False,
+    dur_col: str | None = None,
+) -> DataFrame:
+    """Temporal closeness of ``source`` (Pan & Saramäki PRE 2011 /
+    the temporal-centrality lineage — public results): the harmonic
+    sum of inverse earliest-arrival DELAYS,
+    ``Σ_{v reached, v≠s} 1/(arr_v − start_ts)``, so nodes reachable
+    SOONER contribute more and unreachable nodes contribute 0 — the
+    time-respecting analog of harmonic centrality, composing
+    ``earliest_arrival``'s journey machinery unchanged.
+
+    Cross-engine exactness (the harmonic/dangalchev discipline):
+    every 1/delay term is quantized to int64 nano-units
+    (ROUND(1e9/delay)) before an order-free SUM; only the final
+    /1e9 rescale is a float (rounded 6). Delay-0 nodes (arrival at
+    ``start_ts`` itself via instantaneous edges) contribute a full
+    1e9 unit per the 1/max(delay,1) convention, disclosed here.
+    Returns ONE row (source, n_reached, closeness); replayed by
+    ``temporal_closeness_sql``.
+    """
+    res = earliest_arrival(edges, source, start_ts=start_ts, strict=strict,
+                           dur_col=dur_col)
+    out = (
+        res.arrivals.filter(F.col("id") != source)
+        .select(
+            F.expr(
+                f"CAST(ROUND(1e9 / GREATEST(arrival - {int(start_ts)}, 1), 0) "
+                "AS BIGINT)"
+            ).alias("t9")
+        )
+        .agg(F.count("*").alias("n_reached"), F.sum("t9").alias("s9"))
+        .select(
+            F.lit(int(source)).cast("long").alias("source"),
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.round(F.coalesce(F.col("s9"), F.lit(0)) / 1e9, 6)
+            .alias("closeness"),
+        )
+    )
+    return out
+
+
+def temporal_closeness_sql(
+    edges_sql: str,
+    source: int,
+    start_ts: int = 0,
+    strict: bool = False,
+) -> str:
+    """Oracle: the same nano-unit harmonic sum over the
+    earliest-arrival oracle."""
+    return f"""
+WITH arr AS ({earliest_arrival_sql(edges_sql, str(source), start_ts=start_ts,
+                                   strict=strict)})
+SELECT CAST({int(source)} AS BIGINT) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       ROUND(COALESCE(SUM(CAST(ROUND(1e9 / GREATEST(arrival - {int(start_ts)},
+                                                    1), 0) AS BIGINT)), 0)
+             / 1e9, 6) AS closeness
+FROM arr WHERE id <> {int(source)}
+"""

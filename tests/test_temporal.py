@@ -144,3 +144,27 @@ def test_resume_rejects_changed_parameters(spark, tmp_path):
     with pytest.raises(ValueError, match="resume mismatch"):
         earliest_arrival(e, source=0, strict=True, checkpoint_dir=ckpt,
                          checkpoint_every=1, resume=True)
+
+
+def test_temporal_closeness_golden_and_twin(spark):
+    import duckdb
+
+    from linkgraph.temporal import temporal_closeness, temporal_closeness_sql
+
+    rows = [(0, 1, 5), (1, 2, 7), (0, 3, 20), (2, 4, 3), (1, 4, 9)]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    got = [tuple(r) for r in temporal_closeness(e, 0, start_ts=0).collect()]
+    # arrivals: 1@5, 2@7, 3@20, 4@9 (the ts=3 hop to 4 precedes
+    # arrival at 2, so it is not time-respecting)
+    assert got == [(0, 4, round((int(1e9 / 5) + round(1e9 / 7)
+                                 + int(1e9 / 20) + round(1e9 / 9)) / 1e9, 6))]
+    vs = ("SELECT * FROM (VALUES "
+          + ", ".join(f"({a},{b},{t})" for a, b, t in rows)
+          + ") t(src,dst,ts)")
+    want = [tuple(r) for r in duckdb.connect().execute(
+        temporal_closeness_sql(vs, 0, start_ts=0)
+    ).fetchall()]
+    assert got == want
+    # unreachable-only source: zero closeness, zero reached
+    got4 = [tuple(r) for r in temporal_closeness(e, 4, start_ts=0).collect()]
+    assert got4 == [(4, 0, 0.0)]
