@@ -737,3 +737,40 @@ def test_path_cooccurrence_prunes_content_and_equi_joins(spark):
     )
     plan2 = _plan(path_cooccurrence_edges(docs))
     assert "text" not in plan2  # wide column pruned from the parquet scan
+
+
+def test_dbh_and_kmeans_parallel_plan_shape(spark):
+    """DBH edge assignment: equi-joins + one partial-aggregated degree
+    census, no Python, no cartesian. k-means‖ candidate selection: the
+    coin filter is a pure map over the pinned state (no shuffle, no
+    Python); the distance refresh broadcasts the tiny center table."""
+    from linkgraph.partition import edge_partition_dbh
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    plan = _plan(edge_partition_dbh(e, k=4))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    from linkgraph.pipeline.simsearch import _kcenter_quantized
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    q = _kcenter_quantized(emb, "vec_id", "embedding")
+    state = q.select(
+        "id", "qv",
+        F.expr("element_at(qv, 1) * element_at(qv, 1)").alias("dmin"),
+    )
+    coin = state.filter(
+        (F.expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS DOUBLE)")
+         / F.lit(float(1 << 60)))
+        < (F.lit(4.0) * F.col("dmin").cast("double") / F.lit(1e9))
+    )
+    cplan = _plan(coin)
+    assert "Exchange" not in cplan  # pure map filter, zero shuffle
+    assert "BatchEvalPython" not in cplan
