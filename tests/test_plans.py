@@ -628,13 +628,13 @@ def test_balanced_partition_round_shape(spark):
     partial-aggregated, and the admission window sorts MOVERS within
     hash-partitioned groups — never a global range sort of all
     nodes."""
-    from linkgraph.partition import _round_moves, _sym
+    from linkgraph.partition import _round_moves, _wsym
 
     e = spark.createDataFrame(
         [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
         "src long, dst long, weight double",
     )
-    sym = _sym(e)
+    sym = _wsym(e, weighted=False)
     state = sym.select(F.col("node").alias("id")).distinct().select(
         "id", (F.col("id") % 2).alias("part")
     )
