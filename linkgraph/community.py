@@ -45,11 +45,13 @@ the operators value-oracle-able against ANSI SQL despite being
 Scale notes (100TB): the per-round cost is two hash aggregations (the
 neighbor-community vote and the community degree sum) plus the
 pre-partitioned vote join — the same shuffle shape as label
-propagation, and the same hub caveat: a power-law hub's vote fan lives
-in one task, so pair with the degree-histogram probe and LPA's
-hub_cap pattern if the sweep ever runs on an uncontracted web graph.
-Contraction shrinks the graph geometrically, so levels past the first
-are cheap. Driver-side state is zero — no collect anywhere.
+propagation, and the same hub exposure: a power-law hub's vote fan
+lives in one task of the probe. ``hub_cap="auto"`` (linkgraph/skew.py,
+the split LPA A/B-validated at 1.30x on 8 cores) routes hub-keyed pair
+rows through a broadcast-state map-side join instead — engage it when
+the level-1 sweep runs on an uncontracted web graph. Contraction
+shrinks the graph geometrically, so levels past the first are cheap.
+Driver-side state is zero — no collect anywhere.
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.checkpoint import attach_caches, pin_table, release_state
+from linkgraph.skew import hub_join, probe_hubs, split_hot
 from linkgraph.triangles import _undirected_simple
 
 
@@ -305,6 +308,7 @@ FROM per_c CROSS JOIN tot
 def _local_move_round(
     sym: DataFrame, deg: DataFrame, state: DataFrame, two_m: int,
     parity: int | None = None,
+    hot: tuple[DataFrame, list] | None = None,
 ) -> DataFrame:
     """One synchronized integer-scaled local-move sweep.
 
@@ -318,10 +322,14 @@ def _local_move_round(
     synchronous sweep exhibits on bipartite(-ish) graphs — two
     adjacent nodes can no longer swap into each other's communities in
     the same round — while staying deterministic and SQL-replayable.
+    hot: optional (sym_hot, hub_ids) power-law split — hub-keyed pair
+    rows join a BROADCAST of the hub state map-side over round-robin
+    partitions (linkgraph/skew.py; votes are bit-identical either way).
     """
     nbr_state = state.select(F.col("id").alias("nbr"), F.col("c").alias("cand"))
+    sym_hot, hub_ids = hot if hot is not None else (None, None)
     nbrc = (
-        sym.join(nbr_state, "nbr")
+        hub_join(sym, sym_hot, hub_ids, nbr_state, "nbr")
         .groupBy(F.col("node").alias("id"), "cand")
         .agg(F.sum("w").cast("long").alias("e"))
     )
@@ -377,6 +385,7 @@ def louvain_local_move(
     rounds: int = 2,
     assignment: DataFrame | None = None,
     sweep: str = "sync",
+    hub_cap: int | str | None = None,
 ) -> LouvainResult:
     """Louvain phase-1: ``rounds`` synchronized local-move sweeps over
     the undirected simple view, starting from singletons (or
@@ -391,14 +400,28 @@ def louvain_local_move(
     synchronized sweep — oscillates into a 2-coloring on bipartite
     graphs, kept as the simplest oracle target); ``"alternate"`` gates
     round t to nodes with id % 2 == t % 2 (see _local_move_round) —
-    the production default used by ``louvain()``."""
+    the production default used by ``louvain()``.
+
+    hub_cap: power-law skew split for the per-round vote probe (same
+    contract and auto-thresholds as ``label_propagation(hub_cap=...)``,
+    see linkgraph/skew.py) — the phase-1 sweep runs on the UNcontracted
+    graph, exactly the regime where a web hub's vote fan lands in one
+    task. Assignment is bit-identical with the split on/off/forced."""
     und = pin_table(_und_long(edges))
-    sym = pin_table(
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
-        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
-        .repartition("nbr")
-        .sortWithinPartitions("nbr")
+    raw = und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w").unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
     )
+    # und is pinned, so the probe and the filtered pins below re-scan a
+    # materialized table, not the raw edge lineage
+    hub_ids = probe_hubs(raw, "nbr", hub_cap)
+    sym_hot = None
+    if hub_ids:
+        cold, hot_df = split_hot(raw, "nbr", hub_ids)
+        sym = pin_table(cold)
+        sym_hot = pin_table(hot_df)
+    else:
+        sym = pin_table(raw.repartition("nbr").sortWithinPartitions("nbr"))
+    hot = (sym_hot, hub_ids) if sym_hot is not None else None
     deg = pin_table(_degrees(und, None))
     two_m = 2 * int(und.agg(F.sum("w")).first()[0] or 0)
     if assignment is None:
@@ -417,7 +440,9 @@ def louvain_local_move(
     zero_streak = 0
     for r in range(1, rounds + 1):
         parity = (r % 2) if sweep == "alternate" else None
-        new_state = pin_table(_local_move_round(sym, deg, state, two_m, parity))
+        new_state = pin_table(
+            _local_move_round(sym, deg, state, two_m, parity, hot=hot)
+        )
         changed = (
             new_state.alias("n")
             .join(state.alias("o"), "id")
@@ -434,8 +459,11 @@ def louvain_local_move(
         state.select("id", F.col("c").alias("community")), [state]
     )
     stats = {"two_m": two_m, "rounds": ran, "sweep": sweep,
+             "hub_split": len(hub_ids) if hub_ids else 0,
              "compute_s": round(time.time() - t0, 4)}
     release_state(sym)
+    if sym_hot is not None:
+        release_state(sym_hot)
     release_state(und)
     release_state(deg)
     return LouvainResult(
@@ -504,6 +532,7 @@ def louvain(
     max_levels: int = 3,
     rounds_per_level: int = 5,
     compute_modularity: bool = True,
+    hub_cap: int | str | None = None,
 ) -> LouvainResult:
     """Full multilevel Louvain. Each level runs the alternate-parity
     local-move sweep to (early-stopped) fixpoint, then contracts each
@@ -512,7 +541,14 @@ def louvain(
     weight. Weights are BIGINT at every level, so determinism and the
     gain algebra survive contraction unchanged. Stops early when a
     level produces no merge. Returns the ORIGINAL-node assignment and
-    (optionally) the exact modularity of that final assignment."""
+    (optionally) the exact modularity of that final assignment.
+
+    hub_cap: power-law skew split for each level's vote probe
+    (linkgraph/skew.py; contract as ``label_propagation(hub_cap=...)``).
+    Probed per level — level 1 runs on the UNcontracted graph where a
+    web hub's vote fan is the straggler; contracted levels shrink
+    geometrically and "auto" disengages on its own. Bit-identical
+    hierarchy with the split on/off/forced."""
     und0 = pin_table(_und_long(edges))
     deg0 = pin_table(_degrees(und0, None))
     und = und0
@@ -537,14 +573,18 @@ def louvain(
         if two_m == 0:
             release_state(deg)
             break
-        sym = pin_table(
-            und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
-            .unionByName(
-                und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
-            )
-            .repartition("nbr")
-            .sortWithinPartitions("nbr")
+        raw = und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w").unionByName(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
         )
+        hub_ids = probe_hubs(raw, "nbr", hub_cap)
+        sym_hot = None
+        if hub_ids:
+            cold, hot_df = split_hot(raw, "nbr", hub_ids)
+            sym = pin_table(cold)
+            sym_hot = pin_table(hot_df)
+        else:
+            sym = pin_table(raw.repartition("nbr").sortWithinPartitions("nbr"))
+        hot = (sym_hot, hub_ids) if sym_hot is not None else None
         init_state = pin_table(deg.select("id", F.col("id").alias("c")))
         state = init_state
         # per-ROUND Q-guard: joint (even parity-gated) moves are only
@@ -559,7 +599,7 @@ def louvain(
             # alternate-parity gating — see _local_move_round: the
             # fully synchronous sweep 2-colors bipartite(-ish) graphs
             new_state = pin_table(
-                _local_move_round(sym, deg, state, two_m, parity=r % 2)
+                _local_move_round(sym, deg, state, two_m, parity=r % 2, hot=hot)
             )
             changed = (
                 new_state.alias("n")
@@ -594,6 +634,8 @@ def louvain(
         if state is init_state:
             # no round improved the global best — nothing to contract
             release_state(sym)
+            if sym_hot is not None:
+                release_state(sym_hot)
             release_state(deg)
             release_state(init_state)
             break
@@ -610,6 +652,8 @@ def louvain(
         best_q = best_q_level
         if n_prev is not None and n_comms >= n_prev:
             release_state(sym)
+            if sym_hot is not None:
+                release_state(sym_hot)
             release_state(deg)
             release_state(state)
             release_state(init_state)
@@ -639,6 +683,8 @@ def louvain(
             new_loop_src.groupBy("id").agg(F.sum("w").cast("long").alias("w"))
         )
         release_state(sym)
+        if sym_hot is not None:
+            release_state(sym_hot)
         release_state(deg)
         release_state(state)
         if init_state is not state:

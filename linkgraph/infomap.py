@@ -50,9 +50,11 @@ description length shrinks.
 Scale notes (100TB): per round = the neighbor-module vote aggregate,
 two |modules|-row aggregates (sd, cut), and a broadcast 1-row Q — the
 same shuffle count as the Louvain sweep (one wide vote shuffle
-dominates; module tables are tiny and broadcast by AQE). The same
-hub caveat as LPA applies on uncontracted power-law graphs — pair
-with the degree-histogram probe.
+dominates; module tables are tiny and broadcast by AQE). On
+uncontracted power-law graphs set ``hub_cap="auto"`` — both per-edge
+probes of a round (the cut census and the candidate vote) route
+hub-keyed rows through LPA's validated broadcast-state split
+(linkgraph/skew.py), bit-identical results either way.
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ from pyspark.sql import functions as F
 from linkgraph.checkpoint import attach_caches, pin_table, release_state
 from linkgraph.community import _degrees, _und_long
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+from linkgraph.skew import hub_join, probe_hubs, split_hot
 
 _SWEEPS = {"sync": 1, "alternate": 2, "hash": 4}  # -> early-stop streak
 
@@ -123,25 +126,39 @@ def _delta_expr(two_m: int | str) -> str:
 
 
 def _module_tables(
-    sym: DataFrame, deg: DataFrame, state: DataFrame
+    sym: DataFrame, deg: DataFrame, state: DataFrame,
+    hot: tuple[DataFrame, list] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(sd per module, cut per module, 1-row Q total) — all integers.
     ``cut`` is left-joined from the module list so a module whose
     members have only self-loops (possible on contracted levels)
-    still carries cut = 0 instead of vanishing."""
+    still carries cut = 0 instead of vanishing.
+
+    The cut is computed through the per-node neighbor-module mass
+    (node, cn, e) and a small join on ``id`` — NOT a second per-edge
+    join with the node-side state: the nbr-side probe is the only
+    edge-sized join, so the optional ``hot`` split (linkgraph/skew.py)
+    covers ALL the per-edge skew here, and the follow-up join fans at
+    most #modules-per-node rows per node. Identical integer algebra
+    either way (sum of w over cross-module edges grouped by the
+    node-side module)."""
     sd = (
         state.join(deg, "id")
         .groupBy(F.col("c").alias("m"))
         .agg(F.sum("d").cast("long").alias("sd"))
     )
-    node_state = state.select(F.col("id").alias("node"), F.col("c").alias("cm"))
+    sym_hot, hub_ids = hot if hot is not None else (None, None)
     nbr_state = state.select(F.col("id").alias("nbr"), F.col("c").alias("cn"))
+    nbrm = (
+        hub_join(sym, sym_hot, hub_ids, nbr_state, "nbr")
+        .groupBy(F.col("node").alias("id"), "cn")
+        .agg(F.sum("w").cast("long").alias("e"))
+    )
     cut_raw = (
-        sym.join(node_state, "node")
-        .join(nbr_state, "nbr")
-        .groupBy(F.col("cm").alias("m"))
+        nbrm.join(state, "id")
+        .groupBy(F.col("c").alias("m"))
         .agg(
-            F.sum(F.when(F.col("cn") != F.col("cm"), F.col("w")).otherwise(0))
+            F.sum(F.when(F.col("cn") != F.col("c"), F.col("e")).otherwise(0))
             .cast("long")
             .alias("cut")
         )
@@ -187,15 +204,20 @@ def _infomap_round(
     state: DataFrame,
     two_m: int,
     movable=None,
+    hot: tuple[DataFrame, list] | None = None,
 ) -> DataFrame:
     """One synchronized map-equation sweep (see module docstring).
     Mirrors ``community._local_move_round``'s candidate machinery;
     only the score differs. ``deg``: (id, d) full weighted degree,
-    ``degx``: (id, dx) external (loop-free) degree."""
-    sd, cut, q = _module_tables(sym, deg, state)
+    ``degx``: (id, dx) external (loop-free) degree.
+    hot: optional (sym_hot, hub_ids) power-law split applied to BOTH
+    per-edge probes of the round — the module cut census and the
+    candidate vote (linkgraph/skew.py; bit-identical either way)."""
+    sd, cut, q = _module_tables(sym, deg, state, hot=hot)
     nbr_state = state.select(F.col("id").alias("nbr"), F.col("c").alias("cand"))
+    sym_hot, hub_ids = hot if hot is not None else (None, None)
     nbrc = (
-        sym.join(nbr_state, "nbr")
+        hub_join(sym, sym_hot, hub_ids, nbr_state, "nbr")
         .groupBy(F.col("node").alias("id"), "cand")
         .agg(F.sum("w").cast("long").alias("e"))
     )
@@ -253,6 +275,7 @@ def infomap_local_move(
     rounds: int = 4,
     assignment: DataFrame | None = None,
     sweep: str = "hash",
+    hub_cap: int | str | None = None,
 ) -> InfomapResult:
     """``rounds`` synchronized map-equation sweeps from singletons (or
     ``assignment`` (id, module)). Deterministic and exactly replayable
@@ -260,17 +283,24 @@ def infomap_local_move(
     symmetric graphs — simplest oracle target), "alternate" id-parity
     gates, "hash" (default) md5-round-keyed gates (see ``_movable``).
     Early-stops after a no-move streak (1/2/4 rounds respectively —
-    hash gating is probabilistic coverage, so it waits longer)."""
+    hash gating is probabilistic coverage, so it waits longer).
+    hub_cap: power-law skew split for the per-round per-edge probes
+    (linkgraph/skew.py, contract as ``label_propagation(hub_cap=...)``)
+    — bit-identical modules with the split on/off/forced."""
     if sweep not in _SWEEPS:
         raise ValueError(f"bad sweep {sweep}")
     t0 = time.time()
     und = pin_table(_und_long(edges))
-    state, ran, two_m, sym, deg = _run_sweep(und, None, rounds, sweep, assignment)
-    codelength = _codelength(sym, deg, state, two_m)
+    state, ran, two_m, sym, deg, hot = _run_sweep(
+        und, None, rounds, sweep, assignment, hub_cap=hub_cap
+    )
+    codelength = _codelength(sym, deg, state, two_m, hot=hot)
     n_modules = state.select("c").distinct().count()
     # the inputs are consumed; only the final state backs the (lazy)
     # assignment — same hygiene as louvain_local_move
     release_state(sym)
+    if hot is not None:
+        release_state(hot[0])
     release_state(und)
     release_state(deg)
     result = attach_caches(state.select("id", F.col("c").alias("module")), [state])
@@ -281,6 +311,7 @@ def infomap_local_move(
         stats={
             "two_m": two_m,
             "n_modules": n_modules,
+            "hub_split": len(hot[1]) if hot is not None else 0,
             "wall_sec": time.time() - t0,
         },
         _caches=[state],
@@ -293,16 +324,28 @@ def _run_sweep(
     rounds: int,
     sweep: str,
     assignment: DataFrame | None = None,
+    hub_cap: int | str | None = None,
 ):
     """Sweep to (early-stopped) fixpoint over a pinned (a,b,w) simple
     view + optional (id,w) loops. Returns (state pinned, rounds_run,
-    two_m, sym pinned, deg pinned) — caller releases sym/deg/state."""
-    sym = pin_table(
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
-        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w"))
-        .repartition("nbr")
-        .sortWithinPartitions("nbr")
+    two_m, sym pinned, deg pinned, hot) — caller releases
+    sym/deg/state and, when ``hot`` is not None, its pinned hot table.
+    hub_cap: power-law skew split for the per-round per-edge probes
+    (linkgraph/skew.py, same contract as label_propagation). When
+    engaged, the returned ``sym`` is the COLD half — pass ``hot``
+    along to any census that must see every edge (_codelength)."""
+    raw = und.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w").unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
     )
+    hub_ids = probe_hubs(raw, "nbr", hub_cap)
+    sym_hot = None
+    if hub_ids:
+        cold, hot_df = split_hot(raw, "nbr", hub_ids)
+        sym = pin_table(cold)
+        sym_hot = pin_table(hot_df)
+    else:
+        sym = pin_table(raw.repartition("nbr").sortWithinPartitions("nbr"))
+    hot = (sym_hot, hub_ids) if sym_hot is not None else None
     deg = pin_table(_degrees(und, loops))
     two_m = 2 * int(und.agg(F.sum("w")).first()[0] or 0)
     if loops is not None:
@@ -332,7 +375,7 @@ def _run_sweep(
     zero_streak = 0
     for r in range(1, rounds + 1):
         new_state = pin_table(
-            _infomap_round(sym, deg, degx, state, two_m, _movable(r, sweep))
+            _infomap_round(sym, deg, degx, state, two_m, _movable(r, sweep), hot=hot)
         )
         n_moved = (
             new_state.alias("new")
@@ -351,7 +394,7 @@ def _run_sweep(
             zero_streak = 0
     if loops is not None:
         release_state(degx)
-    return state, ran, two_m, sym, deg
+    return state, ran, two_m, sym, deg, hot
 
 
 def infomap(
@@ -359,6 +402,7 @@ def infomap(
     max_levels: int = 3,
     rounds_per_level: int = 8,
     sweep: str = "hash",
+    hub_cap: int | str | None = None,
 ) -> InfomapResult:
     """Full multilevel InfoMap (the reference procedure's shape):
     sweep to fixpoint, contract each module into a super-node
@@ -388,7 +432,9 @@ def infomap(
     levels = 0
     rounds_run = 0
     for _ in range(max_levels):
-        state, ran, _, sym, deg = _run_sweep(und, loops, rounds_per_level, sweep)
+        state, ran, _, sym, deg, hot = _run_sweep(
+            und, loops, rounds_per_level, sweep, hub_cap=hub_cap
+        )
         rounds_run += ran
         refined = pin_table(
             mapping.alias("m")
@@ -399,6 +445,8 @@ def infomap(
         n_modules = state.select("c").distinct().count()
         n_nodes = state.count()
         release_state(sym)
+        if hot is not None:
+            release_state(hot[0])
         release_state(deg)
         if l_ref >= best_l - 1e-12:
             release_state(refined)
@@ -469,14 +517,19 @@ def infomap(
     )
 
 
-def _codelength(sym: DataFrame, deg: DataFrame, state: DataFrame, two_m: int) -> float:
+def _codelength(
+    sym: DataFrame, deg: DataFrame, state: DataFrame, two_m: int,
+    hot: tuple[DataFrame, list] | None = None,
+) -> float:
     """Full two-level L (nats) including the constant Σ plp(d) term.
     Reported for monotonicity tests — NOT oracle-compared (the Σ over
     modules is an order-free sum of doubles only up to fp-association;
-    the per-move deltas the oracle replays are fixed trees instead)."""
+    the per-move deltas the oracle replays are fixed trees instead).
+    ``hot``: when ``sym`` is the COLD half of a skew split, the
+    matching (sym_hot, hub_ids) pair — the census must see every edge."""
     if two_m == 0:
         return 0.0
-    sd, cut, q = _module_tables(sym, deg, state)
+    sd, cut, q = _module_tables(sym, deg, state, hot=hot)
     mod = sd.join(cut, "m").selectExpr(
         f"SUM(-2 * {_plp('cut', two_m)} + {_plp('(cut + sd)', two_m)}) AS s"
     )

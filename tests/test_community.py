@@ -366,3 +366,49 @@ def test_contract_graph_hand_and_twin(spark):
     )
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_louvain_hub_split_equals_plain(spark):
+    """hub_cap routes hub-keyed vote rows through the broadcast-state
+    path (linkgraph/skew.py); the integer vote sums — and therefore the
+    argmax communities — are split-invariant. Star+ring fixture forces
+    the hub hot; multi-round so split state feeds later probes."""
+    from linkgraph.community import louvain, louvain_local_move
+
+    pairs = (
+        [(0, i) for i in range(1, 41)]
+        + [(i, i % 40 + 1) for i in range(1, 41)]
+        + [(100, 101)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    plain = {
+        (r["id"], r["community"])
+        for r in louvain_local_move(e, rounds=3, sweep="alternate").assignment.collect()
+    }
+    forced = louvain_local_move(e, rounds=3, sweep="alternate", hub_cap=20)
+    assert forced.stats["hub_split"] == 1  # only the hub exceeds nbr-degree 20
+    assert {(r["id"], r["community"]) for r in forced.assignment.collect()} == plain
+    auto = louvain_local_move(e, rounds=3, sweep="alternate", hub_cap="auto")
+    assert {(r["id"], r["community"]) for r in auto.assignment.collect()} == plain
+
+    # multilevel: the whole hierarchy is bit-identical under the split
+    ml_plain = {
+        (r["id"], r["community"])
+        for r in louvain(
+            e, max_levels=2, rounds_per_level=4, compute_modularity=False
+        ).assignment.collect()
+    }
+    ml_hub = {
+        (r["id"], r["community"])
+        for r in louvain(
+            e, max_levels=2, rounds_per_level=4, compute_modularity=False, hub_cap=20
+        ).assignment.collect()
+    }
+    assert ml_hub == ml_plain
+
+    # auto disengages on a uniform ring (no qualifying key)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "src long, dst long"
+    )
+    off = louvain_local_move(ring, rounds=2, hub_cap="auto")
+    assert off.stats["hub_split"] == 0

@@ -103,3 +103,29 @@ def test_infomap_multilevel_ring_of_cliques(spark):
     )
     assert abs(map_equation(e, truth) - res.codelength) < 1e-9
     res.release()
+
+
+def test_infomap_hub_split_equals_plain(spark):
+    """hub_cap routes hub-keyed rows of BOTH per-round per-edge probes
+    (cut census + candidate vote) through the broadcast-state path
+    (linkgraph/skew.py); modules are bit-identical and the codelength
+    agrees to fp-association tolerance."""
+    from linkgraph.infomap import infomap_local_move
+
+    pairs = (
+        [(0, i) for i in range(1, 41)]
+        + [(i, i % 40 + 1) for i in range(1, 41)]
+        + [(100, 101)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    plain = infomap_local_move(e, rounds=3, sweep="hash")
+    base = {(r["id"], r["module"]) for r in plain.assignment.collect()}
+    forced = infomap_local_move(e, rounds=3, sweep="hash", hub_cap=20)
+    assert forced.stats["hub_split"] == 1
+    assert {(r["id"], r["module"]) for r in forced.assignment.collect()} == base
+    assert abs(forced.codelength - plain.codelength) < 1e-9
+    auto = infomap_local_move(e, rounds=3, sweep="hash", hub_cap="auto")
+    assert {(r["id"], r["module"]) for r in auto.assignment.collect()} == base
+    plain.release()
+    forced.release()
+    auto.release()
