@@ -605,11 +605,17 @@ def sgns_embeddings(
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    widx = Window.orderBy(F.col("id").asc())
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.ids import distributed_rank
+
+    # exact ROW_NUMBER-by-id indexing without a single-task sort
+    # (range-partitioned rank + broadcast offsets, ids.py) — value-
+    # equal to the SQL twin's global window
+    _idx_full = distributed_rank(nodes, [("id", "asc")], name="_rn")
     indexed = pin_table(
-        nodes.select("id", (F.row_number().over(widx) - 1).cast("long")
-                     .alias("idx"))
+        _idx_full.select("id", (F.col("_rn") - 1).cast("long").alias("idx"))
     )
+    release_caches(_idx_full)  # pinned copy taken
     n = indexed.count()
     negs = None
     for j in range(1, negatives + 1):

@@ -800,11 +800,15 @@ def configuration_model(edges: DataFrame, seed: int = 0) -> DataFrame:
     hash-distinct keys, so the pairing — and the DuckDB twin
     (`configuration_model_sql`) — is value-exact.
 
-    Scale notes (100TB): one symmetrize + one global rank. The rank
-    here is a single ROW_NUMBER window (one-task sort) — fine to the
-    ~100M-stub range; beyond that replace it with a range-partitioned
-    sort + per-partition offset scan (zipWithIndex), which preserves
-    the same total order. Disclosed, not hidden."""
+    Scale notes (100TB): one symmetrize + one global rank — computed
+    by ``distributed_rank`` (ids.py): range-repartition the 2m stubs
+    on the (hash, node, partner) sort key, rank within partitions,
+    add broadcast cumulative offsets. Rank values are identical to a
+    global ROW_NUMBER window for any split-point placement, so the
+    DuckDB twin is unchanged — and no single task ever sorts the
+    whole stub frame."""
+    from linkgraph.checkpoint import attach_caches
+    from linkgraph.ids import distributed_rank
     from linkgraph.pipeline.hashing import stable_hash64
 
     e = (
@@ -822,17 +826,22 @@ def configuration_model(edges: DataFrame, seed: int = 0) -> DataFrame:
     h = stable_hash64(
         F.concat_ws("|", F.col("node"), F.col("partner")), salt=seed
     )
-    w = Window.orderBy(h.asc(), F.col("node").asc(), F.col("partner").asc())
-    ranked = stubs.select(
-        "node", F.row_number().over(w).alias("rn")
-    ).select(
+    ranked_full = distributed_rank(
+        stubs.withColumn("_h", h),
+        [("_h", "asc"), ("node", "asc"), ("partner", "asc")],
+        name="rn",
+    )
+    ranked = ranked_full.select(
         "node", F.expr("CAST((rn - 1) DIV 2 AS BIGINT)").alias("pair_id")
     )
-    return (
+    out = (
         ranked.groupBy("pair_id")
         .agg(F.min("node").alias("a"), F.max("node").alias("b"))
         .select("a", "b")
     )
+    # the rank pass persists the range-parted stub frame — hand the
+    # cache up so loop callers (motif_significance) can free it
+    return attach_caches(out, getattr(ranked_full, "_linkgraph_caches", []))
 
 
 def configuration_model_sql(edges_sql: str, seed: int = 0) -> str:
@@ -883,10 +892,11 @@ def robustness_curve(
     ceil(k)/1e6 integer arithmetic (the threshold contract).
 
     Scale notes (100TB): the strategy rank is computed ONCE (degree
-    aggregate + one global rank window — same zipWithIndex disclosure
-    as configuration_model); each step is one induced semi-join +
-    one connected-components run (delta iteration) — steps is a small
-    knob, and the per-step graph only shrinks."""
+    aggregate + one ``distributed_rank`` pass — range-partitioned,
+    offset-corrected, value-identical to the global window the SQL
+    twin uses, with no single-task sort); each step is one induced
+    semi-join + one connected-components run (delta iteration) —
+    steps is a small knob, and the per-step graph only shrinks."""
     if steps < 1:
         raise ValueError(f"steps must be >= 1: got {steps}")
     if not (0.0 < frac_per_step < 1.0):
@@ -895,21 +905,26 @@ def robustness_curve(
         raise ValueError(f"strategy must be 'degree' or 'hash': {strategy}")
     from linkgraph.components import connected_components
     from linkgraph.kcore import _sym_simple
-    from linkgraph.checkpoint import pin_table, release_state
+    from linkgraph.checkpoint import pin_table, release_caches, release_state
     from linkgraph.pipeline.hashing import stable_hash64
+
+    from linkgraph.ids import distributed_rank
 
     spark = edges.sparkSession
     sym = pin_table(_sym_simple(edges))
     deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("d"))
     if strategy == "degree":
-        w = Window.orderBy(F.col("d").desc(), F.col("a").asc())
+        order = [("d", "desc"), ("a", "asc")]
+        keyed = deg
     else:
         h = stable_hash64(F.col("a").cast("string"), salt=seed)
-        w = Window.orderBy(h.asc(), F.col("a").asc())
+        order = [("_h", "asc"), ("a", "asc")]
+        keyed = deg.withColumn("_h", h)
+    rk_full = distributed_rank(keyed, order, name="rk")
     ranked = pin_table(
-        deg.select(F.col("a").alias("id"), "d",
-                   F.row_number().over(w).cast("long").alias("rk"))
+        rk_full.select(F.col("a").alias("id"), "d", F.col("rk").cast("long").alias("rk"))
     )
+    release_caches(rk_full)  # pinned copy taken; free the range-parted cache
     n = ranked.count()
     f6 = int(round(frac_per_step * 1_000_000))
     rows = []
@@ -1025,6 +1040,7 @@ def motif_significance(
     pass."""
     if n_samples < 1:
         raise ValueError(f"n_samples must be >= 1: got {n_samples}")
+    from linkgraph.checkpoint import release_caches
     from linkgraph.triangles import triangle_count
 
     spark = edges.sparkSession
@@ -1040,6 +1056,7 @@ def motif_significance(
         res = triangle_count(simple)
         counts.append(int(res.triangle_count))
         res.release()
+        release_caches(rw)  # the rewiring's range-parted stub cache
     ssum = sum(counts)
     ssq = sum(c * c for c in counts)
     mean = ssum / n_samples

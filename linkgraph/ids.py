@@ -99,3 +99,77 @@ def edges_from_pairs(spark, pairs, extra_keys=None, ordered: bool = True):
     d = nodes.withColumnRenamed("key", "dk").withColumnRenamed("id", "dst")
     edges = pair_df.join(s, "sk").join(d, "dk").select("src", "dst", "weight")
     return nodes, edges
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    name: str = "rn",
+    mode: str = "row_number",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """EXACT global ``row_number()/rank() OVER (ORDER BY ...)`` without
+    the single-task sort an unpartitioned window materializes.
+
+    order_by: [(column_name, "asc"|"desc"), ...] — computed sort keys
+    must be withColumn'd by the caller first.
+
+    Three-phase (the zipWithIndex shape, DataFrame-native):
+
+      1. ``repartitionByRange`` on the sort key — Spark's range
+         partitioner samples split points, so partition p holds a
+         CONTIGUOUS slice of the total order and every slice is
+         balanced (no skew assumption on the key distribution; equal
+         keys always land in one partition).
+      2. rank within each partition (window partitioned by the range
+         bucket — parallel), which is the global order restricted to
+         the slice.
+      3. add the broadcast cumulative row-count offsets (``num_parts``
+         driver rows).
+
+    The output rank values equal the global window's for ANY split-
+    point placement — range partitioning preserves the key order
+    across partitions — so SQL oracle twins written against the plain
+    ``OVER (ORDER BY ...)`` stay value-exact. ``mode="rank"`` keeps
+    tie semantics exactly: a tie group never straddles partitions, so
+    local rank of its first row + offset = global rank.
+
+    The range-bucketed frame is persisted (it is scanned twice: the
+    count census and the ranked output); the cache is attached to the
+    result for ``release_caches`` hygiene.
+    """
+    if mode not in ("row_number", "rank"):
+        raise ValueError(f"mode must be row_number|rank: got {mode}")
+    from linkgraph.checkpoint import attach_caches
+
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [
+        F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+        for c, d in order_by
+    ]
+    parted = (
+        df.repartitionByRange(num_parts, *cols)
+        .withColumn("_rb", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_rb"]: r["c"]
+        for r in parted.groupBy("_rb").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    if not offsets:
+        offsets = [(0, 0)]
+    off = F.broadcast(spark.createDataFrame(offsets, "_rb int, _off long"))
+    w = Window.partitionBy("_rb").orderBy(*cols)
+    rk = F.row_number() if mode == "row_number" else F.rank()
+    out = (
+        parted.join(off, "_rb")
+        .withColumn(name, (F.col("_off") + rk.over(w)).cast("long"))
+        .drop("_rb", "_off")
+    )
+    return attach_caches(out, [parted])

@@ -767,9 +767,14 @@ def link_prediction_auc(
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    widx = Window.orderBy(F.col("id").asc())
-    indexed = nodes.select(
-        "id", (F.row_number().over(widx) - 1).cast("long").alias("idx")
+    from linkgraph.ids import distributed_rank
+
+    # exact ROW_NUMBER-by-id indexing without a single-task sort —
+    # range-partitioned rank + broadcast offsets (ids.py), value-equal
+    # to the SQL twin's global window
+    _idx_full = distributed_rank(nodes, [("id", "asc")], name="_rn")
+    indexed = _idx_full.select(
+        "id", (F.col("_rn") - 1).cast("long").alias("idx")
     )
     n = indexed.count()
     draws = spark.range(neg_draws).select(F.col("id").alias("m"))
@@ -794,10 +799,11 @@ def link_prediction_auc(
         .join(scores, ["a", "b"], "left")
         .select("label", F.coalesce(F.col("score"), F.lit(0.0)).alias("s"))
     )
-    wmin = Window.orderBy(F.col("s").asc())
-    ranked = pool.select(
-        "label", "s",
-        F.rank().over(wmin).cast("long").alias("rmin"),
+    # global RANK over score, distributed the same way (ties never
+    # straddle range partitions, so tie semantics are exact)
+    _rank_full = distributed_rank(pool, [("s", "asc")], name="rmin", mode="rank")
+    ranked = _rank_full.select(
+        "label", "s", F.col("rmin").cast("long").alias("rmin"),
         F.count("*").over(Window.partitionBy("s")).cast("long").alias("ties"),
     )
     # 2*midrank = 2*rmin + ties - 1 (integer)
@@ -807,7 +813,9 @@ def link_prediction_auc(
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("p"),
         F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("nn"),
     )
-    return agg.select(
+    from linkgraph.checkpoint import attach_caches
+
+    out = agg.select(
         F.col("p").cast("long").alias("positives"),
         F.col("nn").cast("long").alias("negatives"),
         F.when(
@@ -818,6 +826,13 @@ def link_prediction_auc(
                 6,
             ),
         ).alias("auc"),
+    )
+    # the two rank passes persist their range-parted frames — hand the
+    # caches up for release_caches hygiene once the 1-row result is read
+    return attach_caches(
+        out,
+        getattr(_idx_full, "_linkgraph_caches", [])
+        + getattr(_rank_full, "_linkgraph_caches", []),
     )
 
 

@@ -774,3 +774,40 @@ def test_dbh_and_kmeans_parallel_plan_shape(spark):
     cplan = _plan(coin)
     assert "Exchange" not in cplan  # pure map filter, zero shuffle
     assert "BatchEvalPython" not in cplan
+
+
+def test_distributed_rank_no_single_partition_exchange(spark):
+    """distributed_rank must place the rank window inside the range
+    buckets (partitionBy _rb) — the plan may contain NO SinglePartition
+    exchange anywhere, the signature of an unpartitioned global
+    window."""
+    from linkgraph.ids import distributed_rank
+
+    df = spark.range(200).select(
+        F.col("id").alias("d"), (F.col("id") * 7 % 13).alias("h")
+    )
+    out = distributed_rank(df, [("h", "asc"), ("d", "asc")], name="rn")
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()  # the order-preserving split
+    from linkgraph.checkpoint import release_caches
+
+    release_caches(out)
+
+
+def test_no_unpartitioned_rank_windows_in_rank_operators():
+    """The four operators the round-4 audit flagged for global
+    ``Window.orderBy`` ranks (configuration_model, robustness_curve,
+    link_prediction_auc, sgns_embeddings) must stay on the
+    distributed_rank path — no unpartitioned window in their source."""
+    import inspect
+
+    from linkgraph.embeddings import sgns_embeddings
+    from linkgraph.graphs import configuration_model, robustness_curve
+    from linkgraph.similarity import link_prediction_auc
+
+    for fn in (configuration_model, robustness_curve,
+               link_prediction_auc, sgns_embeddings):
+        src = inspect.getsource(fn)
+        assert "Window.orderBy" not in src, fn.__name__
+        assert "distributed_rank" in src, fn.__name__
