@@ -2932,8 +2932,59 @@ def _q_events_props_stats(spark, sf_dir):
     return props_stats(_events(spark, sf_dir), field="k")
 
 
+_ROUND = 5  # bump per round: rotates the driver-certified front-50
+
+_CORE_ALWAYS = [
+    # SURVEY.md §2.1 core — certified by the driver EVERY round
+    "pagerank_purchase_5iter",
+    "pagerank_weighted_cosupplier",
+    "wcc_purchase",
+    "wcc_purchase_star",
+    "labelprop_cosupplier_2iter",
+    "triangle_count_cosupplier",
+    "louvain_purchase_alt3",
+    "infomap_cosupplier_2r",
+]
+
+
+def _driver_front(names: list) -> list:
+    """Rotating, family-stratified driver sample: the driver's
+    CORRECTNESS_rN artifact checks the FIRST 50 entries of
+    ``queries()``, so order them deliberately — the §2.1 core always,
+    then 42 slots round-robined across query families (family = first
+    name token), each family's internal order rotated by
+    md5(name#r{_ROUND}). Every round (bump ``_ROUND``) the driver
+    therefore certifies a different cross-family slice while the full
+    220-query drive log (ORACLES_rN.log, tools/check_oracles.py)
+    covers the rest."""
+    import hashlib
+
+    rest = [n for n in names if n not in _CORE_ALWAYS]
+    fams: dict = {}
+    for n in rest:
+        fams.setdefault(n.split("_")[0], []).append(n)
+    for f in fams:
+        fams[f].sort(
+            key=lambda n: hashlib.md5(f"{n}#r{_ROUND}".encode()).hexdigest()
+        )
+    # the family CYCLE rotates per round too — there are more families
+    # than slots, so a fixed (alphabetical) cycle would never reach the
+    # tail families
+    cycle = sorted(
+        fams, key=lambda f: hashlib.md5(f"{f}#r{_ROUND}".encode()).hexdigest()
+    )
+    picked: list = []
+    i = 0
+    while len(picked) < 50 - len(_CORE_ALWAYS) and any(fams.values()):
+        fam = cycle[i % len(cycle)]
+        if fams[fam]:
+            picked.append(fams[fam].pop(0))
+        i += 1
+    return [n for n in _CORE_ALWAYS if n in names] + picked
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         # graph procedures (SURVEY.md §2.1)
         "pagerank_purchase_5iter": _q_pagerank,
         "articlerank_purchase_5iter": _q_articlerank,
@@ -3159,6 +3210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_coactivity_graph": _q_events_coactivity,
         "events_top_paths": _q_events_top_paths,
     }
+    front = _driver_front(list(base))
+    out = {k: base[k] for k in front}
+    out.update(base)
+    return out
 
 
 # ------------------------------------------------------------- oracle SQL
