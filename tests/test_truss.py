@@ -128,3 +128,49 @@ def test_ktruss_k2_is_whole_simple_graph(spark):
     got = {(r["a"], r["b"]) for r in res.edges.collect()}
     res.release()
     assert got == {tuple(sorted(p)) for p in BARBELL}
+
+
+def test_ktruss_decremental_equals_recompute(spark):
+    """The decremental support maintenance must produce the SAME edge
+    set, supports, and round count as the from-scratch recompute —
+    the support invariant proof, exercised on random graphs with
+    multi-round cascades."""
+    rng = random.Random(67)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(16), rng.randrange(16)) for _ in range(70)} if a != b]
+    for k in (3, 4, 5):
+        r_dec = k_truss(_edges(spark, pairs), k=k, method="decremental")
+        r_rec = k_truss(_edges(spark, pairs), k=k, method="recompute")
+        got = sorted(map(tuple, r_dec.edges.collect()))
+        want = sorted(map(tuple, r_rec.edges.collect()))
+        assert got == want, f"k={k}"
+        assert r_dec.rounds == r_rec.rounds, f"k={k}"
+        r_dec.release()
+        r_rec.release()
+
+
+def test_ktruss_resume_equals_uninterrupted(spark, tmp_path):
+    """A run killed mid-peel and resumed from the manifest equals the
+    uninterrupted run (killed-equals-uninterrupted, SURVEY.md §5.5);
+    resuming with a different k or method raises."""
+    import pytest
+
+    full = k_truss(_edges(spark, K4_TAIL), k=4)
+    want = sorted(map(tuple, full.edges.collect()))
+    full.release()
+
+    ckpt = str(tmp_path / "ktruss_ckpt")
+    killed = k_truss(_edges(spark, K4_TAIL), k=4, max_rounds=1,
+                     checkpoint_dir=ckpt, checkpoint_every=1)
+    killed.release()
+    res = k_truss(_edges(spark, K4_TAIL), k=4,
+                  checkpoint_dir=ckpt, checkpoint_every=1, resume=True)
+    got = sorted(map(tuple, res.edges.collect()))
+    res.release()
+    assert got == want
+
+    with pytest.raises(ValueError, match="resume mismatch"):
+        k_truss(_edges(spark, K4_TAIL), k=5, checkpoint_dir=ckpt, resume=True)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        k_truss(_edges(spark, K4_TAIL), k=4, method="recompute",
+                checkpoint_dir=ckpt, resume=True)
