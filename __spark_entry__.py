@@ -1210,7 +1210,8 @@ def _q_bridges_nation_supplier(spark, sf_dir):
 
 
 def _q_articulation_nation_supplier(spark, sf_dir):
-    """Cut vertices (size-gated exact Tarjan — linkgraph/bridges.py).
+    """Cut vertices via distributed Tarjan–Vishkin (linkgraph/
+    bridges.py; Euler tour + sparse-table low/high + aux-graph CC).
     Oracle: per-vertex-exclusion neighbor reachability."""
     from linkgraph.bridges import articulation_points
     return articulation_points(_nation_supplier_edges(spark, sf_dir))

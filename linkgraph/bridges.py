@@ -32,10 +32,14 @@ Every stage is a bounded number of shuffles on (comp, position) or
 arc keys — no per-edge recomputation, no driver collection — so the
 path holds at 10^12-edge scale. Articulation points additionally need
 subtree range-MIN/MAX (low/high values), which unlike XOR are not
-invertible prefix lookups; the full Tarjan–Vishkin auxiliary-graph
-construction is the scale path and is out of scope here, so
-``articulation_points`` ships the size-gated exact driver DFS with a
-clear error above the gate (the SCC local-Tarjan precedent).
+invertible prefix lookups; ``articulation_points`` (method="tv",
+default) closes that gap with a doubling SPARSE TABLE over the tour
+positions (O(log n) self-joins, two lookups per subtree query) and
+then runs the full Tarjan–Vishkin auxiliary-graph construction —
+BCC labels = this engine's own connected components over the aux
+graph; a vertex is a cut vertex iff its incident tree edges span two
+labels. The size-gated exact driver DFS survives as method="local",
+the oracle twin (the SCC local-Tarjan precedent).
 """
 
 from __future__ import annotations
@@ -68,13 +72,29 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResult:
-    """All bridges (cut edges) of the undirected simple graph induced
-    by ``edges`` (direction and multiplicity ignored), as canonical
-    (src < dst) pairs. See module docstring for the algorithm and its
-    one-sided 2^-64-per-edge hash-collision error bound."""
-    spark = edges.sparkSession
-    und = _canonical_undirected(edges).persist()
+class _EulerTour:
+    """Shared spanning-forest + Euler-tour + list-ranking machinery
+    (steps 1-4 of the module docstring), consumed by both ``bridges``
+    (XOR-prefix interval test) and the Tarjan–Vishkin path of
+    ``articulation_points`` (preorder intervals + low/high RMQ)."""
+
+    def __init__(self, tree, nontree, comps, pos, adj,
+                 n_tree, n_nontree, rounds):
+        self.tree = tree            # persisted (src, dst)
+        self.nontree = nontree      # lazy (a, b)
+        self.comps = comps          # lazy (id, comp) — comp IS min node
+        self.pos = pos              # persisted (comp, u, v, p) tour arcs
+        self.adj = adj              # persisted sorted-adjacency arcs
+        self.n_tree = n_tree
+        self.n_nontree = n_nontree
+        self.rounds = rounds
+
+
+def _euler_tour(und: DataFrame, checkpoint_dir: str | None) -> _EulerTour | None:
+    """Build the rooted Euler tour of the spanning forest of the
+    canonical simple view ``und`` (must be persisted by the caller).
+    Returns None when the graph has no tree edges."""
+    spark = und.sparkSession
 
     # 1. spanning forest + component roots (comp label IS the min node)
     msf = minimum_spanning_forest(
@@ -87,24 +107,15 @@ def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResul
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     ).components  # (id, comp)
 
-    # 2. non-tree tags: XOR of the edge hash into both endpoints
+    # 2. non-tree edges (everything the forest left out)
     nontree = und.join(
         tree, (und.a == tree.src) & (und.b == tree.dst), "left_anti"
     )
     n_nontree = nontree.count()
-    eh = F.xxhash64(F.concat_ws(":", F.col("a"), F.col("b"))).alias("h")
-    tags = (
-        nontree.select(F.col("a").alias("id"), eh)
-        .union(nontree.select(F.col("b").alias("id"), eh))
-        .groupBy("id")
-        .agg(F.expr("bit_xor(h)").alias("tag"))
-    )
-
     if n_tree == 0:
         und.unpersist()
         tree.unpersist()
-        empty = spark.createDataFrame([], "src long, dst long")
-        return BridgesResult(empty, 0, n_nontree, 0)
+        return _EulerTour(tree, nontree, comps, None, None, 0, n_nontree, 0)
 
     # 3. Euler tour successor table over tree arcs
     arcs = (
@@ -182,7 +193,7 @@ def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResul
         rounds += 1
         state = loop.advance(rounds, state, metrics={"round": rounds})
 
-    # 5. positions, first-visit tag layout, prefix XOR, interval test
+    # positions from the ranking distances
     arc_comp = state.join(
         node_comp.withColumnRenamed("tail", "u"), "u"
     )  # (u, v, d, comp)
@@ -192,6 +203,34 @@ def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResul
         .select("comp", "u", "v", (F.col("L") - 1 - F.col("d")).alias("p"))
         .persist()
     )
+    pos.count()
+    return _EulerTour(tree, nontree, comps, pos, adj,
+                      n_tree, n_nontree, rounds)
+
+
+def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResult:
+    """All bridges (cut edges) of the undirected simple graph induced
+    by ``edges`` (direction and multiplicity ignored), as canonical
+    (src < dst) pairs. See module docstring for the algorithm and its
+    one-sided 2^-64-per-edge hash-collision error bound."""
+    spark = edges.sparkSession
+    und = _canonical_undirected(edges).persist()
+    et = _euler_tour(und, checkpoint_dir)
+    if et.n_tree == 0:
+        empty = spark.createDataFrame([], "src long, dst long")
+        return BridgesResult(empty, 0, et.n_nontree, 0)
+    tree, nontree, pos, rounds = et.tree, et.nontree, et.pos, et.rounds
+
+    # non-tree tags: XOR of the edge hash into both endpoints
+    eh = F.xxhash64(F.concat_ws(":", F.col("a"), F.col("b"))).alias("h")
+    tags = (
+        nontree.select(F.col("a").alias("id"), eh)
+        .union(nontree.select(F.col("b").alias("id"), eh))
+        .groupBy("id")
+        .agg(F.expr("bit_xor(h)").alias("tag"))
+    )
+
+    # 5. first-visit tag layout, prefix XOR, interval test
     wfirst = Window.partitionBy("v").orderBy("p")
     avals = (
         pos.withColumn("rn", F.row_number().over(wfirst))
@@ -240,36 +279,78 @@ def bridges(edges: DataFrame, checkpoint_dir: str | None = None) -> BridgesResul
     und.unpersist()
     # the returned lazy plan still reads these persisted intermediates;
     # loop callers free them with release_caches(result.bridges)
-    out = attach_caches(out, [tree, adj, pos, prefix])
+    out = attach_caches(out, [tree, et.adj, pos, prefix])
     return BridgesResult(
-        bridges=out, tree_edges=n_tree, nontree_edges=n_nontree,
+        bridges=out, tree_edges=et.n_tree, nontree_edges=et.n_nontree,
         ranking_rounds=rounds,
     )
 
 
+_INF = 1 << 62
+
+
 def articulation_points(
-    edges: DataFrame, local_threshold: int = 500_000
+    edges: DataFrame,
+    method: str = "tv",
+    local_threshold: int = 500_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cut vertices of the undirected simple graph, as DataFrame(id).
 
-    Size-gated exact path: the canonical edge list (never raw rows) is
-    collected below ``local_threshold`` edges and solved with an
-    iterative (explicit-stack) Tarjan DFS in the driver — the same
-    escape-hatch contract as SCC's local mode. Above the gate this
-    raises: cut VERTICES need subtree range-min/max (low values),
-    which the XOR-prefix trick used by :func:`bridges` cannot express;
-    the Tarjan–Vishkin auxiliary-graph construction is the documented
-    scale path.
+    method="tv" (default) — fully distributed Tarjan–Vishkin (SIAM J.
+    Comput. 1985; auxiliary-graph form after JaJa §5.3), built on the
+    SAME spanning-forest + Euler-tour + list-ranking machinery as
+    :func:`bridges`:
+
+      1. root each component at its min node, lay the Euler tour, rank
+         arc positions (shared ``_euler_tour``);
+      2. per vertex: first-visit position fv (the preorder surrogate —
+         order-isomorphic to preorder, and subtree(v) is exactly the
+         tour interval [fv(v), lv(v)] where lv is the position of the
+         arc back to the parent), plus the parent;
+      3. low/high: per vertex the min/max first-visit position
+         reachable by one hop over its non-tree edges, then the
+         subtree range-min/max via a doubling SPARSE TABLE over tour
+         positions — O(log n) self-joins to build, two lookups per
+         query, no single-task sort anywhere (range-min is not an
+         invertible prefix like the XOR trick, so bridges' prefix scan
+         cannot express it — this table is the missing 20%);
+      4. auxiliary graph on tree edges (edge (p(v), v) ~ node v):
+         rule 1 — a non-tree edge between subtree-UNRELATED x, y links
+         nodes x and y; rule 2 — tree edge (u, v) with non-root u
+         links u and v iff low(v) < fv(u) or high(v) > lv(u) (the
+         subtree of v escapes the subtree of u). Ancestor-type
+         non-tree edges are covered by rule-2 chains along the tree
+         path, so no third rule is needed;
+      5. biconnected components = connected components of the aux
+         graph (the engine's own delta-iteration CC); a vertex is an
+         articulation point iff its incident TREE edges carry >= 2
+         distinct BCC labels (any spanning tree restricted to a BCC
+         spans it, so every BCC at v contains a tree edge at v — this
+         covers root and non-root uniformly).
+
+    Every stage is a bounded number of hash shuffles; the sparse table
+    holds O(n log n) rows (disclosed — the price of distributed
+    range-min). Cross-checked against the driver Tarjan DFS on random
+    graphs (tests/test_bridges.py) and the definition-based DuckDB
+    oracle (articulation_points_sql).
+
+    method="local" — the size-gated exact driver Tarjan DFS (the SCC
+    local-mode escape-hatch contract), kept as the oracle twin.
     """
+    if method not in ("tv", "local"):
+        raise ValueError(f"method must be tv|local: got {method}")
+    if method == "tv":
+        return _articulation_tv(edges, checkpoint_dir)
     spark = edges.sparkSession
     und = _canonical_undirected(edges)
     m = und.count()
     if m > local_threshold:
         raise ValueError(
             f"articulation_points: {m} edges exceeds local_threshold="
-            f"{local_threshold}; distributed cut-vertex search "
-            "(Tarjan–Vishkin) is not implemented — raise the threshold "
-            "only if the canonical edge list fits in driver memory"
+            f"{local_threshold}; use method='tv' (distributed "
+            "Tarjan–Vishkin) or raise the threshold if the canonical "
+            "edge list fits in driver memory"
         )
     rows = und.collect()
     adj: dict[int, list[int]] = {}
@@ -315,6 +396,191 @@ def articulation_points(
     return spark.createDataFrame(
         [(int(c),) for c in sorted(cuts)], "id long"
     )
+
+
+def _articulation_tv(edges: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Distributed Tarjan–Vishkin articulation points — see
+    :func:`articulation_points` (method="tv") for the construction."""
+    from .checkpoint import pin_table, release_state
+
+    spark = edges.sparkSession
+    und = _canonical_undirected(edges).persist()
+    et = _euler_tour(und, checkpoint_dir)
+    if et.n_tree == 0:
+        und.unpersist()
+        et.tree.unpersist()
+        return spark.createDataFrame([], "id long")
+    tree, nontree, pos = et.tree, et.nontree, et.pos
+
+    # --- 2. first-visit positions (roots, id == comp, get sentinel -1
+    # so every vertex of the component falls inside the root interval)
+    first = pin_table(
+        pos.groupBy("comp", F.col("v").alias("id"))
+        .agg(F.min("p").alias("raw_fv"))
+        .select(
+            "comp", "id",
+            F.when(F.col("id") == F.col("comp"), F.lit(-1))
+            .otherwise(F.col("raw_fv")).cast("long").alias("fv"),
+        )
+    )
+    # parent arc of non-root v = the out-arc whose head was visited
+    # earlier (unique: all children are visited later); its position
+    # is lv(v), closing the subtree interval [fv(v), lv(v)]
+    fu = first.select(F.col("id").alias("u"), F.col("fv").alias("f_tail"))
+    fh = first.select(F.col("id").alias("v"), F.col("fv").alias("f_head"))
+    nonroot = (
+        pos.join(fu, "u").join(fh, "v")
+        .filter(F.col("f_head") < F.col("f_tail"))
+        .select(
+            "comp", F.col("u").alias("id"), F.col("v").alias("parent"),
+            F.col("f_tail").alias("fv"), F.col("p").alias("lv"),
+        )
+    )
+    tour_max = pos.groupBy("comp").agg(F.max("p").alias("pmax"))
+    roots = (
+        first.filter(F.col("id") == F.col("comp"))
+        .join(tour_max, "comp")
+        .select(
+            "comp", "id", F.lit(None).cast("long").alias("parent"),
+            F.lit(-1).cast("long").alias("fv"), F.col("pmax").alias("lv"),
+        )
+    )
+    iv = pin_table(nonroot.unionByName(roots))  # (comp, id, parent, fv, lv)
+
+    # --- 3a. one-hop low/high seeds from the non-tree edges
+    nt = nontree.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        nontree.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    ntmm = (
+        nt.join(first.select(F.col("id").alias("x"), F.col("fv").alias("fx")), "x")
+        .groupBy(F.col("w").alias("id"))
+        .agg(F.min("fx").alias("ntmin"), F.max("fx").alias("ntmax"))
+    )
+    fvals = iv.join(ntmm, "id", "left").select(
+        "comp", "id", "fv",
+        F.least(F.col("fv"), F.coalesce("ntmin", F.lit(_INF))).alias("fl"),
+        F.greatest(F.col("fv"), F.coalesce("ntmax", F.lit(-_INF))).alias("fh"),
+    )
+
+    # --- 3b. doubling sparse table over tour positions: level k holds
+    # min/max of the first-visit seed values over [p, p + 2^k)
+    vals = (
+        pos.join(
+            fvals.select(
+                F.col("id").alias("v"), F.col("fv").alias("v_fv"), "fl", "fh"
+            ),
+            "v",
+        )
+        .select(
+            "comp", "p",
+            F.when(F.col("p") == F.col("v_fv"), F.col("fl"))
+            .otherwise(F.lit(_INF)).alias("mn"),
+            F.when(F.col("p") == F.col("v_fv"), F.col("fh"))
+            .otherwise(F.lit(-_INF)).alias("mx"),
+        )
+    )
+    max_l = int(pos.agg(F.max("p")).first()[0] or 0) + 1
+    level = pin_table(vals)
+    levels = [level]
+    sp = level.withColumn("k", F.lit(0))
+    k = 0
+    while (1 << (k + 1)) <= max_l:
+        half = 1 << k
+        shifted = level.select(
+            "comp", (F.col("p") - half).alias("p"),
+            F.col("mn").alias("mn2"), F.col("mx").alias("mx2"),
+        )
+        level = pin_table(
+            level.join(shifted, ["comp", "p"], "left").select(
+                "comp", "p",
+                F.least("mn", F.coalesce("mn2", F.lit(_INF))).alias("mn"),
+                F.greatest("mx", F.coalesce("mx2", F.lit(-_INF))).alias("mx"),
+            )
+        )
+        k += 1
+        levels.append(level)
+        sp = sp.unionByName(level.withColumn("k", F.lit(k)))
+    sp = pin_table(sp)
+    for lv_frame in levels:
+        release_state(lv_frame)
+
+    # --- 3c. subtree range queries: [fv, lv] via the two overlapping
+    # power-of-two windows (exact — min/max are idempotent)
+    q = nonroot.withColumn(
+        "k",
+        F.floor(F.log2((F.col("lv") - F.col("fv") + 1).cast("double"))).cast("int"),
+    ).withColumn(
+        # 2^k exact in doubles far beyond any tour length
+        "p2",
+        (F.col("lv") - F.pow(F.lit(2.0), F.col("k").cast("double")) + 1)
+        .cast("long"),
+    )
+    lowhigh = (
+        q.join(
+            sp.select(
+                "k", "comp", F.col("p").alias("fv"),
+                F.col("mn").alias("mn1"), F.col("mx").alias("mx1"),
+            ),
+            ["k", "comp", "fv"],
+        )
+        .join(
+            sp.select(
+                "k", "comp", F.col("p").alias("p2"),
+                F.col("mn").alias("mn2"), F.col("mx").alias("mx2"),
+            ),
+            ["k", "comp", "p2"],
+        )
+        .select(
+            "comp", "id", "parent", "fv", "lv",
+            F.least("mn1", "mn2").alias("low"),
+            F.greatest("mx1", "mx2").alias("high"),
+        )
+    )
+
+    # --- 4. auxiliary graph on tree edges (node id = child endpoint)
+    piv = iv.select(
+        F.col("id").alias("parent"), F.col("parent").alias("grand"),
+        F.col("fv").alias("pfv"), F.col("lv").alias("plv"),
+    )
+    rule2 = (
+        lowhigh.join(piv, "parent")
+        .filter(F.col("grand").isNotNull())
+        .filter((F.col("low") < F.col("pfv")) | (F.col("high") > F.col("plv")))
+        .select(F.col("parent").alias("src"), F.col("id").alias("dst"))
+    )
+    iva = iv.select(F.col("id").alias("a"), F.col("fv").alias("fa"),
+                    F.col("lv").alias("la"))
+    ivb = iv.select(F.col("id").alias("b"), F.col("fv").alias("fb"),
+                    F.col("lv").alias("lb"))
+    rule1 = (
+        nontree.join(iva, "a").join(ivb, "b")
+        .filter(
+            ~((F.col("fa") <= F.col("fb")) & (F.col("fb") <= F.col("la")))
+            & ~((F.col("fb") <= F.col("fa")) & (F.col("fa") <= F.col("lb")))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+    # --- 5. BCC labels = CC of the aux graph; articulation = tree
+    # edges at the vertex span >= 2 labels
+    aux_nodes = nonroot.select("id")
+    bcc = connected_components(
+        rule1.unionByName(rule2), nodes=aux_nodes
+    ).components.select(F.col("id").alias("child"), F.col("comp").alias("bcc"))
+    incident = (
+        nonroot.select(F.col("id").alias("child"), F.col("parent").alias("vertex"))
+        .join(bcc, "child")
+        .select("vertex", "bcc")
+        .unionByName(bcc.select(F.col("child").alias("vertex"), "bcc"))
+    )
+    out = (
+        incident.groupBy("vertex")
+        .agg(F.countDistinct("bcc").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select(F.col("vertex").alias("id"))
+    )
+    und.unpersist()
+    return attach_caches(out, [tree, et.adj, pos, first, iv, sp])
 
 
 # ------------------------------------------------------------- SQL twins

@@ -136,9 +136,13 @@ def test_articulation_random_match_bruteforce(spark, seed):
 
 
 def test_articulation_gate_raises(spark):
+    # the size gate now guards only the driver-DFS path; the default
+    # (Tarjan–Vishkin) is distributed and ungated
     e = _edges(spark, [(0, 1), (1, 2)])
     with pytest.raises(ValueError, match="local_threshold"):
-        articulation_points(e, local_threshold=1)
+        articulation_points(e, method="local", local_threshold=1)
+    got = sorted(r["id"] for r in articulation_points(e, local_threshold=1).collect())
+    assert got == [1]
 
 
 def test_duckdb_twins_match_engine(spark):
@@ -159,3 +163,43 @@ def test_duckdb_twins_match_engine(spark):
     want_a = {r[0] for r in con.execute(articulation_points_sql(sql_edges)).fetchall()}
     got_a = {r.id for r in articulation_points(e).collect()}
     assert got_a == want_a == _brute_articulation(pairs)
+
+
+def test_articulation_tv_matches_local_tarjan(spark):
+    """The distributed Tarjan–Vishkin path must agree with the exact
+    driver Tarjan DFS on random graphs across densities — trees,
+    sparse (bridge-heavy), and dense (cross-edge-heavy) regimes, plus
+    multi-component inputs."""
+    import random
+
+    from linkgraph.bridges import articulation_points
+
+    rng = random.Random(71)
+    cases = []
+    for n, m in [(10, 9), (12, 16), (12, 30), (9, 20), (14, 14)]:
+        pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        cases.append([(a, b) for a, b in pairs if a != b])
+    cases.append([(i, i + 1) for i in range(8)] + [(20, 21), (21, 22), (20, 22)])
+    for pairs in cases:
+        if not pairs:
+            continue
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        tv = sorted(r["id"] for r in articulation_points(e, method="tv").collect())
+        loc = sorted(
+            r["id"] for r in articulation_points(e, method="local").collect()
+        )
+        assert tv == loc, (pairs, tv, loc)
+
+
+def test_articulation_tv_default_no_size_gate(spark):
+    """method='tv' is the default and must not raise on inputs above
+    the local gate; method='local' keeps the gated contract."""
+    import pytest
+
+    from linkgraph.bridges import articulation_points
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    got = sorted(r["id"] for r in articulation_points(e).collect())
+    assert got == list(range(1, 40))
+    with pytest.raises(ValueError, match="exceeds local_threshold"):
+        articulation_points(e, method="local", local_threshold=10)
