@@ -403,6 +403,9 @@ def infomap(
     rounds_per_level: int = 8,
     sweep: str = "hash",
     hub_cap: int | str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> InfomapResult:
     """Full multilevel InfoMap (the reference procedure's shape):
     sweep to fixpoint, contract each module into a super-node
@@ -413,10 +416,27 @@ def infomap(
     kept if the true two-level codelength improves — the same
     best-cut guard as ``louvain`` (joint synchronized moves are
     individually, not jointly, safe). Returns the original-node
-    assignment of the best-scoring level."""
+    assignment of the best-scoring level.
+
+    Level-granular durable resume (the engine-wide SuperstepLoop
+    contract, the affinity/MST kind-frame pattern): ONE durable frame
+    carries the contracted edges (kind 'e'), contracted self-loops
+    (kind 'l') and the original→module mapping (kind 'm'); best_l /
+    levels / rounds_run ride in the manifest metrics. ``resume=True``
+    re-enters at the first unfinished level, guarded by the original-
+    graph fingerprint plus sweep/rounds_per_level validation — a
+    killed-then-resumed run equals an uninterrupted one exactly (the
+    per-level sweep is deterministic, so replaying an interrupted
+    level reproduces it)."""
+    import json as _json
+
+    from linkgraph.checkpoint import SuperstepLoop
+    from linkgraph.kcore import _check_resume_fp
+
     if sweep not in _SWEEPS:
         raise ValueError(f"bad sweep {sweep}")
     t0 = time.time()
+    spark = edges.sparkSession
     und0 = pin_table(_und_long(edges))
     sym0 = pin_table(
         und0.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
@@ -426,12 +446,87 @@ def infomap(
     )
     deg0 = pin_table(_degrees(und0, None))
     two_m0 = 2 * int(und0.agg(F.sum("w")).first()[0] or 0)
-    mapping = pin_table(deg0.select("id", F.col("id").alias("c")))
-    best_l = _codelength(sym0, deg0, mapping, two_m0)
-    und, loops = und0, None
+    fp = (
+        int(und0.agg(F.expr("bit_xor(xxhash64(a, b, w))").alias("fp"))
+            .first()["fp"] or 0)
+        if checkpoint_dir else None
+    )
+    loop = SuperstepLoop(
+        spark, checkpoint_dir, every=checkpoint_every, name="infomap",
+        max_steps=max_levels,
+        context={"graph_fp": fp, "sweep": sweep,
+                 "rounds_per_level": rounds_per_level},
+    )
+
+    def _kind_frame(e_df, l_df, m_df):
+        rows = e_df.select(
+            F.lit("e").alias("kind"), F.col("a").alias("x"),
+            F.col("b").alias("y"), F.col("w").cast("long").alias("w"),
+        ).unionByName(
+            m_df.select(F.lit("m").alias("kind"), F.col("id").alias("x"),
+                        F.col("c").alias("y"),
+                        F.lit(None).cast("long").alias("w"))
+        )
+        if l_df is not None:
+            rows = rows.unionByName(
+                l_df.select(F.lit("l").alias("kind"), F.col("id").alias("x"),
+                            F.lit(None).cast("long").alias("y"),
+                            F.col("w").cast("long").alias("w"))
+            )
+        return rows
+
+    start = 0
+    mapping = None
+    und = loops = None
+    best_l = None
     levels = 0
     rounds_run = 0
-    for _ in range(max_levels):
+    if resume and checkpoint_dir:
+        resumed = loop.resume()
+        if resumed is not None:
+            _check_resume_fp("infomap", loop.last_context.get("graph_fp"), fp)
+            rec_sweep = loop.last_context.get("sweep")
+            rec_rpl = loop.last_context.get("rounds_per_level")
+            if (rec_sweep is not None and rec_sweep != sweep) or (
+                rec_rpl is not None and int(rec_rpl) != rounds_per_level
+            ):
+                raise ValueError(
+                    f"infomap resume mismatch: checkpoint ran sweep={rec_sweep}, "
+                    f"rounds_per_level={rec_rpl}; this call asked sweep={sweep}, "
+                    f"rounds_per_level={rounds_per_level}. Rerun without resume "
+                    "or with the original parameters."
+                )
+            start, st = resumed
+            mapping = pin_table(
+                st.filter(F.col("kind") == "m").select(
+                    F.col("x").alias("id"), F.col("y").alias("c")
+                )
+            )
+            und = pin_table(
+                st.filter(F.col("kind") == "e").select(
+                    F.col("x").alias("a"), F.col("y").alias("b"), "w"
+                )
+            )
+            l_rows = st.filter(F.col("kind") == "l").select(
+                F.col("x").alias("id"), "w"
+            )
+            loops = pin_table(l_rows) if not l_rows.isEmpty() else None
+            m = _json.loads(loop.last_metrics.get("infomap_json", "{}"))
+            best_l = m.get("best_l")
+            levels = int(m.get("levels", start))
+            rounds_run = int(m.get("rounds_run", 0))
+    if mapping is None:
+        mapping = pin_table(deg0.select("id", F.col("id").alias("c")))
+        best_l = _codelength(sym0, deg0, mapping, two_m0)
+        und, loops = und0, None
+        if checkpoint_dir:
+            loop.advance(
+                0, _kind_frame(und0, None, mapping), force_checkpoint=True,
+                metrics={"infomap_json": _json.dumps(
+                    {"best_l": best_l, "levels": 0, "rounds_run": 0}
+                )},
+            )
+    for lv in range(start + 1, max_levels + 1):
         state, ran, _, sym, deg, hot = _run_sweep(
             und, loops, rounds_per_level, sweep, hub_cap=hub_cap
         )
@@ -492,11 +587,23 @@ def infomap(
             release_state(und)
         und, loops = und_next, loops_next
         release_state(state)
+        if checkpoint_dir:
+            # durable level boundary: next level's graph + the refined
+            # mapping + the scalar trackers (kind-frame pattern)
+            ck = loop.advance(
+                lv, _kind_frame(und, loops, mapping),
+                metrics={"infomap_json": _json.dumps(
+                    {"best_l": best_l, "levels": levels,
+                     "rounds_run": rounds_run}
+                )},
+            )
+            release_state(ck)  # durable parquet is the record we keep
     if und is not und0:
         release_state(und)
     if loops is not None:
         release_state(loops)
     n_final = mapping.select("c").distinct().count()
+    loop.close()
     release_state(sym0)
     release_state(und0)
     release_state(deg0)

@@ -129,3 +129,42 @@ def test_infomap_hub_split_equals_plain(spark):
     plain.release()
     forced.release()
     auto.release()
+
+
+def test_infomap_multilevel_resume_equals_uninterrupted(spark, tmp_path):
+    """Multilevel infomap killed at a level boundary and resumed from
+    the manifest equals the uninterrupted run; fingerprint and
+    sweep/rounds mismatches raise."""
+    import pytest
+
+    from linkgraph.infomap import infomap
+
+    edges = []
+    for base in (0, 10, 20):
+        nodes = [base + i for i in range(1, 5)]
+        edges += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    edges += [(4, 11), (14, 21), (24, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    full = infomap(e, max_levels=3, rounds_per_level=10)
+    want = sorted((r["id"], r["module"]) for r in full.assignment.collect())
+    full.release()
+
+    ckpt = str(tmp_path / "im_ckpt")
+    killed = infomap(e, max_levels=1, rounds_per_level=10,
+                     checkpoint_dir=ckpt, checkpoint_every=1)
+    killed.release()
+    res = infomap(e, max_levels=3, rounds_per_level=10,
+                  checkpoint_dir=ckpt, checkpoint_every=1, resume=True)
+    got = sorted((r["id"], r["module"]) for r in res.assignment.collect())
+    assert got == want
+    assert abs(res.codelength - full.codelength) < 1e-9 if full.codelength else True
+    res.release()
+
+    with pytest.raises(ValueError, match="resume mismatch"):
+        infomap(e, max_levels=3, rounds_per_level=7,
+                checkpoint_dir=ckpt, resume=True)
+    other = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(ValueError):
+        infomap(other, max_levels=3, rounds_per_level=10,
+                checkpoint_dir=ckpt, resume=True)
