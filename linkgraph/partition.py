@@ -35,7 +35,13 @@ so the engine may stop early while a longer-unrolled SQL twin stays
 value-identical (extra rounds are idempotent).
 
 Scale notes (100TB): the per-round cost is ONE adjacency join + one
-(node, part) aggregation — LPA's shuffle, with the same hub caveat.
+(node, part) aggregation — LPA's shuffle shape, with the state joined
+on the PINNED ``node`` key (sym is symmetric, so collecting and
+scattering votes are the same sums — the orientation that reuses the
+layout contributes zero big-table exchanges per round), and the same
+hub answer: ``hub_cap="auto"`` (linkgraph/skew.py) routes hub-keyed
+adjacency through a round-robin + broadcast-state path, bit-identical
+results.
 The admission ranking windows ONLY the movers (strict-improvement
 proposals, a shrinking set) partitioned k ways; k is small (≈ the
 executor count), and if a single round ever proposes O(n) movers into
@@ -56,6 +62,7 @@ from pyspark.sql import functions as F
 from linkgraph.checkpoint import pin_table, release_state
 from linkgraph.coloring import _sym
 from linkgraph.pipeline.hashing import stable_hash64, stable_hash64_sql
+from linkgraph.skew import hub_join, probe_hubs, split_hot
 from linkgraph.triangles import _undirected_simple
 
 
@@ -83,6 +90,7 @@ def balanced_partition(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    hub_cap: int | str | None = None,
 ) -> PartitionResult:
     """Capacity-constrained LPA partitioning (see module docstring).
     Deterministic; replayed value-exact by ``balanced_partition_sql``.
@@ -97,7 +105,12 @@ def balanced_partition(
     contract): the durable state is the (id, part) assignment,
     guarded by the graph fingerprint and (k, slack_pct, seed) — a
     killed-then-resumed run equals an uninterrupted one exactly
-    (rounds are a pure function of the previous assignment)."""
+    (rounds are a pure function of the previous assignment).
+
+    hub_cap: power-law skew split for the per-round vote census
+    (linkgraph/skew.py; contract as ``label_propagation(hub_cap=...)``,
+    keyed on ``node`` — the pinned layout concentrates a hub's whole
+    adjacency in one task). Bit-identical assignment on/off/forced."""
     import json as _json
 
     from linkgraph.checkpoint import SuperstepLoop
@@ -111,13 +124,30 @@ def balanced_partition(
         )
     t0 = time.time()
     spark = edges.sparkSession
-    sym = pin_table(_wsym(edges, weighted).repartition("node"))
-    nodes = sym.select(F.col("node").alias("id")).distinct()
-    fp = (
-        int(sym.agg(F.expr("bit_xor(xxhash64(node, nbr, w6))").alias("fp"))
+    raw = _wsym(edges, weighted).persist()
+    # fingerprint over the FULL symmetric table — must be independent
+    # of whether/where the hub split lands (results are identical)
+    fp_full = (
+        int(raw.agg(F.expr("bit_xor(xxhash64(node, nbr, w6))").alias("fp"))
             .first()["fp"] or 0)
         if checkpoint_dir else None
     )
+    hub_ids = probe_hubs(raw, "node", hub_cap)
+    sym_hot = None
+    if hub_ids:
+        cold, hot_df = split_hot(raw, "node", hub_ids)
+        sym = pin_table(cold)
+        sym_hot = pin_table(hot_df)
+    else:
+        sym = pin_table(raw.repartition("node"))
+    raw.unpersist()
+    hot = (sym_hot, hub_ids) if sym_hot is not None else None
+    nodes = sym.select(F.col("node").alias("id")).distinct()
+    if sym_hot is not None:
+        nodes = nodes.unionByName(
+            sym_hot.select(F.col("node").alias("id"))
+        ).distinct()
+    fp = fp_full
     params = {"k": k, "slack_pct": slack_pct, "seed": seed,
               "weighted": weighted}
     loop = SuperstepLoop(
@@ -125,6 +155,8 @@ def balanced_partition(
         max_steps=rounds, context={"graph_fp": fp, "params": params},
     )
     caches = [sym]
+    if sym_hot is not None:
+        caches.append(sym_hot)
     start = 0
     state = None
     movers_hist: list[int] = []
@@ -161,7 +193,7 @@ def balanced_partition(
     cap = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
     done = rounds
     for t in range(start + 1, rounds + 1):
-        admitted = pin_table(_round_moves(sym, state, cap))
+        admitted = pin_table(_round_moves(sym, state, cap, hot=hot))
         n_moved = admitted.count()
         movers_hist.append(n_moved)
         if n_moved == 0:
@@ -201,6 +233,7 @@ def balanced_partition(
             "loads": loads_final,
             "balance": max(loads_final.values()) / (n / k) if loads_final else 0.0,
             "movers_per_round": movers_hist,
+            "hub_split": len(hub_ids) if hub_ids else 0,
             "wall_s": round(time.time() - t0, 3),
         },
         _caches=caches,
@@ -231,17 +264,31 @@ def _wsym(edges: DataFrame, weighted: bool) -> DataFrame:
     )
 
 
-def _round_moves(sym: DataFrame, state: DataFrame, cap: int) -> DataFrame:
+def _round_moves(
+    sym: DataFrame, state: DataFrame, cap: int,
+    hot: tuple[DataFrame, list] | None = None,
+) -> DataFrame:
     """One round's admitted moves (pre-pin) — the production kernel,
-    exposed for plan assertions (tests/test_plans.py)."""
+    exposed for plan assertions (tests/test_plans.py).
+
+    The vote census joins the state on the PINNED ``node`` key and
+    groups by ``nbr`` — ``sym`` is symmetric (w6 included), so
+    "collect my neighbors' parts" and "scatter my part to my
+    neighbors" are the same integer sums, and the orientation that
+    reuses the pre-partitioned layout wins: the big table contributes
+    ZERO exchanges per round instead of a fresh nbr-keyed shuffle
+    (asserted in tests/test_plans.py).
+    hot: optional (sym_hot, hub_ids) power-law split on ``node``
+    (linkgraph/skew.py) — a hub's whole adjacency otherwise sits in
+    one task of the pinned layout; votes are bit-identical either
+    way."""
     loads = state.groupBy("part").agg(F.count("*").alias("load"))
+    sym_hot, hub_ids = hot if hot is not None else (None, None)
+    node_state = state.select(F.col("id").alias("node"),
+                              F.col("part").alias("npart"))
     nbrp = (
-        sym.join(
-            state.select(F.col("id").alias("nbr"),
-                         F.col("part").alias("npart")),
-            "nbr",
-        )
-        .groupBy("node", "npart")
+        hub_join(sym, sym_hot, hub_ids, node_state, "node")
+        .groupBy(F.col("nbr").alias("node"), "npart")
         .agg(F.sum("w6").alias("cnt"))
     )
     cur = state.select(F.col("id").alias("node"), F.col("part").alias("cpart"))

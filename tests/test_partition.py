@@ -188,3 +188,59 @@ def test_weighted_voting_twin_and_divergence(spark):
     count_asg = sorted(map(tuple, rc.assignment.collect()))
     rc.release()
     assert count_asg != got  # weights genuinely change the outcome
+
+
+def test_balanced_partition_hub_split_equals_plain(spark):
+    """hub_cap routes hub-keyed adjacency through the broadcast-state
+    path (linkgraph/skew.py); the integer vote census — and therefore
+    every admitted move — is split-invariant. Star+ring fixture forces
+    the hub hot; multi-round so split state feeds later censuses."""
+    from linkgraph.partition import balanced_partition
+
+    pairs = (
+        [(0, i) for i in range(1, 41)]
+        + [(i, i % 40 + 1) for i in range(1, 41)]
+        + [(100, 101)]
+    )
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    plain = balanced_partition(e, k=3, rounds=3)
+    base = {(r["id"], r["part"]) for r in plain.assignment.collect()}
+    forced = balanced_partition(e, k=3, rounds=3, hub_cap=20)
+    assert forced.stats["hub_split"] == 1
+    assert {(r["id"], r["part"]) for r in forced.assignment.collect()} == base
+    auto = balanced_partition(e, k=3, rounds=3, hub_cap="auto")
+    assert {(r["id"], r["part"]) for r in auto.assignment.collect()} == base
+    plain.release()
+    forced.release()
+    auto.release()
+
+
+def test_balanced_partition_pinned_side_not_reexchanged(spark):
+    """The vote census joins the state on the PINNED node key: the big
+    pinned table must contribute zero Exchange nodes per round (its
+    hashpartitioning survives the localCheckpoint), with the swap to
+    groupBy(nbr) keeping votes identical by symmetry."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.checkpoint import pin_table, release_state
+    from linkgraph.partition import _round_moves, _wsym
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    ).filter("src != dst")
+    sym = pin_table(_wsym(e, weighted=False).repartition("node"))
+    state = sym.select(F.col("node").alias("id")).distinct().select(
+        "id", (F.col("id") % 3).alias("part")
+    )
+    plan = (
+        _round_moves(sym, state, cap=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no exchange directly above the pinned columnar scan
+    assert not re.search(
+        r"Exchange hashpartitioning\(node#\d+L, \d+\)[^\n]*\n[^\n]*InMemoryTableScan",
+        plan,
+    ), plan
+    release_state(sym)
