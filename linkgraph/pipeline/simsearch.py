@@ -234,17 +234,22 @@ def _stride_centroids(
     n: int | None = None,
 ) -> DataFrame:
     """Every ceil(n/n_centroids)-th vector in id order as (cent_id,
-    cvec). The global row_number runs over the ID COLUMN ONLY (8
-    bytes/row through the single sort task, a one-off); the wide
-    embedding column never enters the global sort — the n_centroids
+    cvec). The global id rank runs through ``ids.distributed_rank``
+    (range-partitioned + broadcast offsets — value-identical to the
+    global ROW_NUMBER, no single-task sort), over the ID COLUMN ONLY;
+    the wide embedding column never enters the rank — the n_centroids
     vectors are fetched by an equi-join."""
+    from linkgraph.checkpoint import release_caches
+    from linkgraph.ids import distributed_rank
+
     if n is None:
         n = emb.count()
     stride = max(1, -(-n // n_centroids))  # ceil(n / n_centroids)
-    ranked_ids = emb.select(F.col(id_col).alias("cent_id")).withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col("cent_id")))
+    ranked_ids = distributed_rank(
+        emb.select(F.col(id_col).alias("cent_id")), [("cent_id", "asc")],
+        name="rn",
     )
-    return (
+    picked = (
         ranked_ids.filter((F.col("rn") - 1) % stride == 0)
         .drop("rn")
         .join(
@@ -252,6 +257,11 @@ def _stride_centroids(
             "cent_id",
         )
     )
+    # n_centroids survivors — materialize them off the rank cache,
+    # then free it (centroid frames are broadcast downstream)
+    picked = picked.localCheckpoint(eager=True)
+    release_caches(ranked_ids)
+    return picked
 
 
 def _ranked_centroid_scores(

@@ -62,11 +62,16 @@ def bfs_stream(
     dist = ms_bfs_distances(
         edges, sources=src_df, direction=direction, max_hops=max_depth
     )
-    w = Window.orderBy(F.col("dist").asc(), F.col("id").asc())
-    return dist.select(
-        F.row_number().over(w).alias("visit_order"),
-        "id",
-        F.col("dist").cast("long").alias("depth"),
+    # visit order over the whole reachable set — distributed_rank
+    # (ids.py) keeps the canonical (depth, id) order without a
+    # single-task sort of the frontier union
+    from linkgraph.ids import distributed_rank
+
+    ranked = distributed_rank(
+        dist, [("dist", "asc"), ("id", "asc")], name="visit_order"
+    )
+    return ranked.select(
+        "visit_order", "id", F.col("dist").cast("long").alias("depth")
     )
 
 
