@@ -806,8 +806,12 @@ def test_no_unpartitioned_rank_windows_in_rank_operators():
     from linkgraph.graphs import configuration_model, robustness_curve
     from linkgraph.similarity import link_prediction_auc
 
+    from linkgraph.pipeline.simsearch import _stride_centroids
+    from linkgraph.traversal import bfs_stream
+
     for fn in (configuration_model, robustness_curve,
-               link_prediction_auc, sgns_embeddings):
+               link_prediction_auc, sgns_embeddings,
+               bfs_stream, _stride_centroids):
         src = inspect.getsource(fn)
         assert "Window.orderBy" not in src, fn.__name__
         assert "distributed_rank" in src, fn.__name__
