@@ -520,12 +520,13 @@ def infomap(
         best_l = _codelength(sym0, deg0, mapping, two_m0)
         und, loops = und0, None
         if checkpoint_dir:
-            loop.advance(
+            ck0 = loop.advance(
                 0, _kind_frame(und0, None, mapping), force_checkpoint=True,
                 metrics={"infomap_json": _json.dumps(
                     {"best_l": best_l, "levels": 0, "rounds_run": 0}
                 )},
             )
+            release_state(ck0)  # durable parquet is the record we keep
     for lv in range(start + 1, max_levels + 1):
         state, ran, _, sym, deg, hot = _run_sweep(
             und, loops, rounds_per_level, sweep, hub_cap=hub_cap
