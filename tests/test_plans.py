@@ -815,3 +815,36 @@ def test_no_unpartitioned_rank_windows_in_rank_operators():
         src = inspect.getsource(fn)
         assert "Window.orderBy" not in src, fn.__name__
         assert "distributed_rank" in src, fn.__name__
+
+
+def test_community_hub_split_hot_path_is_broadcast(spark):
+    """With a (sym_hot, hub_ids) split supplied, the Louvain round's
+    vote census must close the hub neighborhoods via a BROADCAST join
+    (map-side over the round-robin partitions) — no shuffle of the hot
+    pair rows — while staying free of cartesian products."""
+    from linkgraph.community import _local_move_round
+    from linkgraph.partition import _wsym
+    from linkgraph.skew import split_hot
+
+    e = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 30)] + [(1, 2, 1.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    raw = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"),
+        F.lit(1).cast("long").alias("w"),
+    ).unionByName(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"),
+                 F.lit(1).cast("long").alias("w"))
+    )
+    cold, hot = split_hot(raw, "nbr", [0])
+    deg = raw.groupBy(F.col("node").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    state = deg.select("id", F.col("id").alias("c"))
+    plan = _plan(
+        _local_move_round(cold, deg, state, two_m=62, hot=(hot, [0]))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
